@@ -1,0 +1,926 @@
+"""Operator/query catalog — the engine's public query surface.
+
+Each entry re-expresses an operator family from the reference system
+(SURVEY.md §2, citations into /root/reference/) over the driver's
+TPC-H-ish synthetic tables, as idiomatic Catalyst-optimizable
+DataFrame code, paired with an ANSI-SQL oracle that DuckDB runs on the
+same parquet files.
+
+Numeric determinism conventions (so Spark and DuckDB value-hash match):
+- SUM of doubles is order-dependent in a distributed engine, so every
+  money/quantity sum casts to DECIMAL(18,4) first (exact, associative),
+  then casts the final sum to DOUBLE.  ``dsum``/``DSUM``.
+- AVG is computed as exact-decimal-sum cast to double, divided by
+  COUNT(*) — a single IEEE double division on both engines. ``davg``.
+- Ranking ties always break on a unique key column.
+- Aggregate/computed columns carry identical aliases on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# registry plumbing
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects by default. Read nanos as long and truncate
+    to micros (matching DuckDB's nanos->micros truncation) with integer
+    division — nanos exceed 2^53, so float division would lose time.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 - conf may be fixed; try the read anyway
+        pass
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def dsum(c: F.Column) -> F.Column:
+    """Order-independent exact sum of a double column, as double."""
+    return F.sum(c.cast("decimal(18,4)")).cast("double")
+
+
+def davg(c: F.Column) -> F.Column:
+    """Exact-sum / count — one IEEE division, deterministic."""
+    return dsum(c) / F.count(F.lit(1))
+
+
+def DSUM(x: str) -> str:
+    return f"CAST(SUM(CAST({x} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def DAVG(x: str) -> str:
+    return f"({DSUM(x)} / COUNT(*))"
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_transaction_summary",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS txn_count,
+           {DAVG('o_totalprice')} AS avg_amount,
+           MIN(o_orderdate) AS first_processed,
+           MAX(o_orderdate) AS last_processed,
+           COUNT(DISTINCT o_custkey) AS unique_senders
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def a1_transaction_summary(spark, sf_dir):
+    """Multi-key hash agg: count/avg/min/max/countDistinct.
+
+    Mirrors gold_transaction_summary (gold_x12_analytics.py:443-455).
+    Scale: map-side partial agg + single shuffle on the group keys.
+    """
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("txn_count"),
+            davg(F.col("o_totalprice")).alias("avg_amount"),
+            F.min("o_orderdate").alias("first_processed"),
+            F.max("o_orderdate").alias("last_processed"),
+            F.countDistinct("o_custkey").alias("unique_senders"),
+        )
+    )
+
+
+@register(
+    "a2_partner_matrix",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS total_transactions,
+           SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_count,
+           SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished_count,
+           SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS pending_count,
+           COUNT(DISTINCT o.o_custkey) AS unique_partners,
+           {DAVG('o.o_totalprice')} AS avg_amount
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def a2_partner_matrix(spark, sf_dir):
+    """Conditional-count matrix per partner segment + broadcast join.
+
+    Mirrors gold_trading_partner_analytics' 9 per-type conditional
+    counts (gold_x12_analytics.py:600-619). customer is the small
+    dimension — broadcast so the fact scan never shuffles for the join.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("total_transactions"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("open_count"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("finished_count"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("pending_count"),
+            F.countDistinct("o_custkey").alias("unique_partners"),
+            davg(F.col("o_totalprice")).alias("avg_amount"),
+        )
+    )
+
+
+@register(
+    "a3_quality_bands",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS txn_count,
+           {DAVG('l_extendedprice')} AS avg_amount,
+           MIN(l_extendedprice) AS min_amount,
+           MAX(l_extendedprice) AS max_amount,
+           SUM(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END) AS high_band_count,
+           SUM(CASE WHEN l_quantity >= 15 AND l_quantity < 40 THEN 1 ELSE 0 END) AS medium_band_count,
+           SUM(CASE WHEN l_quantity < 15 THEN 1 ELSE 0 END) AS low_band_count,
+           SUM(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS high_band_pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a3_quality_bands(spark, sf_dir):
+    """Quality-band conditional counts + percentages.
+
+    Mirrors gold_data_quality_metrics (gold_x12_analytics.py:737-754)
+    with the >=90 / 70-89 / <70 banding re-expressed on l_quantity.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.sum(F.when(F.col("l_quantity") >= 40, 1).otherwise(0))
+    med = F.sum(F.when((F.col("l_quantity") >= 15) & (F.col("l_quantity") < 40), 1).otherwise(0))
+    low = F.sum(F.when(F.col("l_quantity") < 15, 1).otherwise(0))
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("txn_count"),
+        davg(F.col("l_extendedprice")).alias("avg_amount"),
+        F.min("l_extendedprice").alias("min_amount"),
+        F.max("l_extendedprice").alias("max_amount"),
+        high.alias("high_band_count"),
+        med.alias("medium_band_count"),
+        low.alias("low_band_count"),
+        (high * F.lit(100.0) / F.count(F.lit(1))).alias("high_band_pct"),
+    )
+
+
+@register(
+    "a4_business_kpis",
+    oracle=f"""
+    SELECT COUNT(*) AS total_transactions,
+           COUNT(DISTINCT o_custkey) AS unique_customers,
+           COUNT(DISTINCT o_orderstatus) AS unique_statuses,
+           COUNT(DISTINCT CAST(o_custkey AS VARCHAR) || '-' || o_orderstatus) AS unique_partner_combos,
+           {DAVG('o_totalprice')} AS avg_amount,
+           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent_count,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS completed_count,
+           MAX(o_orderdate) AS last_processed
+    FROM orders
+    """,
+)
+def a4_business_kpis(spark, sf_dir):
+    """Global (no-key) KPI aggregate.
+
+    Mirrors gold_business_kpis (gold_x12_analytics.py:773-787) with the
+    :778 bug fixed: countDistinct over the concat expression itself
+    rather than a not-yet-created column.
+    """
+    o = _t(spark, sf_dir, "orders")
+    combo = F.concat(F.col("o_custkey").cast("string"), F.lit("-"), F.col("o_orderstatus"))
+    return o.agg(
+        F.count(F.lit(1)).alias("total_transactions"),
+        F.countDistinct("o_custkey").alias("unique_customers"),
+        F.countDistinct("o_orderstatus").alias("unique_statuses"),
+        F.countDistinct(combo).alias("unique_partner_combos"),
+        davg(F.col("o_totalprice")).alias("avg_amount"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("urgent_count"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("completed_count"),
+        F.max("o_orderdate").alias("last_processed"),
+    )
+
+
+@register(
+    "a6_collect_ack_lists",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR)) AS control_numbers,
+           COUNT(*) AS ack_count,
+           MAX(o_orderdate) AS last_ts
+    FROM orders
+    WHERE o_custkey < 100
+    GROUP BY o_custkey
+    """,
+)
+def a6_collect_ack_lists(spark, sf_dir):
+    """collect_list of control numbers per partner (997 ack shape).
+
+    Mirrors generate_x12_acknowledgments.py:155-163. Sorted join to a
+    string so the comparison is order-insensitive.
+    """
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.sort_array(F.collect_list(F.col("o_orderkey").cast("string"))), ","
+        ).alias("control_numbers"),
+        F.count(F.lit(1)).alias("ack_count"),
+        F.max("o_orderdate").alias("last_ts"),
+    )
+
+
+@register(
+    "a9_summarize_events",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS events,
+           SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS high_value_events,
+           {DAVG('value')} AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           COUNT(DISTINCT user_id) AS unique_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a9_summarize_events(spark, sf_dir):
+    """KQL summarize: count/countif/avg/min/max/dcount by key.
+
+    Mirrors monitoring/sftp-monitoring-queries.md:16-23,89-94.
+    """
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).alias("high_value_events"),
+        davg(F.col("value")).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.countDistinct("user_id").alias("unique_users"),
+    )
+
+
+@register(
+    "a10_hourly_rollup",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS bucket_hour,
+           event_type,
+           COUNT(*) AS events,
+           {DSUM('value')} AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def a10_hourly_rollup(spark, sf_dir):
+    """Tumbling 1h time-bucket aggregation (KQL bin(timestamp, 1h)).
+
+    Mirrors monitoring/sftp-monitoring-queries.md:21,54,93. Batch form
+    of the streaming window op (streaming/ops_metrics.py runs the same
+    agg with F.window + watermark).
+    """
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_hour"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("events"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "a11_pivot_daily",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_day,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def a11_pivot_daily(spark, sf_dir):
+    """Pivot: day × event_type activity matrix.
+
+    Mirrors KQL `evaluate pivot(Partner, sum(FileCount))`
+    (monitoring/sftp-monitoring-queries.md:146). Explicit value list so
+    Spark skips the extra distinct-values job (matters at scale).
+    """
+    e = _t(spark, sf_dir, "events")
+    piv = (
+        e.groupBy(F.to_date("ts").alias("event_day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return piv.select(
+        "event_day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+@register(
+    "rollup_region_nation",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS customers,
+           {DSUM('c.c_acctbal')} AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_region_nation(spark, sf_dir):
+    """ROLLUP grouping-sets over a 3-table broadcast-join chain.
+
+    SURVEY §2.4 notes rollup/cube as free Spark extensions; dims are
+    broadcast so the fact side never shuffles for the joins.
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins, §2.7 set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_left_join_activity",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_orderstatus, o.o_orderdate,
+           COALESCE(l.line_count, 0) AS line_count,
+           COALESCE(l.total_qty, 0.0) AS total_qty
+    FROM orders o
+    LEFT JOIN (
+        SELECT l_orderkey, COUNT(*) AS line_count, {DSUM('l_quantity')} AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+    ) l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def j1_left_join_activity(spark, sf_dir):
+    """LEFT OUTER equi-join of header↔detail with derived columns.
+
+    Mirrors v_recent_processing_activity, the reference's only join
+    (local-development/sql/init.sql:174-186). Pre-aggregating the
+    detail side before the join keeps the shuffled payload minimal.
+    """
+    o = _t(spark, sf_dir, "orders")
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("line_count"),
+            dsum(F.col("l_quantity")).alias("total_qty"),
+        )
+    )
+    return o.join(l, o.o_orderkey == l.l_orderkey, "left").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderdate",
+        F.coalesce(F.col("line_count"), F.lit(0)).alias("line_count"),
+        F.coalesce(F.col("total_qty"), F.lit(0.0)).alias("total_qty"),
+    )
+
+
+@register(
+    "j2_semi_join",
+    oracle="""
+    SELECT c.c_nationkey, COUNT(*) AS active_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    GROUP BY c.c_nationkey
+    """,
+)
+def j2_semi_join(spark, sf_dir):
+    """LEFT SEMI join (EXISTS): customers with a finished order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("active_customers"))
+    )
+
+
+@register(
+    "j2_anti_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def j2_anti_join(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS): customers with no pending orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "set_intersect_except",
+    oracle="""
+    (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+     INTERSECT
+     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def set_intersect_except(spark, sf_dir):
+    """INTERSECT / EXCEPT set operators (SURVEY §2.7 free extensions)."""
+    o = _t(spark, sf_dir, "orders")
+    k_open = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    k_fin = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    k_pen = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return k_open.intersect(k_fin).exceptAll(k_pen.distinct())
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows, §2.6 sort/limit/top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_latest_event_per_user",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_status
+    FROM (SELECT user_id, ts, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def w1_latest_event_per_user(spark, sf_dir):
+    """arg_max(timestamp, status) by partner — latest row per group.
+
+    Mirrors monitoring/sftp-monitoring-queries.md:34. row_number with a
+    unique tiebreak (event_id) for determinism.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("last_ts"), F.col("event_type").alias("last_status"))
+    )
+
+
+@register(
+    "w2_rank_topk",
+    oracle="""
+    SELECT event_type, event_id, value, rnk
+    FROM (SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id) AS rnk
+          FROM events)
+    WHERE rnk <= 3
+    """,
+)
+def w2_rank_topk(spark, sf_dir):
+    """Ranking window + top-k per group (SURVEY §2.5/§2.6)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "event_id", "value", "rnk")
+    )
+
+
+@register(
+    "w3_running_totals",
+    oracle="""
+    SELECT user_id, event_id,
+           COUNT(*) OVER w AS running_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def w3_running_totals(spark, sf_dir):
+    """Frame-spec window: running count/sum + lag.
+
+    The reference's Postgres upsert running totals
+    (process_test_data.py:112-148) re-expressed as window frames.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("running_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("running_value"),
+        F.lag("value").over(wl).alias("prev_value"),
+    )
+
+
+@register(
+    "o1_topk_nations",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS customer_count
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY customer_count DESC, n.n_name
+    LIMIT 10
+    """,
+)
+def o1_topk_nations(spark, sf_dir):
+    """ORDER BY count DESC LIMIT k (init.sql:172 breakdown view).
+
+    Spark plans this as TakeOrderedAndProject — no global sort.
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("customer_count"))
+        .orderBy(F.desc("customer_count"), F.asc("n_name"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters / predicates, §2.8 scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p6_projection_casts",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS INTEGER) AS qty_int,
+           l_extendedprice,
+           (l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS charge,
+           l_discount * 100.0 AS discount_pct
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def p6_projection_casts(spark, sf_dir):
+    """Wide projection with casts + date-range predicate (P1/P6/P9).
+
+    Mirrors gold_x12_analytics.py:73,477-490. The filter and the
+    4-column read schema both push into the parquet scan.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        "l_extendedprice",
+        ((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) * (F.lit(1.0) + F.col("l_tax"))).alias("charge"),
+        (F.col("l_discount") * F.lit(100.0)).alias("discount_pct"),
+    )
+
+
+@register(
+    "p8_concat_partner_keys",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_custkey AS VARCHAR) || '-' || o_orderstatus AS trading_partner_id,
+           CAST(o_orderdate AS DATE) AS processing_date,
+           'batch' AS processing_mode
+    FROM orders
+    """,
+)
+def p8_concat_partner_keys(spark, sf_dir):
+    """String-concat key + literal/date enrichment (P8/P9).
+
+    Mirrors trading_partner_id = sender-receiver
+    (gold_x12_analytics.py:620,788-790).
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.concat(F.col("o_custkey").cast("string"), F.lit("-"), F.col("o_orderstatus")).alias(
+            "trading_partner_id"
+        ),
+        F.to_date("o_orderdate").alias("processing_date"),
+        F.lit("batch").alias("processing_mode"),
+    )
+
+
+@register(
+    "p10_case_bands",
+    oracle=f"""
+    SELECT CASE WHEN o_totalprice >= 200000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'medium'
+                ELSE 'low' END AS price_band,
+           COUNT(*) AS orders,
+           {DAVG('o_totalprice')} AS avg_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def p10_case_bands(spark, sf_dir):
+    """Chained when/otherwise case mapping (KQL case(), P10)."""
+    o = _t(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") >= 200000, "high")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("low")
+    )
+    return o.groupBy(band.alias("price_band")).agg(
+        F.count(F.lit(1)).alias("orders"),
+        davg(F.col("o_totalprice")).alias("avg_price"),
+    )
+
+
+@register(
+    "p11_text_predicates",
+    oracle="""
+    SELECT lang, COUNT(*) AS docs
+    FROM documents
+    WHERE n_chars >= 100
+      AND text LIKE '%join%'
+      AND regexp_matches(text, '^[a-z ]+')
+    GROUP BY lang
+    """,
+)
+def p11_text_predicates(spark, sf_dir):
+    """Validation-style text predicates: length/contains/regex (P11).
+
+    Mirrors bronze envelope checks (bronze_x12_ingestion.py:167-192):
+    startswith-ISA, min-length, required-segment contains.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(
+            (F.col("n_chars") >= 100)
+            & F.col("text").contains("join")
+            & F.col("text").rlike("^[a-z ]+")
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
+
+
+@register(
+    "scalar_strings",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '^(\\w+)', 1) AS first_token,
+           upper(lang) AS lang_upper,
+           rpad(lang, 5, 'x') AS lang_padded,
+           substr(text, 1, 20) AS text_head,
+           length(string_split_regex(trim(text), '\\s+')) AS token_count
+    FROM documents
+    """,
+)
+def scalar_strings(spark, sf_dir):
+    """Scalar string family: regex extract, case, pad, substr, split.
+
+    Mirrors SURVEY §2.8 (997 segment padding f"{id:<15}", KQL extract,
+    segment splitting).
+    """
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_token"),
+        F.upper("lang").alias("lang_upper"),
+        F.rpad("lang", 5, "x").alias("lang_padded"),
+        F.substring("text", 1, 20).alias("text_head"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("token_count"),
+    )
+
+
+@register(
+    "scalar_datetime",
+    oracle="""
+    SELECT event_id,
+           CAST(ts AS DATE) AS event_date,
+           EXTRACT(hour FROM ts) AS event_hour,
+           strftime(ts, '%Y-%m-%d') AS day_str,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_seconds
+    FROM events
+    """,
+)
+def scalar_datetime(spark, sf_dir):
+    """Date/time scalar family: to_date, hour, format, epoch seconds.
+
+    Mirrors date_format/strptime/EPOCH usage (SURVEY §2.8 date/time,
+    init.sql:182 duration).
+    """
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.to_date("ts").alias("event_date"),
+        F.hour("ts").alias("event_hour"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+        F.unix_timestamp("ts").alias("epoch_seconds"),
+    )
+
+
+@register(
+    "scalar_json",
+    oracle=f"""
+    SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+                THEN 'high' ELSE 'low' END AS k_band,
+           COUNT(*) AS events,
+           {DAVG('value')} AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def scalar_json(spark, sf_dir):
+    """JSON payload extraction + agg (get_json_object).
+
+    Mirrors the parsed_data JSON round-trip the reference does in every
+    gold UDF (gold_x12_analytics.py:97); here the extraction happens
+    JVM-side with no Python boundary.
+    """
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy(
+        F.when(k >= 50, "high").otherwise("low").alias("k_band")
+    ).agg(
+        F.count(F.lit(1)).alias("events"),
+        davg(F.col("value")).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 UDF-replacement explode+agg marts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u1_claim_metrics",
+    oracle=f"""
+    SELECT o.o_orderkey AS claim_id,
+           COUNT(*) AS total_service_lines,
+           {DSUM('l.l_extendedprice')} AS calculated_total,
+           o.o_totalprice AS claim_amount,
+           abs(o.o_totalprice - {DSUM('l.l_extendedprice')}) AS amount_variance,
+           COUNT(DISTINCT l.l_partkey) AS unique_service_count,
+           CASE WHEN {DSUM('l.l_extendedprice')} > 0
+                THEN abs(o.o_totalprice - {DSUM('l.l_extendedprice')}) / {DSUM('l.l_extendedprice')} * 100.0
+                ELSE 0.0 END AS variance_percentage
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def u1_claim_metrics(spark, sf_dir):
+    """Per-claim service-line rollup with guarded variance ratio.
+
+    The distributed replacement for extract_837_claim_metrics_udf's
+    Python loop over service_lines (gold_x12_analytics.py:94-133): the
+    header↔detail join + groupBy computes the same totals with
+    map-side partial aggregation instead of a per-row Python UDF.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    calc = dsum(F.col("l_extendedprice"))
+    joined = o.join(li, o.o_orderkey == li.l_orderkey)
+    return joined.groupBy(
+        F.col("o_orderkey").alias("claim_id"), F.col("o_totalprice")
+    ).agg(
+        F.count(F.lit(1)).alias("total_service_lines"),
+        calc.alias("calculated_total"),
+        F.abs(F.col("o_totalprice") - calc).alias("amount_variance"),
+        F.countDistinct("l_partkey").alias("unique_service_count"),
+        F.when(calc > 0, F.abs(F.col("o_totalprice") - calc) / calc * F.lit(100.0))
+        .otherwise(F.lit(0.0))
+        .alias("variance_percentage"),
+    ).select(
+        "claim_id",
+        "total_service_lines",
+        "calculated_total",
+        F.col("o_totalprice").alias("claim_amount"),
+        "amount_variance",
+        "unique_service_count",
+        "variance_percentage",
+    )
+
+
+@register(
+    "u3_enrollment_metrics",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_day,
+           COUNT(*) AS total_members,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS new_enrollments,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS terminations,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS changes,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS enrollment_ratio,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS termination_ratio
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def u3_enrollment_metrics(spark, sf_dir):
+    """Maintenance-code conditional counts + ratios.
+
+    Distributed form of extract_834_enrollment_metrics_udf's 021/024/001
+    counting loop (gold_x12_analytics.py:172-212,561-581).
+    """
+    e = _t(spark, sf_dir, "events")
+    new_e = F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+    term = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    chg = F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+    cnt = F.count(F.lit(1))
+    return e.groupBy(F.to_date("ts").alias("event_day")).agg(
+        cnt.alias("total_members"),
+        new_e.alias("new_enrollments"),
+        term.alias("terminations"),
+        chg.alias("changes"),
+        (new_e * F.lit(100.0) / cnt).alias("enrollment_ratio"),
+        (term * F.lit(100.0) / cnt).alias("termination_ratio"),
+    )
+
+
+@register(
+    "u7_action_buckets",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_day,
+           SUM(CASE WHEN event_type IN ('signup','purchase') THEN 1 ELSE 0 END) AS approved_count,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS denied_count,
+           SUM(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END) AS pending_count,
+           SUM(CASE WHEN event_type IN ('signup','purchase') THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS approval_rate,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS denial_rate
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def u7_action_buckets(spark, sf_dir):
+    """Action-code categorization: approved/denied/pending + rates.
+
+    Distributed form of the 279 action-code buckets A1-A4/A6,CT,DJ/PA,PN
+    (gold_x12_analytics.py:354-417,689-716).
+    """
+    e = _t(spark, sf_dir, "events")
+    appr = F.sum(F.when(F.col("event_type").isin("signup", "purchase"), 1).otherwise(0))
+    den = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    pend = F.sum(F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0))
+    cnt = F.count(F.lit(1))
+    return e.groupBy(F.to_date("ts").alias("event_day")).agg(
+        appr.alias("approved_count"),
+        den.alias("denied_count"),
+        pend.alias("pending_count"),
+        (appr * F.lit(100.0) / cnt).alias("approval_rate"),
+        (den * F.lit(100.0) / cnt).alias("denial_rate"),
+    )
