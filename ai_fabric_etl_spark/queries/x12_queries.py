@@ -1,0 +1,61 @@
+"""X12 pipeline entries for the driver contract.
+
+These exercise the engine's core domain capability (distributed X12
+parse -> silver -> gold marts -> 997 acks) on the deterministic
+in-repo corpus. Not SQL-expressible over the driver's parquet views,
+so they are registered WITHOUT oracle_sql (rows-only check); full
+semantic coverage lives in tests/test_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ai_fabric_etl_spark.pipeline import gold
+from ai_fabric_etl_spark.pipeline.silver import parse_to_silver, silver_with_parsed
+from ai_fabric_etl_spark.queries.catalog import register
+from ai_fabric_etl_spark.x12.testgen import generate_corpus
+
+_NOW = datetime(2025, 1, 2, 12, 0, 0)  # fixed clock for determinism
+
+
+def _silver(spark: SparkSession) -> DataFrame:
+    files = spark.createDataFrame(generate_corpus(), ["file_name", "content"])
+    # modest corpus: keep it in a few partitions rather than 32 empty ones
+    return silver_with_parsed(
+        parse_to_silver(files.repartition(4), batch_id="entry", now=_NOW)
+    )
+
+
+@register("x12_silver_transactions")
+def x12_silver_transactions(spark, sf_dir):
+    """U9: the file->transaction-rows UDTF via mapInPandas."""
+    return _silver(spark).drop("parsed")
+
+
+@register("x12_gold_transaction_summary")
+def x12_gold_transaction_summary(spark, sf_dir):
+    """A1 on real X12: gold_transaction_summary over parsed silver."""
+    return gold.transaction_summary(_silver(spark)).drop("created_at")
+
+
+@register("x12_gold_claim_analytics")
+def x12_gold_claim_analytics(spark, sf_dir):
+    """U1 on real X12: explode service_lines -> per-claim variance."""
+    return gold.claim_analytics(_silver(spark))
+
+
+@register("x12_gold_business_kpis")
+def x12_gold_business_kpis(spark, sf_dir):
+    """A4 on real X12, with the reference's :778 bug fixed."""
+    return gold.business_kpis(_silver(spark))
+
+
+@register("x12_ack_997")
+def x12_ack_997(spark, sf_dir):
+    """U8/A6: 997 ack generation (collect_list + templating UDF)."""
+    from ai_fabric_etl_spark.x12.ack997 import generate_acks
+
+    return generate_acks(_silver(spark)).drop("control_numbers")

@@ -1,0 +1,158 @@
+"""End-to-end medallion pipeline test: files -> bronze -> silver -> gold."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ai_fabric_etl_spark.pipeline.bronze import read_bronze
+from ai_fabric_etl_spark.pipeline.gold import ALL_MARTS, build_all_marts
+from ai_fabric_etl_spark.pipeline.silver import parse_to_silver, silver_with_parsed
+from ai_fabric_etl_spark.x12.parsers import parse_x12_file
+from ai_fabric_etl_spark.x12.testgen import generate_corpus
+
+NOW = datetime(2025, 1, 2, 12, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def landing_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("landing")
+    for name, content in generate_corpus():
+        (d / name).write_text(content)
+    # a decoy that must be glob-filtered out, and a corrupt .x12
+    (d / "notes.json").write_text("{}")
+    (d / "corrupt.x12").write_text("GARBAGE NO ISA")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def bronze_df(spark, landing_dir):
+    return read_bronze(spark, landing_dir)
+
+
+@pytest.fixture(scope="module")
+def silver_df(spark, bronze_df):
+    valid = bronze_df.filter(F.col("is_valid_x12"))
+    return silver_with_parsed(parse_to_silver(valid, batch_id="t1", now=NOW)).cache()
+
+
+def test_bronze_glob_and_validation(bronze_df):
+    names = {r["file_name"] for r in bronze_df.select("file_name").collect()}
+    assert "notes.json" not in names, "glob filter leaked a non-x12 file"
+    assert "corrupt.x12" in names
+    flags = {r["file_name"]: r["is_valid_x12"] for r in bronze_df.collect()}
+    assert flags["corrupt.x12"] is False
+    assert sum(1 for v in flags.values() if v) == 27
+
+
+def test_bronze_isa_metadata(bronze_df):
+    row = bronze_df.filter(F.col("is_valid_x12")).limit(1).collect()[0]
+    assert row["sender_id"].startswith("SENDER")
+    assert row["receiver_id"].startswith("RECV")
+    assert row["usage_indicator"] == "T"
+
+
+def test_silver_matches_local_parse(silver_df):
+    """Distributed mapInPandas result == driver-side pure-Python parse."""
+    expected = []
+    for name, content in generate_corpus():
+        expected.extend(parse_x12_file(name, content, batch_id="t1", now=NOW))
+    got = silver_df.collect()
+    assert len(got) == len(expected)
+    exp_keys = sorted(
+        (e["file_name"], e["transaction_set_control_number"], e["quality_score"])
+        for e in expected
+    )
+    got_keys = sorted(
+        (r["file_name"], r["transaction_set_control_number"], r["quality_score"])
+        for r in got
+    )
+    assert got_keys == exp_keys
+
+
+def test_silver_typed_struct_roundtrip(silver_df):
+    """from_json typed struct agrees with the JSON payload."""
+    row = silver_df.filter(F.col("transaction_type") == "837").limit(1).collect()[0]
+    payload = json.loads(row["parsed_data"])
+    assert row["parsed"]["total_claim_amount"] == pytest.approx(
+        payload["total_claim_amount"]
+    )
+    assert len(row["parsed"]["claims"]) == len(payload["claims"])
+
+
+def test_all_marts_build_and_have_rows(silver_df):
+    marts = build_all_marts(silver_df)
+    assert set(marts) == set(ALL_MARTS)
+    for name, df in marts.items():
+        rows = df.collect()
+        assert rows, f"{name} is empty"
+
+
+def test_claim_analytics_variance(silver_df):
+    from ai_fabric_etl_spark.pipeline.gold import claim_analytics
+
+    rows = claim_analytics(silver_df).collect()
+    assert rows
+    for r in rows:
+        # generator builds CLM total = sum of SV1 lines, so variance ~ 0
+        assert r["amount_variance"] == pytest.approx(0.0, abs=0.02)
+        assert r["variance_percentage"] == pytest.approx(0.0, abs=0.01)
+        assert r["total_service_lines"] >= 1
+
+
+def test_payment_analytics_reconciliation(silver_df):
+    from ai_fabric_etl_spark.pipeline.gold import payment_analytics
+
+    for r in payment_analytics(silver_df).collect():
+        assert r["payment_variance"] == pytest.approx(0.0, abs=0.02)
+        assert 0 <= r["payment_ratio"] <= 100.01
+
+
+def test_trading_partner_type_counts(silver_df):
+    from ai_fabric_etl_spark.pipeline.gold import trading_partner_analytics
+
+    rows = trading_partner_analytics(silver_df).collect()
+    for r in rows:
+        total_by_type = sum(r[f"count_{t}"] for t in
+                            ("837", "835", "834", "270", "271", "276", "277", "278", "279"))
+        assert total_by_type == r["total_transactions"]
+        assert r["trading_partner_id"] == f"{r['sender_id']}-{r['receiver_id']}"
+
+
+def test_business_kpis_bugfix(silver_df):
+    from ai_fabric_etl_spark.pipeline.gold import business_kpis
+
+    row = business_kpis(silver_df).collect()[0]
+    # 3 senders x 2 receivers but only pairs that co-occur (i%3, i%2)
+    assert row["unique_trading_partnerships"] == 6
+    assert row["total_transactions"] > 0
+
+
+def test_data_quality_includes_invalid(spark, silver_df):
+    """The quality mart must not filter is_valid (reference behavior)."""
+    from ai_fabric_etl_spark.pipeline.gold import data_quality_metrics
+
+    total = silver_df.count()
+    mart_total = (
+        data_quality_metrics(silver_df)
+        .agg(F.sum("transaction_count").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert mart_total == total
+
+
+def test_ack_997_generation(silver_df):
+    from ai_fabric_etl_spark.x12.ack997 import generate_acks, validate_997
+
+    acks = generate_acks(silver_df).collect()
+    assert acks
+    for a in acks:
+        ok, issues = validate_997(a["ack_997"])
+        assert ok, issues
+        assert a["transaction_count"] == len(a["control_numbers"])
+        # every acknowledged control number appears as an AK2
+        assert a["ack_997"].count("AK2*") == len(a["control_numbers"])

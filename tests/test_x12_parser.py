@@ -1,0 +1,155 @@
+"""Unit tests for the pure-Python X12 layer (no Spark needed)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from ai_fabric_etl_spark.x12.envelope import extract_envelope_metadata, validate_x12_text
+from ai_fabric_etl_spark.x12.parsers import parse_x12_file
+from ai_fabric_etl_spark.x12.segments import split_segments
+from ai_fabric_etl_spark.x12.testgen import generate_corpus
+
+NOW = datetime(2025, 1, 2, 12, 0, 0)
+
+
+def _sample(txn_type: str) -> tuple[str, str]:
+    for name, content in generate_corpus():
+        if f"_{txn_type}_" in name:
+            return name, content
+    raise AssertionError(f"no {txn_type} in corpus")
+
+
+def test_split_segments_basic():
+    segs = split_segments("ISA*00*x~GS*HC*a*b~ST*837*1~SE*2*1~GE*1*1~IEA*1*1~")
+    assert [s.segment_id for s in segs] == ["ISA", "GS", "ST", "SE", "GE", "IEA"]
+    assert segs[2].el(0) == "837"
+    assert segs[2].el(99) == ""  # bounds-guarded
+
+
+def test_numeric_guard_empty_string():
+    seg = split_segments("SV1*HC:99213**UN*~")[0]
+    assert seg.num(1) == 0.0  # empty -> 0.0, reference semantics
+
+
+def test_envelope_metadata():
+    _, content = _sample("837")
+    meta = extract_envelope_metadata(split_segments(content))
+    assert meta.sender_id.startswith("SENDER")
+    assert meta.receiver_id.startswith("RECV")
+    assert meta.usage_indicator == "T"
+    assert meta.transaction_count >= 1
+    assert meta.interchange_control_number.isdigit()
+
+
+def test_validate_rejects_garbage():
+    ok, issues = validate_x12_text("not an x12 file at all")
+    assert not ok and issues
+
+
+def test_validate_accepts_corpus():
+    for name, content in generate_corpus():
+        ok, issues = validate_x12_text(content)
+        assert ok, f"{name}: {issues}"
+
+
+def test_parse_837_claims_and_lines():
+    name, content = _sample("837")
+    rows = parse_x12_file(name, content, now=NOW)
+    assert rows, "no transactions parsed"
+    import json
+
+    for row in rows:
+        assert row["transaction_type"] == "837"
+        payload = json.loads(row["parsed_data"])
+        assert payload["claims"], "837 with no claims"
+        claim = payload["claims"][0]
+        assert claim["total_claim_amount"] > 0
+        assert claim["service_lines"], "claim with no service lines"
+        # claim total is the sum of its generated line amounts
+        assert abs(
+            claim["total_claim_amount"]
+            - round(sum(sl["line_amount"] for sl in claim["service_lines"]), 2)
+        ) < 0.01
+        assert payload["provider"]["identifier"]
+
+
+def test_parse_835_payment_reconciles():
+    import json
+
+    name, content = _sample("835")
+    rows = parse_x12_file(name, content, now=NOW)
+    for row in rows:
+        payload = json.loads(row["parsed_data"])
+        assert payload["claim_count"] == len(payload["claims"])
+        # BPR payment equals sum of CLP paid amounts by construction
+        assert abs(payload["payment_amount"] - payload["total_paid_amount"]) < 0.01
+
+
+def test_parse_834_maintenance_codes():
+    import json
+
+    name, content = _sample("834")
+    rows = parse_x12_file(name, content, now=NOW)
+    for row in rows:
+        p = json.loads(row["parsed_data"])
+        assert p["member_count"] == len(p["members"])
+        assert (
+            p["new_enrollments"] + p["terminations"] + p["changes"] == p["member_count"]
+        )
+
+
+def test_parse_279_action_buckets():
+    import json
+
+    name, content = _sample("279")
+    rows = parse_x12_file(name, content, now=NOW)
+    for row in rows:
+        p = json.loads(row["parsed_data"])
+        assert p["review_count"] == len(p["review_results"])
+        assert (
+            p["approved_count"] + p["denied_count"] + p["pending_count"]
+            <= p["review_count"]
+        )
+        for r in p["review_results"]:
+            assert r["decision"] in ("approved", "denied", "pending", "unknown")
+
+
+def test_all_types_parse_with_quality():
+    for name, content in generate_corpus():
+        rows = parse_x12_file(name, content, now=NOW)
+        assert rows, f"{name} produced no rows"
+        for row in rows:
+            assert 0 <= row["quality_score"] <= 100
+            assert row["is_valid"] == (row["quality_score"] >= 50)
+            assert row["processing_date"] == NOW.date()
+
+
+def test_quality_formula_canonical():
+    # a transaction missing required segments: 837 with no CLM/NM1/BHT
+    text = (
+        "ISA*00*          *00*          *ZZ*S              *ZZ*R              "
+        "*250101*1200*^*00501*000000001*0*T*:~"
+        "GS*HC*S*R*20250101*1200*1*X*005010~"
+        "ST*837*0001~SE*2*0001~GE*1*1~IEA*1*000000001~"
+    )
+    rows = parse_x12_file("bad.x12", text, now=NOW)
+    assert len(rows) == 1
+    # 3 missing required segments (BHT, NM1, CLM) = 3 issues -> 100-60=40
+    # plus warnings (SE count mismatch) -> 40-5=35
+    assert rows[0]["quality_score"] == 35
+    assert rows[0]["is_valid"] is False
+
+
+def test_unknown_type_generic_fallback():
+    import json
+
+    text = (
+        "ISA*00*          *00*          *ZZ*S              *ZZ*R              "
+        "*250101*1200*^*00501*000000002*0*T*:~"
+        "GS*PO*S*R*20250101*1200*1*X*005010~"
+        "ST*850*0001~BEG*00*SA*PO1~PO1*1*10*EA*9.99~SE*4*0001~GE*1*1~IEA*1*000000002~"
+    )
+    rows = parse_x12_file("po.x12", text, now=NOW)
+    assert rows[0]["transaction_type"] == "850"
+    p = json.loads(rows[0]["parsed_data"])
+    assert p["segment_counts"]["PO1"] == 1
