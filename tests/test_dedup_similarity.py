@@ -1,0 +1,144 @@
+"""Dedup + similarity operators: LSH variants verified against their
+exact counterparts on the driver's synthetic tables."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ai_fabric_etl_spark.operators import dedup, similarity
+from ai_fabric_etl_spark.operators.text import text_profile
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_groups_partition(docs):
+    """Dedup groups partition the table: counts sum to row count."""
+    total = docs.count()
+    grouped = dedup.exact_dedup_groups(docs).agg(F.sum("dup_count")).collect()[0][0]
+    assert grouped == total
+
+
+def test_drop_exact_duplicates_idempotent(spark, docs):
+    """Dropping duplicates twice equals dropping once, and survivors
+    plus their duplicates account for every row."""
+    once = dedup.drop_exact_duplicates(docs).cache()
+    twice = dedup.drop_exact_duplicates(once)
+    assert once.count() == twice.count()
+    # union with a copy -> dedup recovers the original survivor count
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    assert dedup.drop_exact_duplicates(doubled).count() == once.count()
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """LSH candidates, after Jaccard verification, must contain every
+    exact pair at jaccard >= 0.7 (well above the ~0.59 s-curve knee)
+    and no false positives (verification is exact)."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    for pair in lsh:
+        assert pair in exact, f"false positive {pair}"
+        assert lsh[pair] == pytest.approx(exact[pair])
+    high = {p for p, j in exact.items() if j >= 0.7}
+    missed = high - set(lsh)
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_simhash_pairs_are_symmetric_sane(docs):
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=3).collect()
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["hamming"] <= 3
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    d = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "entirely different words appear in this one text")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_near_pairs(d, max_hamming=64).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_lsh_topk_recall(emb):
+    """Multi-table hyperplane LSH: measure recall@5 vs brute force;
+    must be well above random (random ~ 5/N) and mostly correct."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"LSH recall@5 too low: {recall}"
+
+
+def test_brute_force_topk_self_excluded_and_ranked(emb):
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        sims = [r["cosine_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_text_profile_sanity(docs):
+    prof = text_profile(docs)
+    rows = prof.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:50]:
+        assert r["n_tokens"] > 0
+        assert 0 <= r["quality_score"] <= 100
+        assert r["predicted_lang"] in ("en", "de", "fr", "es", "zh", "und")
+        assert len(r["fingerprint"]) == 32
+
+
+def test_multimodal_decode_plumbing(spark, docs):
+    from ai_fabric_etl_spark.operators import multimodal
+
+    media = multimodal.attach_binary_payload(docs.limit(20))
+    decoded = multimodal.decode_media(media, fake=True).collect()
+    assert len(decoded) == 20
+    for r in decoded:
+        assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+        assert 1 <= r["channels"] <= 3
+        assert len(r["content_digest"]) == 32
+
+    with pytest.raises(Exception, match="NotImplementedError|imaging"):
+        multimodal.decode_media(media, fake=False).collect()
+
+
+def test_frame_sample_plan(spark, docs):
+    from ai_fabric_etl_spark.operators import multimodal
+
+    media = multimodal.attach_binary_payload(docs.limit(5))
+    frames = multimodal.frame_sample_plan(media, every_n=10).collect()
+    assert frames
+    for r in frames:
+        assert r["frame_index"] % 10 == 0
