@@ -80,33 +80,65 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """All pairs with shingle-set Jaccard >= threshold.
+    """All pairs with shingle-set Jaccard >= threshold — EXACT result
+    via prefix filtering (AllPairs/PPJoin family).
 
-    Inverted-index formulation: explode shingles, self-join on the
-    shingle, count shared shingles per pair, then
-    ``jaccard = inter / (|A| + |B| - inter)``. No cross join — at
-    100 TB the shuffle is proportional to shared-shingle pairs only.
+    For threshold t, two sets with |A∩B|/|A∪B| >= t must share at
+    least one element among each set's first ``|s| - ceil(t*|s|) + 1``
+    shingles when every set is ordered by ascending global document
+    frequency. So the inverted index is built over those rare-first
+    prefixes only; candidates are then verified with the full shingle
+    arrays (array_intersect), keeping the result exact while the join
+    touches a fraction of the postings a naive shingle self-join
+    would. This is the property that keeps the pair-join tractable at
+    100 TB: popular (boilerplate) shingles never enter the index.
     """
     sh = docs.select(
         F.col("doc_id"),
         shingles(F.col(text_col), n).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
+    sh = sh.cache()
     exploded = sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    pair_inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
+    doc_freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        exploded.join(doc_freq, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "prefix_len",
+            F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1,
+        )
+        .filter(F.col("rn") <= F.col("prefix_len"))
+        # join key is the 8-byte shingle hash, not the string: smaller
+        # shuffle; a (vanishingly rare) hash collision only adds a
+        # candidate, which exact verification then rejects
+        .select("doc_id", "n_sh", F.xxhash64("shingle").alias("shingle_key"))
     )
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    # length filter: Jaccard >= t forces t*|B| <= |A| (and vice versa)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle_key") == F.col("b.shingle_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh"))
+            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        pair_inter.withColumn("jaccard", jac)
+        verified.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -163,9 +195,11 @@ def minhash_lsh_pairs(
             ]
         ),
     )
+    sig = sig.cache()
+    # band keys carry only (doc_id, band, bucket) — the wide shingle
+    # arrays never enter the band shuffle
     band_keys = sig.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -185,7 +219,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
 
     # skew guard: drop degenerate buckets
     sized = band_keys.withColumn(
@@ -202,18 +236,16 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(sa, "doc_a").join(sb, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.withColumn("jaccard", inter / union)
+        verified.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -1,0 +1,71 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries execute to completion via the noop sink (no driver-side
+collect, so the measurement is engine time, not py4j transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "a1_transaction_summary",      # multi-key hash agg
+    "a2_partner_matrix",           # broadcast join + conditional counts
+    "a10_hourly_rollup",           # time-bucketed agg
+    "j1_left_join_activity",       # header<->detail outer join
+    "u1_claim_metrics",            # join + explode-style per-claim rollup
+    "w1_latest_event_per_user",    # window arg_max
+    "w3_running_totals",           # window frames
+    "p6_projection_casts",         # scan-heavy projection w/ pushdown
+    "text_profile",                # text analysis suite
+    "dedup_exact",                 # hash dedup
+    "dedup_ngram_jaccard",         # inverted-index near-dup
+    "dedup_minhash_lsh",           # MinHash LSH
+    "emb_knn_bruteforce",          # similarity search
+    "x12_silver_transactions",     # distributed X12 parse
+]
+
+
+def main() -> None:
+    from ai_fabric_etl_spark.queries import catalog, queries  # noqa: F401
+    from ai_fabric_etl_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = queries()
+
+    # warmup: JIT + parquet footer caches
+    catalog.a1_transaction_summary(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
