@@ -322,6 +322,74 @@ def a10_hourly_rollup(spark, sf_dir):
     )
 
 
+@register(
+    "a10_sliding_rollup",
+    oracle=f"""
+    WITH slides AS (
+        SELECT date_trunc('minute', e.ts)
+                 - INTERVAL 1 MINUTE * (CAST(extract(minute FROM e.ts) AS INTEGER) % 15)
+                 - g.i * INTERVAL 15 MINUTE AS window_start,
+               e.ts, e.value
+        FROM events e, generate_series(0, 3) AS g(i)
+    )
+    SELECT window_start,
+           COUNT(*) AS n_events,
+           {DSUM('value')} AS total_value
+    FROM slides
+    WHERE ts < window_start + INTERVAL 60 MINUTE
+    GROUP BY window_start
+    """,
+)
+def a10_sliding_rollup(spark, sf_dir):
+    """Sliding-window rollup (1h length, 15m slide): each event lands
+    in 4 overlapping windows. Streaming form in
+    streaming/ops_metrics.sliding_rollup (same code); the oracle
+    reconstructs Spark's epoch-aligned window starts with bucket
+    arithmetic + generate_series.
+    """
+    from ai_fabric_etl_spark.streaming.ops_metrics import sliding_rollup
+
+    return sliding_rollup(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "w4_session_windows",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS last_ts,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def w4_session_windows(spark, sf_dir):
+    """Gap-based session windows per user (30 min gap) via
+    F.session_window — the engine-native form of gaps-and-islands.
+    Spark semantics: a session extends while the next event is
+    strictly within the gap of the last; the oracle flags a new
+    session at diff >= gap to match. Streaming form (bounded state per
+    live user) in streaming/ops_metrics.session_rollup and the
+    applyInPandasWithState variant in streaming/stateful.py.
+    """
+    from ai_fabric_etl_spark.streaming.ops_metrics import session_rollup
+
+    return session_rollup(_t(spark, sf_dir, "events"))
+
+
 _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 

@@ -1,0 +1,194 @@
+"""Streaming surface tests (SURVEY §2.9 / build plan M5).
+
+Each streaming construct is checked against its batch equivalent on
+the same data — the stream (availableNow) must produce exactly what
+the batch plan produces, since the transforms share code.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ai_fabric_etl_spark.pipeline.silver import parse_to_silver
+from ai_fabric_etl_spark.queries.catalog import load_events
+from ai_fabric_etl_spark.streaming import (
+    failure_alerts,
+    hourly_rollup,
+    session_rollup,
+    sliding_rollup,
+    start_running_totals,
+    start_silver_ingest,
+    stream_bronze,
+)
+from ai_fabric_etl_spark.streaming.running_aggs import (
+    merge_running_totals,
+    read_running_totals,
+)
+from ai_fabric_etl_spark.streaming.stateful import sessionize_with_state
+from ai_fabric_etl_spark.x12.testgen import generate_corpus
+
+NOW = datetime.datetime(2024, 3, 15, 12, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def landing(tmp_path_factory):
+    d = tmp_path_factory.mktemp("landing")
+    for name, content in generate_corpus(n_files=9, seed=11):
+        (d / name).write_text(content)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """events re-written as TIMESTAMP(MICROS) parquet so the stream
+    reader needs no nanos workaround."""
+    d = str(tmp_path_factory.mktemp("events_pq"))
+    load_events(spark, sf_dir).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _stream_events(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    return spark.readStream.schema(schema).parquet(events_dir)
+
+
+def _run_to_memory(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if name != "sess" else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_silver_ingest_matches_batch(spark, landing, tmp_path):
+    out = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_silver_ingest(spark, landing, out, ckpt, batch_id="b1", now=NOW)
+    q.awaitTermination(120)
+
+    batch_files = spark.createDataFrame(
+        [(n, c) for n, c in generate_corpus(n_files=9, seed=11)],
+        "file_name string, content string",
+    )
+    expected = parse_to_silver(batch_files, batch_id="b1", now=NOW)
+    got = spark.read.parquet(out)
+    assert got.count() == expected.count() > 0
+    key = ["file_name", "transaction_set_control_number"]
+    assert sorted(map(tuple, got.select(*key).collect())) == sorted(
+        map(tuple, expected.select(*key).collect())
+    )
+
+    # exactly-once: draining again with the same checkpoint adds nothing
+    q2 = start_silver_ingest(spark, landing, out, ckpt, batch_id="b1", now=NOW)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == expected.count()
+
+
+def test_streaming_windows_match_batch(spark, sf_dir, events_dir):
+    batch = spark.read.parquet(events_dir)
+    stream = _stream_events(spark, events_dir)
+
+    cases = [
+        ("hr", hourly_rollup, ["window_start", "event_type"]),
+        ("sl", sliding_rollup, ["window_start"]),
+        ("al", lambda df: failure_alerts(df, threshold=0), ["window_start"]),
+    ]
+    for name, fn, keys in cases:
+        q = _run_to_memory(fn(stream), name)
+        got = spark.table(name).orderBy(*keys).collect()
+        exp = fn(batch).orderBy(*keys).collect()
+        assert got == exp, name
+        assert len(exp) > 0, name
+
+
+def test_session_rollup_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    out = session_rollup(batch, gap="30 minutes")
+    rows = out.collect()
+    assert len(rows) > 0
+    # session invariant: start <= last_ts, n_events >= 1
+    assert all(r.session_start <= r.last_ts and r.n_events >= 1 for r in rows)
+    # total events preserved
+    assert sum(r.n_events for r in rows) == batch.count()
+
+
+def test_running_totals_weighted_mean(spark, landing, tmp_path):
+    files = spark.createDataFrame(
+        [(n, c) for n, c in generate_corpus(n_files=9, seed=11)],
+        "file_name string, content string",
+    )
+    silver = parse_to_silver(files, now=NOW).cache()
+    state = str(tmp_path / "state")
+
+    # two unequal batches — (a+b)/2 averaging would get this wrong
+    b1 = silver.limit(5)
+    b2 = silver.subtract(b1)
+    merge_running_totals(spark, b1, state, epoch_id=0)
+    merge_running_totals(spark, b2, state, epoch_id=1)
+    # replay of epoch 1 must be a no-op
+    merge_running_totals(spark, b2, state, epoch_id=1)
+
+    got = read_running_totals(spark, state)
+    exp = silver.groupBy("processing_date", "transaction_type").agg(
+        F.count(F.lit(1)).alias("transaction_count"),
+        (
+            F.sum(F.col("quality_score").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_quality_score"),
+    )
+    key = lambda r: (str(r[0]), r[1])  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, exp.collect()), key=key
+    )
+
+
+def test_running_totals_streaming(spark, landing, tmp_path):
+    state = str(tmp_path / "state2")
+    ckpt = str(tmp_path / "ckpt2")
+    silver_stream = parse_to_silver(stream_bronze(spark, landing), now=NOW)
+    q = start_running_totals(silver_stream, state, ckpt)
+    q.awaitTermination(120)
+    got = read_running_totals(spark, state)
+    assert got.agg(F.sum("transaction_count")).collect()[0][0] > 0
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    # 1 user, two sessions split by a >30min gap; session 2 left open
+    base = datetime.datetime(2024, 1, 1, 8, 0, 0)
+
+    def ev(i, mins):
+        return (i, base + datetime.timedelta(minutes=mins), 7, "click", 1.0, "{}")
+
+    rows = [ev(0, 0), ev(1, 10), ev(2, 20), ev(3, 90), ev(4, 95)]
+    d = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(d)
+
+    stream = _stream_events(spark, d)
+    out = sessionize_with_state(stream, gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sessions").collect()
+    # the first session closed (gap exceeded in-batch); the trailing
+    # session stays open awaiting watermark timeout
+    assert len(got) == 1
+    r = got[0]
+    assert r.user_id == 7 and r.n_events == 3
+    assert r.session_start == base
+    assert r.session_end == base + datetime.timedelta(minutes=20)
