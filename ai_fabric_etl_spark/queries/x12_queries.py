@@ -59,3 +59,26 @@ def x12_ack_997(spark, sf_dir):
     from ai_fabric_etl_spark.x12.ack997 import generate_acks
 
     return generate_acks(_silver(spark)).drop("control_numbers")
+
+
+def _mart_entry(mart_fn):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return mart_fn(_silver(spark))
+
+    return q
+
+
+# the rest of the 11-mart gold layer (SURVEY §2.4 A2/A3, §2.10 U2-U7),
+# including the two marts the reference promised but never built
+# (eligibility, claim_status — README.md:256-257)
+for _name, _fn in (
+    ("x12_gold_payment_analytics", gold.payment_analytics),  # U2
+    ("x12_gold_enrollment_analytics", gold.enrollment_analytics),  # U3
+    ("x12_gold_trading_partner_analytics", gold.trading_partner_analytics),  # A2
+    ("x12_gold_eligibility_analytics", gold.eligibility_analytics),  # U4
+    ("x12_gold_claim_status_analytics", gold.claim_status_analytics),  # U5
+    ("x12_gold_preauth_request_analytics", gold.preauth_request_analytics),  # U6
+    ("x12_gold_preauth_response_analytics", gold.preauth_response_analytics),  # U7
+    ("x12_gold_data_quality_metrics", gold.data_quality_metrics),  # A3
+):
+    register(_name)(_mart_entry(_fn))
