@@ -57,21 +57,39 @@ def drop_exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _bind(col: Column, body) -> Column:
+    """Evaluate ``col`` once and hand it to ``body`` as a lambda
+    variable. Catalyst re-evaluates a non-lambda subexpression inside
+    a higher-order-function lambda once PER ELEMENT — referencing a
+    token array inside transform() turns an O(tokens) expression into
+    O(tokens²) work. Routing it through a one-element array transform
+    makes it a lambda variable: computed once, referenced cheaply."""
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (JVM-side)."""
-    t = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - n + 1, F.lit(1)))
-    return F.array_distinct(
-        F.when(
-            F.size(t) >= n,
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(t, i + j) for j in range(n)]
-                ),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", t)))
-    )
+
+    def body(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(t) - n + 1, F.lit(1)))
+        return F.array_distinct(
+            F.when(
+                F.size(t) >= n,
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n))),
+            ).otherwise(F.array(F.concat_ws(" ", t)))
+        )
+
+    return _bind(tokens(col), body)
+
+
+def hashed_shingles(col: Column, n: int = 3) -> Column:
+    """Sorted distinct xxhash64 shingle set — 8 bytes per shingle
+    instead of ~3 words of string; every downstream shuffle, join key
+    and intersect runs on longs. A 64-bit collision can only merge two
+    shingles within one document's set (Jaccard error ~ |s|²/2⁶⁴ —
+    negligible, and the same convention is applied to both sides of
+    every comparison)."""
+    return F.array_sort(F.transform(shingles(col, n), lambda s: F.xxhash64(s)))
 
 
 def ngram_jaccard_pairs(
@@ -79,47 +97,59 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    freq_ordered: bool = True,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold — EXACT result
     via prefix filtering (AllPairs/PPJoin family).
 
-    For threshold t, two sets with |A∩B|/|A∪B| >= t must share at
-    least one element among each set's first ``|s| - ceil(t*|s|) + 1``
-    shingles when every set is ordered by ascending global document
-    frequency. So the inverted index is built over those rare-first
-    prefixes only; candidates are then verified with the full shingle
-    arrays (array_intersect), keeping the result exact while the join
-    touches a fraction of the postings a naive shingle self-join
-    would. This is the property that keeps the pair-join tractable at
-    100 TB: popular (boilerplate) shingles never enter the index.
+    For threshold t, two sets ordered by the same global total order
+    with |A∩B|/|A∪B| >= t must share at least one element among each
+    set's first ``|s| - ceil(t*|s|) + 1`` elements. So only those
+    prefixes enter the inverted index; candidates are then verified
+    against the full (hashed) shingle sets. Any consistent order is
+    exact; the order only affects candidate count.
+
+    - default (``freq_ordered=True``): classic PPJoin ascending-
+      document-frequency order. Costs a stats aggregation + join +
+      per-doc window sort, but keeps high-frequency (boilerplate)
+      shingles out of prefixes, which both collapses the candidate
+      count (2x faster end-to-end even at sf0.1) and prevents hot
+      join keys — the safe choice on skewed real corpora at 100 TB.
+    - ``freq_ordered=False``: order = hash value. The prefix is a
+      ``slice`` of the per-row sorted hash array — zero extra
+      shuffles, no statistics pass. Wins only when the shingle
+      frequency distribution is near-uniform.
     """
-    sh = docs.select(
-        F.col("doc_id"),
-        shingles(F.col(text_col), n).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
-    sh = sh.cache()
-    exploded = sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
-    doc_freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        exploded.join(doc_freq, "shingle")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "shingle")
-            ),
-        )
-        .withColumn(
-            "prefix_len",
-            F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1,
-        )
-        .filter(F.col("rn") <= F.col("prefix_len"))
-        # join key is the 8-byte shingle hash, not the string: smaller
-        # shuffle; a (vanishingly rare) hash collision only adds a
-        # candidate, which exact verification then rejects
-        .select("doc_id", "n_sh", F.xxhash64("shingle").alias("shingle_key"))
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int") + 1
     )
-    a = ranked.alias("a")
-    b = ranked.alias("b")
+    sh = (
+        docs.select(F.col("doc_id"), hashed_shingles(F.col(text_col), n).alias("hs"))
+        .withColumn("n_sh", F.size("hs"))
+        .cache()
+    )
+    if freq_ordered:
+        exploded = sh.select("doc_id", "n_sh", F.explode("hs").alias("shingle_key"))
+        doc_freq = exploded.groupBy("shingle_key").agg(F.count(F.lit(1)).alias("df"))
+        pre = (
+            exploded.join(doc_freq, "shingle_key")
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("df", "shingle_key")
+                ),
+            )
+            .filter(F.col("rn") <= prefix_len)
+            .select("doc_id", "n_sh", "shingle_key")
+        )
+    else:
+        pre = sh.select(
+            "doc_id",
+            "n_sh",
+            F.explode(F.slice(F.col("hs"), F.lit(1), prefix_len)).alias("shingle_key"),
+        )
+    a = pre.alias("a")
+    b = pre.alias("b")
     # length filter: Jaccard >= t forces t*|B| <= |A| (and vice versa)
     cand = (
         a.join(
@@ -132,11 +162,16 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return _verify_jaccard(cand, sh, threshold)
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over the hashed shingle sets for candidate pairs."""
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     verified = cand.join(sa, "doc_a").join(sb, "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
     return (
         verified.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
@@ -151,15 +186,22 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
     """MinHash signature over word shingles: h_i = min over shingles
-    of xxhash64(seed_i || shingle). Seeded string prefixes make each
-    hash function independent and deterministic across runs."""
-    sh = shingles(col, n)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s))))
-            for i in range(num_hashes)
-        ]
-    )
+    of xxhash64(shingle_hash, seed=i). The shingle strings are hashed
+    to longs ONCE; each of the num_hashes functions re-mixes the long
+    with a different seed — long-input hashing in codegen, no
+    per-function string concat/allocation."""
+    def body(hs: Column) -> Column:
+        return F.array(
+            *[F.array_min(F.transform(hs, _seeded_hash(i))) for i in range(num_hashes)]
+        )
+
+    return _bind(hashed_shingles(col, n), body)
+
+
+def _seeded_hash(i: int):
+    # single-parameter lambda: a 2-arg lambda would be called as
+    # (element, index) by F.transform, clobbering the seed
+    return lambda x: F.xxhash64(x, F.lit(i))
 
 
 def minhash_lsh_pairs(
@@ -183,14 +225,12 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sig = docs.select(
         "doc_id",
-        shingles(F.col(text_col), n).alias("sh"),
+        hashed_shingles(F.col(text_col), n).alias("hs"),
     ).withColumn(
         "sig",
         F.array(
             *[
-                F.array_min(
-                    F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s)))
-                )
+                F.array_min(F.transform(F.col("hs"), _seeded_hash(i)))
                 for i in range(num_hashes)
             ]
         ),
@@ -205,14 +245,13 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
+                        # multi-arg xxhash64 over the band's longs: no
+                        # string materialization on the hot path
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -239,16 +278,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    verified = cand.join(sa, "doc_a").join(sb, "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        verified.withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _verify_jaccard(cand, sig.select("doc_id", "hs"), threshold)
 
 
 # ---------------------------------------------------------------------------
