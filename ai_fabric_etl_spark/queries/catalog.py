@@ -903,26 +903,30 @@ def u1_claim_metrics(spark, sf_dir):
     """
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    calc = dsum(F.col("l_extendedprice"))
-    joined = o.join(li, o.o_orderkey == li.l_orderkey)
-    return joined.groupBy(
-        F.col("o_orderkey").alias("claim_id"), F.col("o_totalprice")
-    ).agg(
+    # aggregate the detail side BEFORE the join: map-side partials run
+    # on the narrow lineitem projection, the join then matches
+    # one-row-per-key sides (150k vs 600k rows at sf0.1; at 100 TB the
+    # difference is the whole shuffle), and the inner join preserves
+    # exactly the orders that have lineitems, like the reference's
+    # per-claim UDF loop over claims that appear in the file
+    per_order = li.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("total_service_lines"),
-        calc.alias("calculated_total"),
-        F.abs(F.col("o_totalprice") - calc).alias("amount_variance"),
+        dsum(F.col("l_extendedprice")).alias("calculated_total"),
         F.countDistinct("l_partkey").alias("unique_service_count"),
-        F.when(calc > 0, F.abs(F.col("o_totalprice") - calc) / calc * F.lit(100.0))
-        .otherwise(F.lit(0.0))
-        .alias("variance_percentage"),
-    ).select(
-        "claim_id",
+    )
+    joined = o.join(per_order, o.o_orderkey == per_order.l_orderkey)
+    calc = F.col("calculated_total")
+    variance = F.abs(F.col("o_totalprice") - calc)
+    return joined.select(
+        F.col("o_orderkey").alias("claim_id"),
         "total_service_lines",
         "calculated_total",
         F.col("o_totalprice").alias("claim_amount"),
-        "amount_variance",
+        variance.alias("amount_variance"),
         "unique_service_count",
-        "variance_percentage",
+        F.when(calc > 0, variance / calc * F.lit(100.0))
+        .otherwise(F.lit(0.0))
+        .alias("variance_percentage"),
     )
 
 

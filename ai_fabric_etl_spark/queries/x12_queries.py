@@ -61,6 +61,26 @@ def x12_ack_997(spark, sf_dir):
     return generate_acks(_silver(spark)).drop("control_numbers")
 
 
+@register("x12_view_daily_summary")
+def x12_view_daily_summary(spark, sf_dir):
+    """A8: SQL view dialect — v_daily_processing_summary
+    (init.sql:150-160) over parsed silver via spark.sql."""
+    from ai_fabric_etl_spark.pipeline.views import register_views
+
+    register_views(spark, _silver(spark).drop("parsed"))
+    return spark.sql("SELECT * FROM v_daily_processing_summary")
+
+
+@register("x12_view_type_breakdown")
+def x12_view_type_breakdown(spark, sf_dir):
+    """A8/O1: v_transaction_type_breakdown (init.sql:162-172) with its
+    ORDER BY file_count DESC."""
+    from ai_fabric_etl_spark.pipeline.views import register_views
+
+    register_views(spark, _silver(spark).drop("parsed"))
+    return spark.sql("SELECT * FROM v_transaction_type_breakdown")
+
+
 def _mart_entry(mart_fn):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return mart_fn(_silver(spark))

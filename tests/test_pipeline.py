@@ -156,3 +156,30 @@ def test_ack_997_generation(silver_df):
         assert a["transaction_count"] == len(a["control_numbers"])
         # every acknowledged control number appears as an AK2
         assert a["ack_997"].count("AK2*") == len(a["control_numbers"])
+
+
+def test_sql_views_mirror_init_sql(spark, bronze_df, silver_df):
+    """A8: the three v_* views (init.sql:150-186) over silver/bronze."""
+    from ai_fabric_etl_spark.pipeline.views import register_views
+
+    created = register_views(spark, silver_df.drop("parsed"), bronze=bronze_df)
+    assert len(created) == 3
+
+    daily = spark.sql("SELECT * FROM v_daily_processing_summary").collect()
+    assert len(daily) >= 1
+    row = daily[0]
+    assert (
+        row.total_files
+        == row.high_quality_files + row.medium_quality_files + row.low_quality_files
+    )
+
+    breakdown = spark.sql("SELECT * FROM v_transaction_type_breakdown").collect()
+    counts = [r.file_count for r in breakdown]
+    assert counts == sorted(counts, reverse=True), "O1 ordering lost"
+
+    recent = spark.sql("SELECT * FROM v_recent_processing_activity")
+    rows = recent.collect()
+    assert len(rows) > 0
+    # left join: the corrupt bronze file survives with null silver side
+    corrupt = [r for r in rows if r.file_name == "corrupt.x12"]
+    assert len(corrupt) == 1 and corrupt[0].transaction_type is None
