@@ -1,11 +1,14 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
 - brute-force cosine top-k: exact baseline; query side broadcast so
   the corpus scan never shuffles.
-- hyperplane-LSH bucketed ANN: the 100 TB path — corpus bucketed once
-  by L sign-pattern keys, probes join on bucket keys, top-k within
-  candidates. Recall < 1.0 by construction; measured in tests.
+- hyperplane-LSH bucketed ANN: corpus bucketed once by L sign-pattern
+  keys, probes join on bucket keys, top-k within candidates. Recall
+  < 1.0 by construction; measured in tests.
+- IVF (k-means cells): data-adaptive partitioning; at 100 TB the
+  corpus is stored partitioned by centroid id and each query batch
+  reads only the probed cells (partition pruning).
 
 Dot products run JVM-side via zip_with/aggregate (codegen), not
 Python UDFs.
@@ -150,6 +153,72 @@ def lsh_topk(
         c_all.join(F.broadcast(q_all), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted file) partitioning.
+
+    Index build: k-means (cosine distance) over the corpus assigns
+    every vector to its nearest centroid — at 100 TB this is a one-off
+    job whose output is the corpus written partitioned by
+    ``centroid_id``, so each probe reads only n_probe/n_centroids of
+    the data (partition pruning does the work LSH does with bucket
+    joins, but with data-adaptive cells).
+
+    Query: score each query against the (tiny, broadcast) centroid
+    table, keep the ``n_probe`` nearest cells, then search only those
+    cells' vectors. Recall grows with n_probe; n_probe == n_centroids
+    degenerates to exact brute force.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    feats = c.withColumn(
+        "features", array_to_vector(F.col("c_vec").cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, distanceMeasure="cosine", featuresCol="features"
+    ).fit(feats)
+    assigned = model.transform(feats).select(
+        "neighbor_id", "c_vec", F.col("prediction").alias("centroid_id")
+    )
+
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "centroid_id int, centroid array<double>",
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("centroid_sim"), F.asc("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("centroid_sim", cosine(F.col("q_vec"), F.col("centroid")))
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    cand = assigned.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
     scored = cand.withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))

@@ -159,6 +159,16 @@ def q_emb_knn_bruteforce(spark, sf_dir):
     return out.withColumnRenamed("rank", "knn_rank")
 
 
+@register("emb_knn_ivf")
+def q_emb_knn_ivf(spark, sf_dir):
+    """Approximate top-5 via IVF k-means cells (n_probe=4 of 16).
+    Rows-only (k-means centroids have no DuckDB twin); recall vs
+    brute force measured in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return out.withColumnRenamed("rank", "knn_rank").orderBy("query_id", "knn_rank")
+
+
 @register("emb_knn_lsh")
 def q_emb_knn_lsh(spark, sf_dir):
     """Approximate top-5 via multi-table hyperplane LSH (the 100 TB

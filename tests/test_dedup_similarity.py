@@ -142,3 +142,27 @@ def test_frame_sample_plan(spark, docs):
     assert frames
     for r in frames:
         assert r["frame_index"] % 10 == 0
+
+
+def test_ivf_topk_recall(emb):
+    """IVF k-means cells: recall@5 vs brute force with 4/16 cells
+    probed; n_probe=n_centroids must reproduce brute force exactly."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall@5 too low: {recall}"
+
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=8
+        ).collect()
+    }
+    assert full == exact, "probing every cell must equal brute force"
