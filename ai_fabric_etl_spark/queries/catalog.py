@@ -463,6 +463,41 @@ def rollup_region_nation(spark, sf_dir):
 
 
 @register(
+    "cube_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS orders,
+           {DSUM('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark, sf_dir):
+    """CUBE over two keys — all 4 grouping-set combinations in one
+    pass (free Spark extension beyond the reference's flat GROUP BYs,
+    SURVEY §2.4 note)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@register("a5_approx_distinct")
+def a5_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL++) — the 100 TB replacement for the
+    reference's six exact countDistinct columns (SURVEY §2.4 A5): one
+    pass, fixed memory, no per-key distinct expansion. Rows-only entry
+    (the estimate is engine-specific); the relative-error bound vs
+    exact is asserted in tests."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@register(
     "j1_left_join_activity",
     oracle=f"""
     SELECT o.o_orderkey, o.o_orderstatus, o.o_orderdate,

@@ -27,6 +27,8 @@ HEADLINE = [
     "u1_claim_metrics",            # join + explode-style per-claim rollup
     "w1_latest_event_per_user",    # window arg_max
     "w3_running_totals",           # window frames
+    "w4_session_windows",          # session windows (gaps-and-islands)
+    "a10_sliding_rollup",          # sliding windows
     "p6_projection_casts",         # scan-heavy projection w/ pushdown
     "text_profile",                # text analysis suite
     "dedup_exact",                 # hash dedup

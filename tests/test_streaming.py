@@ -192,3 +192,11 @@ def test_stateful_sessionization(spark, tmp_path):
     assert r.user_id == 7 and r.n_events == 3
     assert r.session_start == base
     assert r.session_end == base + datetime.timedelta(minutes=20)
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ estimate within 3x the configured rsd of exact."""
+    from ai_fabric_etl_spark.queries.catalog import a5_approx_distinct
+
+    for r in a5_approx_distinct(spark, sf_dir).collect():
+        assert abs(r.approx_users - r.exact_users) <= max(3, 0.06 * r.exact_users)
