@@ -19,7 +19,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -100,6 +102,73 @@ def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame, dim: int = 16, fake: bool = True) -> DataFrame:
+    """Feature-extraction pass: payload bytes -> float vector
+    (``array<float>``), Arrow-batched. The real body would run an
+    image/audio encoder; the deterministic fake expands the content
+    digest into ``dim`` floats in [-1, 1] so the output feeds the
+    similarity operators (brute-force/LSH/IVF top-k) unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                if not fake:
+                    raise NotImplementedError(
+                        "feature extraction requires an encoder not present "
+                        "in this environment; call with fake=True"
+                    )
+                raw = hashlib.sha256(bytes(payload)).digest()
+                need = (dim + len(raw) - 1) // len(raw)
+                raw = (raw * need)[:dim]
+                feats.append([b / 127.5 - 1.0 for b in raw])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_media(
+    media: DataFrame, width: int = 224, height: int = 224, fake: bool = True
+) -> DataFrame:
+    """Resize pass: payload -> payload' at (width, height), keeping the
+    MEDIA_SCHEMA shape so passes compose. The fake emits a
+    deterministic width*height-byte payload derived from the content
+    digest; a real body would decode-resize-reencode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                if not fake:
+                    raise NotImplementedError(
+                        "resize requires an imaging library not present in "
+                        "this environment; call with fake=True"
+                    )
+                seed = hashlib.sha256(bytes(payload)).digest()
+                need = width * height
+                reps = (need + len(seed) - 1) // len(seed)
+                payloads.append((seed * reps)[:need])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime_type": pdf["mime_type"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "source": pdf["source"],
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

@@ -1,6 +1,10 @@
 """Text analysis operators: tokenization, quality scoring, language
 ID, fingerprinting. All JVM-side column expressions (no Python UDFs in
 the hot path) so they stay inside whole-stage codegen at 100 TB.
+
+Each metric has a ``*_from(toks)`` form taking a precomputed token
+array so multi-metric passes (text_profile) tokenize once per row; the
+plain forms wrap them for single-metric use.
 """
 
 from __future__ import annotations
@@ -36,13 +40,16 @@ def bpe_ish_token_estimate(col: Column) -> Column:
     return F.regexp_count(col, F.lit(r"\w+|[^\w\s]"))
 
 
-def stopword_count(col: Column, stopwords=ENGLISH_STOPWORDS) -> Column:
-    toks = tokens(col)
+def stopword_count_from(toks: Column, stopwords=ENGLISH_STOPWORDS) -> Column:
     sw = F.array(*[F.lit(s) for s in stopwords])
     return F.size(F.array_intersect(F.array_distinct(toks), sw))
 
 
-def quality_score(col: Column) -> Column:
+def stopword_count(col: Column, stopwords=ENGLISH_STOPWORDS) -> Column:
+    return stopword_count_from(tokens(col), stopwords)
+
+
+def quality_score_from(col: Column, toks: Column) -> Column:
     """Document quality score reusing the engine's canonical formula
     (silver_x12_parsing.py:1070): 100 - 20*issues - 5*warnings.
 
@@ -50,9 +57,9 @@ def quality_score(col: Column) -> Column:
     warnings: very low char count (<100), no stopword hits (word-salad
     signal), extreme average token length (>12 chars)
     """
-    n_tok = token_count(col)
+    n_tok = F.size(toks)
     n_chars = F.length(col)
-    sw_hits = stopword_count(col)
+    sw_hits = stopword_count_from(toks)
     avg_tok_len = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
     issues = F.when(n_tok < 10, 1).otherwise(0)
     warnings = (
@@ -63,15 +70,19 @@ def quality_score(col: Column) -> Column:
     return F.greatest(F.lit(0), F.lit(100) - F.lit(20) * issues - F.lit(5) * warnings)
 
 
-def predict_lang(col: Column) -> Column:
+def quality_score(col: Column) -> Column:
+    return quality_score_from(col, tokens(col))
+
+
+def predict_lang_from(toks: Column) -> Column:
     """Stopword-indicator language ID: the language whose indicator
     set hits the document's distinct tokens most, ties broken by a
     fixed language order; 'und' (undetermined) when nothing hits."""
-    toks = F.array_distinct(tokens(col))
+    distinct = F.array_distinct(toks)
     hit_cols = []
     for lang, words in LANG_STOPWORDS.items():
         sw = F.array(*[F.lit(w) for w in words])
-        hit_cols.append((lang, F.size(F.array_intersect(toks, sw))))
+        hit_cols.append((lang, F.size(F.array_intersect(distinct, sw))))
     # greatest hit count, first language in declaration order wins ties
     best = None
     best_score = None
@@ -84,28 +95,44 @@ def predict_lang(col: Column) -> Column:
     return F.when(best_score > 0, best).otherwise(F.lit("und"))
 
 
-def fingerprint(col: Column) -> Column:
+def predict_lang(col: Column) -> Column:
+    return predict_lang_from(tokens(col))
+
+
+def fingerprint_from(toks: Column) -> Column:
     """Full-document fingerprint: md5 of whitespace-normalized text."""
-    return F.md5(F.concat_ws(" ", tokens(col)))
+    return F.md5(F.concat_ws(" ", toks))
+
+
+def fingerprint(col: Column) -> Column:
+    return fingerprint_from(tokens(col))
+
+
+def prefix_fingerprint_from(toks: Column, n_tokens: int = 8) -> Column:
+    """Head fingerprint: md5 of the first N tokens — the cheap
+    rolling-hash-style key for prefix-duplicate detection."""
+    return F.md5(F.concat_ws(" ", F.slice(toks, 1, n_tokens)))
 
 
 def prefix_fingerprint(col: Column, n_tokens: int = 8) -> Column:
-    """Head fingerprint: md5 of the first N tokens — the cheap
-    rolling-hash-style key for prefix-duplicate detection."""
-    return F.md5(F.concat_ws(" ", F.slice(tokens(col), 1, n_tokens)))
+    return prefix_fingerprint_from(tokens(col), n_tokens)
 
 
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass text-analysis profile of a documents table."""
+    """One-pass text-analysis profile of a documents table: the token
+    array is materialized once per row and every metric reads it."""
     c = F.col(text_col)
-    return docs.select(
+    pre = docs.select("doc_id", c.alias("_text"), tokens(c).alias("_toks"))
+    t = F.col("_toks")
+    txt = F.col("_text")
+    return pre.select(
         "doc_id",
-        token_count(c).alias("n_tokens"),
-        bpe_ish_token_estimate(c).alias("n_bpe_tokens"),
-        F.length(c).alias("n_chars_measured"),
-        stopword_count(c).alias("stopword_hits"),
-        quality_score(c).alias("quality_score"),
-        predict_lang(c).alias("predicted_lang"),
-        fingerprint(c).alias("fingerprint"),
-        prefix_fingerprint(c).alias("prefix_fingerprint"),
+        F.size(t).alias("n_tokens"),
+        bpe_ish_token_estimate(txt).alias("n_bpe_tokens"),
+        F.length(txt).alias("n_chars_measured"),
+        stopword_count_from(t).alias("stopword_hits"),
+        quality_score_from(txt, t).alias("quality_score"),
+        predict_lang_from(t).alias("predicted_lang"),
+        fingerprint_from(t).alias("fingerprint"),
+        prefix_fingerprint_from(t).alias("prefix_fingerprint"),
     )

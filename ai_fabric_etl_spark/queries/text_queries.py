@@ -212,6 +212,18 @@ def q_multimodal_bytes(spark, sf_dir):
     )
 
 
+@register("multimodal_features")
+def q_multimodal_features(spark, sf_dir):
+    """Feature-extract pass (payload -> array<float>) — output shape
+    feeds the similarity operators directly. Rows-only (deterministic
+    fake encoder); plumbing invariants tested in pytest."""
+    media = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media, dim=16)
+    return feats.select(
+        "media_id", F.size("features").alias("dim")
+    ).orderBy("media_id")
+
+
 @register("multimodal_decode")
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched mapInPandas decode pass over binary payloads

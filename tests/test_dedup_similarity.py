@@ -166,3 +166,36 @@ def test_ivf_topk_recall(emb):
         ).collect()
     }
     assert full == exact, "probing every cell must equal brute force"
+
+
+def test_multimodal_features_feed_similarity(spark, sf_dir):
+    """extract_features output slots straight into brute_force_topk."""
+    from ai_fabric_etl_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    media = multimodal.attach_binary_payload(docs)
+    feats = multimodal.extract_features(media, dim=16).cache()
+    rows = feats.collect()
+    assert all(len(r.features) == 16 for r in rows)
+    assert all(-1.0 <= v <= 1.0 for r in rows for v in r.features)
+    # deterministic: same payload -> same vector
+    again = {r.media_id: r.features for r in multimodal.extract_features(media, dim=16).collect()}
+    assert all(again[r.media_id] == r.features for r in rows)
+
+    out = similarity.brute_force_topk(
+        feats, feats.limit(2), k=3, id_col="media_id", vec_col="features"
+    )
+    assert out.count() == 6
+
+
+def test_multimodal_resize_composes(spark, sf_dir):
+    from ai_fabric_etl_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    media = multimodal.attach_binary_payload(docs)
+    resized = multimodal.resize_media(media, width=32, height=8)
+    rows = resized.collect()
+    assert all(r.n_bytes == 32 * 8 and len(bytes(r.payload)) == 256 for r in rows)
+    # schema preserved: a second pass composes
+    decoded = multimodal.decode_media(resized)
+    assert decoded.count() == 10
