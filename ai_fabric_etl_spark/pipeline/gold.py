@@ -353,3 +353,17 @@ def build_all_marts(silver_with_parsed_df: DataFrame, **w) -> dict[str, DataFram
     """
     silver_with_parsed_df.cache()
     return {name: fn(silver_with_parsed_df, **w) for name, fn in ALL_MARTS.items()}
+
+
+def write_marts(marts: dict[str, DataFrame], out_dir: str) -> None:
+    """S7: partitioned-overwrite mart sinks
+    (gold_x12_analytics.py:458-461 et al. — mode("overwrite") +
+    partitionBy("processing_date")). Marts without a processing_date
+    column (global KPIs) are written unpartitioned. At scale, set
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` so a lookback
+    recompute replaces only the touched date partitions."""
+    for name, df in marts.items():
+        writer = df.write.mode("overwrite")
+        if "processing_date" in df.columns:
+            writer = writer.partitionBy("processing_date")
+        writer.parquet(f"{out_dir}/{name}")

@@ -87,6 +87,27 @@ def generate_acks(silver: DataFrame, processing_date=None) -> DataFrame:
     )
 
 
+def write_ack_files(acks: DataFrame, out_dir: str) -> None:
+    """S8: per-partner 997 file output, fully distributed.
+
+    The reference collect()s every ack to the driver and writes one
+    file per partner pair with coalesce(1)
+    (generate_x12_acknowledgments.py:226-248) — a driver bottleneck at
+    scale. Here the text sink partitions by (sender_id, receiver_id):
+    each partner directory receives its acks with no driver round-trip,
+    and repartitioning on the same keys keeps it to one file per
+    partner. Layout: ``out/sender_id=X/receiver_id=Y/part-*.txt`` vs
+    the reference's ``outbound/<partner>/997_<ts>.x12`` (documented
+    deviation: hive-style dirs, engine-assigned file names)."""
+    (
+        acks.select("sender_id", "receiver_id", "ack_997")
+        .repartition("sender_id", "receiver_id")
+        .write.mode("overwrite")
+        .partitionBy("sender_id", "receiver_id")
+        .text(out_dir)
+    )
+
+
 def validate_997(text: str) -> tuple[bool, list[str]]:
     """Self-validation mirroring generate_x12_acknowledgments.py:298-337:
     required segments present, ISA first, IEA last."""

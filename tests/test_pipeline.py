@@ -183,3 +183,36 @@ def test_sql_views_mirror_init_sql(spark, bronze_df, silver_df):
     # left join: the corrupt bronze file survives with null silver side
     corrupt = [r for r in rows if r.file_name == "corrupt.x12"]
     assert len(corrupt) == 1 and corrupt[0].transaction_type is None
+
+
+def test_write_marts_partitioned(spark, silver_df, tmp_path):
+    """S7: overwrite sinks partition by processing_date when present."""
+    from ai_fabric_etl_spark.pipeline.gold import build_all_marts, write_marts
+
+    marts = build_all_marts(silver_df)
+    out = str(tmp_path / "gold")
+    write_marts(marts, out)
+    import os
+
+    summary_dirs = os.listdir(f"{out}/gold_transaction_summary")
+    assert any(d.startswith("processing_date=") for d in summary_dirs)
+    kpis = spark.read.parquet(f"{out}/gold_business_kpis")
+    assert kpis.count() == 1
+    back = spark.read.parquet(f"{out}/gold_transaction_summary")
+    assert back.count() == marts["gold_transaction_summary"].count()
+
+
+def test_write_ack_files_per_partner(spark, silver_df, tmp_path):
+    """S8: distributed per-partner 997 text files, valid 997 content."""
+    import glob as globmod
+
+    from ai_fabric_etl_spark.x12.ack997 import generate_acks, validate_997, write_ack_files
+
+    acks = generate_acks(silver_df)
+    out = str(tmp_path / "acks")
+    write_ack_files(acks, out)
+    partner_files = globmod.glob(f"{out}/sender_id=*/receiver_id=*/part-*")
+    assert len(partner_files) > 0
+    text = open(partner_files[0]).read()
+    ok, issues = validate_997(text.strip())
+    assert ok, issues
