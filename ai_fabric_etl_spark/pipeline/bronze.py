@@ -11,8 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ai_fabric_etl_spark.config import DEFAULT_CONFIG
+
 MIN_FILE_LENGTH = 106
-MAX_FILE_BYTES = 50 * 1024 * 1024  # 50MB cap (config/development.json:36)
+MAX_FILE_BYTES = DEFAULT_CONFIG.max_file_bytes  # 50MB cap (config/development.json:36)
 
 
 def read_bronze(

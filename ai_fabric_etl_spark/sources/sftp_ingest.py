@@ -26,7 +26,9 @@ import datetime
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-MAX_FILE_BYTES = 100 * 1024 * 1024  # per-partner SFTP cap (config/development.json:117)
+from ai_fabric_etl_spark.config import DEFAULT_CONFIG
+
+MAX_FILE_BYTES = DEFAULT_CONFIG.sftp_max_file_mb * 1024 * 1024  # per-partner cap
 
 
 class SFTPConnector:

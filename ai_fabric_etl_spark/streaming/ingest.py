@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ai_fabric_etl_spark.config import DEFAULT_CONFIG
 from ai_fabric_etl_spark.pipeline.silver import parse_to_silver
 
 
@@ -31,7 +32,7 @@ def stream_bronze(
     spark: SparkSession,
     input_dir: str,
     glob: str = "*.{x12,edi,txt}",
-    max_files_per_trigger: int | None = 100,
+    max_files_per_trigger: int | None = DEFAULT_CONFIG.batch_size,
 ) -> DataFrame:
     """Streaming (file_name, content) over a landing directory.
 

@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) over the pure-Python X12 core —
+the layer under mapInPandas, so properties hold for every executor
+batch. The reference has no property tests at all (SURVEY §5); these
+pin the invariants its runtime validators only spot-check.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ai_fabric_etl_spark.x12.ack997 import validate_997
+from ai_fabric_etl_spark.x12.parsers import parse_x12_file
+from ai_fabric_etl_spark.x12.segments import (
+    ELEMENT_SEPARATOR,
+    SEGMENT_TERMINATOR,
+    split_segments,
+)
+from ai_fabric_etl_spark.x12.testgen import generate_corpus
+
+NOW = datetime.datetime(2024, 6, 1, 9, 0, 0)
+
+# element content: printable, no X12 structural characters
+element = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x7F
+    ),
+    min_size=0,
+    max_size=8,
+)
+segment = st.tuples(
+    st.sampled_from(["ISA", "GS", "ST", "CLM", "NM1", "SV1", "SE", "GE", "IEA"]),
+    st.lists(element, min_size=0, max_size=6),
+)
+
+
+@given(st.lists(segment, min_size=1, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_split_segments_roundtrip(segs):
+    """split -> rejoin reconstructs the segment structure exactly."""
+    text = SEGMENT_TERMINATOR.join(
+        ELEMENT_SEPARATOR.join([seg_id, *els]) for seg_id, els in segs
+    )
+    parsed = split_segments(text)
+    assert [(s.segment_id, list(s.elements)) for s in parsed] == [
+        (seg_id, els) for seg_id, els in segs
+    ]
+    rebuilt = SEGMENT_TERMINATOR.join(
+        ELEMENT_SEPARATOR.join([s.segment_id, *s.elements]) for s in parsed
+    )
+    assert rebuilt == text
+
+
+@given(st.integers(min_value=1, max_value=40), st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=25, deadline=None)
+def test_generated_corpus_parses_completely(n_files, seed):
+    """Every generated file yields >=1 transaction row; every row has
+    a supported type, bounded quality, and control-number linkage."""
+    corpus = generate_corpus(n_files=n_files, seed=seed)
+    assert len(corpus) == n_files
+    for name, content in corpus:
+        rows = parse_x12_file(name, content, batch_id="prop", now=NOW)
+        assert len(rows) >= 1, name
+        for r in rows:
+            assert r["transaction_type"] in {
+                "837", "835", "834", "270", "271", "276", "277", "278", "279"
+            }
+            assert 0 <= r["quality_score"] <= 100
+            assert r["file_name"] == name
+            assert r["interchange_control_number"]
+            assert r["transaction_set_control_number"]
+
+
+@given(st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=25, deadline=None)
+def test_quality_score_formula_bounds(seed):
+    """score == max(0, 100 - 20*issues - 5*warnings) and the is_valid
+    floor at 50 (silver_x12_parsing.py:1068-1073)."""
+    for name, content in generate_corpus(n_files=5, seed=seed):
+        for r in parse_x12_file(name, content, batch_id="p", now=NOW):
+            score = r["quality_score"]
+            assert (score >= 50) == r["is_valid"]
+            assert score % 5 == 0  # 20/5-point penalties only
+
+
+@given(
+    st.text(alphabet="ABCDEFGHIJ0123456789", min_size=2, max_size=15),
+    st.text(alphabet="ABCDEFGHIJ0123456789", min_size=2, max_size=15),
+    st.integers(min_value=1, max_value=999999999),
+    st.lists(
+        st.text(alphabet="0123456789", min_size=4, max_size=9),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_generated_997_always_valid(sender, receiver, icn, control_numbers):
+    """U8 self-validation (generate_x12_acknowledgments.py:298-337):
+    any generated 997 passes the structural validator."""
+    from ai_fabric_etl_spark.x12.ack997 import _build_997_text
+
+    text = _build_997_text(sender, receiver, str(icn), control_numbers)
+    ok, issues = validate_997(text)
+    assert ok, issues
+    # one AK2 loop per acknowledged transaction set
+    assert text.count("AK2" + ELEMENT_SEPARATOR) == len(control_numbers)
