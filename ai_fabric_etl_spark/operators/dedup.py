@@ -282,6 +282,81 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup groups: connected components over the pair graph
+# ---------------------------------------------------------------------------
+
+
+def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, component),
+    component = min doc_id reachable. Pairs are an edge list
+    (doc_a < doc_b) from any of the pair operators above.
+
+    Min-label propagation: every node repeatedly adopts the smallest
+    label among itself and its neighbors; converges in O(diameter)
+    rounds, and near-dup graphs are unions of small dense clusters, so
+    the diameter is tiny. Each round is one grouped aggregation over
+    the (undirected) edge list joined to current labels; convergence
+    is checked with a count of changed labels. For adversarially long
+    chain graphs at 100 TB the large-star/small-star variant halves
+    rounds, but clusters here are cliques-with-noise where plain
+    propagation already terminates in 2-3 rounds.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("component").alias("neighbor_component"))
+        )
+        # localCheckpoint truncates lineage each round — without it the
+        # plan doubles per iteration and planning itself blows up (in a
+        # restart-sensitive production run, use checkpoint() with a
+        # reliable checkpoint dir instead)
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.u, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("neighbor_component"), F.col("component")),
+                ).alias("component"),
+                (F.col("neighbor_component") < F.col("component")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def drop_near_duplicates(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min doc_id) per near-dup component;
+    docs not in any pair pass through untouched. This is the operator
+    a training-data pipeline actually runs: pairs -> clusters -> one
+    survivor each."""
+    comp = neardup_components(pairs)
+    losers = comp.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

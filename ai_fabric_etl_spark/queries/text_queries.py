@@ -110,6 +110,42 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_drop_neardups",
+    oracle=f"""
+    WITH RECURSIVE tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SH} AS s FROM tok),
+    ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS inter
+          FROM ex a JOIN ex b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+    pairs AS (SELECT doc_a, doc_b FROM p
+              WHERE inter / (n_a + n_b - inter) >= 0.5),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    walk(u, comp) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, w.comp FROM edges e JOIN walk w ON e.v = w.u
+    ),
+    comp AS (SELECT u AS doc_id, MIN(comp) AS component FROM walk GROUP BY u)
+    SELECT d.doc_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.component IS NULL OR c.component = d.doc_id
+    """,
+)
+def q_dedup_drop_neardups(spark, sf_dir):
+    """End-to-end near-dedup: exact Jaccard pairs -> connected
+    components (min-label propagation) -> keep one representative per
+    cluster. The oracle computes the same transitive closure with a
+    recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return dedup.drop_near_duplicates(docs, pairs).select("doc_id")
+
+
 @register("dedup_minhash_lsh")
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash(32)+LSH(8 bands) near-dup pairs, Jaccard-verified.

@@ -199,3 +199,30 @@ def test_multimodal_resize_composes(spark, sf_dir):
     # schema preserved: a second pass composes
     decoded = multimodal.decode_media(resized)
     assert decoded.count() == 10
+
+
+def test_neardup_components_and_drop(spark):
+    """Connected components: chain {1-2,2-3}, pair {10-11}, isolated 99."""
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (10, 11, 0.95)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    comp = {r.doc_id: r.component for r in dedup.neardup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in dedup.drop_near_duplicates(docs, pairs).collect())
+    assert kept == [1, 10, 99]
+
+
+def test_neardup_components_long_chain(spark):
+    """Propagation converges on a path graph longer than one hop."""
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 0.9) for i in range(n)], "doc_a long, doc_b long, jaccard double"
+    )
+    comp = dedup.neardup_components(pairs).collect()
+    assert {r.component for r in comp} == {0}
+    assert len(comp) == n + 1
