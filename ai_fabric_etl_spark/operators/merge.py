@@ -1,0 +1,109 @@
+"""Generic keyed merge (upsert) into a versioned parquet table —
+the engine's MERGE INTO (SURVEY A7).
+
+The reference upserts running rows with Postgres ``ON CONFLICT DO
+UPDATE`` (local-development/process_test_data.py:112-148). On a
+lakehouse that is one Delta/Iceberg ``MERGE INTO``; this environment
+has plain parquet, so the table is versioned directories with an
+atomically swapped pointer (the same ACID-light scheme
+streaming/running_aggs.py uses for its aggregate state, generalized
+to row-level merge semantics):
+
+- whenMatched:    update target columns from the source row
+- whenNotMatched: insert the source row
+
+The merge itself is a full-outer join on the key columns — one
+shuffle, both sides key-partitioned. At 100 TB you would partition
+the table so the join touches only affected partitions (and on Delta,
+file-level pruning does this automatically).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ParquetMergeTable:
+    """A minimal upsert-able table: versioned parquet + pointer."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _version(self) -> int:
+        try:
+            with open(os.path.join(self.path, "_LATEST"), encoding="utf-8") as fh:
+                return int(fh.read())
+        except FileNotFoundError:
+            return -1
+
+    def _swap(self, version: int) -> None:
+        tmp = os.path.join(self.path, "_LATEST.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(str(version))
+        os.replace(tmp, os.path.join(self.path, "_LATEST"))
+
+    def exists(self) -> bool:
+        return self._version() >= 0
+
+    def read(self) -> DataFrame:
+        v = self._version()
+        if v < 0:
+            raise FileNotFoundError(f"no table at {self.path}")
+        return self.spark.read.parquet(os.path.join(self.path, f"v={v}"))
+
+    def overwrite(self, df: DataFrame) -> None:
+        v = self._version() + 1
+        os.makedirs(self.path, exist_ok=True)
+        df.write.mode("overwrite").parquet(os.path.join(self.path, f"v={v}"))
+        self._swap(v)
+
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        update_cols: list[str] | None = None,
+    ) -> None:
+        """Upsert ``source`` by ``keys``: matched target rows take the
+        source's ``update_cols`` (default: every non-key column);
+        unmatched source rows are inserted; unmatched target rows are
+        kept. ``source`` must be deduplicated on ``keys``."""
+        if not self.exists():
+            self.overwrite(source)
+            return
+        target = self.read()
+        if update_cols is None:
+            update_cols = [c for c in source.columns if c not in keys]
+
+        src = source.select(
+            *[F.col(k).alias(f"_sk_{k}") for k in keys],
+            *[F.col(c).alias(f"_sv_{c}") for c in source.columns if c not in keys],
+            F.lit(True).alias("_src_present"),
+        )
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & target[k].eqNullSafe(F.col(f"_sk_{k}"))
+        joined = target.join(src, on=cond, how="full_outer")
+
+        def merged_col(c: str):
+            if c in update_cols:
+                return (
+                    F.when(
+                        F.col("_src_present").isNotNull() & F.col("_src_present"),
+                        F.col(f"_sv_{c}"),
+                    )
+                    .otherwise(target[c])
+                    .alias(c)
+                )
+            # column not updated on match; still needed for inserts
+            src_val = F.col(f"_sv_{c}") if f"_sv_{c}" in joined.columns else F.lit(None)
+            return F.coalesce(target[c], src_val).alias(c)
+
+        merged = joined.select(
+            *[F.coalesce(target[k], F.col(f"_sk_{k}")).alias(k) for k in keys],
+            *[merged_col(c) for c in target.columns if c not in keys],
+        )
+        self.overwrite(merged)

@@ -226,3 +226,27 @@ def test_neardup_components_long_chain(spark):
     comp = dedup.neardup_components(pairs).collect()
     assert {r.component for r in comp} == {0}
     assert len(comp) == n + 1
+
+
+def test_ngram_jaccard_exact_under_boilerplate(spark):
+    """Skewed corpus: every doc shares one boilerplate sentence (a hot
+    shingle). freq-ordered prefixes must keep the result exact and
+    identical to the hash-ordered path."""
+    boiler = "this document is confidential and proprietary do not distribute"
+    rng_words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = []
+    for i in range(60):
+        w = [rng_words[(i * 7 + j) % len(rng_words)] for j in range(12)]
+        rows.append((i, boiler + " " + " ".join(w)))
+    # plus 3 true near-dups of doc 0
+    base = rows[0][1]
+    for i in (100, 101, 102):
+        rows.append((i, base + " extra"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fo = {(r.doc_a, r.doc_b): round(r.jaccard, 9)
+          for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, freq_ordered=True).collect()}
+    ho = {(r.doc_a, r.doc_b): round(r.jaccard, 9)
+          for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, freq_ordered=False).collect()}
+    assert fo == ho and len(fo) > 0
+    assert (0, 100) in fo
