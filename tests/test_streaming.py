@@ -200,3 +200,62 @@ def test_approx_distinct_error_bound(spark, sf_dir):
 
     for r in a5_approx_distinct(spark, sf_dir).collect():
         assert abs(r.approx_users - r.exact_users) <= max(3, 0.06 * r.exact_users)
+
+
+def test_gold_lookback_refresh_stream(spark, landing, tmp_path):
+    """Streaming gold compat mode: marts on disk match a batch build
+    over the same silver rows."""
+    from ai_fabric_etl_spark.pipeline.gold import build_all_marts
+    from ai_fabric_etl_spark.pipeline.silver import silver_with_parsed
+    from ai_fabric_etl_spark.streaming.gold_stream import start_gold_lookback_refresh
+
+    silver_dir = str(tmp_path / "silver")
+    gold_dir = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+    stream = parse_to_silver(stream_bronze(spark, landing), now=NOW)
+    q = start_gold_lookback_refresh(stream, silver_dir, gold_dir, ckpt)
+    q.awaitTermination(180)
+
+    batch_silver = silver_with_parsed(spark.read.parquet(silver_dir))
+    expected = build_all_marts(batch_silver)
+    got = spark.read.parquet(f"{gold_dir}/gold_transaction_summary")
+    exp = expected["gold_transaction_summary"]
+    key_cols = ["processing_date", "transaction_type", "sender_id", "receiver_id"]
+    assert sorted(map(tuple, got.select(*key_cols, "transaction_count").collect())) == sorted(
+        map(tuple, exp.select(*key_cols, "transaction_count").collect())
+    )
+
+
+def test_gold_incremental_summary_matches_batch(spark, landing, tmp_path):
+    """Incremental partial-merge summary == full recompute."""
+    from ai_fabric_etl_spark.streaming.gold_stream import (
+        merge_summary_batch,
+        read_incremental_summary,
+    )
+
+    files = spark.createDataFrame(
+        [(n, c) for n, c in generate_corpus(n_files=9, seed=11)],
+        "file_name string, content string",
+    )
+    silver = parse_to_silver(files, now=NOW).cache()
+    state = str(tmp_path / "summary")
+    b1 = silver.limit(7)
+    b2 = silver.subtract(b1)
+    merge_summary_batch(spark, b1, state)
+    merge_summary_batch(spark, b2, state)
+
+    got = read_incremental_summary(spark, state)
+    keys = ["processing_date", "transaction_type", "sender_id", "receiver_id"]
+    exp = silver.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("transaction_count"),
+        (
+            F.sum(F.col("quality_score").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("average_quality_score"),
+        F.min("processing_timestamp").alias("first_processed"),
+        F.max("processing_timestamp").alias("last_processed"),
+    )
+    sk = lambda r: tuple(str(x) for x in r[:4])  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=sk) == sorted(
+        map(tuple, exp.collect()), key=sk
+    )
