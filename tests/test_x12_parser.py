@@ -153,3 +153,57 @@ def test_unknown_type_generic_fallback():
     assert rows[0]["transaction_type"] == "850"
     p = json.loads(rows[0]["parsed_data"])
     assert p["segment_counts"]["PO1"] == 1
+
+
+def test_parse_edge_inputs_never_crash():
+    """Corrupt inputs yield [] or degraded rows, never exceptions —
+    the guarantee mapInPandas batches rely on."""
+    import datetime
+
+    from ai_fabric_etl_spark.x12.parsers import parse_x12_file
+
+    now = datetime.datetime(2024, 1, 1)
+    cases = {
+        "empty.x12": "",
+        "whitespace.x12": "   \n\r  ",
+        "not_x12.x12": "hello world this is not edi",
+        "isa_only.x12": "ISA*00*          *00*          *ZZ*SENDER         *ZZ*RECV           *240101*1200*^*00501*000000001*0*T*:~",
+        "truncated_st.x12": (
+            "ISA*00*          *00*          *ZZ*S              *ZZ*R              "
+            "*240101*1200*^*00501*000000001*0*T*:~GS*HC*S*R*20240101*1200*1*X*005010~"
+            "ST*837*0001~BHT*0019*00*REF*20240101*1200*CH~"
+        ),
+        "unicode.x12": "ISA*00*ünicode~ST*837*0001~SE*2*0001~",
+        "huge_element.x12": "ISA*" + "x" * 100000 + "~ST*837*0001~SE*2*0001~",
+    }
+    for name, content in cases.items():
+        rows = parse_x12_file(name, content, batch_id="edge", now=now)
+        assert isinstance(rows, list), name
+        for r in rows:
+            assert 0 <= r["quality_score"] <= 100, name
+            assert r["file_name"] == name
+
+
+def test_pipeline_survives_corrupt_files(spark, tmp_path):
+    """End-to-end: a landing dir mixing valid, corrupt and empty files
+    parses the valid ones and drops the rest."""
+    from ai_fabric_etl_spark.pipeline.bronze import read_bronze
+    from ai_fabric_etl_spark.pipeline.silver import parse_to_silver
+    from ai_fabric_etl_spark.x12.testgen import generate_corpus
+
+    import pyspark.sql.functions as F
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    good = generate_corpus(n_files=3, seed=5)
+    for name, content in good:
+        (d / name).write_text(content)
+    (d / "empty.x12").write_text("")
+    (d / "garbage.x12").write_text("\x00\x01\x02 not edi at all")
+    (d / "half.x12").write_text(good[0][1][: len(good[0][1]) // 3])
+
+    bronze = read_bronze(spark, str(d))
+    valid = bronze.filter(F.col("is_valid_x12"))
+    silver = parse_to_silver(valid, batch_id="mixed")
+    names = {r.file_name for r in silver.select("file_name").distinct().collect()}
+    assert names == {n for n, _ in good}
