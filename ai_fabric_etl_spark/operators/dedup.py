@@ -117,8 +117,13 @@ def ngram_jaccard_pairs(
       join keys — the safe choice on skewed real corpora at 100 TB.
     - ``freq_ordered=False``: order = hash value. The prefix is a
       ``slice`` of the per-row sorted hash array — zero extra
-      shuffles, no statistics pass. Wins only when the shingle
-      frequency distribution is near-uniform.
+      shuffles, no statistics pass. Measured crossover: fastest below
+      ~10k docs (stats overhead dominates), 2x slower by 50k docs
+      (candidate selectivity dominates) — so the stat-free path is
+      for small/interactive corpora only. (A middle path — inlining
+      only the top-K hot shingles as an array literal — measured
+      slower than both: per-row array_except against a K-element
+      literal rebuilds the literal per row.)
     """
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int") + 1
