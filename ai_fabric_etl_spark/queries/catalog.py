@@ -908,6 +908,150 @@ def scalar_json(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# composite analytic workloads (TPC-H-style: multi-join pipelines that
+# exercise scan+filter+join+agg+sort together, the shapes gold-mart
+# consumers run; all conventions per the module docstring)
+# ---------------------------------------------------------------------------
+
+
+# money arithmetic for the composite queries: every factor is an exact
+# 2-dp value, so casting factors to decimal BEFORE multiplying makes
+# the product exact and the sum order-independent in both engines —
+# rounding the per-row double product instead (dsum of a product)
+# diverges between engines on round-half ties.
+_REV = "CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(4,2))"
+_CHARGE = f"{_REV} * CAST(1 + l_tax AS DECIMAL(4,2))"
+
+
+def _rev(price, disc):
+    return price.cast("decimal(14,2)") * (1 - disc).cast("decimal(4,2)")
+
+
+def _charge(price, disc, tax):
+    return _rev(price, disc) * (1 + tax).cast("decimal(4,2)")
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {DSUM('l_quantity')} AS sum_qty,
+           {DSUM('l_extendedprice')} AS sum_base_price,
+           CAST(SUM({_REV}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({_CHARGE}) AS DOUBLE) AS sum_charge,
+           {DAVG('l_quantity')} AS avg_qty,
+           {DAVG('l_extendedprice')} AS avg_price,
+           {DAVG('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: wide single-table aggregate, fully map-side
+    partial; the scan-bound baseline for the agg pipeline."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") <= F.lit("2001-09-02")
+    )
+    disc_price = _rev(F.col("l_extendedprice"), F.col("l_discount"))
+    charge = _charge(F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        davg(F.col("l_quantity")).alias("avg_qty"),
+        davg(F.col("l_extendedprice")).alias("avg_price"),
+        davg(F.col("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1997-03-15'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> two joins -> agg ->
+    top-k. The customer filter broadcasts; the orders filter prunes
+    before the lineitem join."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1997-03-15")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1997-03-15")
+    )
+    revenue = F.sum(_rev(F.col("l_extendedprice"), F.col("l_discount"))).cast("double")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("l_orderkey"), F.to_date("o_orderdate").alias("o_orderdate"))
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: five joins with a correlated nation condition
+    (customer and supplier in the same nation). Dimension chain
+    region->nation broadcasts; fact joins shuffle on their keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.sum(_rev(F.col("l_extendedprice"), F.col("l_discount"))).cast("double")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.10 UDF-replacement explode+agg marts
 # ---------------------------------------------------------------------------
 

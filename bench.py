@@ -30,6 +30,9 @@ HEADLINE = [
     "w4_session_windows",          # session windows (gaps-and-islands)
     "a10_sliding_rollup",          # sliding windows
     "p6_projection_casts",         # scan-heavy projection w/ pushdown
+    "tpch_q1_pricing_summary",     # scan-bound wide aggregate
+    "tpch_q3_shipping_priority",   # dim filter + 2 joins + topk
+    "tpch_q5_local_supplier_volume",  # 5-join pipeline
     "text_profile",                # text analysis suite
     "dedup_exact",                 # hash dedup
     "dedup_ngram_jaccard",         # inverted-index near-dup
