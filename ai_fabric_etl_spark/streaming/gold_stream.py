@@ -14,11 +14,15 @@ engine should do:
 
 - ``start_gold_incremental_summary`` — the engine mode for algebraic
   marts: the batch's rows fold into per-key partials (count, decimal
-  sums, min/max) merged via ParquetMergeTable, so each refresh costs
-  O(batch + |keys|), never a rescan. The summary mart's avg/min/max
-  all decompose; countDistinct does not (documented: the incremental
-  summary carries exact counts/sums and approximate distincts would
-  slot in via HLL sketches at 100 TB).
+  sums, min/max, HLL sketches) merged via ParquetMergeTable, so each
+  refresh costs O(batch + |keys|), never a rescan. avg/min/max
+  decompose exactly; the mart's two countDistinct terms
+  (unique_interchanges / unique_files, gold_x12_analytics.py:453-454)
+  do not — they are carried as Datasketches HLL binary sketches
+  (``hll_sketch_agg`` partials, ``hll_union`` merge,
+  ``hll_sketch_estimate`` at read). Sketches are fixed-size
+  (~2^lgConfigK registers) so state stays O(|keys|) at 100 TB while
+  estimates hold ~2% relative error.
 """
 
 from __future__ import annotations
@@ -65,36 +69,58 @@ def start_gold_lookback_refresh(
     return writer.start()
 
 
+# lgConfigK=12 → 4 KiB sketch / key, ~1.6% standard error; raise to 14
+# at very high per-key cardinality (16 KiB, ~0.8%).
+_HLL_LG_K = 12
+
+
 def _summary_partials(silver_batch: DataFrame) -> DataFrame:
     return silver_batch.groupBy(*_KEYS).agg(
         F.count(F.lit(1)).alias("transaction_count"),
         F.sum(F.col("quality_score").cast("decimal(18,4)")).alias("score_sum"),
         F.min("processing_timestamp").alias("first_processed"),
         F.max("processing_timestamp").alias("last_processed"),
+        F.hll_sketch_agg("interchange_control_number", F.lit(_HLL_LG_K)).alias(
+            "interchange_sketch"
+        ),
+        F.hll_sketch_agg("file_name", F.lit(_HLL_LG_K)).alias("file_sketch"),
     )
+
+
+def _fold(
+    spark: SparkSession,
+    batch_partials: DataFrame,
+    state_path: str,
+    keys: list[str],
+    merge_exprs: list,
+) -> None:
+    """union(prev, batch) → re-aggregate with the partials' merge
+    functions → atomic swap. One shuffle over O(batch + |keys|) rows."""
+    table = ParquetMergeTable(spark, state_path)
+    if not table.exists():
+        table.overwrite(batch_partials)
+        return
+    merged = (
+        table.read().unionByName(batch_partials).groupBy(*keys).agg(*merge_exprs)
+    )
+    table.overwrite(merged)
+
+
+_SUMMARY_MERGE = [
+    F.sum("transaction_count").alias("transaction_count"),
+    F.sum("score_sum").alias("score_sum"),
+    F.min("first_processed").alias("first_processed"),
+    F.max("last_processed").alias("last_processed"),
+    F.hll_union_agg("interchange_sketch").alias("interchange_sketch"),
+    F.hll_union_agg("file_sketch").alias("file_sketch"),
+]
 
 
 def merge_summary_batch(
     spark: SparkSession, silver_batch: DataFrame, state_path: str
 ) -> None:
     """Fold one batch into the incremental summary-mart partials."""
-    table = ParquetMergeTable(spark, state_path)
-    batch = _summary_partials(silver_batch)
-    if not table.exists():
-        table.overwrite(batch)
-        return
-    prev = table.read()
-    merged = (
-        prev.unionByName(batch)
-        .groupBy(*_KEYS)
-        .agg(
-            F.sum("transaction_count").alias("transaction_count"),
-            F.sum("score_sum").alias("score_sum"),
-            F.min("first_processed").alias("first_processed"),
-            F.max("last_processed").alias("last_processed"),
-        )
-    )
-    table.overwrite(merged)
+    _fold(spark, _summary_partials(silver_batch), state_path, _KEYS, _SUMMARY_MERGE)
 
 
 def read_incremental_summary(spark: SparkSession, state_path: str) -> DataFrame:
@@ -108,6 +134,78 @@ def read_incremental_summary(spark: SparkSession, state_path: str) -> DataFrame:
         ),
         "first_processed",
         "last_processed",
+        F.hll_sketch_estimate("interchange_sketch").alias("unique_interchanges"),
+        F.hll_sketch_estimate("file_sketch").alias("unique_files"),
+    )
+
+
+_PARTNER_KEYS = ["processing_date", "sender_id", "receiver_id"]
+_TX_TYPES = ("837", "835", "834", "270", "271", "276", "277", "278", "279")
+
+
+def _partner_partials(silver_batch: DataFrame) -> DataFrame:
+    """Partials for gold_trading_partner_analytics
+    (gold_x12_analytics.py:600-628). Every term decomposes: conditional
+    counts and sums are additive; unique_transaction_types uses exact
+    set-union partials (domain bounded at 9 types, so the state is a
+    tiny array, cheaper and exact vs a sketch); unique_interchanges is
+    unbounded → HLL sketch."""
+    type_counts = [
+        F.sum(F.when(F.col("transaction_type") == t, 1).otherwise(0)).alias(
+            f"count_{t}"
+        )
+        for t in _TX_TYPES
+    ]
+    return silver_batch.groupBy(*_PARTNER_KEYS).agg(
+        F.count(F.lit(1)).alias("total_transactions"),
+        F.collect_set("transaction_type").alias("type_set"),
+        F.sum(F.col("quality_score").cast("decimal(18,4)")).alias("score_sum"),
+        *type_counts,
+        F.hll_sketch_agg("interchange_control_number", F.lit(_HLL_LG_K)).alias(
+            "interchange_sketch"
+        ),
+        F.min("processing_timestamp").alias("first_transaction"),
+        F.max("processing_timestamp").alias("last_transaction"),
+    )
+
+
+_PARTNER_MERGE = [
+    F.sum("total_transactions").alias("total_transactions"),
+    F.array_distinct(F.flatten(F.collect_list("type_set"))).alias("type_set"),
+    F.sum("score_sum").alias("score_sum"),
+    *[F.sum(f"count_{t}").alias(f"count_{t}") for t in _TX_TYPES],
+    F.hll_union_agg("interchange_sketch").alias("interchange_sketch"),
+    F.min("first_transaction").alias("first_transaction"),
+    F.max("last_transaction").alias("last_transaction"),
+]
+
+
+def merge_partner_batch(
+    spark: SparkSession, silver_batch: DataFrame, state_path: str
+) -> None:
+    """Fold one batch into the incremental partner-analytics partials."""
+    _fold(
+        spark, _partner_partials(silver_batch), state_path, _PARTNER_KEYS, _PARTNER_MERGE
+    )
+
+
+def read_incremental_partner(spark: SparkSession, state_path: str) -> DataFrame:
+    """The trading-partner mart view over the partials."""
+    t = ParquetMergeTable(spark, state_path).read()
+    return t.select(
+        *_PARTNER_KEYS,
+        "total_transactions",
+        F.size("type_set").alias("unique_transaction_types"),
+        (F.col("score_sum").cast("double") / F.col("total_transactions")).alias(
+            "average_quality_score"
+        ),
+        *[f"count_{t}" for t in _TX_TYPES],
+        F.hll_sketch_estimate("interchange_sketch").alias("unique_interchanges"),
+        "first_transaction",
+        "last_transaction",
+        F.concat(F.col("sender_id"), F.lit("-"), F.col("receiver_id")).alias(
+            "trading_partner_id"
+        ),
     )
 
 

@@ -246,6 +246,12 @@ def test_gold_incremental_summary_matches_batch(spark, landing, tmp_path):
 
     got = read_incremental_summary(spark, state)
     keys = ["processing_date", "transaction_type", "sender_id", "receiver_id"]
+    algebraic = [
+        "transaction_count",
+        "average_quality_score",
+        "first_processed",
+        "last_processed",
+    ]
     exp = silver.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("transaction_count"),
         (
@@ -254,8 +260,63 @@ def test_gold_incremental_summary_matches_batch(spark, landing, tmp_path):
         ).alias("average_quality_score"),
         F.min("processing_timestamp").alias("first_processed"),
         F.max("processing_timestamp").alias("last_processed"),
+        F.countDistinct("interchange_control_number").alias("unique_interchanges"),
+        F.countDistinct("file_name").alias("unique_files"),
     )
     sk = lambda r: tuple(str(x) for x in r[:4])  # noqa: E731
-    assert sorted(map(tuple, got.collect()), key=sk) == sorted(
-        map(tuple, exp.collect()), key=sk
+    assert sorted(map(tuple, got.select(*keys, *algebraic).collect()), key=sk) == sorted(
+        map(tuple, exp.select(*keys, *algebraic).collect()), key=sk
     )
+    # distinct counts survive the cross-batch sketch merge: HLL estimates
+    # (exact at this cardinality — sparse mode) match exact countDistinct
+    got_d = {sk(r): (r.unique_interchanges, r.unique_files) for r in got.collect()}
+    for r in exp.collect():
+        gi, gf = got_d[sk(r)]
+        assert abs(gi - r.unique_interchanges) <= max(1, 0.05 * r.unique_interchanges)
+        assert abs(gf - r.unique_files) <= max(1, 0.05 * r.unique_files)
+
+
+def test_gold_incremental_partner_matches_batch(spark, landing, tmp_path):
+    """Incremental partner-analytics partials == batch mart: additive
+    counts exact, set-union type distincts exact, HLL interchange
+    distincts within sketch error."""
+    from ai_fabric_etl_spark.pipeline.gold import trading_partner_analytics
+    from ai_fabric_etl_spark.pipeline.silver import silver_with_parsed
+    from ai_fabric_etl_spark.streaming.gold_stream import (
+        merge_partner_batch,
+        read_incremental_partner,
+    )
+
+    files = spark.createDataFrame(
+        [(n, c) for n, c in generate_corpus(n_files=12, seed=23)],
+        "file_name string, content string",
+    )
+    silver = parse_to_silver(files, now=NOW).cache()
+    state = str(tmp_path / "partner")
+    b1 = silver.limit(5)
+    b2 = silver.subtract(b1)
+    merge_partner_batch(spark, b1, state)
+    merge_partner_batch(spark, b2, state)
+
+    got = read_incremental_partner(spark, state)
+    exp = trading_partner_analytics(silver_with_parsed(silver))
+    keys = ["processing_date", "sender_id", "receiver_id"]
+    exact_cols = keys + [
+        "total_transactions",
+        "unique_transaction_types",
+        *[f"count_{t}" for t in ("837", "835", "834", "270", "271", "276", "277", "278", "279")],
+        "first_transaction",
+        "last_transaction",
+        "trading_partner_id",
+    ]
+    sk = lambda r: tuple(str(x) for x in r[:3])  # noqa: E731
+    assert sorted(map(tuple, got.select(*exact_cols).collect()), key=sk) == sorted(
+        map(tuple, exp.select(*exact_cols).collect()), key=sk
+    )
+    got_rows = {sk(r): r for r in got.collect()}
+    for r in exp.collect():
+        g = got_rows[sk(r)]
+        assert abs(g.average_quality_score - r.average_quality_score) < 1e-6
+        assert abs(g.unique_interchanges - r.unique_interchanges) <= max(
+            1, 0.05 * r.unique_interchanges
+        )
