@@ -1,0 +1,171 @@
+"""Deterministic sampling / splitting / packing for training-data
+pipelines (brief extension beyond the reference; the reference has no
+sampling surface at all).
+
+Everything here is HASH-deterministic, not RNG-based:
+
+- reproducible across runs, engines and cluster sizes (no seed
+  plumbing, no partition-order sensitivity — Spark's ``sample()`` is
+  seed-stable only for a fixed partitioning);
+- stable under growth: a document keeps its split/sample fate when
+  the corpus around it changes, so train/test contamination can't
+  creep in on incremental refreshes;
+- oracle-checkable: DuckDB computes the identical md5-prefix buckets.
+
+The bucket is the first 8 hex chars of ``md5(key || '-' || salt)``
+compared lexicographically against cumulative-weight thresholds —
+uniform on [0, 16^8) with no hex→int conversion needed (lowercase hex
+compares identically in Spark and ANSI SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_HEX_SPACE = 16**8
+
+
+def hash_bucket(key: Column, salt: str) -> Column:
+    """First 8 hex chars of md5(key || '-' || salt): a deterministic
+    uniform draw, as a lexicographically comparable hex string."""
+    return F.substring(
+        F.md5(F.concat(key.cast("string"), F.lit(f"-{salt}")).cast("binary")), 1, 8
+    )
+
+
+def fraction_cutoff_hex(p: float) -> str:
+    """Exclusive upper hex bound for fraction ``p`` — quantized to
+    1/16^8 and clamped so p>=1.0 keeps everything except the single
+    all-f bucket (documented epsilon; exact 1.0 needs no sampling)."""
+    return f"{min(int(p * _HEX_SPACE), _HEX_SPACE - 1):08x}"
+
+
+def _thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """(name, exclusive upper hex bound) per bucket, cumulative."""
+    total = sum(weights.values())
+    out, cum = [], 0.0
+    for name, wgt in weights.items():
+        cum += wgt / total
+        out.append((name, fraction_cutoff_hex(cum)))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test by default)
+    by hashing ``key``. Pure projection: no shuffle, pushdown-safe."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    h = hash_bucket(F.col(key), salt)
+    expr = None
+    names = _thresholds(weights)
+    for name, hi in names[:-1]:
+        cond = h < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[0][0]) if expr is None else expr.otherwise(names[-1][0])
+    return df.withColumn(split_col, expr)
+
+
+def split_case_sql(key: str, weights: dict[str, float] | None = None,
+                   salt: str = "split") -> str:
+    """The ANSI-SQL twin of ``hash_split`` for oracle queries."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    h = f"substr(md5(CAST({key} AS VARCHAR) || '-{salt}'), 1, 8)"
+    names = _thresholds(weights)
+    whens = " ".join(
+        f"WHEN {h} < '{hi}' THEN '{name}'" for name, hi in names[:-1]
+    )
+    return f"CASE {whens} ELSE '{names[-1][0]}' END"
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key: str,
+    salt: str = "sample",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows (training-mix
+    downsampling: e.g. cap low-quality or over-represented languages).
+    Same contract as ``DataFrame.sampleBy`` but hash-stable."""
+    h = hash_bucket(F.col(key), salt)
+    cutoff = None
+    for value, p in fractions.items():
+        cond = F.col(strata_col) == value
+        cut = F.lit(fraction_cutoff_hex(p))
+        cutoff = F.when(cond, cut) if cutoff is None else cutoff.when(cond, cut)
+    default_cut = F.lit(fraction_cutoff_hex(default_fraction))
+    cutoff = default_cut if cutoff is None else cutoff.otherwise(default_cut)
+    return df.filter(h < cutoff)
+
+
+def pack_token_bins(
+    df: DataFrame,
+    tokens_col: str,
+    budget: int,
+    by: list[str],
+    order_col: str,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Contiguous token-budget binning: rows ordered by ``order_col``
+    within each ``by`` group land in bin floor(running_total_before /
+    budget) — every bin holds >= budget tokens once closed (documents
+    straddle boundaries). One window shuffle; SQL-expressible, so it
+    carries a full value oracle. For strict "no bin exceeds budget"
+    packing see ``pack_greedy_firstfit``."""
+    w = Window.partitionBy(*by).orderBy(order_col)
+    cum_before = F.coalesce(
+        F.sum(tokens_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return df.withColumn(bin_col, F.floor(cum_before / budget))
+
+
+def pack_greedy_firstfit(
+    df: DataFrame,
+    tokens_col: str,
+    budget: int,
+    by: list[str],
+    order_col: str,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """First-fit greedy packing per ``by`` group: each row goes to the
+    lowest-numbered open bin with enough remaining budget, else opens
+    a new bin; rows larger than the budget get a bin alone. Inherently
+    sequential within a group → applyInPandas per group (groups are
+    the parallelism unit; at 100 TB keep strata small or pre-shard
+    them with an extra hash column so no group outgrows an executor).
+    """
+    from pyspark.sql.types import StructType
+
+    # copy before add(): StructType.add mutates, and df.schema is the
+    # DataFrame's own cached instance
+    schema = StructType(list(df.schema.fields)).add(bin_col, "long")
+    order_cols = [order_col]
+
+    def pack(pdf):
+        pdf = pdf.sort_values(order_cols).reset_index(drop=True)
+        caps: list[int] = []
+        ids = []
+        for t in pdf[tokens_col]:
+            t = int(t)
+            placed = -1
+            for i, cap in enumerate(caps):
+                if cap >= t:
+                    placed, caps[i] = i, cap - t
+                    break
+            if placed < 0:
+                caps.append(max(budget - t, 0))
+                placed = len(caps) - 1
+            ids.append(placed)
+        pdf[bin_col] = ids
+        return pdf
+
+    return df.groupBy(*by).applyInPandas(pack, schema)

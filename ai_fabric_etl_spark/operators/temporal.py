@@ -1,0 +1,153 @@
+"""Temporal join operators: as-of join and bounded range join.
+
+The reference has no temporal joins (SURVEY §2.3 — its entire join
+surface is one left equi-join), but its ops-analytics consumers
+(trace streams, monitoring/sftp-monitoring-queries.md) and any
+training-data pipeline need them. Spark also lacks them as
+primitives, so both are built as compositions of existing DataFrame
+ops (the brief's preferred strategy):
+
+- ``asof_join``: union the two sides, one window pass per key fills
+  each left row with the most recent right row at-or-before its
+  timestamp. ONE shuffle on the keys, no join blow-up, no range
+  cross-product — the classic scalable as-of plan (the same shape
+  Flink's event-time join and pandas.merge_asof use). AQE handles
+  key skew since it is an ordinary window shuffle.
+
+- ``range_join``: equi-join on (keys, time-bucket) with the left
+  side exploded over the buckets its window covers, then an exact
+  timestamp filter. Turns an inequality join (which Spark would
+  execute as BroadcastNestedLoop or a per-key cross product) into a
+  pruned hash join; candidate count per row is bounded by
+  window/bucket_width + 1 buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus the ``right_cols`` of
+    the most recent ``right`` row with ``right.ts <= left.ts`` per
+    ``by`` key (``direction="backward"``; ``"forward"`` matches the
+    nearest ``right.ts >= left.ts``). Unmatched left rows keep nulls.
+
+    Among right rows sharing the winning timestamp the choice is
+    tie-broken by the order of ``right_cols`` values (deterministic
+    input → deterministic output); pre-aggregate ``right`` to one row
+    per (key, ts) when that matters.
+
+    If ``tolerance_seconds`` is set, matches farther than that from
+    the left timestamp are nulled out (pandas merge_asof semantics).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by and c != right_ts]
+    out_struct = F.struct(
+        F.col(right_ts).alias("_matched_ts"),
+        *[F.col(c) for c in right_cols],
+    )
+    rp = right.select(
+        *by, F.col(right_ts).alias("_ts"), F.lit(0).alias("_side"), out_struct.alias("_r")
+    )
+    r_type = rp.schema["_r"].dataType
+    lp = left.select(
+        *by,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_type).alias("_r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+    )
+    l_type = lp.schema["_l"].dataType
+    unioned = lp.unionByName(
+        rp.withColumn("_l", F.lit(None).cast(l_type)),
+    )
+    # right rows (side 0) sort before left rows at equal ts → inclusive.
+    # deterministic tiebreak among equal-ts right rows via the payload.
+    if direction == "backward":
+        order = [F.col("_ts").asc(), F.col("_side").asc(), F.col("_r").asc()]
+    elif direction == "forward":
+        order = [F.col("_ts").desc(), F.col("_side").asc(), F.col("_r").desc()]
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn("_m", F.last("_r", ignorenulls=True).over(w)).filter(
+        F.col("_side") == 1
+    )
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("_ts").cast("double") - F.col("_m._matched_ts").cast("double")
+        )
+        filled = filled.withColumn(
+            "_m", F.when(gap <= tolerance_seconds, F.col("_m"))
+        )
+    return filled.select(
+        "_l.*",
+        F.col("_m._matched_ts").alias("matched_ts"),
+        *[F.col(f"_m.{c}").alias(c) for c in right_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_ts: str,
+    right_ts: str,
+    before_seconds: float = 0.0,
+    after_seconds: float = 0.0,
+    how: str = "inner",
+    bucket_seconds: float | None = None,
+) -> DataFrame:
+    """Pairs (left, right) sharing ``by`` keys with ``right_ts`` in
+    ``[left_ts - before, left_ts + after]``. Column names other than
+    ``by`` must be disjoint between the two sides.
+
+    Physical plan: hash join on (by, bucket) — left exploded over the
+    covered buckets, right assigned one bucket — then the exact
+    interval filter. ``how="left"`` keeps unmatched left rows (their
+    right columns null), implemented as join-then-recover so the
+    exploded side still joins with equi semantics.
+    """
+    before_us = int(before_seconds * 1_000_000)
+    after_us = int(after_seconds * 1_000_000)
+    w_us = int((bucket_seconds or max(before_seconds + after_seconds, 1.0)) * 1_000_000)
+
+    lb = F.floor((F.unix_micros(F.col(left_ts)) - before_us) / w_us)
+    ub = F.floor((F.unix_micros(F.col(left_ts)) + after_us) / w_us)
+    lex = left.withColumn("_bucket", F.explode(F.sequence(lb, ub)))
+    rb = right.withColumn("_bucket", F.floor(F.unix_micros(F.col(right_ts)) / w_us))
+
+    in_range = F.col(right_ts).between(
+        F.col(left_ts) - F.make_dt_interval(secs=F.lit(before_seconds)),
+        F.col(left_ts) + F.make_dt_interval(secs=F.lit(after_seconds)),
+    )
+    matched = lex.join(rb, [*by, "_bucket"], "inner").filter(in_range).drop("_bucket")
+    if how == "inner":
+        return matched
+    if how != "left":
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    right_only = [c for c in right.columns if c not in by]
+    unmatched = left.join(
+        matched.select(*left.columns).distinct(), left.columns, "left_anti"
+    )
+    for c in right_only:
+        unmatched = unmatched.withColumn(
+            c, F.lit(None).cast(dict(right.dtypes)[c])
+        )
+    return matched.unionByName(unmatched.select(*matched.columns))

@@ -1,0 +1,193 @@
+"""Training-data pipeline query entries, part 2: temporal joins,
+deterministic splits/sampling, token-budget packing.
+
+These extend the reference's surface (SURVEY §2.3 notes its entire
+join family is one left equi-join) with the operators a 100 TB
+training-data pipeline needs. All hash logic is md5-prefix based so
+DuckDB computes bit-identical buckets (full value oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai_fabric_etl_spark.operators.sampling import (
+    fraction_cutoff_hex,
+    hash_split,
+    pack_greedy_firstfit,
+    pack_token_bins,
+    split_case_sql,
+    stratified_hash_sample,
+)
+from ai_fabric_etl_spark.operators.temporal import asof_join, range_join
+from ai_fabric_etl_spark.queries.catalog import _t, register
+
+_N_TOKENS = "len(string_split_regex(trim(text), '\\s+'))"
+
+
+@register(
+    "asof_click_before_purchase",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.click_ts,
+           epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+)
+def asof_click_before_purchase(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent
+    prior click (union + one window pass — single shuffle on user_id,
+    no range cross-product). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(purchases, clicks, by=["user_id"], right_cols=[])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("matched_ts").alias("click_ts"),
+        (F.unix_micros("ts") - F.unix_micros("matched_ts")).alias("gap_us"),
+    )
+
+
+@register(
+    "range_recent_activity",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           SUM(CASE WHEN r.event_id <> e.event_id THEN 1 ELSE 0 END) AS n_recent
+    FROM events e
+    JOIN events r
+      ON e.user_id = r.user_id
+     AND r.ts BETWEEN e.ts - INTERVAL 600 SECOND AND e.ts
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def range_recent_activity(spark, sf_dir):
+    """Range join: per error event, how many same-user events landed
+    in the preceding 10 minutes. Bucketed equi-join + exact interval
+    filter replaces the nested-loop inequality join Spark would
+    otherwise pick. Every error self-matches (its own ts is in its
+    window) so inner join semantics lose no groups."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    activity = ev.select(
+        "user_id",
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    pairs = range_join(
+        errors, activity, by=["user_id"], left_ts="ts", right_ts="r_ts",
+        before_seconds=600.0,
+    )
+    return pairs.groupBy("event_id", "user_id").agg(
+        F.sum(
+            F.when(F.col("r_event_id") != F.col("event_id"), 1).otherwise(0)
+        ).alias("n_recent")
+    )
+
+
+@register(
+    "sample_hash_split",
+    oracle=f"""
+    SELECT {split_case_sql('doc_id')} AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS chars_total
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def sample_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (80/10/10 by md5 of doc_id):
+    pure projection, no shuffle, stable when the corpus grows — a doc
+    can never migrate between splits across refreshes."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, key="doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+    )
+
+
+_STRATA = {"en": 0.5, "de": 1.0, "fr": 0.25}
+_STRATA_DEFAULT = 0.1
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || '-sample'), 1, 8) <
+          CASE {' '.join(f"WHEN lang = '{v}' THEN '{fraction_cutoff_hex(p)}'"
+                         for v, p in _STRATA.items())}
+               ELSE '{fraction_cutoff_hex(_STRATA_DEFAULT)}' END
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Hash-stratified sampling (training-mix rebalancing): keep 50%
+    of en, all of de, 25% of fr, 10% of everything else — exact
+    row-level oracle, so the kept set matches DuckDB doc-for-doc."""
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, strata_col="lang", fractions=_STRATA, key="doc_id",
+        default_fraction=_STRATA_DEFAULT,
+    ).select("doc_id", "lang")
+
+
+@register(
+    "pack_token_bins",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, {_N_TOKENS} AS n_tokens FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 2000.0) AS BIGINT) AS bin_id
+    FROM t
+    """,
+)
+def pack_token_bins_q(spark, sf_dir):
+    """Token-budget binning for sequence packing: per language, docs
+    ordered by doc_id fill contiguous 2000-token bins (one window
+    shuffle; bins close once full, docs straddle boundaries)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return pack_token_bins(
+        docs, tokens_col="n_tokens", budget=2000, by=["lang"], order_col="doc_id"
+    )
+
+
+@register("pack_greedy_firstfit")
+def pack_greedy_firstfit_q(spark, sf_dir):
+    """Strict first-fit greedy packing (no bin exceeds the budget):
+    sequential within a language → applyInPandas per stratum. Not
+    SQL-expressible without recursion, so rows-only here; exactness
+    is asserted against a pure-Python reference in tests."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return pack_greedy_firstfit(
+        docs, tokens_col="n_tokens", budget=2000, by=["lang"], order_col="doc_id"
+    )

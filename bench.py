@@ -49,10 +49,15 @@ def main() -> None:
     spark = get_spark("bench")
     qs = queries()
 
-    # warmup: JIT + parquet footer caches
+    # warmup: JVM JIT + parquet footer caches, plus the Python/Arrow
+    # worker pool (first mapInPandas pays ~5s one-time worker spawn;
+    # workers are reused after — spark.python.worker.reuse default)
     catalog.a1_transaction_summary(spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    spark.range(64).toDF("id").mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

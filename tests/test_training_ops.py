@@ -1,0 +1,227 @@
+"""Temporal joins + deterministic sampling/packing operators.
+
+Each operator is checked against an independent reference: a naive
+inequality join for the temporal ops, statistical/stability invariants
+for hash sampling, and a pure-Python packer for greedy packing. The
+driver's DuckDB oracle covers the end-to-end value parity.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from ai_fabric_etl_spark.operators.sampling import (
+    hash_split,
+    pack_greedy_firstfit,
+    pack_token_bins,
+    stratified_hash_sample,
+)
+from ai_fabric_etl_spark.operators.temporal import asof_join, range_join
+
+BASE = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes):
+    return BASE + datetime.timedelta(minutes=minutes)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+
+def test_asof_backward_basic(spark):
+    left = _events(spark, [(1, 1, _ts(10)), (2, 1, _ts(30)), (3, 2, _ts(5))])
+    right = spark.createDataFrame(
+        [(1, _ts(8), "a"), (1, _ts(10), "b"), (1, _ts(25), "c"), (3, _ts(1), "x")],
+        "user_id long, ts timestamp, tag string",
+    )
+    got = {
+        r.event_id: (r.matched_ts, r.tag)
+        for r in asof_join(left, right, by=["user_id"], right_cols=["tag"]).collect()
+    }
+    # inclusive: the ts(10) right row matches the ts(10) left row
+    assert got[1] == (_ts(10), "b")
+    assert got[2] == (_ts(25), "c")
+    assert got[3] == (None, None)  # user 2 has no right rows at all
+
+
+def test_asof_forward_and_tolerance(spark):
+    left = _events(spark, [(1, 1, _ts(10)), (2, 1, _ts(50))])
+    right = spark.createDataFrame(
+        [(1, _ts(12), "n"), (1, _ts(120), "far")],
+        "user_id long, ts timestamp, tag string",
+    )
+    fwd = {
+        r.event_id: r.tag
+        for r in asof_join(
+            left, right, by=["user_id"], right_cols=["tag"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {1: "n", 2: "far"}
+    tol = {
+        r.event_id: r.tag
+        for r in asof_join(
+            left,
+            right,
+            by=["user_id"],
+            right_cols=["tag"],
+            direction="forward",
+            tolerance_seconds=600,
+        ).collect()
+    }
+    assert tol == {1: "n", 2: None}  # ts(120) is 70min past ts(50)
+
+
+def test_asof_matches_naive_on_events(spark, sf_dir):
+    """asof_join == the naive per-pair max-prior-ts join on real data."""
+    from ai_fabric_etl_spark.queries.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    got = asof_join(purchases, clicks, by=["user_id"], right_cols=[]).select(
+        "event_id", "matched_ts"
+    )
+    naive = (
+        purchases.alias("p")
+        .join(
+            clicks.alias("c"),
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("p.ts") >= F.col("c.ts")),
+            "left",
+        )
+        .groupBy("p.event_id")
+        .agg(F.max("c.ts").alias("matched_ts"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_range_join_matches_naive(spark, sf_dir):
+    """Bucketed range join == naive inequality join, inner and left."""
+    from ai_fabric_etl_spark.queries.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.select(
+        "user_id", F.col("event_id").alias("r_event_id"), F.col("ts").alias("r_ts")
+    )
+    got = range_join(
+        left, right, by=["user_id"], left_ts="ts", right_ts="r_ts",
+        before_seconds=300, after_seconds=300,
+    ).select("event_id", "r_event_id")
+    naive = (
+        left.join(right, "user_id")
+        .filter(
+            (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 300 SECONDS"))
+            & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 300 SECONDS"))
+        )
+        .select("event_id", "r_event_id")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+    # left join keeps every left row at least once
+    left_out = range_join(
+        left, right, by=["user_id"], left_ts="ts", right_ts="r_ts",
+        before_seconds=300, after_seconds=300, how="left",
+    )
+    assert left_out.select("event_id").distinct().count() == left.count()
+
+
+def test_hash_split_deterministic_and_stable(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s1 = hash_split(docs, key="doc_id")
+    by_split = dict(
+        (r.split, r.n) for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()
+    )
+    n = docs.count()
+    assert set(by_split) <= {"train", "val", "test"}
+    assert sum(by_split.values()) == n
+    assert by_split["train"] > by_split.get("val", 0)
+    # growth stability: splitting a subset assigns identical fates
+    sub = hash_split(docs.filter(F.col("doc_id") % 2 == 0), key="doc_id")
+    full = {r.doc_id: r.split for r in s1.select("doc_id", "split").collect()}
+    for r in sub.select("doc_id", "split").collect():
+        assert full[r.doc_id] == r.split
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_hash_sample(
+        docs, strata_col="lang", fractions={"en": 0.5, "de": 1.0}, key="doc_id",
+        default_fraction=0.0,
+    )
+    kept = dict(
+        (r.lang, r.n) for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    )
+    totals = dict(
+        (r.lang, r.n) for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    )
+    assert set(kept) <= {"en", "de"}  # default 0 drops other strata
+    # de keeps everything except the (measure-zero) all-f bucket
+    assert kept.get("de", 0) >= totals["de"] - 1
+    # en keeps roughly half (binomial tolerance)
+    assert abs(kept.get("en", 0) / totals["en"] - 0.5) < 0.2
+
+
+def test_pack_token_bins_invariants(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    out = pack_token_bins(
+        docs, tokens_col="n_tokens", budget=500, by=["lang"], order_col="doc_id"
+    )
+    rows = sorted(out.collect(), key=lambda r: (r.lang, r.doc_id))
+    # exact recompute of the definition: bin = floor(cum_before/budget)
+    cum: dict[str, int] = {}
+    for r in rows:
+        before = cum.get(r.lang, 0)
+        assert r.bin_id == before // 500, (r.lang, r.doc_id, before, r.bin_id)
+        cum[r.lang] = before + int(r.n_tokens)
+    # bins are contiguous and non-decreasing in doc order per lang
+    last: dict[str, int] = {}
+    for r in rows:
+        assert r.bin_id >= last.get(r.lang, 0)
+        last[r.lang] = r.bin_id
+
+
+def test_pack_greedy_matches_python_reference(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    budget = 500
+    got = pack_greedy_firstfit(
+        docs, tokens_col="n_tokens", budget=budget, by=["lang"], order_col="doc_id"
+    )
+    rows = got.collect()
+    # reference: first-fit per lang over doc_id order
+    by_lang: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.lang, r.doc_id)):
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        caps: list[int] = []
+        for r in rs:
+            t = int(r.n_tokens)
+            placed = -1
+            for i, cap in enumerate(caps):
+                if cap >= t:
+                    placed, caps[i] = i, cap - t
+                    break
+            if placed < 0:
+                caps.append(max(budget - t, 0))
+                placed = len(caps) - 1
+            assert r.bin_id == placed, (lang, r.doc_id)
+    # no bin over budget unless it is a single oversize doc
+    agg = {}
+    for r in rows:
+        k = (r.lang, r.bin_id)
+        tot, cnt = agg.get(k, (0, 0))
+        agg[k] = (tot + r.n_tokens, cnt + 1)
+    for (lang, b), (tot, cnt) in agg.items():
+        assert tot <= budget or cnt == 1, (lang, b, tot, cnt)
