@@ -33,6 +33,9 @@ HEADLINE = [
     "tpch_q1_pricing_summary",     # scan-bound wide aggregate
     "tpch_q3_shipping_priority",   # dim filter + 2 joins + topk
     "tpch_q5_local_supplier_volume",  # 5-join pipeline
+    "tpch_q6_forecast_revenue",    # pushdown litmus: filter-only scan
+    "tpch_q10_returned_items",     # date-pruned join + topk
+    "tpch_q18_large_volume_customer",  # having subquery + semi-join
     "text_profile",                # text analysis suite
     "dedup_exact",                 # hash dedup
     "dedup_ngram_jaccard",         # inverted-index near-dup
