@@ -320,3 +320,125 @@ def test_gold_incremental_partner_matches_batch(spark, landing, tmp_path):
         assert abs(g.unique_interchanges - r.unique_interchanges) <= max(
             1, 0.05 * r.unique_interchanges
         )
+
+
+def test_gold_incremental_detail_marts_match_batch(spark, tmp_path):
+    """Detail-mart upserts: two batches + a replay of the first ==
+    one batch recompute, row for row (keyed merge is exact and
+    idempotent — no sketch tolerance needed)."""
+    from ai_fabric_etl_spark.pipeline.gold import ALL_MARTS
+    from ai_fabric_etl_spark.pipeline.silver import silver_with_parsed
+    from ai_fabric_etl_spark.streaming.gold_stream import (
+        merge_detail_batch,
+        read_incremental_detail,
+    )
+
+    files = spark.createDataFrame(
+        [(n, c) for n, c in generate_corpus(n_files=12, seed=37)],
+        "file_name string, content string",
+    )
+    silver = parse_to_silver(files, now=NOW).cache()
+    state = str(tmp_path / "detail")
+    b1 = silver.limit(5).cache()
+    b2 = silver.subtract(b1)
+    merge_detail_batch(spark, b1, state)
+    merge_detail_batch(spark, b1, state)  # at-least-once replay
+    merge_detail_batch(spark, b2, state)
+
+    swp = silver_with_parsed(silver)
+    for name in (
+        "gold_healthcare_claim_analytics",
+        "gold_healthcare_payment_analytics",
+        "gold_healthcare_enrollment_analytics",
+        "gold_healthcare_preauth_request_analytics",
+        "gold_healthcare_preauth_response_analytics",
+    ):
+        exp = ALL_MARTS[name](swp)
+        got = read_incremental_detail(spark, state, name).select(*exp.columns)
+        assert sorted(map(lambda r: tuple(map(str, r)), got.collect())) == sorted(
+            map(lambda r: tuple(map(str, r)), exp.collect())
+        ), name
+
+
+def test_gold_incremental_eligibility_and_claim_status(spark, tmp_path):
+    """Additive partials across batches == the batch marts exactly
+    (counts and decimal sums; avg via score_sum/n)."""
+    from ai_fabric_etl_spark.pipeline.gold import (
+        claim_status_analytics,
+        eligibility_analytics,
+    )
+    from ai_fabric_etl_spark.pipeline.silver import silver_with_parsed
+    from ai_fabric_etl_spark.streaming.gold_stream import (
+        merge_claim_status_batch,
+        merge_eligibility_batch,
+        read_incremental_claim_status,
+        read_incremental_eligibility,
+    )
+
+    files = spark.createDataFrame(
+        [(n, c) for n, c in generate_corpus(n_files=14, seed=41)],
+        "file_name string, content string",
+    )
+    silver = parse_to_silver(files, now=NOW).cache()
+    b1 = silver.limit(6).cache()
+    b2 = silver.subtract(b1)
+    es = str(tmp_path / "elig")
+    cs = str(tmp_path / "cstat")
+    for b in (b1, b2):
+        merge_eligibility_batch(spark, b, es)
+        merge_claim_status_batch(spark, b, cs)
+
+    swp = silver_with_parsed(silver)
+    exp_e = eligibility_analytics(swp)
+    got_e = read_incremental_eligibility(spark, es).select(*exp_e.columns)
+    k = lambda r: tuple(map(str, r[:3]))  # noqa: E731
+    exp_rows = {k(r): r for r in exp_e.collect()}
+    got_rows = {k(r): r for r in got_e.collect()}
+    assert set(exp_rows) == set(got_rows)
+    for key, e in exp_rows.items():
+        g = got_rows[key]
+        for col in ("inquiries", "responses", "total_inquiry_items",
+                    "total_benefits", "active_coverage_count"):
+            assert g[col] == e[col], (key, col)
+        assert abs(g["average_quality_score"] - e["average_quality_score"]) < 1e-9
+
+    exp_c = claim_status_analytics(swp)
+    got_c = read_incremental_claim_status(spark, cs).select(*exp_c.columns)
+    exp_rows_c = {k(r): r for r in exp_c.collect()}
+    got_rows_c = {k(r): r for r in got_c.collect()}
+    assert set(exp_rows_c) == set(got_rows_c)
+    for key, e in exp_rows_c.items():
+        g = got_rows_c[key]
+        assert g["status_requests"] == e["status_requests"], key
+        assert g["status_responses"] == e["status_responses"], key
+        # double sums re-associate across batch partials: equal up to fp
+        for col in ("total_charge_amount", "total_paid_amount"):
+            assert abs(g[col] - e[col]) <= 1e-6 * max(1.0, abs(e[col])), (key, col)
+
+
+def test_start_gold_incremental_stream(spark, landing, tmp_path):
+    """The combined incremental stream maintains summary + detail
+    state end-to-end through foreachBatch."""
+    from ai_fabric_etl_spark.streaming.gold_stream import (
+        read_incremental_detail,
+        read_incremental_summary,
+        start_gold_incremental,
+    )
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = parse_to_silver(stream_bronze(spark, landing), now=NOW)
+    q = start_gold_incremental(stream, state, ckpt)
+    q.awaitTermination(180)
+
+    summary = read_incremental_summary(spark, f"{state}/summary")
+    assert summary.count() > 0
+    total = summary.agg(F.sum("transaction_count")).collect()[0][0]
+    files = spark.createDataFrame(
+        [(os.path.basename(p),) for p in os.listdir(landing)], "file_name string"
+    )
+    claims = read_incremental_detail(
+        spark, f"{state}/detail", "gold_healthcare_claim_analytics"
+    )
+    assert claims.count() > 0
+    assert total > 0 and files.count() > 0
