@@ -380,18 +380,143 @@ def read_incremental_claim_status(spark: SparkSession, state_path: str) -> DataF
     return ParquetMergeTable(spark, state_path).read()
 
 
+# ---------------------------------------------------------------------------
+# incremental data-quality / business-KPI marts
+# ---------------------------------------------------------------------------
+
+_QUALITY_KEYS = ["processing_date", "transaction_type"]
+
+
+def _quality_partials(silver_batch: DataFrame) -> DataFrame:
+    """Partials for gold_data_quality_metrics (NO is_valid filter —
+    quality reporting covers invalid rows). Band counts/min/max/sums
+    are algebraic; the three countDistinct terms ride as HLL sketches
+    (sender/receiver cardinality is small enough that sparse-mode
+    sketches stay exact in practice; file_name is the unbounded one)."""
+    high = F.sum(F.when(F.col("quality_score") >= 90, 1).otherwise(0))
+    med = F.sum(
+        F.when((F.col("quality_score") >= 70) & (F.col("quality_score") < 90), 1).otherwise(0)
+    )
+    low = F.sum(F.when(F.col("quality_score") < 70, 1).otherwise(0))
+    return silver_batch.groupBy(*_QUALITY_KEYS).agg(
+        F.count(F.lit(1)).alias("transaction_count"),
+        F.sum(F.col("quality_score").cast("decimal(18,4)")).alias("score_sum"),
+        F.min("quality_score").alias("min_quality_score"),
+        F.max("quality_score").alias("max_quality_score"),
+        high.alias("high_quality_count"),
+        med.alias("medium_quality_count"),
+        low.alias("low_quality_count"),
+        F.hll_sketch_agg("file_name", F.lit(_HLL_LG_K)).alias("file_sketch"),
+        F.hll_sketch_agg("sender_id", F.lit(_HLL_LG_K)).alias("sender_sketch"),
+        F.hll_sketch_agg("receiver_id", F.lit(_HLL_LG_K)).alias("receiver_sketch"),
+    )
+
+
+_QUALITY_MERGE = [
+    F.sum("transaction_count").alias("transaction_count"),
+    F.sum("score_sum").alias("score_sum"),
+    F.min("min_quality_score").alias("min_quality_score"),
+    F.max("max_quality_score").alias("max_quality_score"),
+    F.sum("high_quality_count").alias("high_quality_count"),
+    F.sum("medium_quality_count").alias("medium_quality_count"),
+    F.sum("low_quality_count").alias("low_quality_count"),
+    F.hll_union_agg("file_sketch").alias("file_sketch"),
+    F.hll_union_agg("sender_sketch").alias("sender_sketch"),
+    F.hll_union_agg("receiver_sketch").alias("receiver_sketch"),
+]
+
+
+def merge_quality_batch(
+    spark: SparkSession, silver_batch: DataFrame, state_path: str
+) -> None:
+    _fold(spark, _quality_partials(silver_batch), state_path, _QUALITY_KEYS, _QUALITY_MERGE)
+
+
+def read_incremental_quality(spark: SparkSession, state_path: str) -> DataFrame:
+    t = ParquetMergeTable(spark, state_path).read()
+    cnt = F.col("transaction_count")
+    return t.select(
+        *_QUALITY_KEYS,
+        "transaction_count",
+        (F.col("score_sum").cast("double") / cnt).alias("average_quality_score"),
+        "min_quality_score",
+        "max_quality_score",
+        "high_quality_count",
+        "medium_quality_count",
+        "low_quality_count",
+        (F.col("high_quality_count") * 100.0 / cnt).alias("high_quality_percentage"),
+        (F.col("medium_quality_count") * 100.0 / cnt).alias("medium_quality_percentage"),
+        (F.col("low_quality_count") * 100.0 / cnt).alias("low_quality_percentage"),
+        F.hll_sketch_estimate("file_sketch").alias("unique_files"),
+        F.hll_sketch_estimate("sender_sketch").alias("unique_senders"),
+        F.hll_sketch_estimate("receiver_sketch").alias("unique_receivers"),
+    )
+
+
+def _kpi_partials(silver_batch: DataFrame) -> DataFrame:
+    """Partials for gold_business_kpis — a GLOBAL aggregate, so the
+    merge key is a constant. transaction_type's domain is 9 values →
+    exact set-union; the four unbounded distincts are HLL sketches."""
+    base = silver_batch.filter(F.col("is_valid"))
+    combo = F.concat(F.col("sender_id"), F.lit("-"), F.col("receiver_id"))
+    return base.groupBy(F.lit(1).alias("_all")).agg(
+        F.count(F.lit(1)).alias("total_transactions"),
+        F.hll_sketch_agg("file_name", F.lit(_HLL_LG_K)).alias("file_sketch"),
+        F.collect_set("transaction_type").alias("type_set"),
+        F.hll_sketch_agg("sender_id", F.lit(_HLL_LG_K)).alias("sender_sketch"),
+        F.hll_sketch_agg("receiver_id", F.lit(_HLL_LG_K)).alias("receiver_sketch"),
+        F.hll_sketch_agg(combo, F.lit(_HLL_LG_K)).alias("combo_sketch"),
+        F.sum(F.col("quality_score").cast("decimal(18,4)")).alias("score_sum"),
+        F.max("processing_timestamp").alias("last_processed"),
+    )
+
+
+_KPI_MERGE = [
+    F.sum("total_transactions").alias("total_transactions"),
+    F.hll_union_agg("file_sketch").alias("file_sketch"),
+    F.array_distinct(F.flatten(F.collect_list("type_set"))).alias("type_set"),
+    F.hll_union_agg("sender_sketch").alias("sender_sketch"),
+    F.hll_union_agg("receiver_sketch").alias("receiver_sketch"),
+    F.hll_union_agg("combo_sketch").alias("combo_sketch"),
+    F.sum("score_sum").alias("score_sum"),
+    F.max("last_processed").alias("last_processed"),
+]
+
+
+def merge_kpis_batch(
+    spark: SparkSession, silver_batch: DataFrame, state_path: str
+) -> None:
+    _fold(spark, _kpi_partials(silver_batch), state_path, ["_all"], _KPI_MERGE)
+
+
+def read_incremental_kpis(spark: SparkSession, state_path: str) -> DataFrame:
+    t = ParquetMergeTable(spark, state_path).read()
+    return t.select(
+        "total_transactions",
+        F.hll_sketch_estimate("file_sketch").alias("unique_files"),
+        F.size("type_set").alias("unique_transaction_types"),
+        F.hll_sketch_estimate("sender_sketch").alias("unique_senders"),
+        F.hll_sketch_estimate("receiver_sketch").alias("unique_receivers"),
+        F.hll_sketch_estimate("combo_sketch").alias("unique_trading_partnerships"),
+        (F.col("score_sum").cast("double") / F.col("total_transactions")).alias(
+            "average_quality_score"
+        ),
+        "last_processed",
+    )
+
+
 def start_gold_incremental(
     silver_stream: DataFrame,
     state_root: str,
     checkpoint_dir: str,
     available_now: bool = True,
 ) -> StreamingQuery:
-    """One stream maintaining every incrementally expressible mart:
-    summary + partner partial-merges, eligibility/claim-status additive
-    partials, and the five detail-mart upserts. Each micro-batch costs
-    O(batch + |touched keys|); nothing rescans silver. The remaining
-    marts (data-quality %, global KPIs) stay on the lookback-refresh
-    path until their distincts get the same sketch treatment."""
+    """One stream maintaining ALL 11 marts incrementally: partial
+    merges for the six aggregate marts (summary, partner, eligibility,
+    claim-status, data-quality, global KPIs — additive terms exact,
+    unbounded distincts as HLL sketches) and keyed upserts for the
+    five detail marts. Each micro-batch costs O(batch + |touched
+    keys|); nothing ever rescans silver."""
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -400,6 +525,8 @@ def start_gold_incremental(
         merge_partner_batch(spark, batch_df, f"{state_root}/partner")
         merge_eligibility_batch(spark, batch_df, f"{state_root}/eligibility")
         merge_claim_status_batch(spark, batch_df, f"{state_root}/claim_status")
+        merge_quality_batch(spark, batch_df, f"{state_root}/quality")
+        merge_kpis_batch(spark, batch_df, f"{state_root}/kpis")
         merge_detail_batch(spark, batch_df, f"{state_root}/detail")
         batch_df.unpersist()
 

@@ -442,3 +442,56 @@ def test_start_gold_incremental_stream(spark, landing, tmp_path):
     )
     assert claims.count() > 0
     assert total > 0 and files.count() > 0
+
+
+def test_gold_incremental_quality_and_kpis(spark, tmp_path):
+    """Quality + global-KPI partials across batches == batch marts:
+    additive terms exact, HLL distincts exact at this cardinality
+    (sparse mode), avg via decimal score_sum/n."""
+    from ai_fabric_etl_spark.pipeline.gold import business_kpis, data_quality_metrics
+    from ai_fabric_etl_spark.streaming.gold_stream import (
+        merge_kpis_batch,
+        merge_quality_batch,
+        read_incremental_kpis,
+        read_incremental_quality,
+    )
+
+    files = spark.createDataFrame(
+        [(n, c) for n, c in generate_corpus(n_files=14, seed=53)],
+        "file_name string, content string",
+    )
+    silver = parse_to_silver(files, now=NOW).cache()
+    b1 = silver.limit(6).cache()
+    b2 = silver.subtract(b1)
+    qs = str(tmp_path / "quality")
+    ks = str(tmp_path / "kpis")
+    for b in (b1, b2):
+        merge_quality_batch(spark, b, qs)
+        merge_kpis_batch(spark, b, ks)
+
+    exp_q = data_quality_metrics(silver)
+    got_q = read_incremental_quality(spark, qs).select(*exp_q.columns)
+    k = lambda r: (str(r[0]), r[1])  # noqa: E731
+    exp_rows = {k(r): r for r in exp_q.collect()}
+    got_rows = {k(r): r for r in got_q.collect()}
+    assert set(exp_rows) == set(got_rows)
+    for key, e in exp_rows.items():
+        g = got_rows[key]
+        for col in ("transaction_count", "min_quality_score", "max_quality_score",
+                    "high_quality_count", "medium_quality_count", "low_quality_count"):
+            assert g[col] == e[col], (key, col)
+        for col in ("average_quality_score", "high_quality_percentage",
+                    "medium_quality_percentage", "low_quality_percentage"):
+            assert abs(g[col] - e[col]) < 1e-9, (key, col)
+        for col in ("unique_files", "unique_senders", "unique_receivers"):
+            assert abs(g[col] - e[col]) <= max(1, 0.05 * e[col]), (key, col)
+
+    e = business_kpis(silver).collect()[0]
+    g = read_incremental_kpis(spark, ks).collect()[0]
+    assert g["total_transactions"] == e["total_transactions"]
+    assert g["unique_transaction_types"] == e["unique_transaction_types"]
+    assert g["last_processed"] == e["last_processed"]
+    assert abs(g["average_quality_score"] - e["average_quality_score"]) < 1e-9
+    for col in ("unique_files", "unique_senders", "unique_receivers",
+                "unique_trading_partnerships"):
+        assert abs(g[col] - e[col]) <= max(1, 0.05 * e[col]), col
