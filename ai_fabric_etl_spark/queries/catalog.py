@@ -1148,32 +1148,32 @@ def tpch_q10_returned_items(spark, sf_dir):
     """,
 )
 def tpch_q18_large_volume_customer(spark, sf_dir):
-    """TPC-H Q18 shape: HAVING-filtered subquery driving a semi-join.
-    The big-order keys come from a map-side-partial aggregate over
-    lineitem only (2 columns read); the semi-join then prunes orders
-    BEFORE the customer join, so the wide joins run on the ~1%
-    qualifying slice rather than the full fact table."""
+    """TPC-H Q18 shape: HAVING-filtered subquery + outer re-aggregate.
+    The naive plan (oracle SQL) scans lineitem twice — once for the
+    HAVING sum, once for the outer SUM after the semi-join. But the
+    outer per-order quantity sum IS the subquery's sum (same key, same
+    measure), so one 2-column aggregate+filter yields both the big-
+    order keys and total_qty; the joins then run on the tiny (~1%)
+    qualifying slice, which AQE converts to broadcasts at runtime."""
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(dsum(F.col("l_quantity")).alias("q"))
-        .filter(F.col("q") > 250)
-        .select("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
     )
-    orders = _t(spark, sf_dir, "orders")
-    o = orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+    o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .groupBy(
+        .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.to_date("o_orderdate").alias("o_orderdate"),
             "o_totalprice",
+            "total_qty",
         )
-        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
