@@ -37,6 +37,9 @@ HEADLINE = [
     "tpch_q10_returned_items",     # date-pruned join + topk
     "tpch_q18_large_volume_customer",  # having subquery + semi-join
     "text_profile",                # text analysis suite
+    "asof_click_before_purchase",  # as-of join (union + window)
+    "range_recent_activity",       # bucketed range join
+    "sample_hash_split",           # deterministic hash split
     "dedup_exact",                 # hash dedup
     "dedup_ngram_jaccard",         # inverted-index near-dup
     "dedup_minhash_lsh",           # MinHash LSH
