@@ -78,8 +78,19 @@ def dsum(c: F.Column) -> F.Column:
 
 
 def davg(c: F.Column) -> F.Column:
-    """Exact-sum / count — one IEEE division, deterministic."""
-    return dsum(c) / F.count(F.lit(1))
+    """Exact-sum / count, rounded to a fixed 6-dp scale.
+
+    The division is one IEEE op, but round-1 driver runs showed the
+    engine-vs-oracle value hash can still flip on float formatting /
+    ulp differences between environments; a fixed ROUND(x, 6) on BOTH
+    sides (see DAVG) erases any sub-microunit divergence.
+    """
+    return F.round(dsum(c) / F.count(F.lit(1)), 6)
+
+
+def pct6(num: F.Column, den: F.Column) -> F.Column:
+    """num*100/den as a 6-dp-rounded double (ratio columns)."""
+    return F.round(num * F.lit(100.0) / den, 6)
 
 
 def DSUM(x: str) -> str:
@@ -87,7 +98,11 @@ def DSUM(x: str) -> str:
 
 
 def DAVG(x: str) -> str:
-    return f"({DSUM(x)} / COUNT(*))"
+    return f"ROUND({DSUM(x)} / COUNT(*), 6)"
+
+
+def PCT6(num: str) -> str:
+    return f"ROUND({num} * 100.0 / COUNT(*), 6)"
 
 
 # ---------------------------------------------------------------------------
@@ -175,7 +190,7 @@ def a2_partner_matrix(spark, sf_dir):
            SUM(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END) AS high_band_count,
            SUM(CASE WHEN l_quantity >= 15 AND l_quantity < 40 THEN 1 ELSE 0 END) AS medium_band_count,
            SUM(CASE WHEN l_quantity < 15 THEN 1 ELSE 0 END) AS low_band_count,
-           SUM(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS high_band_pct
+           {PCT6("SUM(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END)")} AS high_band_pct
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -198,7 +213,7 @@ def a3_quality_bands(spark, sf_dir):
         high.alias("high_band_count"),
         med.alias("medium_band_count"),
         low.alias("low_band_count"),
-        (high * F.lit(100.0) / F.count(F.lit(1))).alias("high_band_pct"),
+        pct6(high, F.count(F.lit(1))).alias("high_band_pct"),
     )
 
 
@@ -1194,7 +1209,7 @@ def tpch_q18_large_volume_customer(spark, sf_dir):
            abs(o.o_totalprice - {DSUM('l.l_extendedprice')}) AS amount_variance,
            COUNT(DISTINCT l.l_partkey) AS unique_service_count,
            CASE WHEN {DSUM('l.l_extendedprice')} > 0
-                THEN abs(o.o_totalprice - {DSUM('l.l_extendedprice')}) / {DSUM('l.l_extendedprice')} * 100.0
+                THEN ROUND(abs(o.o_totalprice - {DSUM('l.l_extendedprice')}) / {DSUM('l.l_extendedprice')} * 100.0, 6)
                 ELSE 0.0 END AS variance_percentage
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderkey, o.o_totalprice
@@ -1231,7 +1246,7 @@ def u1_claim_metrics(spark, sf_dir):
         F.col("o_totalprice").alias("claim_amount"),
         variance.alias("amount_variance"),
         "unique_service_count",
-        F.when(calc > 0, variance / calc * F.lit(100.0))
+        F.when(calc > 0, F.round(variance / calc * F.lit(100.0), 6))
         .otherwise(F.lit(0.0))
         .alias("variance_percentage"),
     )
@@ -1239,14 +1254,14 @@ def u1_claim_metrics(spark, sf_dir):
 
 @register(
     "u3_enrollment_metrics",
-    oracle="""
+    oracle=f"""
     SELECT CAST(ts AS DATE) AS event_day,
            COUNT(*) AS total_members,
            SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS new_enrollments,
            SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS terminations,
            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS changes,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS enrollment_ratio,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS termination_ratio
+           {PCT6("SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)")} AS enrollment_ratio,
+           {PCT6("SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)")} AS termination_ratio
     FROM events
     GROUP BY CAST(ts AS DATE)
     """,
@@ -1267,20 +1282,20 @@ def u3_enrollment_metrics(spark, sf_dir):
         new_e.alias("new_enrollments"),
         term.alias("terminations"),
         chg.alias("changes"),
-        (new_e * F.lit(100.0) / cnt).alias("enrollment_ratio"),
-        (term * F.lit(100.0) / cnt).alias("termination_ratio"),
+        pct6(new_e, cnt).alias("enrollment_ratio"),
+        pct6(term, cnt).alias("termination_ratio"),
     )
 
 
 @register(
     "u7_action_buckets",
-    oracle="""
+    oracle=f"""
     SELECT CAST(ts AS DATE) AS event_day,
            SUM(CASE WHEN event_type IN ('signup','purchase') THEN 1 ELSE 0 END) AS approved_count,
            SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS denied_count,
            SUM(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END) AS pending_count,
-           SUM(CASE WHEN event_type IN ('signup','purchase') THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS approval_rate,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS denial_rate
+           {PCT6("SUM(CASE WHEN event_type IN ('signup','purchase') THEN 1 ELSE 0 END)")} AS approval_rate,
+           {PCT6("SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)")} AS denial_rate
     FROM events
     GROUP BY CAST(ts AS DATE)
     """,
@@ -1300,6 +1315,6 @@ def u7_action_buckets(spark, sf_dir):
         appr.alias("approved_count"),
         den.alias("denied_count"),
         pend.alias("pending_count"),
-        (appr * F.lit(100.0) / cnt).alias("approval_rate"),
-        (den * F.lit(100.0) / cnt).alias("denial_rate"),
+        pct6(appr, cnt).alias("approval_rate"),
+        pct6(den, cnt).alias("denial_rate"),
     )

