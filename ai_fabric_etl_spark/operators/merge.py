@@ -33,17 +33,34 @@ class ParquetMergeTable:
         self.spark = spark
         self.path = path
 
-    def _version(self) -> int:
+    def _pointer(self) -> tuple[int, int | None]:
+        """(version, last_applied_epoch). Pointer file holds ``v`` or
+        ``v:epoch`` — the epoch rides in the SAME atomic swap as the
+        version, so a crash can never record an epoch without its data
+        (or vice versa)."""
         try:
             with open(os.path.join(self.path, "_LATEST"), encoding="utf-8") as fh:
-                return int(fh.read())
+                raw = fh.read().strip()
         except FileNotFoundError:
-            return -1
+            return -1, None
+        if ":" in raw:
+            v, e = raw.split(":", 1)
+            return int(v), int(e)
+        return int(raw), None
 
-    def _swap(self, version: int) -> None:
+    def _version(self) -> int:
+        return self._pointer()[0]
+
+    def last_epoch(self) -> int | None:
+        """Last streaming epoch folded into this table (exactly-once
+        guard for at-least-once foreachBatch replays)."""
+        return self._pointer()[1]
+
+    def _swap(self, version: int, epoch: int | None = None) -> None:
         tmp = os.path.join(self.path, "_LATEST.tmp")
+        content = str(version) if epoch is None else f"{version}:{epoch}"
         with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(str(version))
+            fh.write(content)
         os.replace(tmp, os.path.join(self.path, "_LATEST"))
 
     def exists(self) -> bool:
@@ -55,24 +72,25 @@ class ParquetMergeTable:
             raise FileNotFoundError(f"no table at {self.path}")
         return self.spark.read.parquet(os.path.join(self.path, f"v={v}"))
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame, epoch: int | None = None) -> None:
         v = self._version() + 1
         os.makedirs(self.path, exist_ok=True)
         df.write.mode("overwrite").parquet(os.path.join(self.path, f"v={v}"))
-        self._swap(v)
+        self._swap(v, epoch)
 
     def merge(
         self,
         source: DataFrame,
         keys: list[str],
         update_cols: list[str] | None = None,
+        epoch: int | None = None,
     ) -> None:
         """Upsert ``source`` by ``keys``: matched target rows take the
         source's ``update_cols`` (default: every non-key column);
         unmatched source rows are inserted; unmatched target rows are
         kept. ``source`` must be deduplicated on ``keys``."""
         if not self.exists():
-            self.overwrite(source)
+            self.overwrite(source, epoch=epoch)
             return
         target = self.read()
         if update_cols is None:
@@ -106,4 +124,4 @@ class ParquetMergeTable:
             *[F.coalesce(target[k], F.col(f"_sk_{k}")).alias(k) for k in keys],
             *[merged_col(c) for c in target.columns if c not in keys],
         )
-        self.overwrite(merged)
+        self.overwrite(merged, epoch=epoch)

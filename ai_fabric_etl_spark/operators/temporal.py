@@ -124,13 +124,25 @@ def range_join(
     right columns null), implemented as join-then-recover so the
     exploded side still joins with equi semantics.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
     before_us = int(before_seconds * 1_000_000)
     after_us = int(after_seconds * 1_000_000)
     w_us = int((bucket_seconds or max(before_seconds + after_seconds, 1.0)) * 1_000_000)
 
+    # left-path unmatched recovery anti-joins on a generated row id, not
+    # on the left columns: plain column equality never matches null
+    # values, so a left row containing a null would be emitted twice —
+    # once matched, once null-padded (ADVICE r1)
+    left_in = (
+        left.withColumn("_lid", F.monotonically_increasing_id())
+        if how == "left"
+        else left
+    )
+
     lb = F.floor((F.unix_micros(F.col(left_ts)) - before_us) / w_us)
     ub = F.floor((F.unix_micros(F.col(left_ts)) + after_us) / w_us)
-    lex = left.withColumn("_bucket", F.explode(F.sequence(lb, ub)))
+    lex = left_in.withColumn("_bucket", F.explode(F.sequence(lb, ub)))
     rb = right.withColumn("_bucket", F.floor(F.unix_micros(F.col(right_ts)) / w_us))
 
     in_range = F.col(right_ts).between(
@@ -140,14 +152,12 @@ def range_join(
     matched = lex.join(rb, [*by, "_bucket"], "inner").filter(in_range).drop("_bucket")
     if how == "inner":
         return matched
-    if how != "left":
-        raise ValueError(f"how must be inner|left, got {how!r}")
     right_only = [c for c in right.columns if c not in by]
-    unmatched = left.join(
-        matched.select(*left.columns).distinct(), left.columns, "left_anti"
+    unmatched = left_in.join(
+        matched.select("_lid").distinct(), ["_lid"], "left_anti"
     )
     for c in right_only:
         unmatched = unmatched.withColumn(
             c, F.lit(None).cast(dict(right.dtypes)[c])
         )
-    return matched.unionByName(unmatched.select(*matched.columns))
+    return matched.unionByName(unmatched.select(*matched.columns)).drop("_lid")

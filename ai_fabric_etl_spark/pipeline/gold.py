@@ -19,6 +19,13 @@ from pyspark.sql import functions as F
 
 P = "parsed"
 
+# Transaction identity: X12 ST02 control numbers are unique only within
+# a functional group (GS), so per-transaction detail marts key on all
+# three envelope levels (ADVICE r1 — the reference never surfaces
+# functional_group_number in its marts, a documented deviation).
+_TXN_KEYS = ("file_name", "functional_group_number",
+             "transaction_set_control_number")
+
 
 def _base(silver: DataFrame, start_date=None, end_date=None) -> DataFrame:
     """Lookback window + validity filter (gold_x12_analytics.py:72-74).
@@ -55,31 +62,32 @@ def claim_analytics(silver: DataFrame, **w) -> DataFrame:
     distributed replacement for U1's Python loop.
     """
     base = _base(silver, **w).filter(F.col("transaction_type") == "837")
-    # per-transaction line rollup via explode (claims -> service_lines)
+    # per-transaction line rollup via explode (claims -> service_lines).
+    # Transaction identity includes functional_group_number: ST02
+    # control numbers are unique only within a GS group, so keying on
+    # (file, set_control_number) alone can merge two transactions
+    # (ADVICE r1).
     lines = base.select(
-        "file_name",
-        "transaction_set_control_number",
+        *_TXN_KEYS,
         F.explode(F.col(f"{P}.claims")).alias("claim"),
     ).select(
-        "file_name",
-        "transaction_set_control_number",
+        *_TXN_KEYS,
         F.explode_outer(F.col("claim.service_lines")).alias("line"),
     )
-    calc = lines.groupBy("file_name", "transaction_set_control_number").agg(
+    calc = lines.groupBy(*_TXN_KEYS).agg(
         F.sum(F.coalesce(F.col("line.line_amount"), F.lit(0.0))).alias("calculated_total"),
         F.countDistinct("line.procedure").alias("unique_service_count"),
     )
     out = base.select(
         "processing_date",
-        "file_name",
-        "transaction_set_control_number",
+        *_TXN_KEYS,
         "sender_id",
         "receiver_id",
         "quality_score",
         F.col(f"{P}.service_line_count").cast("int").alias("total_service_lines"),
         F.col(f"{P}.total_claim_amount").cast("double").alias("total_claim_amount"),
         F.col(f"{P}.provider.identifier").alias("provider_npi"),
-    ).join(calc, ["file_name", "transaction_set_control_number"], "left")
+    ).join(calc, list(_TXN_KEYS), "left")
     var = F.abs(F.col("total_claim_amount") - F.coalesce(F.col("calculated_total"), F.lit(0.0)))
     return (
         out.withColumn("calculated_total", F.coalesce(F.col("calculated_total"), F.lit(0.0)))
@@ -100,8 +108,7 @@ def payment_analytics(silver: DataFrame, **w) -> DataFrame:
     base = _base(silver, **w).filter(F.col("transaction_type") == "835")
     df = base.select(
         "processing_date",
-        "file_name",
-        "transaction_set_control_number",
+        *_TXN_KEYS,
         "sender_id",
         "receiver_id",
         F.col(f"{P}.claim_count").cast("int").alias("total_claims"),
@@ -131,22 +138,19 @@ def enrollment_analytics(silver: DataFrame, **w) -> DataFrame:
     base = _base(silver, **w).filter(F.col("transaction_type") == "834")
     cov = (
         base.select(
-            "file_name",
-            "transaction_set_control_number",
+            *_TXN_KEYS,
             F.explode(F.col(f"{P}.members")).alias("m"),
         )
         .select(
-            "file_name",
-            "transaction_set_control_number",
+            *_TXN_KEYS,
             F.explode_outer(F.col("m.coverages")).alias("c"),
         )
-        .groupBy("file_name", "transaction_set_control_number")
+        .groupBy(*_TXN_KEYS)
         .agg(F.countDistinct("c.coverage_type").alias("unique_coverage_types"))
     )
     df = base.select(
         "processing_date",
-        "file_name",
-        "transaction_set_control_number",
+        *_TXN_KEYS,
         "sender_id",
         "receiver_id",
         F.col(f"{P}.member_count").cast("int").alias("total_members"),
@@ -155,7 +159,7 @@ def enrollment_analytics(silver: DataFrame, **w) -> DataFrame:
         F.col(f"{P}.changes").cast("int").alias("changes"),
         F.col(f"{P}.sponsor.name").alias("sponsor_name"),
         F.col(f"{P}.sponsor.id").alias("sponsor_id"),
-    ).join(cov, ["file_name", "transaction_set_control_number"], "left")
+    ).join(cov, list(_TXN_KEYS), "left")
     return (
         df.withColumn("unique_coverage_types", F.coalesce(F.col("unique_coverage_types"), F.lit(0)))
         .withColumn(
@@ -244,8 +248,7 @@ def preauth_request_analytics(silver: DataFrame, **w) -> DataFrame:
     base = _base(silver, **w).filter(F.col("transaction_type") == "278")
     return base.select(
         "processing_date",
-        "file_name",
-        "transaction_set_control_number",
+        *_TXN_KEYS,
         "sender_id",
         "receiver_id",
         F.col(f"{P}.service_count").cast("int").alias("service_count"),
@@ -260,8 +263,7 @@ def preauth_response_analytics(silver: DataFrame, **w) -> DataFrame:
     base = _base(silver, **w).filter(F.col("transaction_type") == "279")
     df = base.select(
         "processing_date",
-        "file_name",
-        "transaction_set_control_number",
+        *_TXN_KEYS,
         "sender_id",
         "receiver_id",
         F.col(f"{P}.review_count").cast("int").alias("review_count"),

@@ -133,22 +133,26 @@ def x12_gold_transaction_summary(spark, sf_dir):
     oracle=f"""
     WITH base AS (SELECT * FROM {_VALID} WHERE transaction_type = '837'),
     cl AS (
-        SELECT file_name, transaction_set_control_number,
+        SELECT file_name, functional_group_number,
+               transaction_set_control_number,
                unnest(parsed.claims) AS claim
         FROM base
     ),
     ln AS (
-        SELECT file_name, transaction_set_control_number,
+        SELECT file_name, functional_group_number,
+               transaction_set_control_number,
                {_outer_unnest('claim.service_lines', 'line')}
         FROM cl
     ),
     calc AS (
-        SELECT file_name, transaction_set_control_number,
+        SELECT file_name, functional_group_number,
+               transaction_set_control_number,
                SUM(COALESCE(line.line_amount, 0.0)) AS calculated_total,
                COUNT(DISTINCT line.procedure) AS unique_service_count
-        FROM ln GROUP BY 1, 2
+        FROM ln GROUP BY 1, 2, 3
     )
-    SELECT b.processing_date, b.file_name, b.transaction_set_control_number,
+    SELECT b.processing_date, b.file_name, b.functional_group_number,
+           b.transaction_set_control_number,
            b.sender_id, b.receiver_id, b.quality_score,
            CAST(b.parsed.service_line_count AS INTEGER) AS total_service_lines,
            CAST(b.parsed.total_claim_amount AS DOUBLE) AS total_claim_amount,
@@ -163,7 +167,8 @@ def x12_gold_transaction_summary(spark, sf_dir):
                            / c.calculated_total * 100.0, 6)
                 ELSE 0.0 END AS variance_percentage
     FROM base b
-    LEFT JOIN calc c USING (file_name, transaction_set_control_number)
+    LEFT JOIN calc c USING (file_name, functional_group_number,
+                            transaction_set_control_number)
     """,
 )
 def x12_gold_claim_analytics(spark, sf_dir):
@@ -281,7 +286,8 @@ _MART_ORACLES = {
         gold.payment_analytics,
         {"payment_ratio": 6},
         f"""
-        SELECT processing_date, file_name, transaction_set_control_number,
+        SELECT processing_date, file_name, functional_group_number,
+               transaction_set_control_number,
                sender_id, receiver_id,
                CAST(parsed.claim_count AS INTEGER) AS total_claims,
                CAST(parsed.payment_amount AS DOUBLE) AS total_payment_amount,
@@ -306,21 +312,25 @@ _MART_ORACLES = {
         f"""
         WITH base AS (SELECT * FROM {_VALID} WHERE transaction_type = '834'),
         mem AS (
-            SELECT file_name, transaction_set_control_number,
+            SELECT file_name, functional_group_number,
+                   transaction_set_control_number,
                    unnest(parsed.members) AS m
             FROM base
         ),
         covs AS (
-            SELECT file_name, transaction_set_control_number,
+            SELECT file_name, functional_group_number,
+                   transaction_set_control_number,
                    {_outer_unnest('m.coverages', 'c')}
             FROM mem
         ),
         cov AS (
-            SELECT file_name, transaction_set_control_number,
+            SELECT file_name, functional_group_number,
+                   transaction_set_control_number,
                    COUNT(DISTINCT c.coverage_type) AS unique_coverage_types
-            FROM covs GROUP BY 1, 2
+            FROM covs GROUP BY 1, 2, 3
         )
-        SELECT b.processing_date, b.file_name, b.transaction_set_control_number,
+        SELECT b.processing_date, b.file_name, b.functional_group_number,
+               b.transaction_set_control_number,
                b.sender_id, b.receiver_id,
                CAST(b.parsed.member_count AS INTEGER) AS total_members,
                CAST(b.parsed.new_enrollments AS INTEGER) AS new_enrollments,
@@ -338,7 +348,8 @@ _MART_ORACLES = {
                                / b.parsed.member_count, 6)
                     ELSE 0.0 END AS termination_ratio
         FROM base b
-        LEFT JOIN cov v USING (file_name, transaction_set_control_number)
+        LEFT JOIN cov v USING (file_name, functional_group_number,
+                               transaction_set_control_number)
         """,
     ),
     # A2 — partner matrix with 9 conditional type counts
@@ -403,7 +414,8 @@ _MART_ORACLES = {
         gold.preauth_request_analytics,
         None,
         f"""
-        SELECT processing_date, file_name, transaction_set_control_number,
+        SELECT processing_date, file_name, functional_group_number,
+               transaction_set_control_number,
                sender_id, receiver_id,
                CAST(parsed.service_count AS INTEGER) AS service_count,
                CAST(parsed.total_requested_amount AS DOUBLE) AS total_requested_amount,
@@ -416,7 +428,8 @@ _MART_ORACLES = {
         gold.preauth_response_analytics,
         {"approval_rate": 6, "denial_rate": 6},
         f"""
-        SELECT processing_date, file_name, transaction_set_control_number,
+        SELECT processing_date, file_name, functional_group_number,
+               transaction_set_control_number,
                sender_id, receiver_id,
                CAST(parsed.review_count AS INTEGER) AS review_count,
                CAST(parsed.approved_count AS INTEGER) AS approved_count,

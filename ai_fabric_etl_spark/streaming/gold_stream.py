@@ -51,12 +51,15 @@ def start_gold_lookback_refresh(
 
     def refresh(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # idempotent append: each epoch owns its own subdirectory and
+        # OVERWRITES it, so an at-least-once replay rewrites the same
+        # rows instead of duplicating them (ADVICE r1)
         (
-            batch_df.write.mode("append")
+            batch_df.write.mode("overwrite")
             .partitionBy("processing_date", "transaction_type")
-            .parquet(silver_dir)
+            .parquet(f"{silver_dir}/epoch={epoch_id}")
         )
-        silver = silver_with_parsed(spark.read.parquet(silver_dir))
+        silver = silver_with_parsed(spark.read.parquet(silver_dir).drop("epoch"))
         write_marts(build_all_marts(silver), gold_dir)
 
     writer = (
@@ -75,7 +78,10 @@ _HLL_LG_K = 12
 
 
 def _summary_partials(silver_batch: DataFrame) -> DataFrame:
-    return silver_batch.groupBy(*_KEYS).agg(
+    # is_valid filter matches the batch mart's _base (gold.py:31,
+    # mirroring gold_x12_analytics.py:74) — without it the incremental
+    # summary overcounts whenever invalid transactions exist (ADVICE r1)
+    return silver_batch.filter(F.col("is_valid")).groupBy(*_KEYS).agg(
         F.count(F.lit(1)).alias("transaction_count"),
         F.sum(F.col("quality_score").cast("decimal(18,4)")).alias("score_sum"),
         F.min("processing_timestamp").alias("first_processed"),
@@ -93,17 +99,28 @@ def _fold(
     state_path: str,
     keys: list[str],
     merge_exprs: list,
+    epoch_id: int | None = None,
 ) -> None:
     """union(prev, batch) → re-aggregate with the partials' merge
-    functions → atomic swap. One shuffle over O(batch + |keys|) rows."""
+    functions → atomic swap. One shuffle over O(batch + |keys|) rows.
+
+    Exactly-once: foreachBatch is at-least-once, and these folds are
+    ADDITIVE, so a replayed batch would double-count. The last applied
+    epoch rides in the table pointer (same atomic swap as the data);
+    an epoch we have already folded is skipped (ADVICE r1 — the same
+    guard running_aggs._pointer uses)."""
     table = ParquetMergeTable(spark, state_path)
+    if epoch_id is not None:
+        last = table.last_epoch()
+        if last is not None and epoch_id <= last:
+            return  # replayed batch: already folded into this state
     if not table.exists():
-        table.overwrite(batch_partials)
+        table.overwrite(batch_partials, epoch=epoch_id)
         return
     merged = (
         table.read().unionByName(batch_partials).groupBy(*keys).agg(*merge_exprs)
     )
-    table.overwrite(merged)
+    table.overwrite(merged, epoch=epoch_id)
 
 
 _SUMMARY_MERGE = [
@@ -117,10 +134,12 @@ _SUMMARY_MERGE = [
 
 
 def merge_summary_batch(
-    spark: SparkSession, silver_batch: DataFrame, state_path: str
+    spark: SparkSession, silver_batch: DataFrame, state_path: str,
+    epoch_id: int | None = None,
 ) -> None:
     """Fold one batch into the incremental summary-mart partials."""
-    _fold(spark, _summary_partials(silver_batch), state_path, _KEYS, _SUMMARY_MERGE)
+    _fold(spark, _summary_partials(silver_batch), state_path, _KEYS, _SUMMARY_MERGE,
+          epoch_id=epoch_id)
 
 
 def read_incremental_summary(spark: SparkSession, state_path: str) -> DataFrame:
@@ -156,7 +175,8 @@ def _partner_partials(silver_batch: DataFrame) -> DataFrame:
         )
         for t in _TX_TYPES
     ]
-    return silver_batch.groupBy(*_PARTNER_KEYS).agg(
+    # is_valid filter matches the batch mart's _base (ADVICE r1)
+    return silver_batch.filter(F.col("is_valid")).groupBy(*_PARTNER_KEYS).agg(
         F.count(F.lit(1)).alias("total_transactions"),
         F.collect_set("transaction_type").alias("type_set"),
         F.sum(F.col("quality_score").cast("decimal(18,4)")).alias("score_sum"),
@@ -181,11 +201,13 @@ _PARTNER_MERGE = [
 
 
 def merge_partner_batch(
-    spark: SparkSession, silver_batch: DataFrame, state_path: str
+    spark: SparkSession, silver_batch: DataFrame, state_path: str,
+    epoch_id: int | None = None,
 ) -> None:
     """Fold one batch into the incremental partner-analytics partials."""
     _fold(
-        spark, _partner_partials(silver_batch), state_path, _PARTNER_KEYS, _PARTNER_MERGE
+        spark, _partner_partials(silver_batch), state_path, _PARTNER_KEYS, _PARTNER_MERGE,
+        epoch_id=epoch_id,
     )
 
 
@@ -242,7 +264,13 @@ def start_gold_incremental_summary(
 # whole files per batch, so a batch always holds every exploded child
 # of the transactions it carries. Replaying a batch (foreachBatch is
 # at-least-once) rewrites identical rows — idempotent.
-_DETAIL_KEYS = ["file_name", "transaction_set_control_number"]
+# functional_group_number is part of the identity: ST02 control
+# numbers repeat across GS groups within a file (ADVICE r1).
+_DETAIL_KEYS = [
+    "file_name",
+    "functional_group_number",
+    "transaction_set_control_number",
+]
 
 
 def _detail_marts():
@@ -258,13 +286,17 @@ def _detail_marts():
 
 
 def merge_detail_batch(
-    spark: SparkSession, silver_batch: DataFrame, state_root: str
+    spark: SparkSession, silver_batch: DataFrame, state_root: str,
+    epoch_id: int | None = None,
 ) -> None:
-    """Upsert one silver batch's rows into every detail mart."""
+    """Upsert one silver batch's rows into every detail mart (the
+    upsert is idempotent under replay; epoch recorded for parity)."""
     swp = silver_with_parsed(silver_batch)
     for name, fn in _detail_marts().items():
         mart = fn(swp).dropDuplicates(_DETAIL_KEYS)
-        ParquetMergeTable(spark, f"{state_root}/{name}").merge(mart, _DETAIL_KEYS)
+        ParquetMergeTable(spark, f"{state_root}/{name}").merge(
+            mart, _DETAIL_KEYS, epoch=epoch_id
+        )
 
 
 def read_incremental_detail(
@@ -321,7 +353,8 @@ _ELIG_SUM_COLS = [
 
 
 def merge_eligibility_batch(
-    spark: SparkSession, silver_batch: DataFrame, state_path: str
+    spark: SparkSession, silver_batch: DataFrame, state_path: str,
+    epoch_id: int | None = None,
 ) -> None:
     _fold(
         spark,
@@ -329,6 +362,7 @@ def merge_eligibility_batch(
         state_path,
         _ELIG_KEYS,
         [F.sum(c).alias(c) for c in _ELIG_SUM_COLS],
+        epoch_id=epoch_id,
     )
 
 
@@ -365,7 +399,8 @@ _CLAIM_STATUS_SUM_COLS = [
 
 
 def merge_claim_status_batch(
-    spark: SparkSession, silver_batch: DataFrame, state_path: str
+    spark: SparkSession, silver_batch: DataFrame, state_path: str,
+    epoch_id: int | None = None,
 ) -> None:
     _fold(
         spark,
@@ -373,6 +408,7 @@ def merge_claim_status_batch(
         state_path,
         _ELIG_KEYS,
         [F.sum(c).alias(c) for c in _CLAIM_STATUS_SUM_COLS],
+        epoch_id=epoch_id,
     )
 
 
@@ -427,9 +463,11 @@ _QUALITY_MERGE = [
 
 
 def merge_quality_batch(
-    spark: SparkSession, silver_batch: DataFrame, state_path: str
+    spark: SparkSession, silver_batch: DataFrame, state_path: str,
+    epoch_id: int | None = None,
 ) -> None:
-    _fold(spark, _quality_partials(silver_batch), state_path, _QUALITY_KEYS, _QUALITY_MERGE)
+    _fold(spark, _quality_partials(silver_batch), state_path, _QUALITY_KEYS, _QUALITY_MERGE,
+          epoch_id=epoch_id)
 
 
 def read_incremental_quality(spark: SparkSession, state_path: str) -> DataFrame:
@@ -484,9 +522,11 @@ _KPI_MERGE = [
 
 
 def merge_kpis_batch(
-    spark: SparkSession, silver_batch: DataFrame, state_path: str
+    spark: SparkSession, silver_batch: DataFrame, state_path: str,
+    epoch_id: int | None = None,
 ) -> None:
-    _fold(spark, _kpi_partials(silver_batch), state_path, ["_all"], _KPI_MERGE)
+    _fold(spark, _kpi_partials(silver_batch), state_path, ["_all"], _KPI_MERGE,
+          epoch_id=epoch_id)
 
 
 def read_incremental_kpis(spark: SparkSession, state_path: str) -> DataFrame:
@@ -521,13 +561,15 @@ def start_gold_incremental(
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df.cache()
-        merge_summary_batch(spark, batch_df, f"{state_root}/summary")
-        merge_partner_batch(spark, batch_df, f"{state_root}/partner")
-        merge_eligibility_batch(spark, batch_df, f"{state_root}/eligibility")
-        merge_claim_status_batch(spark, batch_df, f"{state_root}/claim_status")
-        merge_quality_batch(spark, batch_df, f"{state_root}/quality")
-        merge_kpis_batch(spark, batch_df, f"{state_root}/kpis")
-        merge_detail_batch(spark, batch_df, f"{state_root}/detail")
+        # each state path records its own last epoch, so a crash between
+        # the seven merges replays only the marts that missed the batch
+        merge_summary_batch(spark, batch_df, f"{state_root}/summary", epoch_id)
+        merge_partner_batch(spark, batch_df, f"{state_root}/partner", epoch_id)
+        merge_eligibility_batch(spark, batch_df, f"{state_root}/eligibility", epoch_id)
+        merge_claim_status_batch(spark, batch_df, f"{state_root}/claim_status", epoch_id)
+        merge_quality_batch(spark, batch_df, f"{state_root}/quality", epoch_id)
+        merge_kpis_batch(spark, batch_df, f"{state_root}/kpis", epoch_id)
+        merge_detail_batch(spark, batch_df, f"{state_root}/detail", epoch_id)
         batch_df.unpersist()
 
     writer = (

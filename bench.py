@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",         # inverted-index near-dup
     "dedup_minhash_lsh",           # MinHash LSH
     "emb_knn_bruteforce",          # similarity search
+    "emb_neardup",                 # embedding near-dup (bucketed LSH path)
     "x12_silver_transactions",     # distributed X12 parse
 ]
 

@@ -46,3 +46,56 @@ def test_merge_versions_advance(spark, tmp_path):
     t.merge(spark.createDataFrame([(1, 2)], "id long, v long"), keys=["id"])
     assert t._version() == v0 + 1
     assert _rows(t.read()) == [(1, 2)]
+
+
+def test_merge_epoch_guard_round_trip(spark, tmp_path):
+    """The pointer records the last applied epoch atomically with the
+    version, and survives overwrite/merge round trips."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_epoch"))
+    df = spark.createDataFrame([(1, 10)], "id long, v long")
+    assert t.last_epoch() is None
+    t.overwrite(df, epoch=0)
+    assert t.last_epoch() == 0
+    t.merge(spark.createDataFrame([(2, 20)], "id long, v long"), keys=["id"], epoch=1)
+    assert t.last_epoch() == 1
+    assert _rows(t.read()) == [(1, 10), (2, 20)]
+    # epoch-less writes clear the marker (batch-mode writes)
+    t.overwrite(df)
+    assert t.last_epoch() is None
+
+
+def test_merge_failure_mid_swap_keeps_old_version(spark, tmp_path):
+    """VERDICT r1 item 6: a crash AFTER writing the new version
+    directory but BEFORE the pointer swap must leave readers on the
+    old consistent version."""
+    import os
+
+    path = str(tmp_path / "tbl_crash")
+    t = ParquetMergeTable(spark, path)
+    v0 = spark.createDataFrame([(1, 10)], "id long, v long")
+    t.overwrite(v0)
+
+    # simulate the crash: the data write of version 1 completes, the
+    # pointer swap never happens
+    v1 = spark.createDataFrame([(1, 99), (2, 20)], "id long, v long")
+    v1.write.mode("overwrite").parquet(os.path.join(path, "v=1"))
+
+    assert _rows(t.read()) == [(1, 10)]  # still the committed version
+    # recovery: the next successful merge writes v=2 and swaps past the orphan
+    t.merge(spark.createDataFrame([(2, 20)], "id long, v long"), keys=["id"])
+    assert _rows(t.read()) == [(1, 10), (2, 20)]
+
+
+def test_merge_sequential_batches_serialize(spark, tmp_path):
+    """foreachBatch applies batches serially; two folds back-to-back
+    see each other's writes (read-modify-write against the freshest
+    pointer)."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_serial"))
+    for i in range(5):
+        t.merge(
+            spark.createDataFrame([(i, i * 10)], "id long, v long"),
+            keys=["id"],
+            epoch=i,
+        )
+    assert _rows(t.read()) == [(i, i * 10) for i in range(5)]
+    assert t.last_epoch() == 4

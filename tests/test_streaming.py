@@ -495,3 +495,103 @@ def test_gold_incremental_quality_and_kpis(spark, tmp_path):
     for col in ("unique_files", "unique_senders", "unique_receivers",
                 "unique_trading_partnerships"):
         assert abs(g[col] - e[col]) <= max(1, 0.05 * e[col]), col
+
+
+def _invalid_file(i: int = 0) -> tuple[str, str]:
+    """An 837 with no BHT/NM1/CLM: 3 issues -> score 40 -> is_valid=False."""
+    from ai_fabric_etl_spark.x12.testgen import _envelope, _set
+
+    body = _set("837", 90_000 + i, ["REF*XX*JUNK"])
+    return (
+        f"test_invalid_{i:03d}.x12",
+        _envelope([body], "SENDER01", "RECV01", icn=90_000 + i, gcn=900 + i,
+                  func_code="HC"),
+    )
+
+
+def test_gold_incremental_summary_excludes_invalid(spark, tmp_path):
+    """ADVICE r1 (high): incremental summary/partner partials must
+    apply the is_valid filter the batch marts apply — with an invalid
+    transaction in the batch, incremental == batch mart exactly."""
+    from ai_fabric_etl_spark.pipeline.gold import (
+        trading_partner_analytics,
+        transaction_summary,
+    )
+    from ai_fabric_etl_spark.pipeline.silver import silver_with_parsed
+    from ai_fabric_etl_spark.streaming.gold_stream import (
+        merge_partner_batch,
+        merge_summary_batch,
+        read_incremental_partner,
+        read_incremental_summary,
+    )
+
+    corpus = generate_corpus(n_files=6, seed=31) + [_invalid_file(0), _invalid_file(1)]
+    files = spark.createDataFrame(corpus, "file_name string, content string")
+    silver = parse_to_silver(files, now=NOW).cache()
+    assert silver.filter(~F.col("is_valid")).count() >= 2  # fixture really is mixed
+
+    s_state = str(tmp_path / "summary")
+    p_state = str(tmp_path / "partner")
+    merge_summary_batch(spark, silver, s_state)
+    merge_partner_batch(spark, silver, p_state)
+
+    exp_s = transaction_summary(silver_with_parsed(silver))
+    got_s = read_incremental_summary(spark, s_state)
+    cols = ["processing_date", "transaction_type", "sender_id", "receiver_id",
+            "transaction_count"]
+    assert sorted(map(tuple, got_s.select(*cols).collect())) == sorted(
+        map(tuple, exp_s.select(*cols).collect())
+    )
+
+    exp_p = trading_partner_analytics(silver_with_parsed(silver))
+    got_p = read_incremental_partner(spark, p_state)
+    pcols = ["processing_date", "sender_id", "receiver_id", "total_transactions"]
+    assert sorted(map(tuple, got_p.select(*pcols).collect())) == sorted(
+        map(tuple, exp_p.select(*pcols).collect())
+    )
+
+
+def test_gold_incremental_epoch_replay_is_exactly_once(spark, tmp_path):
+    """ADVICE r1 (medium): replaying an epoch (at-least-once
+    foreachBatch) must not double-count the additive folds."""
+    from ai_fabric_etl_spark.streaming.gold_stream import (
+        merge_summary_batch,
+        read_incremental_summary,
+    )
+
+    files = spark.createDataFrame(
+        generate_corpus(n_files=6, seed=41), "file_name string, content string"
+    )
+    silver = parse_to_silver(files, now=NOW).cache()
+    b1 = silver.limit(4)
+    b2 = silver.subtract(b1)
+
+    state = str(tmp_path / "sum_epoch")
+    merge_summary_batch(spark, b1, state, epoch_id=0)
+    merge_summary_batch(spark, b1, state, epoch_id=0)  # crash-replay of epoch 0
+    merge_summary_batch(spark, b2, state, epoch_id=1)
+    merge_summary_batch(spark, b2, state, epoch_id=1)  # and of epoch 1
+
+    total = read_incremental_summary(spark, state).agg(
+        F.sum("transaction_count")
+    ).collect()[0][0]
+    assert total == silver.filter(F.col("is_valid")).count()
+
+
+def test_lookback_silver_epoch_overwrite_is_idempotent(spark, tmp_path):
+    """ADVICE r1 (medium): the lookback mode's silver append is keyed
+    by epoch subdirectory with overwrite semantics, so rewriting the
+    same epoch replaces rather than duplicates."""
+    silver_dir = str(tmp_path / "silver_epochs")
+    files = spark.createDataFrame(
+        generate_corpus(n_files=4, seed=51), "file_name string, content string"
+    )
+    batch = parse_to_silver(files, now=NOW).cache()
+    for _ in range(2):  # same epoch written twice = replay
+        (
+            batch.write.mode("overwrite")
+            .partitionBy("processing_date", "transaction_type")
+            .parquet(f"{silver_dir}/epoch=0")
+        )
+    accumulated = spark.read.parquet(silver_dir).drop("epoch")
+    assert accumulated.count() == batch.count()
