@@ -1,12 +1,15 @@
 """Multimodal columns: images/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas functions.
 
-The decode step is STUBBED (no image/audio libraries in this
-container): ``decode_image_stub`` raises NotImplementedError unless
-``fake=True``, in which case it produces a deterministic fake decode
-so the Spark-side plumbing — schema, batch shape, partitioning, UDF
-signature — is real and tested. Swapping in PIL/libsndfile later only
-changes the stub body.
+Round 2: the decode/resize/feature bodies are REAL for the formats a
+pure-numpy codec can handle — BMP, PPM/PGM, RIFF-PCM WAV
+(operators/codecs.py; no imaging libraries exist in this container,
+but these formats need none). Payloads whose magic bytes match decode
+for real; anything unrecognized falls back to the deterministic fake
+(``fake=True``, the default) so plumbing tests on arbitrary bytes
+still run, or raises (``fake=False``) when the caller requires real
+media. ``synthesize_media`` builds a deterministic mixed-format
+corpus so the decode path is driver-verifiable end to end.
 """
 
 from __future__ import annotations
@@ -14,6 +17,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -28,6 +32,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from ai_fabric_etl_spark.operators import codecs
 
 MEDIA_SCHEMA = StructType(
     [
@@ -44,6 +50,7 @@ DECODED_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("mime_type", StringType()),
         StructField("n_bytes", LongType()),
+        StructField("fmt", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("channels", IntegerType()),
@@ -65,22 +72,81 @@ def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image_stub(payload: bytes, fake: bool) -> tuple[int, int, int]:
-    """Decode stub. Real implementation would be PIL.Image.open; the
-    deterministic fake derives dimensions from the payload digest so
-    tests exercise real data flow."""
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic mixed-format media corpus from the documents
+    table: doc_id % 3 == 0 -> BMP, 1 -> PPM(P6), 2 -> WAV. Dimensions
+    are pure functions of doc_id, so an oracle can recompute them
+    without decoding — which makes the REAL encode->decode round trip
+    checkable by the driver (entry multimodal_decode_real)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "payload": [], "mime_type": [],
+                    "n_bytes": [], "source": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                kind = i % 3
+                if kind == 0:
+                    w, h = 16 + i % 16, 8 + i % 8
+                    grad = (np.arange(h * w * 3, dtype=np.int64) + i) % 256
+                    payload = codecs.encode_bmp(
+                        grad.astype(np.uint8).reshape(h, w, 3)
+                    )
+                    mime = "image/bmp"
+                elif kind == 1:
+                    w, h = 12 + i % 10, 6 + i % 6
+                    body = ((np.arange(h * w * 3, dtype=np.int64) * 7 + i) % 256)
+                    payload = (
+                        f"P6\n{w} {h}\n255\n".encode()
+                        + body.astype(np.uint8).tobytes()
+                    )
+                    mime = "image/x-portable-pixmap"
+                else:
+                    n = 256 + i % 100
+                    t = np.arange(n, dtype=np.float64)
+                    wave = (3000 * np.sin(t * (0.01 + (i % 7) * 0.005))).astype(
+                        np.int16
+                    )
+                    payload = codecs.encode_wav(wave, sample_rate=16_000)
+                    mime = "audio/wav"
+                rows["media_id"].append(i)
+                rows["payload"].append(payload)
+                rows["mime_type"].append(mime)
+                rows["n_bytes"].append(len(payload))
+                rows["source"].append("synth")
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def _decode_one(payload: bytes, fake: bool) -> tuple[str, int, int, int]:
+    """(fmt, width, height, channels) — real codec when the magic
+    bytes match, deterministic fake (or raise) otherwise. WAV maps to
+    (n_frames, 1, n_channels)."""
+    fmt = codecs.sniff_format(payload)
+    if fmt == "bmp":
+        w, h, c, _ = codecs.decode_bmp(payload)
+        return fmt, w, h, c
+    if fmt in ("ppm", "pgm"):
+        w, h, c, _ = codecs.decode_pnm(payload)
+        return fmt, w, h, c
+    if fmt == "wav":
+        n_channels, _, n_frames, _ = codecs.decode_wav(payload)
+        return fmt, n_frames, 1, n_channels
     if not fake:
         raise NotImplementedError(
-            "image decoding requires an imaging library not present in "
-            "this environment; call with fake=True for plumbing tests"
+            "unrecognized media format (only BMP/PPM/PGM/WAV decode without "
+            "an imaging library); call with fake=True for plumbing tests"
         )
     d = hashlib.md5(payload).digest()
-    return (64 + d[0] % 192, 64 + d[1] % 192, 1 + d[2] % 3)
+    return "fake", 64 + d[0] % 192, 64 + d[1] % 192, 1 + d[2] % 3
 
 
 def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
     """mapInPandas decode pass: Arrow-batched, one python worker per
-    partition, constant memory per batch regardless of table size."""
+    partition, constant memory per batch regardless of table size.
+    Real decode for BMP/PPM/PGM/WAV payloads; ``fake`` governs the
+    fallback for unrecognized bytes."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -88,13 +154,15 @@ def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
                 "media_id": pdf["media_id"],
                 "mime_type": pdf["mime_type"],
                 "n_bytes": pdf["n_bytes"],
+                "fmt": [],
                 "width": [],
                 "height": [],
                 "channels": [],
                 "content_digest": [],
             }
             for payload in pdf["payload"]:
-                w, h, c = decode_image_stub(bytes(payload), fake=fake)
+                fmt, w, h, c = _decode_one(bytes(payload), fake=fake)
+                out["fmt"].append(fmt)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["channels"].append(c)
@@ -114,24 +182,31 @@ FEATURE_SCHEMA = StructType(
 
 def extract_features(media: DataFrame, dim: int = 16, fake: bool = True) -> DataFrame:
     """Feature-extraction pass: payload bytes -> float vector
-    (``array<float>``), Arrow-batched. The real body would run an
-    image/audio encoder; the deterministic fake expands the content
-    digest into ``dim`` floats in [-1, 1] so the output feeds the
-    similarity operators (brute-force/LSH/IVF top-k) unchanged."""
+    (``array<float>``), Arrow-batched. Real features for decodable
+    media (normalized intensity/amplitude histograms — deterministic,
+    encoder-free); the digest-expansion fake for unrecognized bytes.
+    Output feeds the similarity operators (brute-force/LSH/IVF top-k)
+    unchanged."""
+
+    def one(payload: bytes) -> list[float]:
+        fmt = codecs.sniff_format(payload)
+        if fmt == "bmp":
+            return codecs.pixel_features(codecs.decode_bmp(payload)[3], dim).tolist()
+        if fmt in ("ppm", "pgm"):
+            return codecs.pixel_features(codecs.decode_pnm(payload)[3], dim).tolist()
+        if fmt == "wav":
+            return codecs.audio_features(codecs.decode_wav(payload)[3], dim).tolist()
+        if not fake:
+            raise NotImplementedError(
+                "unrecognized media format; call with fake=True"
+            )
+        raw = hashlib.sha256(payload).digest()
+        need = (dim + len(raw) - 1) // len(raw)
+        return [b / 127.5 - 1.0 for b in (raw * need)[:dim]]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for payload in pdf["payload"]:
-                if not fake:
-                    raise NotImplementedError(
-                        "feature extraction requires an encoder not present "
-                        "in this environment; call with fake=True"
-                    )
-                raw = hashlib.sha256(bytes(payload)).digest()
-                need = (dim + len(raw) - 1) // len(raw)
-                raw = (raw * need)[:dim]
-                feats.append([b / 127.5 - 1.0 for b in raw])
+            feats = [one(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
     return media.select("media_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
@@ -141,28 +216,41 @@ def resize_media(
     media: DataFrame, width: int = 224, height: int = 224, fake: bool = True
 ) -> DataFrame:
     """Resize pass: payload -> payload' at (width, height), keeping the
-    MEDIA_SCHEMA shape so passes compose. The fake emits a
-    deterministic width*height-byte payload derived from the content
-    digest; a real body would decode-resize-reencode."""
+    MEDIA_SCHEMA shape so passes compose. Decodable images really
+    decode -> nearest-neighbor resize -> re-encode as 24-bit BMP;
+    unrecognized payloads keep the deterministic fake body."""
+
+    def one(payload: bytes, mime: str) -> tuple[bytes, str]:
+        fmt = codecs.sniff_format(payload)
+        if fmt in ("bmp", "ppm", "pgm"):
+            decode = codecs.decode_bmp if fmt == "bmp" else codecs.decode_pnm
+            _, _, c, px = decode(payload)
+            if c == 1:
+                px = np.repeat(px, 3, axis=2)
+            elif c == 4:
+                px = px[:, :, :3]
+            return codecs.encode_bmp(codecs.resize_nearest(px, width, height)), "image/bmp"
+        if not fake:
+            raise NotImplementedError(
+                "unrecognized media format; call with fake=True"
+            )
+        seed = hashlib.sha256(payload).digest()
+        need = width * height
+        reps = (need + len(seed) - 1) // len(seed)
+        return (seed * reps)[:need], mime
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
-            for payload in pdf["payload"]:
-                if not fake:
-                    raise NotImplementedError(
-                        "resize requires an imaging library not present in "
-                        "this environment; call with fake=True"
-                    )
-                seed = hashlib.sha256(bytes(payload)).digest()
-                need = width * height
-                reps = (need + len(seed) - 1) // len(seed)
-                payloads.append((seed * reps)[:need])
+            payloads, mimes = [], []
+            for payload, mime in zip(pdf["payload"], pdf["mime_type"]):
+                p, m = one(bytes(payload), mime)
+                payloads.append(p)
+                mimes.append(m)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "payload": payloads,
-                    "mime_type": pdf["mime_type"],
+                    "mime_type": mimes,
                     "n_bytes": [len(p) for p in payloads],
                     "source": pdf["source"],
                 }

@@ -18,6 +18,9 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -83,17 +86,47 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def _bucket_key(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign pattern of the vector against each hyperplane, packed into
-    a long — a deterministic cosine-LSH bucket id."""
-    key = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(v) for v in plane])
-        bit = F.when(dot(vec, p) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        key = key + F.shiftleft(bit, i)
-    return key
+def _tag_buckets(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    stride: int,
+) -> DataFrame:
+    """Attach (table, bucket) LSH keys — one output row per table.
+
+    All n_tables × n_planes sign tests run as ONE Arrow-batched numpy
+    matmul per input batch (X @ P.T), then posexplode fans the packed
+    per-table keys out. The expression-tree alternative (n_tables ×
+    n_planes separate zip_with/aggregate dots) compiles to a plan so
+    large it dominated the bench at sf0.1 (~8.5 s → ~1 s); this is the
+    sanctioned vectorized-UDF case — a dense matmul the built-in array
+    lambdas can't express efficiently."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    mat = np.asarray(
+        [
+            plane
+            for t in range(n_tables)
+            for plane in _hyperplanes(dim, n_planes, seed + stride * t)
+        ],
+        dtype=np.float64,
+    )  # (n_tables * n_planes, dim)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    n_t, n_p = n_tables, n_planes
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bucket_keys(v: pd.Series) -> pd.Series:
+        x = np.vstack([np.asarray(e, dtype=np.float64) for e in v])
+        bits = (x @ mat.T) >= 0.0
+        keys = (bits.reshape(len(x), n_t, n_p) * weights).sum(axis=2)
+        return pd.Series(list(keys))
+
+    return df.withColumn("_bks", bucket_keys(F.col(vec_col))).select(
+        *df.columns, F.posexplode("_bks").alias("table", "bucket")
+    )
 
 
 def lsh_topk(
@@ -122,32 +155,8 @@ def lsh_topk(
     """
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    tagged_c = []
-    tagged_q = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 97 * t)
-        tagged_c.append(
-            c.select(
-                "neighbor_id",
-                "c_vec",
-                F.lit(t).alias("table"),
-                _bucket_key(F.col("c_vec"), planes).alias("bucket"),
-            )
-        )
-        tagged_q.append(
-            q.select(
-                "query_id",
-                "q_vec",
-                F.lit(t).alias("table"),
-                _bucket_key(F.col("q_vec"), planes).alias("bucket"),
-            )
-        )
-    c_all = tagged_c[0]
-    for df in tagged_c[1:]:
-        c_all = c_all.unionByName(df)
-    q_all = tagged_q[0]
-    for df in tagged_q[1:]:
-        q_all = q_all.unionByName(df)
+    c_all = _tag_buckets(c, "c_vec", dim, n_planes, n_tables, seed, stride=97)
+    q_all = _tag_buckets(q, "q_vec", dim, n_planes, n_tables, seed, stride=97)
 
     cand = (
         c_all.join(F.broadcast(q_all), ["table", "bucket"])
@@ -243,20 +252,7 @@ def lsh_cosine_neardup_pairs(
     """Scale path for embedding near-dup: self-join within LSH buckets
     only, with a bucket-size skew guard."""
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    tagged = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 31 * t)
-        tagged.append(
-            v.select(
-                "id",
-                "v",
-                F.lit(t).alias("table"),
-                _bucket_key(F.col("v"), planes).alias("bucket"),
-            )
-        )
-    all_t = tagged[0]
-    for df in tagged[1:]:
-        all_t = all_t.unionByName(df)
+    all_t = _tag_buckets(v, "v", dim, n_planes, n_tables, seed, stride=31)
     sized = all_t.withColumn(
         "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("table", "bucket"))
     ).filter(F.col("bucket_size") <= max_bucket)

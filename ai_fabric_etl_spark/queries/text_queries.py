@@ -362,6 +362,35 @@ def q_multimodal_features(spark, sf_dir):
 @register("multimodal_decode")
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched mapInPandas decode pass over binary payloads
-    (deterministic fake decode; real decoder is a stub swap)."""
+    (text bytes -> deterministic fake dims; real formats decode for
+    real — see multimodal_decode_real)."""
     media = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
     return multimodal.decode_media(media, fake=True)
+
+
+@register(
+    "multimodal_decode_real",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'wav' END AS fmt,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 16
+                                WHEN 1 THEN 12 + doc_id % 10
+                                ELSE 256 + doc_id % 100 END AS INTEGER) AS width,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 8
+                                WHEN 1 THEN 6 + doc_id % 6
+                                ELSE 1 END AS INTEGER) AS height,
+           CAST(CASE doc_id % 3 WHEN 2 THEN 1 ELSE 3 END AS INTEGER) AS channels
+    FROM documents
+    """,
+)
+def q_multimodal_decode_real(spark, sf_dir):
+    """REAL media decode, driver-verified: synthesize a mixed
+    BMP/PPM/WAV corpus whose dimensions are pure functions of doc_id
+    (operators/multimodal.synthesize_media), then decode the actual
+    bytes with the pure-numpy codecs (operators/codecs.py — no
+    imaging libs needed for these formats). The oracle recomputes the
+    expected dimensions arithmetically, so a codec regression in
+    either the encoder or the decoder breaks the hash."""
+    media = multimodal.synthesize_media(_t(spark, sf_dir, "documents"))
+    decoded = multimodal.decode_media(media, fake=False)
+    return decoded.select("media_id", "fmt", "width", "height", "channels")

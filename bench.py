@@ -79,9 +79,10 @@ def main() -> None:
     from ai_fabric_etl_spark.pipeline.silver import parse_to_silver
     from ai_fabric_etl_spark.x12.testgen import generate_corpus
 
-    corpus = generate_corpus(n_files=1024, seed=11)
-    files = spark.createDataFrame(corpus, ["file_name", "content"]).repartition(64)
+    corpus = generate_corpus(n_files=4096, seed=11)
+    files = spark.createDataFrame(corpus, ["file_name", "content"]).repartition(128)
     files.persist().count()  # exclude driver-side generation from the timing
+    parse_to_silver(files, batch_id="warm").count()  # worker-pool warmup
     t0 = time.perf_counter()
     n_tx = parse_to_silver(files, batch_id="bench").count()
     parse_s = time.perf_counter() - t0
