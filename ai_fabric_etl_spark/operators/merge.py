@@ -66,11 +66,41 @@ class ParquetMergeTable:
     def exists(self) -> bool:
         return self._version() >= 0
 
-    def read(self) -> DataFrame:
-        v = self._version()
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current table, or TIME TRAVEL to an earlier retained version
+        (Delta's ``VERSION AS OF``): versions are immutable directories,
+        so any un-vacuumed version stays readable."""
+        v = self._version() if version is None else version
         if v < 0:
             raise FileNotFoundError(f"no table at {self.path}")
-        return self.spark.read.parquet(os.path.join(self.path, f"v={v}"))
+        d = os.path.join(self.path, f"v={v}")
+        if version is not None and not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"version {version} not retained at {self.path} (vacuumed?)"
+            )
+        return self.spark.read.parquet(d)
+
+    def versions(self) -> list[int]:
+        """Retained version numbers, oldest first (the table history)."""
+        try:
+            names = os.listdir(self.path)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n[2:]) for n in names if n.startswith("v=") and n[2:].isdigit()
+        )
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` versions (never the
+        current pointer target); returns the versions removed."""
+        import shutil
+
+        keep_last = max(keep_last, 1)
+        current = self._version()
+        removable = [v for v in self.versions()[:-keep_last] if v != current]
+        for v in removable:
+            shutil.rmtree(os.path.join(self.path, f"v={v}"), ignore_errors=True)
+        return removable
 
     def overwrite(self, df: DataFrame, epoch: int | None = None) -> None:
         v = self._version() + 1
@@ -88,11 +118,19 @@ class ParquetMergeTable:
         """Upsert ``source`` by ``keys``: matched target rows take the
         source's ``update_cols`` (default: every non-key column);
         unmatched source rows are inserted; unmatched target rows are
-        kept. ``source`` must be deduplicated on ``keys``."""
+        kept. ``source`` must be deduplicated on ``keys``.
+
+        SCHEMA EVOLUTION (Delta ``mergeSchema`` semantics): columns
+        present only in ``source`` are added to the table — existing
+        rows read null for them; columns present only in the target
+        are kept, with inserts reading null (already handled below)."""
         if not self.exists():
             self.overwrite(source, epoch=epoch)
             return
         target = self.read()
+        new_cols = [
+            c for c in source.columns if c not in target.columns and c not in keys
+        ]
         if update_cols is None:
             update_cols = [c for c in source.columns if c not in keys]
 
@@ -123,5 +161,8 @@ class ParquetMergeTable:
         merged = joined.select(
             *[F.coalesce(target[k], F.col(f"_sk_{k}")).alias(k) for k in keys],
             *[merged_col(c) for c in target.columns if c not in keys],
+            # evolved columns: source value where the source row exists,
+            # null for untouched target rows
+            *[F.col(f"_sv_{c}").alias(c) for c in new_cols],
         )
         self.overwrite(merged, epoch=epoch)

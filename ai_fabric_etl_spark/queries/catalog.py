@@ -1194,6 +1194,116 @@ def tpch_q18_large_volume_customer(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q12_priority_classes",
+    oracle="""
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_priority_lines,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_priority_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def tpch_q12_priority_classes(spark, sf_dir):
+    """TPC-H Q12 shape: fact-fact join + two-way conditional
+    classification. The l_shipdate filter pushes to the lineitem scan,
+    so the join shuffles only the qualifying year."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_priority_lines"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_priority_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(
+             CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(l.l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))
+                  ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE) * 100.0
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE),
+             6) AS promo_revenue_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-09-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1996-10-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: global conditional-revenue ratio over a
+    broadcast part join; exact-decimal sums, one rounded division."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.to_date("l_shipdate") < F.lit("1996-10-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = _rev(F.col("l_extendedprice"), F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(14,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.sum(promo).cast("double") * 100.0 / F.sum(rev).cast("double"), 6
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+    WITH pa AS (
+        SELECT l_partkey, {DAVG('l_quantity')} AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {DSUM('l.l_extendedprice')} AS total_price,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < 0.5 * pa.avg_qty
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) de-correlated into a pre-aggregate + join — the plan a
+    100 TB engine must pick; the naive correlated form re-scans
+    lineitem per row. Threshold avg is the deterministic DAVG so both
+    engines compare against identical doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        davg(F.col("l_quantity")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == pa.pa_partkey)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            dsum(F.col("l_extendedprice")).alias("total_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.10 UDF-replacement explode+agg marts
 # ---------------------------------------------------------------------------

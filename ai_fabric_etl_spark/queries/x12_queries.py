@@ -203,13 +203,52 @@ def x12_gold_business_kpis(spark, sf_dir):
     )
 
 
-@register("x12_ack_997")
+@register(
+    "x12_ack_997",
+    oracle=f"""
+    WITH g AS (
+        SELECT sender_id, receiver_id, interchange_control_number,
+               COUNT(*) AS n,
+               MAX(processing_timestamp) AS last_processed,
+               string_agg('AK2*837*' || transaction_set_control_number
+                          || '~AK5*A~', ''
+                          ORDER BY transaction_set_control_number) AS ak_body
+        FROM {{src}}
+        GROUP BY 1, 2, 3
+    )
+    SELECT sender_id, receiver_id, interchange_control_number,
+           n AS transaction_count,
+           last_processed,
+           'ISA*00*' || repeat(' ', 10) || '*00*' || repeat(' ', 10)
+             || '*ZZ*' || rpad(receiver_id, 15, ' ')
+             || '*ZZ*' || rpad(sender_id, 15, ' ')
+             || '*250101*0000*^*00501*'
+             || lpad(interchange_control_number, 9, '0') || '*0*T*:~'
+             || 'GS*FA*' || receiver_id || '*' || sender_id
+             || '*20250101*0000*' || interchange_control_number || '*X*005010~'
+             || 'ST*997*0001~'
+             || 'AK1*HC*' || interchange_control_number || '~'
+             || ak_body
+             || 'AK9*A*' || n || '*' || n || '*' || n || '~'
+             || 'SE*' || (4 + 2 * n) || '*0001~'
+             || 'GE*1*' || interchange_control_number || '~'
+             || 'IEA*1*' || lpad(interchange_control_number, 9, '0') || '~'
+             AS ack_997,
+           'ack_997_' || sender_id || '_' || interchange_control_number
+             || '.x12' AS ack_file_name
+    FROM g
+    """.replace("{src}", _SRC),
+)
 def x12_ack_997(spark, sf_dir):
     """U8/A6: 997 ack generation (collect_list + templating UDF).
-    Rows-only: the fixed-width templating UDF is the non-SQL part."""
+
+    The oracle rebuilds the ENTIRE 997 interchange text in ANSI SQL
+    (fixed-width ISA padding via rpad/lpad, the AK2/AK5 loop via
+    ordered string_agg, SE count = 4 + 2n), so the templating UDF is
+    value-verified byte for byte — not just row-counted."""
     from ai_fabric_etl_spark.x12.ack997 import generate_acks
 
-    return generate_acks(_silver(spark)).drop("control_numbers")
+    return generate_acks(_silver_oracled(spark)).drop("control_numbers")
 
 
 @register(

@@ -36,6 +36,9 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",    # pushdown litmus: filter-only scan
     "tpch_q10_returned_items",     # date-pruned join + topk
     "tpch_q18_large_volume_customer",  # having subquery + semi-join
+    "tpch_q12_priority_classes",   # fact-fact join + conditional classes
+    "tpch_q14_promo_revenue",      # broadcast join + conditional ratio
+    "tpch_q17_small_quantity_revenue",  # decorrelated scalar subquery
     "text_profile",                # text analysis suite
     "asof_click_before_purchase",  # as-of join (union + window)
     "range_recent_activity",       # bucketed range join

@@ -99,3 +99,43 @@ def test_merge_sequential_batches_serialize(spark, tmp_path):
         )
     assert _rows(t.read()) == [(i, i * 10) for i in range(5)]
     assert t.last_epoch() == 4
+
+
+def test_merge_time_travel_and_history(spark, tmp_path):
+    """Delta-style VERSION AS OF over retained version directories."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_tt"))
+    t.overwrite(spark.createDataFrame([(1, 10)], "id long, v long"))
+    t.merge(spark.createDataFrame([(2, 20)], "id long, v long"), keys=["id"])
+    t.merge(spark.createDataFrame([(1, 11)], "id long, v long"), keys=["id"])
+
+    assert t.versions() == [0, 1, 2]
+    assert _rows(t.read(version=0)) == [(1, 10)]
+    assert _rows(t.read(version=1)) == [(1, 10), (2, 20)]
+    assert _rows(t.read()) == [(1, 11), (2, 20)]
+
+    removed = t.vacuum(keep_last=1)
+    assert removed == [0, 1]
+    assert t.versions() == [2]
+    assert _rows(t.read()) == [(1, 11), (2, 20)]  # current unaffected
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError, match="not retained"):
+        t.read(version=0)
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """mergeSchema semantics: source-only columns are added (null for
+    untouched rows); target-only columns survive (null for inserts)."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_evo"))
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"))
+    t.merge(
+        spark.createDataFrame([(2, "b2", 99), (3, "c", 42)],
+                              "id long, name string, score long"),
+        keys=["id"],
+    )
+    got = {r.id: (r.name, r.score) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("b2", 99), 3: ("c", 42)}
+
+    # target-only column: later narrow source keeps the evolved column
+    t.merge(spark.createDataFrame([(4, "d")], "id long, name string"), keys=["id"])
+    got = {r.id: (r.name, r.score) for r in t.read().collect()}
+    assert got[4] == ("d", None) and got[2] == ("b2", 99)

@@ -77,3 +77,36 @@ def test_bucketized_join_is_shuffle_free(spark, sf_dir, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_emb_neardup_lsh_has_no_nested_loop(spark, sf_dir):
+    """VERDICT r1 item 4 regression gate: the embedding near-dup
+    contract path must plan as a bucketed hash join, never the O(n^2)
+    BroadcastNestedLoop the brute-force theta join produces."""
+    from ai_fabric_etl_spark.plans.inspect import plan_string
+    from ai_fabric_etl_spark.queries.text_queries import q_emb_neardup
+
+    plan = plan_string(q_emb_neardup(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x12_claim_mart_prunes_nested_schema(spark, tmp_path):
+    """On a parquet-backed silver table, the 837 claim mart's SCAN must
+    read only the parsed sub-fields it uses (nested schema pruning) —
+    the 835-only payment branch of the union payload must not be read
+    (keeps the 100 TB scan narrow)."""
+    import re
+
+    from ai_fabric_etl_spark.pipeline.gold import claim_analytics
+    from ai_fabric_etl_spark.plans.inspect import plan_string
+    from ai_fabric_etl_spark.queries.x12_queries import _silver
+
+    path = str(tmp_path / "silver_pq")
+    _silver(spark).write.mode("overwrite").parquet(path)
+    plan = plan_string(claim_analytics(spark.read.parquet(path)))
+    schemas = re.findall(r"ReadSchema: (.*)", plan)
+    assert schemas, "no parquet scan in plan"
+    for rs in schemas:
+        assert "total_patient_responsibility" not in rs
+        assert "members" not in rs  # 834-only branch also pruned
