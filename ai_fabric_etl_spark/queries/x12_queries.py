@@ -52,6 +52,18 @@ _SILVER_CACHE = os.path.join(_REPO_ROOT, ".cache", "x12_silver")
 _SILVER_MEMO: dict[int, DataFrame] = {}
 _CACHE_WRITTEN: set[int] = set()
 
+# Hydrate the runtime oracle cache from the committed golden fixture
+# when absent (fresh clone): the mart oracles' read_parquet path then
+# resolves no matter what order the driver runs Spark queries and
+# DuckDB oracles in. Entries still overwrite the runtime copy with a
+# freshly parsed silver on first use, so the fixture can never mask a
+# parser change (tests assert fixture == fresh parse).
+_GOLDEN = os.path.join(_REPO_ROOT, "tests", "fixtures", "x12_silver_golden")
+if not os.path.isdir(_SILVER_CACHE) and os.path.isdir(_GOLDEN):
+    import shutil
+
+    shutil.copytree(_GOLDEN, _SILVER_CACHE)
+
 
 def _silver(spark: SparkSession) -> DataFrame:
     """Parsed silver (typed struct), persisted and memoized per session.

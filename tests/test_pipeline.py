@@ -216,3 +216,20 @@ def test_write_ack_files_per_partner(spark, silver_df, tmp_path):
     text = open(partner_files[0]).read()
     ok, issues = validate_997(text.strip())
     assert ok, issues
+
+
+def test_golden_silver_fixture_matches_fresh_parse(spark):
+    """The committed golden silver fixture (the x12 mart oracles' cold
+    fallback) must equal a fresh parse of the deterministic corpus —
+    regenerate with tools/regen_golden_silver.py after parser changes."""
+    import os
+
+    from ai_fabric_etl_spark.queries import x12_queries
+
+    golden_dir = x12_queries._GOLDEN
+    assert os.path.isdir(golden_dir), "golden fixture missing"
+    golden = spark.read.parquet(golden_dir).drop("parsed")
+    fresh = x12_queries._silver(spark).drop("parsed")
+    g = sorted(map(tuple, golden.collect()))
+    f = sorted(map(tuple, fresh.collect()))
+    assert g == f
