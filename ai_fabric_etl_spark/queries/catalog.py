@@ -498,17 +498,36 @@ def cube_status_priority(spark, sf_dir):
     )
 
 
-@register("a5_approx_distinct")
+@register(
+    "a5_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def a5_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HLL++) — the 100 TB replacement for the
     reference's six exact countDistinct columns (SURVEY §2.4 A5): one
-    pass, fixed memory, no per-key distinct expansion. Rows-only entry
-    (the estimate is engine-specific); the relative-error bound vs
-    exact is asserted in tests."""
+    pass, fixed memory, no per-key distinct expansion.
+
+    The raw estimate is engine-specific, so the DRIVER-verified column
+    is the error-bound INVARIANT: |approx - exact| within max(3, 6%).
+    A sketch regression flips the boolean and breaks the hash."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    agg = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    bound = F.greatest(F.lit(3.0), 0.06 * F.col("exact_users"))
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= bound).alias(
+            "approx_within_bound"
+        ),
     )
 
 

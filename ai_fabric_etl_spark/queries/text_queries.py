@@ -351,12 +351,38 @@ def q_multimodal_bytes(spark, sf_dir):
 def q_multimodal_features(spark, sf_dir):
     """Feature-extract pass (payload -> array<float>) — output shape
     feeds the similarity operators directly. Rows-only (deterministic
-    fake encoder); plumbing invariants tested in pytest."""
+    fake encoder for text bytes); the REAL feature path is
+    driver-gated by multimodal_features_real."""
     media = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
     feats = multimodal.extract_features(media, dim=16)
     return feats.select(
         "media_id", F.size("features").alias("dim")
     ).orderBy("media_id")
+
+
+@register(
+    "multimodal_features_real",
+    oracle="""
+    SELECT doc_id AS media_id, 16 AS dim, TRUE AS histogram_normalized
+    FROM documents
+    """,
+)
+def q_multimodal_features_real(spark, sf_dir):
+    """REAL feature extraction over the synthesized BMP/PPM/WAV corpus:
+    intensity/amplitude histograms computed from actually-decoded
+    pixels/samples. Driver-gated invariant: every vector has the
+    requested dimension and sums to 1 (a codec or histogram
+    regression breaks it)."""
+    media = multimodal.synthesize_media(_t(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media, dim=16, fake=False)
+    total = F.aggregate(
+        "features", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return feats.select(
+        "media_id",
+        F.size("features").alias("dim"),
+        (F.abs(total - 1.0) < 1e-5).alias("histogram_normalized"),
+    )
 
 
 @register("multimodal_decode")

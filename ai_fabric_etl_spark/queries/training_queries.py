@@ -180,9 +180,11 @@ def pack_token_bins_q(spark, sf_dir):
 @register("pack_greedy_firstfit")
 def pack_greedy_firstfit_q(spark, sf_dir):
     """Strict first-fit greedy packing (no bin exceeds the budget):
-    sequential within a language → applyInPandas per stratum. Not
-    SQL-expressible without recursion, so rows-only here; exactness
-    is asserted against a pure-Python reference in tests."""
+    sequential within a language → applyInPandas per stratum (sharded
+    at max_group_rows). Bin ids are not SQL-expressible without
+    recursion, so rows-only here; exactness is asserted against a
+    pure-Python reference in tests and the packing INVARIANTS are
+    driver-gated by pack_firstfit_invariants."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -190,4 +192,31 @@ def pack_greedy_firstfit_q(spark, sf_dir):
     )
     return pack_greedy_firstfit(
         docs, tokens_col="n_tokens", budget=2000, by=["lang"], order_col="doc_id"
+    )
+
+
+@register(
+    "pack_firstfit_invariants",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, TRUE AS bins_within_budget
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def pack_firstfit_invariants_q(spark, sf_dir):
+    """Driver-gated invariants of the greedy packer: every document
+    lands in exactly one bin (per-language counts match the corpus)
+    and no multi-document bin exceeds the 2000-token budget (a row
+    larger than the budget legitimately sits alone). An algorithm
+    regression breaks either the counts or the boolean."""
+    packed = pack_greedy_firstfit_q(spark, sf_dir)
+    bins = packed.groupBy("lang", "bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.count(F.lit(1)).alias("bin_docs"),
+    )
+    return bins.groupBy("lang").agg(
+        F.sum("bin_docs").alias("n_docs"),
+        F.every(
+            (F.col("bin_tokens") <= 2000) | (F.col("bin_docs") == 1)
+        ).alias("bins_within_budget"),
     )
