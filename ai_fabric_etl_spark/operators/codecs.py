@@ -25,7 +25,7 @@ import numpy as np
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """'bmp' | 'ppm' | 'pgm' | 'wav' | None by magic bytes."""
+    """'bmp' | 'ppm' | 'pgm' | 'wav' | 'y4m' | None by magic bytes."""
     if payload[:2] == b"BM" and len(payload) >= 54:
         return "bmp"
     if payload[:2] == b"P6":
@@ -34,6 +34,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "pgm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:9] == b"YUV4MPEG2":
+        return "y4m"
     return None
 
 
@@ -179,6 +181,58 @@ def encode_wav(frames: np.ndarray, sample_rate: int = 16_000) -> bytes:
         + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
         + struct.pack("<4sI", b"data", len(data)) + data
     )
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) — uncompressed video: text header + raw frames
+# ---------------------------------------------------------------------------
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, int, list[np.ndarray]]:
+    """YUV4MPEG2 (C420 default / C444) -> (width, height, n_frames,
+    [HxW luma planes]). The whole container is a text header plus
+    fixed-size FRAME blocks, so frame indexing is exact arithmetic —
+    no codec library involved."""
+    if payload[:9] != b"YUV4MPEG2":
+        raise ValueError("not a Y4M payload")
+    nl = payload.index(b"\n")
+    width = height = 0
+    chroma = "420"
+    for tok in payload[9:nl].split():
+        if tok[:1] == b"W":
+            width = int(tok[1:])
+        elif tok[:1] == b"H":
+            height = int(tok[1:])
+        elif tok[:1] == b"C":
+            chroma = tok[1:].decode()
+    if not width or not height:
+        raise ValueError("Y4M header missing W/H")
+    if chroma.startswith("420"):
+        frame_size = width * height * 3 // 2
+    elif chroma.startswith("444"):
+        frame_size = width * height * 3
+    else:
+        raise ValueError(f"unsupported Y4M chroma {chroma}")
+    pos, frames = nl + 1, []
+    marker = b"FRAME"
+    while pos + len(marker) <= len(payload) and payload[pos : pos + 5] == marker:
+        pos = payload.index(b"\n", pos) + 1  # frame params line
+        luma = np.frombuffer(payload, np.uint8, count=width * height, offset=pos)
+        frames.append(luma.reshape(height, width).copy())
+        pos += frame_size
+    return width, height, len(frames), frames
+
+
+def encode_y4m(frames: list[np.ndarray]) -> bytes:
+    """[HxW uint8 luma] -> Y4M C420 bytes (flat 128 chroma planes)."""
+    h, w = frames[0].shape
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()]
+    chroma = np.full((h // 2) * (w // 2) * 2, 128, dtype=np.uint8).tobytes()
+    for f in frames:
+        out.append(b"FRAME\n")
+        out.append(f.astype(np.uint8).tobytes())
+        out.append(chroma)
+    return b"".join(out)
 
 
 # ---------------------------------------------------------------------------

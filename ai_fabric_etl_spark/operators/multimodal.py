@@ -133,6 +133,9 @@ def _decode_one(payload: bytes, fake: bool) -> tuple[str, int, int, int]:
     if fmt == "wav":
         n_channels, _, n_frames, _ = codecs.decode_wav(payload)
         return fmt, n_frames, 1, n_channels
+    if fmt == "y4m":
+        w, h, _, _ = codecs.decode_y4m(payload)
+        return fmt, w, h, 1
     if not fake:
         raise NotImplementedError(
             "unrecognized media format (only BMP/PPM/PGM/WAV decode without "
@@ -259,12 +262,71 @@ def resize_media(
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", IntegerType()),
+    ]
+)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing: emits (media_id, frame_index)
-    rows for a downstream decode. Frame count is stubbed as
-    n_bytes/1024 (a real container parser would read the header)."""
-    n_frames = F.greatest((F.col("n_bytes") / 1024).cast("int"), F.lit(1))
-    return media.select(
-        "media_id",
-        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_index"),
+    """Video frame sampling: emits (media_id, frame_index) rows for a
+    downstream decode. Y4M payloads get their REAL frame count (the
+    container is a text header + fixed-size frame blocks, so counting
+    is exact); other payloads keep the n_bytes/1024 estimate so the
+    plumbing still composes over arbitrary binaries."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs = [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if codecs.sniff_format(raw) == "y4m":
+                    _, _, n, _ = codecs.decode_y4m(raw)
+                else:
+                    n = max(len(raw) // 1024, 1)
+                for i in range(0, n, every_n):
+                    ids.append(media_id)
+                    idxs.append(i)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.asarray(ids, dtype=np.int64),
+                    "frame_index": np.asarray(idxs, dtype=np.int32),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def synthesize_video(docs: DataFrame, max_docs: int = 60) -> DataFrame:
+    """Deterministic Y4M corpus: doc_id < max_docs, 16x8 luma,
+    n_frames = 3 + doc_id % 5 (a pure function of doc_id, so frame
+    sampling is oracle-checkable without decoding)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "payload": [], "mime_type": [],
+                    "n_bytes": [], "source": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n_frames = 3 + i % 5
+                frames = [
+                    ((np.arange(8 * 16, dtype=np.int64) + i + f) % 256)
+                    .astype(np.uint8)
+                    .reshape(8, 16)
+                    for f in range(n_frames)
+                ]
+                payload = codecs.encode_y4m(frames)
+                rows["media_id"].append(i)
+                rows["payload"].append(payload)
+                rows["mime_type"].append("video/x-yuv4mpeg")
+                rows["n_bytes"].append(len(payload))
+                rows["source"].append("synth")
+            yield pd.DataFrame(rows)
+
+    return (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") < max_docs)
+        .mapInPandas(build, schema=MEDIA_SCHEMA)
     )

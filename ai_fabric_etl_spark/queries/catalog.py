@@ -1214,6 +1214,58 @@ def tpch_q18_large_volume_customer(spark, sf_dir):
 
 
 @register(
+    "div_full_priority_customers",
+    oracle="""
+    SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(DISTINCT o_orderpriority) =
+           (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+    """,
+)
+def div_full_priority_customers(spark, sf_dir):
+    """Relational division: customers whose orders span EVERY priority
+    class. The scalar 'how many classes exist' subquery broadcasts as
+    a one-row side; the division itself is one distinct-count
+    aggregate — no double-NOT-EXISTS correlated scan."""
+    o = _t(spark, sf_dir, "orders")
+    total = o.agg(F.countDistinct("o_orderpriority").alias("_n_total"))
+    per_cust = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_priorities")
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(total))
+        .filter(F.col("n_priorities") == F.col("_n_total"))
+        .select("o_custkey", "n_priorities")
+    )
+
+
+@register(
+    "a13_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a13_percentiles(spark, sf_dir):
+    """Ordered-set aggregates: exact interpolated percentiles per key
+    (monitoring p50/p95 — the KQL percentile() shape). Exact
+    percentile sorts within each group, fine at per-key monitoring
+    cardinalities; at 100 TB swap in approx_percentile (t-digest,
+    mergeable partials) — same API shape, bounded memory."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "tpch_q12_priority_classes",
     oracle="""
     SELECT l.l_linestatus,

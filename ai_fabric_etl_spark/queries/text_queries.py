@@ -179,10 +179,35 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 @register("dedup_simhash")
 def q_dedup_simhash(spark, sf_dir):
     """SimHash-64 near-dup pairs (hamming<=3) via 16-bit-chunk
-    pigeonhole banding. Rows-only; properties tested in pytest."""
+    pigeonhole banding. Rows-only (the fingerprint is xxhash-defined);
+    the pipeline itself is driver-gated by dedup_simhash_planted."""
     return dedup.simhash_near_pairs(
         _t(spark, sf_dir, "documents"), max_hamming=3
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_simhash_planted",
+    oracle="""
+    SELECT doc_id AS doc_a, doc_id + 10000 AS doc_b, 0 AS hamming
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def q_dedup_simhash_planted(spark, sf_dir):
+    """Driver-gated SimHash recall: 50 exact-duplicate documents are
+    planted (ids +10000); identical text gives identical fingerprints,
+    so every planted pair MUST surface at hamming 0 — structurally,
+    via the shared-chunk equality join, not by luck. The entry
+    returns only the planted slice so the oracle can assert the full
+    value set; a banding or fingerprint regression loses rows."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    pairs = dedup.simhash_near_pairs(docs.unionByName(copies), max_hamming=3)
+    return pairs.filter(
+        (F.col("doc_b") == F.col("doc_a") + 10000) & (F.col("doc_a") < 50)
+    )
 
 
 _KNN_DOT = (
@@ -358,6 +383,25 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select(
         "media_id", F.size("features").alias("dim")
     ).orderBy("media_id")
+
+
+@register(
+    "multimodal_video_frames",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0, CAST(3 + doc_id % 5 AS BIGINT), 2)) AS INTEGER)
+             AS frame_index
+    FROM documents WHERE doc_id < 60
+    """,
+)
+def q_multimodal_video_frames(spark, sf_dir):
+    """REAL video frame sampling, driver-verified: synthesize Y4M
+    containers with n_frames = 3 + doc_id % 5 (operators/codecs
+    encode_y4m), then frame_sample_plan counts frames by actually
+    parsing the container. The oracle recomputes the sampled indices
+    arithmetically, so a container-parse regression breaks the hash."""
+    media = multimodal.synthesize_video(_t(spark, sf_dir, "documents"))
+    return multimodal.frame_sample_plan(media, every_n=2)
 
 
 @register(
