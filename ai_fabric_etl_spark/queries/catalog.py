@@ -713,6 +713,64 @@ def w3_running_totals(spark, sf_dir):
 
 
 @register(
+    "w5_ntile_distribution",
+    oracle="""
+    SELECT event_id,
+           ntile(4) OVER w AS quartile,
+           first_value(event_id) OVER w AS first_event,
+           nth_value(event_id, 2) OVER w AS second_event
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def w5_ntile_distribution(spark, sf_dir):
+    """Distribution + navigation windows: ntile quartiles,
+    first_value/nth_value with a deterministic (value, event_id)
+    ordering (SURVEY §2.5 free extensions)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.nth_value("event_id", 2).over(w).alias("second_event"),
+    )
+
+
+@register(
+    "skew_salted_agg",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS events,
+           {DSUM('value')} AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark, sf_dir):
+    """Hot-key mitigation path, value-verified: the two-phase salted
+    aggregate (plans/skew.salted_aggregate — phase 1 spreads each key
+    over 16 salts, phase 2 combines partials) must equal the plain
+    one-shuffle GROUP BY exactly. event_type has only 5 values over
+    ~100k events at sf0.1 — precisely the hot-key shape."""
+    from ai_fabric_etl_spark.plans.skew import salted_aggregate
+
+    e = _t(spark, sf_dir, "events")
+    return salted_aggregate(
+        e,
+        ["event_type"],
+        {
+            "events": F.count(F.lit(1)),
+            "total_value": F.sum(F.col("value").cast("decimal(18,4)")),
+        },
+        {
+            "events": F.sum("events"),
+            "total_value": F.sum("total_value").cast("double"),
+        },
+    )
+
+
+@register(
     "o1_topk_nations",
     oracle="""
     SELECT n.n_name, COUNT(*) AS customer_count
