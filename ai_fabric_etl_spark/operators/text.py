@@ -136,3 +136,46 @@ def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         fingerprint_from(t).alias("fingerprint"),
         prefix_fingerprint_from(t).alias("prefix_fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cleaning / redaction (training-data hygiene passes)
+# ---------------------------------------------------------------------------
+
+# regex fragments chosen for cross-engine portability: plain character
+# classes and quantifiers only (identical semantics in Java regex and
+# DuckDB's RE2), so the oracle can run the same patterns
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_IPV4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+_RE_PHONE = r"\b\+?[0-9][0-9()\-. ]{7,}[0-9]\b"
+_RE_URL = r"https?://[^\s]+"
+_RE_CONTROL = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def clean_text(col: Column) -> Column:
+    """Normalization pass: strip control characters, collapse
+    whitespace runs to single spaces, trim. Pure JVM regexp — stays in
+    codegen at 100 TB."""
+    no_ctrl = F.regexp_replace(col, _RE_CONTROL, "")
+    collapsed = F.regexp_replace(no_ctrl, r"\s+", " ")
+    return F.trim(collapsed)
+
+
+def redact_pii(col: Column) -> Column:
+    """PII redaction: URLs, emails, IPv4 addresses, phone-like number
+    runs replaced with typed placeholder tokens (URL first so its
+    host/path can't be re-matched as a phone/IP)."""
+    out = F.regexp_replace(col, _RE_URL, "<URL>")
+    out = F.regexp_replace(out, _RE_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, _RE_IPV4, "<IP>")
+    out = F.regexp_replace(out, _RE_PHONE, "<PHONE>")
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-category PII hit counts (for filtering/reporting)."""
+    return {
+        "n_urls": F.regexp_count(col, F.lit(_RE_URL)),
+        "n_emails": F.regexp_count(col, F.lit(_RE_EMAIL)),
+        "n_ipv4": F.regexp_count(col, F.lit(_RE_IPV4)),
+    }

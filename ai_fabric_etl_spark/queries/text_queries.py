@@ -71,6 +71,64 @@ def q_text_profile(spark, sf_dir):
     return text_profile(_t(spark, sf_dir, "documents"))
 
 
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com "
+    "visit https://ex.org/p/' || CAST(doc_id AS VARCHAR) || "
+    "' ip 10.1.2.3 call +1 (555) 123-4567'"
+)
+
+
+@register(
+    "text_clean_redact",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, text || {_PII_SUFFIX_SQL} AS raw FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(raw,
+                   'https?://[^\\s]+', '<URL>', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                   '\\b([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '<IP>', 'g'),
+                   '\\b\\+?[0-9][0-9()\\-. ]{{7,}}[0-9]\\b', '<PHONE>', 'g'),
+                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                   '\\s+', ' ', 'g')) AS cleaned,
+           length(regexp_extract_all(raw, 'https?://[^\\s]+')) AS n_urls,
+           length(regexp_extract_all(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+           length(regexp_extract_all(raw,
+               '\\b([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b')) AS n_ipv4
+    FROM aug
+    """,
+)
+def q_text_clean_redact(spark, sf_dir):
+    """Training-data hygiene pass, value-verified end to end: plant
+    deterministic PII (email/URL/IP/phone derived from doc_id) into
+    every document, then clean_text(redact_pii(...)) must produce the
+    exact placeholder-substituted strings the oracle computes with the
+    same RE2/Java-portable regexes. Pure JVM regexp_replace — no
+    Python in the pass."""
+    from ai_fabric_etl_spark.operators.text import clean_text, pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com visit https://ex.org/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" ip 10.1.2.3 call +1 (555) 123-4567"),
+    )
+    counts = pii_counts(raw)
+    return d.select(
+        "doc_id",
+        clean_text(redact_pii(raw)).alias("cleaned"),
+        counts["n_urls"].alias("n_urls"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ipv4"].alias("n_ipv4"),
+    )
+
+
 @register(
     "dedup_exact",
     oracle=f"""

@@ -360,3 +360,14 @@ def test_video_frame_sampling_real(spark, docs):
     for media_id, idxs in got.items():
         n_frames = 3 + media_id % 5
         assert sorted(idxs) == list(range(0, n_frames, 2))
+
+
+def test_text_clean_and_redact(spark):
+    from ai_fabric_etl_spark.operators.text import clean_text, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "Hi\x07  bob@x.io \n see http://a.b/c?q=1 or 10.0.0.1  ")],
+        "id long, text string",
+    )
+    out = df.select(clean_text(redact_pii(F.col("text"))).alias("t")).collect()[0].t
+    assert out == "Hi <EMAIL> see <URL> or <IP>"
