@@ -29,6 +29,7 @@ execution modes.
 """
 
 from ai_fabric_etl_spark.streaming.ingest import start_silver_ingest, stream_bronze
+from ai_fabric_etl_spark.streaming.joins import stream_interval_join
 from ai_fabric_etl_spark.streaming.ops_metrics import (
     failure_alerts,
     hourly_rollup,
@@ -40,6 +41,7 @@ from ai_fabric_etl_spark.streaming.stateful import sessionize_with_state
 
 __all__ = [
     "stream_bronze",
+    "stream_interval_join",
     "start_silver_ingest",
     "hourly_rollup",
     "sliding_rollup",

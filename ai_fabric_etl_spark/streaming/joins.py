@@ -1,0 +1,57 @@
+"""Stream-stream joins (SURVEY §2.9 free extension).
+
+The reference's only join is a batch left equi-join; a streaming
+engine also needs the stream-stream INTERVAL join (enrich one event
+stream with time-adjacent rows of another). Spark executes it as a
+watermark-bounded symmetric hash join: both sides buffer state, and
+the event-time range condition plus the watermarks tell the engine
+exactly when buffered rows can never match again and are evicted —
+state stays O(watermark window), not O(stream).
+
+Batch twin: operators/temporal.range_join on the same inputs (the
+equivalence is asserted in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_ts: str,
+    right_ts: str,
+    before_seconds: float = 0.0,
+    after_seconds: float = 0.0,
+    watermark_seconds: float = 600.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Join streaming ``left`` rows with streaming ``right`` rows that
+    share ``by`` keys and fall in ``[left_ts - before, left_ts +
+    after]``. Column names other than ``by`` must be disjoint.
+
+    Both sides get event-time watermarks: required for state eviction,
+    and for outer joins required for correctness (an unmatched row can
+    only be emitted once the watermark proves no match can arrive).
+    ``how`` supports inner and left_outer, mirroring range_join.
+    """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner|left_outer, got {how!r}")
+    delay = f"{int(watermark_seconds)} seconds"
+    lw = left.withWatermark(left_ts, delay)
+    rw = right.withWatermark(right_ts, delay)
+    cond = None
+    for k in by:
+        c = lw[k] == rw[k]
+        cond = c if cond is None else cond & c
+    in_range = F.col(right_ts).between(
+        F.col(left_ts) - F.make_dt_interval(secs=F.lit(before_seconds)),
+        F.col(left_ts) + F.make_dt_interval(secs=F.lit(after_seconds)),
+    )
+    cond = cond & in_range
+    joined = lw.join(rw, cond, how)
+    # drop the right side's duplicated key columns
+    return joined.drop(*[rw[k] for k in by])

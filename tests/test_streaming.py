@@ -596,3 +596,51 @@ def test_lookback_silver_epoch_overwrite_is_idempotent(spark, tmp_path):
         )
     accumulated = spark.read.parquet(silver_dir).drop("epoch")
     assert accumulated.count() == batch.count()
+
+
+def test_stream_interval_join_matches_batch_range_join(spark, tmp_path):
+    """Stream-stream interval join == batch range_join on the same
+    rows: a watermarked symmetric hash join with bounded state is the
+    streaming twin of the bucketed batch range join."""
+    from ai_fabric_etl_spark.operators.temporal import range_join
+    from ai_fabric_etl_spark.queries.catalog import load_events
+    from ai_fabric_etl_spark.streaming.joins import stream_interval_join
+
+    ev = load_events(spark, "/root/testdata/sf0.001").limit(2000).cache()
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    activity = ev.select(
+        "user_id", F.col("event_id").alias("act_id"), F.col("ts").alias("act_ts")
+    )
+    err_dir, act_dir = str(tmp_path / "err"), str(tmp_path / "act")
+    errors.write.parquet(err_dir)
+    activity.write.parquet(act_dir)
+
+    s_err = spark.readStream.schema(errors.schema).parquet(err_dir)
+    s_act = spark.readStream.schema(activity.schema).parquet(act_dir)
+    joined = stream_interval_join(
+        s_err, s_act, by=["user_id"], left_ts="err_ts", right_ts="act_ts",
+        before_seconds=600.0, watermark_seconds=600.0,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.err_id, r.act_id)
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+    exp = {
+        (r.user_id, r.err_id, r.act_id)
+        for r in range_join(
+            errors, activity, by=["user_id"], left_ts="err_ts",
+            right_ts="act_ts", before_seconds=600.0,
+        ).collect()
+    }
+    assert got == exp and got
