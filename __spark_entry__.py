@@ -39,7 +39,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each queries() entry.
 
-    Entries absent here (non-SQL-expressible ops: X12 parsing
-    pipeline, MinHash/SimHash dedup) get the driver's rows-only check.
+    The handful of entries absent here are genuinely hash-defined or
+    sequential ops (the mapInPandas parse UDTF, xxhash-keyed LSH /
+    SimHash variants, the greedy packer, fake-decode plumbing) — each
+    of those has a companion ★ entry that value-verifies its invariant
+    (planted-duplicate recall, error bounds, packing feasibility), so
+    every operator family is driver-gated.
     """
     return catalog.oracle_sql()

@@ -110,3 +110,23 @@ def test_x12_claim_mart_prunes_nested_schema(spark, tmp_path):
     for rs in schemas:
         assert "total_patient_responsibility" not in rs
         assert "members" not in rs  # 834-only branch also pruned
+
+
+def test_q17_decorrelated_no_cartesian(spark, sf_dir):
+    """The correlated-subquery rewrite must stay a pair of hash joins:
+    no CartesianProduct / BroadcastNestedLoop anywhere."""
+    from ai_fabric_etl_spark.plans.inspect import plan_string
+    from ai_fabric_etl_spark.queries.catalog import tpch_q17_small_quantity_revenue
+
+    plan = plan_string(tpch_q17_small_quantity_revenue(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_text_clean_redact_is_shuffle_free(spark, sf_dir):
+    """The hygiene pass is a pure projection: scan -> project, zero
+    exchanges (it composes with any downstream op without a shuffle)."""
+    from ai_fabric_etl_spark.plans.inspect import exchange_count
+    from ai_fabric_etl_spark.queries.text_queries import q_text_clean_redact
+
+    assert exchange_count(q_text_clean_redact(spark, sf_dir)) == 0
