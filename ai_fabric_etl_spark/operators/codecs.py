@@ -58,7 +58,9 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     compression = struct.unpack_from("<I", payload, 30)[0]
     if compression != 0:
         raise ValueError(f"unsupported BMP compression {compression}")
-    if bpp not in (8, 24, 32):
+    if bpp not in (24, 32):
+        # 8-bit BMPs carry a mandatory color palette; returning raw
+        # palette indices as intensities would be silently wrong
         raise ValueError(f"unsupported BMP bit depth {bpp}")
     bottom_up = height > 0
     height = abs(height)

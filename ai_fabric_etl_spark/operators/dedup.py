@@ -71,7 +71,9 @@ def _bind(col: Column, body) -> Column:
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (JVM-side)."""
+    """Distinct word n-gram shingles of a text column (JVM-side).
+    NULL text → NULL shingle set (concat_ws would otherwise silently
+    coerce it to the [\"\"] empty-doc shingle)."""
 
     def body(t: Column) -> Column:
         idx = F.sequence(F.lit(1), F.greatest(F.size(t) - n + 1, F.lit(1)))
@@ -79,7 +81,8 @@ def shingles(col: Column, n: int = 3) -> Column:
             F.when(
                 F.size(t) >= n,
                 F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n))),
-            ).otherwise(F.array(F.concat_ws(" ", t)))
+            ).when(t.isNotNull(), F.array(F.concat_ws(" ", t)))
+            # no otherwise: NULL tokens (NULL text) fall through to NULL
         )
 
     return _bind(tokens(col), body)
@@ -212,6 +215,9 @@ def _minhash_sig_udf(num_hashes: int, seed: int = 1315423911):
     def sigs(hs: pd.Series) -> pd.Series:
         out = []
         for arr in hs:
+            if arr is None:
+                out.append(None)  # null text propagates, as the
+                continue          # expression form did
             x = np.asarray(arr, dtype=np.int64).view(np.uint64)
             if x.size == 0:
                 x = np.zeros(1, dtype=np.uint64)  # empty doc sentinel
@@ -222,11 +228,61 @@ def _minhash_sig_udf(num_hashes: int, seed: int = 1315423911):
     return sigs
 
 
-def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
-    """MinHash signature over word shingles: the shingle strings are
-    hashed to longs ONCE (JVM xxhash64), then one vectorized pass
-    computes every per-function minimum."""
-    return _minhash_sig_udf(num_hashes)(hashed_shingles(col, n))
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      out_col: str = "sig", num_hashes: int = 32,
+                      n: int = 3, seed: int = 1315423911) -> DataFrame:
+    """Append a MinHash signature column over word shingles, fully
+    self-contained in one Arrow-batched pandas UDF (tokenize →
+    shingle → 64-bit blake2b shingle hash → multiply-shift minima).
+
+    Deliberately NOT expressed as JVM shingling feeding a pandas UDF:
+    Spark's Python-UDF extraction is unreliable when the UDF's input
+    subtree contains higher-order-function lambdas — after
+    CollapseProject inlines the shingle expression into the UDF
+    argument, the PythonUDF can stay inside ProjectExec and fail at
+    runtime with INTERNAL_ERROR "Cannot evaluate expression" (observed
+    on Spark 4.1, trigger sensitive to CacheManager state). The rule
+    this repo follows: every pandas-UDF call site feeds the UDF plain
+    source attributes only. ``minhash_lsh_pairs`` keeps the fast JVM
+    xxhash64 shingle path because its signature column is consumed
+    twice in the same projection, which blocks the inlining.
+
+    NULL text → NULL signature; shingle-hash convention here (blake2b)
+    differs from the LSH path (xxhash64) — signatures from the two
+    APIs are each internally consistent but not interchangeable."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**63, size=num_hashes, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+    bcol = b[:, None]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig_from_text(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = t.split()
+            if len(toks) >= n:
+                sh = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+            else:
+                sh = {" ".join(toks)}
+            x = np.fromiter(
+                (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                                "little") for s in sh),
+                dtype=np.uint64, count=len(sh),
+            )
+            if x.size == 0:
+                x = np.zeros(1, dtype=np.uint64)
+            m = (a[:, None] * x[None, :] + bcol).min(axis=1)
+            out.append(m.view(np.int64))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, sig_from_text(F.col(text_col)))
 
 
 def minhash_lsh_pairs(

@@ -134,6 +134,7 @@ class ParquetMergeTable:
         if update_cols is None:
             update_cols = [c for c in source.columns if c not in keys]
 
+        tgt = target.withColumn("_tgt_present", F.lit(True))
         src = source.select(
             *[F.col(k).alias(f"_sk_{k}") for k in keys],
             *[F.col(c).alias(f"_sv_{c}") for c in source.columns if c not in keys],
@@ -141,25 +142,23 @@ class ParquetMergeTable:
         )
         cond = F.lit(True)
         for k in keys:
-            cond = cond & target[k].eqNullSafe(F.col(f"_sk_{k}"))
-        joined = target.join(src, on=cond, how="full_outer")
+            cond = cond & tgt[k].eqNullSafe(F.col(f"_sk_{k}"))
+        joined = tgt.join(src, on=cond, how="full_outer")
+        src_matched = F.col("_src_present").isNotNull() & F.col("_src_present")
+        tgt_matched = F.col("_tgt_present").isNotNull() & F.col("_tgt_present")
 
         def merged_col(c: str):
             if c in update_cols:
-                return (
-                    F.when(
-                        F.col("_src_present").isNotNull() & F.col("_src_present"),
-                        F.col(f"_sv_{c}"),
-                    )
-                    .otherwise(target[c])
-                    .alias(c)
-                )
-            # column not updated on match; still needed for inserts
+                return F.when(src_matched, F.col(f"_sv_{c}")).otherwise(tgt[c]).alias(c)
+            # column not updated on match: matched target rows KEEP their
+            # value (including a legitimate NULL — coalesce would wrongly
+            # overwrite it with the source's); only pure inserts take the
+            # source value
             src_val = F.col(f"_sv_{c}") if f"_sv_{c}" in joined.columns else F.lit(None)
-            return F.coalesce(target[c], src_val).alias(c)
+            return F.when(tgt_matched, tgt[c]).otherwise(src_val).alias(c)
 
         merged = joined.select(
-            *[F.coalesce(target[k], F.col(f"_sk_{k}")).alias(k) for k in keys],
+            *[F.coalesce(tgt[k], F.col(f"_sk_{k}")).alias(k) for k in keys],
             *[merged_col(c) for c in target.columns if c not in keys],
             # evolved columns: source value where the source row exists,
             # null for untouched target rows

@@ -121,26 +121,35 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
 
 def _decode_one(payload: bytes, fake: bool) -> tuple[str, int, int, int]:
     """(fmt, width, height, channels) — real codec when the magic
-    bytes match, deterministic fake (or raise) otherwise. WAV maps to
-    (n_frames, 1, n_channels)."""
+    bytes match AND the payload actually parses, deterministic fake
+    (or raise) otherwise. Magic bytes can occur by chance in arbitrary
+    binaries (a text payload starting 'P6 '), so with ``fake=True`` a
+    decode failure falls back to the fake rather than killing the
+    task. WAV maps to (n_frames, 1, n_channels)."""
     fmt = codecs.sniff_format(payload)
-    if fmt == "bmp":
-        w, h, c, _ = codecs.decode_bmp(payload)
-        return fmt, w, h, c
-    if fmt in ("ppm", "pgm"):
-        w, h, c, _ = codecs.decode_pnm(payload)
-        return fmt, w, h, c
-    if fmt == "wav":
-        n_channels, _, n_frames, _ = codecs.decode_wav(payload)
-        return fmt, n_frames, 1, n_channels
-    if fmt == "y4m":
-        w, h, _, _ = codecs.decode_y4m(payload)
-        return fmt, w, h, 1
-    if not fake:
-        raise NotImplementedError(
-            "unrecognized media format (only BMP/PPM/PGM/WAV decode without "
-            "an imaging library); call with fake=True for plumbing tests"
-        )
+    try:
+        if fmt == "bmp":
+            w, h, c, _ = codecs.decode_bmp(payload)
+            return fmt, w, h, c
+        if fmt in ("ppm", "pgm"):
+            w, h, c, _ = codecs.decode_pnm(payload)
+            return fmt, w, h, c
+        if fmt == "wav":
+            n_channels, _, n_frames, _ = codecs.decode_wav(payload)
+            return fmt, n_frames, 1, n_channels
+        if fmt == "y4m":
+            w, h, _, _ = codecs.decode_y4m(payload)
+            return fmt, w, h, 1
+    except Exception as exc:  # noqa: BLE001 - sniffed-but-corrupt payload
+        if not fake:
+            raise ValueError(f"corrupt {fmt} payload: {exc}") from exc
+    else:
+        if not fake:
+            raise NotImplementedError(
+                "unrecognized media format (only BMP/PPM/PGM/WAV/Y4M decode "
+                "without an imaging library); call with fake=True for "
+                "plumbing tests"
+            )
     d = hashlib.md5(payload).digest()
     return "fake", 64 + d[0] % 192, 64 + d[1] % 192, 1 + d[2] % 3
 
@@ -193,16 +202,24 @@ def extract_features(media: DataFrame, dim: int = 16, fake: bool = True) -> Data
 
     def one(payload: bytes) -> list[float]:
         fmt = codecs.sniff_format(payload)
-        if fmt == "bmp":
-            return codecs.pixel_features(codecs.decode_bmp(payload)[3], dim).tolist()
-        if fmt in ("ppm", "pgm"):
-            return codecs.pixel_features(codecs.decode_pnm(payload)[3], dim).tolist()
-        if fmt == "wav":
-            return codecs.audio_features(codecs.decode_wav(payload)[3], dim).tolist()
-        if not fake:
-            raise NotImplementedError(
-                "unrecognized media format; call with fake=True"
-            )
+        try:
+            if fmt == "bmp":
+                return codecs.pixel_features(codecs.decode_bmp(payload)[3], dim).tolist()
+            if fmt in ("ppm", "pgm"):
+                return codecs.pixel_features(codecs.decode_pnm(payload)[3], dim).tolist()
+            if fmt == "wav":
+                return codecs.audio_features(codecs.decode_wav(payload)[3], dim).tolist()
+            if fmt == "y4m":
+                frames = codecs.decode_y4m(payload)[3]
+                return codecs.pixel_features(np.concatenate(frames), dim).tolist()
+        except Exception as exc:  # noqa: BLE001 - sniffed-but-corrupt payload
+            if not fake:
+                raise ValueError(f"corrupt {fmt} payload: {exc}") from exc
+        else:
+            if not fake:
+                raise NotImplementedError(
+                    "unrecognized media format; call with fake=True"
+                )
         raw = hashlib.sha256(payload).digest()
         need = (dim + len(raw) - 1) // len(raw)
         return [b / 127.5 - 1.0 for b in (raw * need)[:dim]]
@@ -225,18 +242,31 @@ def resize_media(
 
     def one(payload: bytes, mime: str) -> tuple[bytes, str]:
         fmt = codecs.sniff_format(payload)
-        if fmt in ("bmp", "ppm", "pgm"):
-            decode = codecs.decode_bmp if fmt == "bmp" else codecs.decode_pnm
-            _, _, c, px = decode(payload)
-            if c == 1:
-                px = np.repeat(px, 3, axis=2)
-            elif c == 4:
-                px = px[:, :, :3]
-            return codecs.encode_bmp(codecs.resize_nearest(px, width, height)), "image/bmp"
-        if not fake:
-            raise NotImplementedError(
-                "unrecognized media format; call with fake=True"
-            )
+        try:
+            if fmt in ("bmp", "ppm", "pgm"):
+                decode = codecs.decode_bmp if fmt == "bmp" else codecs.decode_pnm
+                _, _, c, px = decode(payload)
+                if c == 1:
+                    px = np.repeat(px, 3, axis=2)
+                elif c == 4:
+                    px = px[:, :, :3]
+                return (
+                    codecs.encode_bmp(codecs.resize_nearest(px, width, height)),
+                    "image/bmp",
+                )
+            if fmt in ("wav", "y4m"):
+                # recognized NON-image media: spatial resize does not
+                # apply — pass through unchanged (never corrupt real
+                # audio/video into digest noise)
+                return payload, mime
+        except Exception as exc:  # noqa: BLE001 - sniffed-but-corrupt payload
+            if not fake:
+                raise ValueError(f"corrupt {fmt} payload: {exc}") from exc
+        else:
+            if not fake:
+                raise NotImplementedError(
+                    "unrecognized media format; call with fake=True"
+                )
         seed = hashlib.sha256(payload).digest()
         need = width * height
         reps = (need + len(seed) - 1) // len(seed)

@@ -119,6 +119,8 @@ def _tag_buckets(
 
     @F.pandas_udf(ArrayType(LongType()))
     def bucket_keys(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
         x = np.vstack([np.asarray(e, dtype=np.float64) for e in v])
         bits = (x @ mat.T) >= 0.0
         keys = (bits.reshape(len(x), n_t, n_p) * weights).sum(axis=2)

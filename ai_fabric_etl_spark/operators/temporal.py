@@ -133,9 +133,15 @@ def range_join(
     # left-path unmatched recovery anti-joins on a generated row id, not
     # on the left columns: plain column equality never matches null
     # values, so a left row containing a null would be emitted twice —
-    # once matched, once null-padded (ADVICE r1)
+    # once matched, once null-padded (ADVICE r1). The id column is
+    # pinned with a lazy localCheckpoint: monotonically_increasing_id
+    # is evaluated independently in the matched and anti-join subtrees,
+    # and without pinning a nondeterministically-ordered source could
+    # assign different ids per subtree (dup + dropped rows).
     left_in = (
-        left.withColumn("_lid", F.monotonically_increasing_id())
+        left.withColumn("_lid", F.monotonically_increasing_id()).localCheckpoint(
+            eager=False
+        )
         if how == "left"
         else left
     )

@@ -147,7 +147,10 @@ def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # DuckDB's RE2), so the oracle can run the same patterns
 _RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _RE_IPV4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
-_RE_PHONE = r"\b\+?[0-9][0-9()\-. ]{7,}[0-9]\b"
+# \+? BEFORE the \b: a word boundary can't sit between a space and
+# '+', so a leading \b would make the match start at the first digit
+# and leave '+' unredacted
+_RE_PHONE = r"\+?\b[0-9][0-9()\-. ]{7,}[0-9]\b"
 _RE_URL = r"https?://[^\s]+"
 _RE_CONTROL = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
 

@@ -90,7 +90,7 @@ _PII_SUFFIX_SQL = (
                    'https?://[^\\s]+', '<URL>', 'g'),
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
                    '\\b([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '<IP>', 'g'),
-                   '\\b\\+?[0-9][0-9()\\-. ]{{7,}}[0-9]\\b', '<PHONE>', 'g'),
+                   '\\+?\\b[0-9][0-9()\\-. ]{{7,}}[0-9]\\b', '<PHONE>', 'g'),
                    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
                    '\\s+', ' ', 'g')) AS cleaned,
            length(regexp_extract_all(raw, 'https?://[^\\s]+')) AS n_urls,

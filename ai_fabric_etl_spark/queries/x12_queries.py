@@ -60,9 +60,14 @@ _CACHE_WRITTEN: set[int] = set()
 # parser change (tests assert fixture == fresh parse).
 _GOLDEN = os.path.join(_REPO_ROOT, "tests", "fixtures", "x12_silver_golden")
 if not os.path.isdir(_SILVER_CACHE) and os.path.isdir(_GOLDEN):
+    import contextlib
     import shutil
 
-    shutil.copytree(_GOLDEN, _SILVER_CACHE)
+    # best-effort: concurrent importers may race (both copy the same
+    # bytes — dirs_exist_ok makes that benign) and a read-only checkout
+    # must not fail the whole registry import
+    with contextlib.suppress(OSError):
+        shutil.copytree(_GOLDEN, _SILVER_CACHE, dirs_exist_ok=True)
 
 
 def _silver(spark: SparkSession) -> DataFrame:

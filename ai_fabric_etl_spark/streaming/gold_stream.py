@@ -238,7 +238,9 @@ def start_gold_incremental_summary(
     available_now: bool = True,
 ) -> StreamingQuery:
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
-        merge_summary_batch(batch_df.sparkSession, batch_df, state_path)
+        # epoch_id MUST thread through or the exactly-once replay guard
+        # never engages for this entry point
+        merge_summary_batch(batch_df.sparkSession, batch_df, state_path, epoch_id)
 
     writer = (
         silver_stream.writeStream.foreachBatch(fold)

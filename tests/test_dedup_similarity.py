@@ -371,3 +371,58 @@ def test_text_clean_and_redact(spark):
     )
     out = df.select(clean_text(redact_pii(F.col("text"))).alias("t")).collect()[0].t
     assert out == "Hi <EMAIL> see <URL> or <IP>"
+
+
+def test_minhash_null_text_propagates(spark):
+    from ai_fabric_etl_spark.operators.dedup import minhash_signature
+
+    df = spark.createDataFrame(
+        [(1, "hello world foo"), (2, None), (3, "hello world foo")],
+        "doc_id long, text string").repartition(2)
+    rows = {r.doc_id: r.sig for r in minhash_signature(df).collect()}
+    assert rows[2] is None and rows[1] is not None and len(rows[1]) == 32
+    assert rows[1] == rows[3]  # deterministic across rows/partitions
+
+
+def test_decode_falls_back_on_magic_byte_collision(spark):
+    """Arbitrary bytes that merely START like a media format must not
+    crash the task: fake=True falls back, fake=False raises cleanly."""
+    from ai_fabric_etl_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"P6 is a nice chess move, not a pixmap " * 4)),
+         (2, bytearray(b"BM" + b"x" * 60))],
+        "media_id long, payload binary",
+    ).select("media_id", "payload",
+             F.lit("application/octet-stream").alias("mime_type"),
+             F.length("payload").cast("long").alias("n_bytes"),
+             F.lit("t").alias("source"))
+    rows = multimodal.decode_media(df, fake=True).collect()
+    assert len(rows) == 2 and all(r.fmt == "fake" for r in rows)
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="corrupt"):
+        multimodal.decode_media(df, fake=False).collect()
+
+
+def test_resize_passes_through_audio_video(spark, docs):
+    """resize on recognized non-image media is a no-op pass-through,
+    never digest noise with a lying mime type."""
+    from ai_fabric_etl_spark.operators import multimodal
+
+    wavs = multimodal.synthesize_media(
+        docs.filter(F.col("doc_id") % 3 == 2).limit(5)
+    )
+    before = {r.media_id: bytes(r.payload) for r in wavs.collect()}
+    after = {r.media_id: (bytes(r.payload), r.mime_type)
+             for r in multimodal.resize_media(wavs, 10, 10, fake=False).collect()}
+    assert set(after) == set(before)
+    assert all(after[k][0] == before[k] and after[k][1] == "audio/wav"
+               for k in before)
+
+
+def test_phone_redaction_covers_plus_prefix(spark):
+    from ai_fabric_etl_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame([(1, "call +1 (555) 123-4567 now")], "id long, t string")
+    out = df.select(redact_pii(F.col("t")).alias("t")).collect()[0].t
+    assert out == "call <PHONE> now"

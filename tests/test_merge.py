@@ -139,3 +139,22 @@ def test_merge_schema_evolution(spark, tmp_path):
     t.merge(spark.createDataFrame([(4, "d")], "id long, name string"), keys=["id"])
     got = {r.id: (r.name, r.score) for r in t.read().collect()}
     assert got[4] == ("d", None) and got[2] == ("b2", 99)
+
+
+def test_merge_matched_null_not_overwritten_outside_update_cols(spark, tmp_path):
+    """Non-update columns on MATCHED rows keep their value — including
+    a legitimate NULL (a coalesce-based merge would steal the source's
+    value for it)."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_nullkeep"))
+    t.overwrite(
+        spark.createDataFrame([(1, "a", None), (9, "z", 5)],
+                              "id long, name string, score long")
+    )
+    t.merge(
+        spark.createDataFrame([(1, "b", 7), (2, "c", 8)],
+                              "id long, name string, score long"),
+        keys=["id"],
+        update_cols=["name"],
+    )
+    got = {r.id: (r.name, r.score) for r in t.read().collect()}
+    assert got == {1: ("b", None), 2: ("c", 8), 9: ("z", 5)}
