@@ -22,8 +22,15 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer advanced the table between this transaction's
+    snapshot read and its commit (optimistic concurrency — the Delta/
+    Iceberg model: writers never block, conflicting commits fail and
+    retry on a fresh snapshot)."""
 
 
 class ParquetMergeTable:
@@ -102,11 +109,91 @@ class ParquetMergeTable:
             shutil.rmtree(os.path.join(self.path, f"v={v}"), ignore_errors=True)
         return removable
 
-    def overwrite(self, df: DataFrame, epoch: int | None = None) -> None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        epoch: int | None = None,
+        expected_version: int | None = None,
+    ) -> None:
+        """Write a new version and swap the pointer to it.
+
+        ``expected_version`` enables optimistic concurrency: pass the
+        version this transaction's snapshot was read at, and the commit
+        fails with :class:`ConcurrentWriteError` if another writer has
+        advanced the table since. The check runs twice — before the
+        (expensive) data write, and again immediately before the
+        pointer swap — narrowing the race window to the swap itself;
+        a true CAS needs the filesystem primitive Delta gets from its
+        log store, which plain parquet cannot provide (documented
+        limitation of the stand-in)."""
+        if expected_version is not None and self._version() != expected_version:
+            raise ConcurrentWriteError(
+                f"{self.path}: snapshot v{expected_version} is stale "
+                f"(current v{self._version()})"
+            )
         v = self._version() + 1
         os.makedirs(self.path, exist_ok=True)
         df.write.mode("overwrite").parquet(os.path.join(self.path, f"v={v}"))
+        if expected_version is not None and self._version() != expected_version:
+            raise ConcurrentWriteError(
+                f"{self.path}: lost commit race for v{v} "
+                f"(current v{self._version()})"
+            )
         self._swap(v, epoch)
+
+    def delete(self, condition: Column | str) -> int:
+        """``DELETE FROM t WHERE condition`` — copy-on-write rewrite
+        (exactly how Delta deletes without deletion vectors): the new
+        version holds every row NOT matching the condition. Returns the
+        number of rows deleted. NULL-evaluating conditions keep the row
+        (SQL semantics: DELETE removes only rows where the predicate is
+        TRUE)."""
+        base = self._version()
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        target = self.read()
+        kept = target.filter(~cond.eqNullSafe(F.lit(True)))
+        before = target.count()
+        self.overwrite(kept, expected_version=base)
+        return before - self.read().count()
+
+    def update(self, condition: Column | str, assignments: dict[str, Column]) -> None:
+        """``UPDATE t SET col = expr WHERE condition`` — copy-on-write:
+        matching rows take the new expressions, others pass through."""
+        base = self._version()
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        target = self.read()
+        matched = cond.eqNullSafe(F.lit(True))
+        updated = target.select(
+            *[
+                F.when(matched, assignments[c]).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in target.columns
+            ]
+        )
+        self.overwrite(updated, expected_version=base)
+
+    def compact(
+        self,
+        target_files: int = 1,
+        sort_by: list[str] | None = None,
+        epoch: int | None = None,
+    ) -> None:
+        """``OPTIMIZE`` — rewrite the current version into
+        ``target_files`` files, optionally range-partitioned + sorted by
+        ``sort_by`` so min/max footer stats give Delta-style data
+        skipping on those columns (the plain-parquet analogue of
+        Z-ordering on a single dimension). Content is unchanged; readers
+        of older versions are unaffected (new version, same rows)."""
+        base = self._version()
+        df = self.read()
+        if sort_by:
+            df = df.repartitionByRange(target_files, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        else:
+            df = df.coalesce(target_files)
+        self.overwrite(df, epoch=epoch, expected_version=base)
 
     def merge(
         self,
@@ -114,30 +201,55 @@ class ParquetMergeTable:
         keys: list[str],
         update_cols: list[str] | None = None,
         epoch: int | None = None,
+        delete_condition: Column | str | None = None,
+        check_conflicts: bool = False,
     ) -> None:
         """Upsert ``source`` by ``keys``: matched target rows take the
         source's ``update_cols`` (default: every non-key column);
         unmatched source rows are inserted; unmatched target rows are
         kept. ``source`` must be deduplicated on ``keys``.
 
+        ``delete_condition`` adds Delta's ``WHEN MATCHED AND cond THEN
+        DELETE`` clause: the condition is evaluated against the SOURCE
+        row's columns, and a matched pair where it is TRUE is dropped
+        instead of updated (unmatched source rows still insert, per
+        MERGE semantics — gate them out of ``source`` beforehand if
+        that is not wanted).
+
+        ``check_conflicts=True`` turns on optimistic concurrency: the
+        commit raises :class:`ConcurrentWriteError` if another writer
+        advanced the table after this merge's snapshot read.
+
         SCHEMA EVOLUTION (Delta ``mergeSchema`` semantics): columns
         present only in ``source`` are added to the table — existing
         rows read null for them; columns present only in the target
         are kept, with inserts reading null (already handled below)."""
+        base = self._version() if check_conflicts else None
+        if delete_condition is not None:
+            dc = (
+                F.expr(delete_condition)
+                if isinstance(delete_condition, str)
+                else delete_condition
+            )
+            source = source.withColumn("_src_delete", dc.eqNullSafe(F.lit(True)))
         if not self.exists():
-            self.overwrite(source, epoch=epoch)
+            # empty table: nothing matches, so the matched-delete clause
+            # never fires — every source row inserts
+            self.overwrite(source.drop("_src_delete"), epoch=epoch)
             return
         target = self.read()
-        new_cols = [
-            c for c in source.columns if c not in target.columns and c not in keys
+        src_value_cols = [
+            c for c in source.columns if c not in keys and c != "_src_delete"
         ]
+        new_cols = [c for c in src_value_cols if c not in target.columns]
         if update_cols is None:
-            update_cols = [c for c in source.columns if c not in keys]
+            update_cols = list(src_value_cols)
 
         tgt = target.withColumn("_tgt_present", F.lit(True))
         src = source.select(
             *[F.col(k).alias(f"_sk_{k}") for k in keys],
-            *[F.col(c).alias(f"_sv_{c}") for c in source.columns if c not in keys],
+            *[F.col(c).alias(f"_sv_{c}") for c in src_value_cols],
+            *([F.col("_src_delete")] if delete_condition is not None else []),
             F.lit(True).alias("_src_present"),
         )
         cond = F.lit(True)
@@ -146,6 +258,15 @@ class ParquetMergeTable:
         joined = tgt.join(src, on=cond, how="full_outer")
         src_matched = F.col("_src_present").isNotNull() & F.col("_src_present")
         tgt_matched = F.col("_tgt_present").isNotNull() & F.col("_tgt_present")
+        if delete_condition is not None:
+            # WHEN MATCHED AND cond THEN DELETE: drop the matched pair
+            joined = joined.filter(
+                ~(
+                    src_matched
+                    & tgt_matched
+                    & F.coalesce(F.col("_src_delete"), F.lit(False))
+                )
+            )
 
         def merged_col(c: str):
             if c in update_cols:
@@ -164,4 +285,4 @@ class ParquetMergeTable:
             # null for untouched target rows
             *[F.col(f"_sv_{c}").alias(c) for c in new_cols],
         )
-        self.overwrite(merged, epoch=epoch)
+        self.overwrite(merged, epoch=epoch, expected_version=base)

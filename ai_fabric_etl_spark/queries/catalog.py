@@ -92,7 +92,7 @@ _PRIORITY = [
     "a11_pivot_daily",
     "j1_left_join_activity",
     "w1_latest_event_per_user",
-    "scalar_datetime",
+    "lakehouse_merge_orders",  # MERGE/lakehouse semantics (A7/S5) — scalar_datetime yields its slot (§2.8 stays repped by scalar_strings)
     "w4_session_windows",
     "o1_topk_nations",
     "p6_projection_casts",

@@ -158,3 +158,105 @@ def test_merge_matched_null_not_overwritten_outside_update_cols(spark, tmp_path)
     )
     got = {r.id: (r.name, r.score) for r in t.read().collect()}
     assert got == {1: ("b", None), 2: ("c", 8), 9: ("z", 5)}
+
+
+def test_delete_where(spark, tmp_path):
+    """DELETE FROM WHERE: copy-on-write rewrite, old version still
+    time-travelable; NULL-evaluating predicates keep the row."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_del"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30)], "id long, score long"
+        )
+    )
+    v_before = t._version()
+    n = t.delete("score > 15")
+    assert n == 1
+    assert _rows(t.read()) == [(1, 10), (2, None)]  # NULL kept
+    assert _rows(t.read(version=v_before)) == [(1, 10), (2, None), (3, 30)]
+
+
+def test_update_where(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_upd"))
+    t.overwrite(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, score long")
+    )
+    t.update("id = 2", {"score": F.col("score") + 5})
+    assert _rows(t.read()) == [(1, 10), (2, 25)]
+
+
+def test_merge_matched_delete_clause(spark, tmp_path):
+    """WHEN MATCHED AND cond THEN DELETE: matched+condition rows drop,
+    matched-without-condition update, unmatched source rows insert
+    (even when the delete condition is true — MERGE semantics)."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_mdel"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", False), (2, "b", False)], "id long, name string, tomb boolean"
+        )
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(1, "x", True), (2, "b2", False), (3, "c", True)],
+            "id long, name string, tomb boolean",
+        ),
+        keys=["id"],
+        delete_condition="tomb",
+    )
+    assert _rows(t.read()) == [(2, "b2", False), (3, "c", True)]
+
+
+def test_optimistic_concurrency_conflict(spark, tmp_path):
+    """A writer that read snapshot v and finds the table advanced at
+    commit time fails with ConcurrentWriteError instead of silently
+    clobbering the other writer's rows (lost update)."""
+    import pytest
+
+    from ai_fabric_etl_spark.operators.merge import ConcurrentWriteError
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_occ"))
+    t.overwrite(spark.createDataFrame([(1, 10)], "id long, v long"))
+    stale = t._version()
+    # writer B commits first
+    t.merge(spark.createDataFrame([(2, 20)], "id long, v long"), keys=["id"])
+    # writer A (snapshot = stale) now fails its commit
+    with pytest.raises(ConcurrentWriteError):
+        t.overwrite(
+            spark.createDataFrame([(1, 99)], "id long, v long"),
+            expected_version=stale,
+        )
+    # un-checked merge still works (last-writer-wins mode)
+    t.merge(spark.createDataFrame([(1, 99)], "id long, v long"), keys=["id"])
+    assert _rows(t.read()) == [(1, 99), (2, 20)]
+
+
+def test_compact_preserves_content_and_skipping_layout(spark, tmp_path):
+    """OPTIMIZE: same rows, fewer files; sort_by produces disjoint
+    per-file ranges (footer-stat data skipping)."""
+    import glob
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_opt"))
+    df = spark.range(0, 1000).selectExpr("id", "id % 7 AS grp").repartition(16)
+    t.overwrite(df)
+    before = _rows(t.read())
+    t.compact(target_files=2, sort_by=["id"])
+    after_dir = str(tmp_path / "tbl_opt" / f"v={t._version()}")
+    files = glob.glob(f"{after_dir}/part-*.parquet")
+    assert len(files) == 2
+    assert _rows(t.read()) == before
+    # per-file id ranges must be disjoint for skipping to work
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        ids = [
+            (md.row_group(i).column(0).statistics.min,
+             md.row_group(i).column(0).statistics.max)
+            for i in range(md.num_row_groups)
+        ]
+        ranges.append((min(a for a, _ in ids), max(b for _, b in ids)))
+    ranges.sort()
+    assert ranges[0][1] < ranges[1][0]
