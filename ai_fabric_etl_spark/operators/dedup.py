@@ -549,3 +549,63 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document benchmark contamination: ``(id_col, n_overlap)``
+    for every training doc sharing at least one word ``n``-gram with
+    any benchmark document (the eval-leakage check every training-data
+    pipeline runs before a dump ships; 13-gram overlap is the common
+    production setting — the default here is lower so the synthetic
+    short-doc corpus exercises nonzero overlap).
+
+    Scale plan: the benchmark n-gram set is tiny relative to the
+    corpus (benchmarks are thousands of docs, the corpus is billions),
+    so it is collected into a broadcast hash set and the training side
+    never shuffles its exploded shingles — explode → broadcast-semi-
+    join → re-aggregate by the doc id that the explode kept local.
+    Shingles travel as xxhash64 longs (8 bytes), never strings.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(hashed_shingles(F.col(text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(hashed_shingles(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.countDistinct("gram").alias("n_overlap"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every training document whose benchmark n-gram overlap
+    reaches ``min_overlap`` (left_anti against the flagged ids —
+    AQE-broadcastable when the contaminated set is small, which it
+    nearly always is)."""
+    flagged = contamination_overlap(
+        docs, benchmark, n=n, text_col=text_col, id_col=id_col
+    ).filter(F.col("n_overlap") >= min_overlap)
+    return docs.join(flagged.select(id_col), id_col, "left_anti")

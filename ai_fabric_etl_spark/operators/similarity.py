@@ -280,3 +280,53 @@ def lsh_cosine_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def kmeans_clusters(
+    corpus: DataFrame,
+    k: int = 8,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Cosine k-means over an embedding column — the clustering pass a
+    training-data pipeline runs for corpus curation (topic balancing,
+    domain mixing, diversity-aware sampling) and that IVF indexing
+    reuses for its cells.
+
+    Returns ``(assignments, centroids)``: assignments is
+    ``(id_col, cluster_id, centroid_sim)``; centroids is
+    ``(cluster_id, centroid)``.
+
+    Scale: Lloyd's iterations are embarrassingly parallel — each step
+    is one broadcast of k·dim floats plus a map-side argmin; pyspark.ml
+    KMeans does exactly this under the hood with DataFrame-native
+    aggregation, so we use it rather than re-rolling the loop.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_vec")
+    ).withColumn("features", array_to_vector(F.col("_vec").cast("array<double>")))
+    model = KMeans(
+        k=k, seed=seed, distanceMeasure="cosine", maxIter=max_iter,
+        featuresCol="features",
+    ).fit(feats)
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "cluster_id int, centroid array<double>",
+    )
+    assigned = (
+        model.transform(feats)
+        .select(id_col, "_vec", F.col("prediction").alias("cluster_id"))
+        .join(F.broadcast(centroids), "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            cosine(F.col("_vec"), F.col("centroid")).alias("centroid_sim"),
+        )
+    )
+    return assigned, centroids

@@ -182,3 +182,67 @@ def pii_counts(col: Column) -> dict[str, Column]:
         "n_emails": F.regexp_count(col, F.lit(_RE_EMAIL)),
         "n_ipv4": F.regexp_count(col, F.lit(_RE_IPV4)),
     }
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+
+def repetition_profile(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document repetition signals used to filter low-quality /
+    degenerate training text:
+
+    - ``dup_ngram_frac``: fraction of word n-gram positions whose
+      n-gram also occurs earlier in the document (1 - distinct/total)
+    - ``top_word_share``: share of all token positions taken by the
+      single most frequent token (a run-on "the the the ..." document
+      scores near 1.0)
+
+    Scale plan: dup_ngram_frac is pure per-row expression work (no
+    shuffle). top_word_share needs a per-(doc, token) count → explode
+    + two-level aggregate, both keyed by doc_id so the second agg is
+    map-side-combinable and linear in corpus token count — never a
+    per-doc O(vocab·tokens) quadratic loop.
+    """
+    from ai_fabric_etl_spark.operators.dedup import shingles
+
+    c = F.col(text_col)
+    base = docs.select(
+        "doc_id",
+        F.size(tokens(c)).alias("n_tokens"),
+        F.size(shingles(c, n)).alias("n_distinct_ngrams"),
+    ).withColumn(
+        "n_ngrams", F.greatest(F.col("n_tokens") - n + 1, F.lit(1))
+    ).withColumn(
+        "dup_ngram_frac",
+        F.round(1.0 - F.col("n_distinct_ngrams") / F.col("n_ngrams"), 6),
+    )
+
+    tok_counts = (
+        docs.select("doc_id", F.explode(tokens(c)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_word_count"))
+    )
+    return (
+        base.join(tok_counts, "doc_id", "left")
+        .withColumn(
+            "top_word_share",
+            F.round(
+                F.coalesce(F.col("top_word_count"), F.lit(0)) / F.col("n_tokens"), 6
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_ngrams",
+            "n_distinct_ngrams",
+            "dup_ngram_frac",
+            "top_word_count",
+            "top_word_share",
+        )
+    )

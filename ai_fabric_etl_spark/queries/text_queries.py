@@ -522,3 +522,104 @@ def q_multimodal_decode_real(spark, sf_dir):
     media = multimodal.synthesize_media(_t(spark, sf_dir, "documents"))
     decoded = multimodal.decode_media(media, fake=False)
     return decoded.select("media_id", "fmt", "width", "height", "channels")
+
+
+_DECONTAM_SH5 = (
+    "CASE WHEN len(t) >= 5 THEN list_distinct(list_transform(range(1, len(t)-3), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) "
+    "ELSE [array_to_string(t, ' ')] END"
+)
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    sh AS (SELECT doc_id, {_DECONTAM_SH5} AS s FROM tok),
+    bench AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 83 = 0),
+    doc_grams AS (SELECT doc_id, unnest(s) AS gram FROM sh)
+    SELECT d.doc_id, COUNT(DISTINCT d.gram) AS n_overlap
+    FROM doc_grams d JOIN bench b ON d.gram = b.gram
+    GROUP BY d.doc_id
+    """,
+)
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag every training doc sharing a
+    word 5-gram with the benchmark slice (doc_id % 83 == 0 stands in
+    for a held-out eval set; the corpus's planted duplicates guarantee
+    real cross-doc leakage to catch). Spark joins xxhash64-hashed
+    shingles against the broadcast benchmark set; the oracle replays
+    it with string n-grams — identical modulo 64-bit collisions."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 83 == 0)
+    return dedup.contamination_overlap(docs, bench, n=5)
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    base AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             greatest(len(t) - 2, 1) AS n_ngrams,
+             CASE WHEN len(t) >= 3 THEN len(list_distinct(list_transform(range(1, len(t)-1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+                  ELSE 1 END AS n_distinct_ngrams,
+             t
+      FROM tok),
+    tw AS (
+      SELECT doc_id, MAX(cnt) AS top_word_count FROM (
+        SELECT doc_id, tok, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(t) AS tok FROM tok)
+        GROUP BY doc_id, tok)
+      GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens, b.n_ngrams, b.n_distinct_ngrams,
+           ROUND(1.0 - b.n_distinct_ngrams / b.n_ngrams, 6) AS dup_ngram_frac,
+           tw.top_word_count,
+           ROUND(tw.top_word_count / b.n_tokens, 6) AS top_word_share
+    FROM base b JOIN tw USING (doc_id)
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    """Within-doc repetition signals (duplicate n-gram fraction, top
+    word share) — the Gopher-style degenerate-text filters."""
+    from ai_fabric_etl_spark.operators.text import repetition_profile
+
+    return repetition_profile(_t(spark, sf_dir, "documents"), n=3)
+
+
+@register(
+    "emb_kmeans_invariant",
+    oracle="""
+    SELECT COUNT(*) AS n_points, 8 AS k_clusters, 0 AS n_violations
+    FROM embeddings
+    """,
+)
+def q_emb_kmeans_invariant(spark, sf_dir):
+    """Cosine k-means corpus clustering with a checkable optimality
+    invariant: every point's assigned centroid must be its argmax-
+    cosine centroid (within 1e-6 for ties) — a wrong assignment or a
+    non-normalized centroid breaks the count. Cluster ids themselves
+    are seed-dependent, so the driver-stable contract is the
+    invariant, not the labeling."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = similarity.kmeans_clusters(emb, k=8)
+    best = (
+        emb.select(F.col("vec_id"), F.col("embedding"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("sim", similarity.cosine(F.col("embedding"), F.col("centroid")))
+        .groupBy("vec_id")
+        .agg(F.max("sim").alias("best_sim"))
+    )
+    return (
+        assigned.join(best, "vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.lit(8).alias("k_clusters"),
+            F.sum(
+                F.when(
+                    F.col("best_sim") - F.col("centroid_sim") > 1e-6, 1
+                ).otherwise(0)
+            ).alias("n_violations"),
+        )
+    )

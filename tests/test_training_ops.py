@@ -287,3 +287,70 @@ def test_pack_firstfit_shards_giant_stratum(spark):
     b = {(r.doc_id, r.bin_id) for r in pack_greedy_firstfit(
         small, "n_tokens", 2000, ["lang"], "doc_id", max_group_rows=50).collect()}
     assert a == b
+
+
+def test_decontaminate_drops_exact_overlaps(spark):
+    """A training doc duplicating a benchmark doc's text must be
+    flagged and dropped; clean docs survive."""
+    from ai_fabric_etl_spark.operators.dedup import (
+        contamination_overlap,
+        decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "alpha beta gamma delta epsilon zeta eta"),  # leaks doc 1's grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") == 1).select("doc_id", "text")
+    flagged = {
+        r.doc_id: r.n_overlap
+        for r in contamination_overlap(docs, bench, n=5).collect()
+    }
+    assert 1 in flagged and 3 in flagged and 2 not in flagged
+    kept = {r.doc_id for r in decontaminate(docs, bench, n=5).collect()}
+    assert kept == {2}
+
+
+def test_repetition_profile_flags_degenerate_text(spark):
+    from ai_fabric_etl_spark.operators.text import repetition_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "all these tokens are entirely distinct here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_profile(docs).collect()}
+    assert rows[1].dup_ngram_frac > 0.7 and rows[1].top_word_share == 1.0
+    assert rows[2].dup_ngram_frac == 0.0
+    assert rows[2].top_word_share < 0.2
+
+
+def test_kmeans_clusters_partition_and_invariant(spark, sf_dir):
+    """Every vector lands in exactly one cluster and its centroid is
+    argmax-cosine among all centroids."""
+    from ai_fabric_etl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, centroids = similarity.kmeans_clusters(emb, k=4)
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    assert centroids.count() == 4
+    best = (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("sim", similarity.cosine(F.col("embedding"), F.col("centroid")))
+        .groupBy("vec_id")
+        .agg(F.max("sim").alias("best_sim"))
+    )
+    bad = (
+        assigned.join(best, "vec_id")
+        .filter(F.col("best_sim") - F.col("centroid_sim") > 1e-6)
+        .count()
+    )
+    assert bad == 0
