@@ -1633,3 +1633,353 @@ def u7_action_buckets(spark, sf_dir):
         pct6(appr, cnt).alias("approval_rate"),
         pct6(den, cnt).alias("denial_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H plan-breadth suite (adapted to the reduced synthetic schemas):
+# semi/anti joins, correlated + scalar subqueries, disjunctive
+# pushdown, left-join distributions — the decorrelation patterns a
+# 100 TB optimizer must produce
+# ---------------------------------------------------------------------------
+
+_REVSQL = (
+    "CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(4,2))"
+)
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1995-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1995-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE)
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join
+    (commit/receipt dates are absent from the synthetic lineitem, so
+    "late line" is l_shipdate > o_orderdate). The semi join keeps the
+    orders side shuffle-light: lineitem is reduced to matching keys
+    before the aggregate."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1995-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (F.to_date(li.l_shipdate) > F.to_date(o.o_orderdate)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(strftime(CAST(l.l_shipdate AS DATE), '%Y') AS INTEGER) AS l_year,
+           CAST(SUM({_REVSQL}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: two-nation trade volume by year — a five-join
+    pipeline where every dimension (customer, supplier, both nation
+    legs) broadcasts and only the fact-fact lineitem↔orders join
+    shuffles. (The classic two-nation disjunction is widened to
+    cross-border trade: the synthetic supplier table covers an
+    SF-dependent nation subset, so fixed nation literals would make
+    the result empty at some SFs; q19 carries the disjunctive-pushdown
+    test.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = F.col("supp_nation") != F.col("cust_nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.to_date("l_shipdate")).alias("l_year"),
+        )
+        .agg(
+            F.sum(_rev(F.col("l_extendedprice"), F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH vol AS (
+      SELECT CAST(strftime(CAST(l.l_shipdate AS DATE), '%Y') AS INTEGER) AS o_year,
+             {_REVSQL} AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           ROUND(
+             CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                           ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: national market share inside one region's PROMO
+    volume — a seven-join star where the region filter prunes through
+    two dimension hops before the fact scan, and the share is a
+    conditional-sum ratio (one rounded division, exact-decimal sums)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cn = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _rev(F.col("l_extendedprice"), F.col("l_discount"))
+    nat1 = F.when(
+        F.col("supp_nation") == "NATION_3", vol
+    ).otherwise(F.lit(0).cast("decimal(14,2)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"), "inner")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year(F.to_date("l_shipdate")).alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nat1).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q13_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def tpch_q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left join with a join-side-only predicate
+    (the filter must stay in the ON clause — pushing it to WHERE would
+    drop zero-order customers), then a two-level count distribution."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_REVSQL}) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs over both join sides. Catalyst
+    extracts the common-column disjuncts (brand/size to the part scan,
+    quantity to the lineitem scan) as pushed-down range unions before
+    the join — the CNF-conversion test for disjunctive pushdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    br = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return j.filter(br).agg(
+        F.sum(_rev(F.col("l_extendedprice"), F.col("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+    ),
+    multi AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) > 1
+    ),
+    sole_late AS (
+      SELECT l_orderkey, MIN(l_suppkey) AS l_suppkey FROM late
+      GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) = 1
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM sole_late sl
+    JOIN multi m ON m.l_orderkey = sl.l_orderkey
+    JOIN supplier s ON s.s_suppkey = sl.l_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: the double-correlation (EXISTS another
+    supplier on the order, NOT EXISTS another LATE supplier)
+    decorrelated into two aggregates — "orders with >1 supplier" and
+    "orders whose late set is exactly one supplier" — joined back.
+    The naive form is two correlated subqueries per row; this form is
+    three shuffle aggregates, all on l_orderkey, so AQE can reuse the
+    exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 60)
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_late"),
+            F.min("l_suppkey").alias("l_suppkey"),
+        )
+        .filter(F.col("n_late") == 1)
+        .select("l_orderkey", "l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        sole_late.join(multi, "l_orderkey")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(CAST(c_acctbal AS DECIMAL(18,4))) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey % 5 AS cntry_bucket,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c.c_nationkey % 5
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: scalar subquery (global positive-balance
+    average, computed once and broadcast as a literal-like single-row
+    frame) + NOT EXISTS decorrelated to a left-anti join against the
+    filtered orders side (every synthetic customer has SOME order, so
+    the anti condition is "no urgent order"). Nation-key buckets stand
+    in for phone country codes."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(F.col("c_acctbal").cast("decimal(18,4)")).alias("a")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.groupBy(
+        (F.col("c_nationkey") % 5).alias("cntry_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("totacctbal"),
+    )

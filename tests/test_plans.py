@@ -130,3 +130,33 @@ def test_text_clean_redact_is_shuffle_free(spark, sf_dir):
     from ai_fabric_etl_spark.queries.text_queries import q_text_clean_redact
 
     assert exchange_count(q_text_clean_redact(spark, sf_dir)) == 0
+
+
+def test_q4_semi_join_and_q22_anti_join(spark, sf_dir):
+    """EXISTS/NOT EXISTS must plan as semi/anti joins, never as a
+    count-based subquery re-scan."""
+    from ai_fabric_etl_spark.plans.inspect import plan_string
+    from ai_fabric_etl_spark.queries.catalog import (
+        tpch_q4_order_priority,
+        tpch_q22_global_sales_opportunity,
+    )
+
+    p4 = plan_string(tpch_q4_order_priority(spark, sf_dir))
+    assert "LeftSemi" in p4
+    p22 = plan_string(tpch_q22_global_sales_opportunity(spark, sf_dir))
+    assert "LeftAnti" in p22
+
+
+def test_q19_disjunctive_pushdown(spark, sf_dir):
+    """The OR-of-ANDs must leave per-side residues at the scans:
+    quantity range union on lineitem, brand/size union on part —
+    Catalyst's CNF extraction, not a post-join filter-only plan."""
+    from ai_fabric_etl_spark.plans.inspect import plan_string, pushed_filters
+    from ai_fabric_etl_spark.queries.catalog import tpch_q19_disjunctive_revenue
+
+    df = tpch_q19_disjunctive_revenue(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    plan = plan_string(df)
+    assert "Or" in pushed or "Or" in plan.split("Filter")[1][:400], plan[:2000]
+    # both scans must carry *some* pushed predicate from the disjunction
+    assert "l_quantity" in plan and "p_brand" in plan
