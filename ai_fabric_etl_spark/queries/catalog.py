@@ -1983,3 +1983,86 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
         .cast("double")
         .alias("totacctbal"),
     )
+
+
+@register(
+    "w6_lag_lead_deltas",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(event_id) OVER w AS prev_event,
+           lead(event_id) OVER w AS next_event,
+           CAST(FLOOR(COALESCE(epoch(ts - lag(ts) OVER w), 0)) AS BIGINT)
+             AS secs_since_prev,
+           ROUND(cume_dist() OVER (PARTITION BY user_id ORDER BY value, event_id), 6)
+             AS value_cume_dist
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w6_lag_lead_deltas(spark, sf_dir):
+    """Navigation windows (SURVEY §2.5 free extensions): lag/lead over
+    the per-user timeline, inter-event gap seconds, cume_dist over the
+    value ordering. Both windows share the user_id partitioning, so
+    one shuffle serves the pair."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+    # floor of the INTERVAL seconds (micros diff / 1e6), not
+    # floor(a)-floor(b): the two differ when the fractional parts
+    # straddle a second boundary, and the oracle computes the former
+    us = F.unix_micros(F.col("ts"))
+    gap = F.floor((us - F.lag(us).over(w)) / F.lit(1000000.0)).cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.coalesce(gap, F.lit(0)).alias("secs_since_prev"),
+        F.round(F.cume_dist().over(wv), 6).alias("value_cume_dist"),
+    )
+
+
+@register(
+    "scalar_arrays",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, list(value ORDER BY value) AS vals
+      FROM events WHERE event_id % 20 = 0
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           len(vals) AS n,
+           ROUND(CAST(list_aggregate(list_transform(vals,
+                 x -> CAST(x AS DECIMAL(18,4))), 'sum') AS DOUBLE), 6) AS val_sum,
+           ROUND(CAST(vals[1] AS DOUBLE) + CAST(vals[-1] AS DOUBLE), 6)
+             AS min_plus_max,
+           len(list_filter(vals, x -> x > 100.0)) AS n_over_100,
+           list_aggregate(list_transform(vals, x -> CASE WHEN x > 100.0
+                 THEN 1 ELSE 0 END), 'max') = 1 AS any_over_100
+    FROM t
+    """,
+)
+def scalar_arrays(spark, sf_dir):
+    """Array-function family (SURVEY §2.8): collect → sort → aggregate
+    / filter / exists / element access, all JVM-side higher-order
+    functions (never a Python loop). The per-user value list is built
+    with a deterministic sort so both engines fold identical arrays;
+    the fold runs on DECIMAL so the sum is order-independent anyway."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    vals = F.array_sort(F.collect_list("value"))
+    agg = e.groupBy("user_id").agg(vals.alias("vals"))
+    fold = F.aggregate(
+        F.transform(F.col("vals"), lambda x: x.cast("decimal(18,4)")),
+        F.lit(0).cast("decimal(28,4)"),
+        lambda acc, x: (acc + x).cast("decimal(28,4)"),
+    )
+    return agg.select(
+        "user_id",
+        F.size("vals").alias("n"),
+        F.round(fold.cast("double"), 6).alias("val_sum"),
+        F.round(
+            F.element_at("vals", 1) + F.element_at("vals", -1), 6
+        ).alias("min_plus_max"),
+        F.size(F.filter("vals", lambda x: x > 100.0)).alias("n_over_100"),
+        F.exists("vals", lambda x: x > 100.0).alias("any_over_100"),
+    )

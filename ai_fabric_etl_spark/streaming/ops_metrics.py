@@ -107,3 +107,28 @@ def failure_alerts(
         .filter(F.col("n_failures") > threshold)
         .select(F.col("w.start").alias("window_start"), "n_failures")
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    event_time_col: str = "ts",
+    delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's fingerprint only
+    until the watermark passes it, so state is O(keys-per-delay-window)
+    instead of O(all keys ever) — the only dedup form that survives an
+    unbounded stream. Emits the FIRST arrival of each key; duplicates
+    arriving within the watermark window are dropped, later ones are
+    the upstream's replay problem (at-least-once sources re-send within
+    their retention, which the delay must cover).
+
+    Batch twin for tests: ``dropDuplicates(keys)`` over the same rows
+    (equal when all duplicates fall inside the watermark window).
+    """
+    if keys is None:
+        keys = ["event_id"]
+    return events.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -644,3 +644,35 @@ def test_stream_interval_join_matches_batch_range_join(spark, tmp_path):
         ).collect()
     }
     assert got == exp and got
+
+
+def test_stream_dedup_within_watermark_matches_batch(spark, events_dir, tmp_path):
+    """Streaming dedup with watermark-bounded state: a corpus with
+    every event duplicated (simulated at-least-once replay) dedups to
+    exactly the batch dropDuplicates result."""
+    from ai_fabric_etl_spark.streaming.ops_metrics import dedup_within_watermark
+
+    doubled_dir = str(tmp_path / "events_doubled")
+    ev = spark.read.parquet(events_dir)
+    ev.unionByName(ev).write.mode("overwrite").parquet(doubled_dir)
+
+    schema = ev.schema
+    stream = spark.readStream.schema(schema).parquet(doubled_dir)
+    # append mode (dedup is not an aggregation; _run_to_memory's
+    # complete mode would be rejected)
+    q = (
+        dedup_within_watermark(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_wm").count()
+    exp = ev.dropDuplicates(["event_id"]).count()
+    assert got == exp
+    # and the deduped ids are exactly the original id set
+    got_ids = {r.event_id for r in spark.table("dedup_wm").select("event_id").collect()}
+    exp_ids = {r.event_id for r in ev.select("event_id").collect()}
+    assert got_ids == exp_ids
