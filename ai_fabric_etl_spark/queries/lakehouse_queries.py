@@ -106,3 +106,112 @@ def sink_partitioned_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+
+_CSV_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM lineitem
+WHERE l_orderkey % 10 = 0
+GROUP BY l_returnflag
+"""
+
+
+@register("source_csv_roundtrip", oracle=_CSV_ORACLE)
+def source_csv_roundtrip(spark, sf_dir):
+    """CSV connector round trip (SURVEY §2.1 format breadth): write a
+    lineitem slice as headered CSV, read it back with an EXPLICIT
+    schema (schema inference is a full extra pass at 100 TB — never in
+    production paths), aggregate, and match the oracle computed over
+    the original parquet. Proves the text codec loses nothing on
+    longs/doubles/strings."""
+    out = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "lineitem_csv")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    li.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema(
+            "l_orderkey long, l_returnflag string, l_quantity double, "
+            "l_extendedprice double"
+        )
+        .option("header", True)
+        .csv(out)
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+_JSONL_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+FROM events
+WHERE event_id % 7 = 0
+GROUP BY event_type
+"""
+
+
+@register("source_jsonl_roundtrip", oracle=_JSONL_ORACLE)
+def source_jsonl_roundtrip(spark, sf_dir):
+    """JSON-lines connector round trip + semi-structured access: write
+    an events slice as JSONL, read back with explicit schema, and pull
+    a field out of the nested JSON props string (get_json_object) —
+    the common landing format for event streams."""
+    from ai_fabric_etl_spark.queries.catalog import load_events
+
+    out = os.path.join(tempfile.mkdtemp(prefix="jsonl_rt_"), "events_jsonl")
+    ev = load_events(spark, sf_dir).filter(F.col("event_id") % 7 == 0).select(
+        "event_id", "event_type", "value", "props"
+    )
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "event_id long, event_type string, value double, props string"
+    ).json(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+        F.sum(
+            F.get_json_object("props", "$.k").cast("long")
+        ).alias("k_sum"),
+    )
+
+
+_ORC_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("source_orc_roundtrip", oracle=_ORC_ORACLE)
+def source_orc_roundtrip(spark, sf_dir):
+    """ORC connector round trip: columnar-to-columnar fidelity plus
+    predicate-pushdown-capable storage as the second lakehouse file
+    format Spark ships natively."""
+    out = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "orders_orc")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )
