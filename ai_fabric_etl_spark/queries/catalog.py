@@ -2066,3 +2066,356 @@ def scalar_arrays(spark, sf_dir):
         F.size(F.filter("vals", lambda x: x > 100.0)).alias("n_over_100"),
         F.exists("vals", lambda x: x > 100.0).alias("any_over_100"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion: the six remaining canonical shapes (Q2, Q9, Q11,
+# Q15, Q16, Q20), adapted to the no-partsupp synthetic schema: the
+# (l_partkey, l_suppkey) pairs in lineitem serve as the supply
+# relation, with unit cost derived as l_extendedprice / l_quantity.
+# Together with the fifteen shapes above this covers all 22 TPC-H
+# optimizer patterns the reference's analytics surface maps onto.
+# ---------------------------------------------------------------------------
+
+_UNIT_COST_SQL = "l_extendedprice / l_quantity"
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH supply AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             ROUND(MIN({_UNIT_COST_SQL}), 6) AS unit_cost
+      FROM lineitem l
+      JOIN read_supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, MIN(unit_cost) AS min_cost
+      FROM supply GROUP BY l_partkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+           sp.unit_cost
+    FROM supply sp
+    JOIN best b ON b.l_partkey = sp.l_partkey
+               AND sp.unit_cost = b.min_cost
+    JOIN part p ON p.p_partkey = sp.l_partkey
+    JOIN read_supplier s ON s.s_suppkey = sp.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'LARGE' AND p.p_size <= 15
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """.replace("read_supplier", "supplier"),
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated MIN subquery decorrelated into a
+    grouped aggregate joined back on (key, min_value) equality. The
+    supply relation is derived from lineitem (min unit price ever
+    charged per part+supplier); the region restriction applies inside
+    the subquery exactly as in the reference query. All dimension
+    joins broadcast; the only shuffles are the two grouped aggregates
+    over the fact table, and the min-cost join keys on l_partkey so
+    AQE can plan it locally.  Equality on the rounded double is safe:
+    both engines compute the identical IEEE division and min."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    supply = (
+        li.join(F.broadcast(eu_supp.select("s_suppkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6)
+             .alias("unit_cost"))
+    )
+    best = supply.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    parts = p.filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 15))
+    return (
+        supply.join(best.withColumnRenamed("l_partkey", "b_partkey"),
+                    (F.col("l_partkey") == F.col("b_partkey"))
+                    & (F.col("unit_cost") == F.col("min_cost")))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(strftime(CAST(o.o_orderdate AS DATE), '%Y') AS INTEGER) AS o_year,
+           ROUND(CAST(SUM({_REVSQL}
+                 - CAST(p.p_retailprice AS DECIMAL(14,2))
+                   * CAST(l.l_quantity AS DECIMAL(14,2))
+                   * CAST(0.05 AS DECIMAL(3,2))) AS DOUBLE), 2) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit (revenue minus supply cost) by supplier
+    nation and order year, restricted by a part-name LIKE filter.
+    Supply cost is derived as a fixed fraction of retail price x
+    quantity (the schema has no partsupp). The LIKE-filtered part dim
+    broadcasts FIRST so the fact scan is cut before the fact-fact
+    lineitem-orders shuffle; supplier and nation broadcast. Exact
+    decimal arithmetic end-to-end keeps the sum order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cost = (
+        F.col("p_retailprice").cast("decimal(14,2)")
+        * F.col("l_quantity").cast("decimal(14,2)")
+        * F.lit(0.05).cast("decimal(3,2)")
+    )
+    amount = _rev(F.col("l_extendedprice"), F.col("l_discount")) - cost
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year(F.to_date("o_orderdate")).alias("o_year"))
+        .agg(F.round(F.sum(amount).cast("double"), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l.l_partkey,
+             CAST(SUM({_REVSQL}) AS DOUBLE) AS part_value
+      FROM lineitem l
+      JOIN read_supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, ROUND(part_value, 2) AS part_value
+    FROM pv
+    WHERE part_value > (
+      SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,4))) AS DOUBLE) * 0.001
+      FROM pv)
+    ORDER BY part_value DESC, l_partkey
+    """.replace("read_supplier", "supplier"),
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: grouped value per part HAVING value above a
+    fraction of the GLOBAL total — the global scalar subquery becomes
+    a single-row broadcast cross join, so the per-part aggregate is
+    computed once and reused for both sides (no second fact scan).
+    The threshold total re-sums the per-part doubles through an exact
+    decimal cast: part_value carries <= 4 decimal places exactly in a
+    double, so the decimal total — and hence the threshold — is
+    bit-identical on both engines regardless of summation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    eu_keys = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    pv = (
+        li.join(F.broadcast(eu_keys), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev(F.col("l_extendedprice"), F.col("l_discount")))
+             .cast("double").alias("part_value"))
+    )
+    total = pv.agg(
+        (F.sum(F.col("part_value").cast("decimal(18,4)")).cast("double")
+         * F.lit(0.001)).alias("threshold"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(CAST(SUM({_REVSQL}) AS DOUBLE), 2) AS total_revenue
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rv.total_revenue
+    FROM supplier s
+    JOIN revenue rv ON rv.supplier_no = s.s_suppkey
+    WHERE rv.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: a revenue view reused twice — once for the
+    per-supplier totals, once for the MAX scalar. The aggregate feeds
+    a single-row broadcast (the MAX), so the view is not re-scanned as
+    a correlated subquery per row. Equality on the rounded revenue is
+    engine-stable because the decimal sum is exact on both sides."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(
+            F.sum(_rev(F.col("l_extendedprice"), F.col("l_discount")))
+            .cast("double"), 2).alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (1, 4, 7, 10, 14, 23, 25, 45)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    triple, with a NOT IN exclusion list decorrelated to a left-anti
+    join (reference excludes complaint suppliers; this schema has no
+    comments, so the deterministic stand-in is names ending in 7).
+    The part filter broadcasts; the anti join's right side is a tiny
+    broadcast list, so the only shuffle is the distinct aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 7, 10, 14, 23, 25, 45)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%7")).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"),
+                "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q20_part_promotion_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l.l_suppkey, CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4)))
+             AS DOUBLE) AS qty
+      FROM lineitem l
+      WHERE l.l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+        AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+      GROUP BY l.l_suppkey
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND s.s_suppkey IN (
+        SELECT l_suppkey FROM shipped
+        WHERE qty > (
+          SELECT CAST(SUM(CAST(qty AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*) * 0.5
+          FROM shipped))
+    ORDER BY s.s_name
+    """,
+)
+def tpch_q20_part_promotion_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: a nested IN chain — suppliers IN (heavy
+    shippers of promoted parts), parts IN (name-filtered set) —
+    decorrelated to two broadcast semi joins plus a scalar threshold.
+    The reference's availqty > half-of-shipped predicate maps to
+    shipped quantity above half the per-supplier average (no partsupp
+    in this schema). Supplier/nation/region are all broadcast. The
+    shipped aggregate feeds both the threshold scalar and the filter;
+    the identical subtrees share one shuffle via Spark's
+    exchange-reuse rule (asserted in test_plans), so the fact table is
+    scanned once at runtime."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    shipped = (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(p.select("p_partkey")),
+              li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+             .cast("double").alias("qty"))
+    )
+    thr = shipped.agg(
+        (F.sum(F.col("qty").cast("decimal(18,4)")).cast("double")
+         / F.count(F.lit(1)) * F.lit(0.5)).alias("threshold"))
+    heavy = (
+        shipped.join(F.broadcast(thr))
+        .filter(F.col("qty") > F.col("threshold"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"),
+              "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

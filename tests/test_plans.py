@@ -160,3 +160,48 @@ def test_q19_disjunctive_pushdown(spark, sf_dir):
     assert "Or" in pushed or "Or" in plan.split("Filter")[1][:400], plan[:2000]
     # both scans must carry *some* pushed predicate from the disjunction
     assert "l_quantity" in plan and "p_brand" in plan
+
+
+def test_q2_q15_scalar_joins_stay_hash(spark, sf_dir):
+    """Q2's min-cost equality join and Q15's broadcast MAX scalar must
+    plan as hash joins — no nested-loop fallback from the scalar
+    comparison — and the single-row scalar side must broadcast."""
+    from ai_fabric_etl_spark.plans.inspect import plan_string
+    from ai_fabric_etl_spark.queries.catalog import (
+        tpch_q2_min_cost_supplier,
+        tpch_q15_top_supplier,
+    )
+
+    p2 = plan_string(tpch_q2_min_cost_supplier(spark, sf_dir))
+    assert "CartesianProduct" not in p2
+    p15 = plan_string(tpch_q15_top_supplier(spark, sf_dir))
+    assert "BroadcastExchange" in p15
+
+
+def test_q16_not_in_plans_as_anti_join(spark, sf_dir):
+    """The NOT IN supplier exclusion must decorrelate to a left-anti
+    join with the tiny exclusion list broadcast."""
+    from ai_fabric_etl_spark.plans.inspect import plan_string
+    from ai_fabric_etl_spark.queries.catalog import tpch_q16_supplier_part_counts
+
+    p16 = plan_string(tpch_q16_supplier_part_counts(spark, sf_dir))
+    assert "LeftAnti" in p16
+    assert "BroadcastExchange" in p16
+
+
+def test_q20_semi_join_chain(spark, sf_dir):
+    """Q20's nested IN chain must plan as semi joins (part filter into
+    lineitem, heavy-shipper list into supplier), and the shipped
+    aggregate that feeds BOTH the threshold scalar and the filter must
+    be deduplicated by the exchange-reuse rule, so the fact table is
+    shuffled (and scanned below that exchange) once at runtime."""
+    from ai_fabric_etl_spark.plans.inspect import plan_string
+    from ai_fabric_etl_spark.queries.catalog import (
+        tpch_q20_part_promotion_suppliers,
+    )
+
+    df = tpch_q20_part_promotion_suppliers(spark, sf_dir)
+    assert "LeftSemi" in plan_string(df)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed[:2000]
