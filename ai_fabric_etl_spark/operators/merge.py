@@ -63,20 +63,75 @@ class ParquetMergeTable:
         guard for at-least-once foreachBatch replays)."""
         return self._pointer()[1]
 
-    def _swap(self, version: int, epoch: int | None = None) -> None:
+    def _swap(
+        self, version: int, epoch: int | None = None, op: str = "WRITE"
+    ) -> None:
         tmp = os.path.join(self.path, "_LATEST.tmp")
         content = str(version) if epoch is None else f"{version}:{epoch}"
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(content)
         os.replace(tmp, os.path.join(self.path, "_LATEST"))
+        # Commit log (Delta DESCRIBE HISTORY analogue) — appended AFTER
+        # the pointer swap, so the pointer stays authoritative: a crash
+        # between swap and append loses only the history line, never
+        # data. Informational, plus the timestamp index for
+        # ``read(timestamp=...)``.
+        import json
+        import time
+
+        with open(
+            os.path.join(self.path, "_history.jsonl"), "a", encoding="utf-8"
+        ) as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "version": version,
+                        "op": op,
+                        "epoch": epoch,
+                        "timestamp": time.time(),
+                    }
+                )
+                + "\n"
+            )
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first: one entry per committed version
+        with ``{version, op, epoch, timestamp}`` (Delta's DESCRIBE
+        HISTORY). Entries for vacuumed versions remain (the history of
+        a table includes versions no longer readable)."""
+        import json
+
+        try:
+            with open(
+                os.path.join(self.path, "_history.jsonl"), encoding="utf-8"
+            ) as fh:
+                return [json.loads(line) for line in fh if line.strip()]
+        except FileNotFoundError:
+            return []
 
     def exists(self) -> bool:
         return self._version() >= 0
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self, version: int | None = None, timestamp: float | None = None
+    ) -> DataFrame:
         """Current table, or TIME TRAVEL to an earlier retained version
-        (Delta's ``VERSION AS OF``): versions are immutable directories,
-        so any un-vacuumed version stays readable."""
+        (Delta's ``VERSION AS OF`` / ``TIMESTAMP AS OF``): versions are
+        immutable directories, so any un-vacuumed version stays
+        readable. ``timestamp`` (unix seconds) resolves to the newest
+        version committed at or before that instant, per the commit
+        log."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            at_or_before = [
+                h["version"] for h in self.history() if h["timestamp"] <= timestamp
+            ]
+            if not at_or_before:
+                raise FileNotFoundError(
+                    f"no version of {self.path} existed at timestamp {timestamp}"
+                )
+            version = max(at_or_before)
         v = self._version() if version is None else version
         if v < 0:
             raise FileNotFoundError(f"no table at {self.path}")
@@ -86,6 +141,15 @@ class ParquetMergeTable:
                 f"version {version} not retained at {self.path} (vacuumed?)"
             )
         return self.spark.read.parquet(d)
+
+    def restore(self, version: int) -> None:
+        """Delta ``RESTORE TABLE ... TO VERSION AS OF``: re-commit a
+        retained old version's rows as a NEW version (history moves
+        forward; the restored-from version stays readable)."""
+        base = self._version()
+        self.overwrite(
+            self.read(version=version), expected_version=base, op="RESTORE"
+        )
 
     def versions(self) -> list[int]:
         """Retained version numbers, oldest first (the table history)."""
@@ -114,6 +178,7 @@ class ParquetMergeTable:
         df: DataFrame,
         epoch: int | None = None,
         expected_version: int | None = None,
+        op: str = "WRITE",
     ) -> None:
         """Write a new version and swap the pointer to it.
 
@@ -139,7 +204,7 @@ class ParquetMergeTable:
                 f"{self.path}: lost commit race for v{v} "
                 f"(current v{self._version()})"
             )
-        self._swap(v, epoch)
+        self._swap(v, epoch, op=op)
 
     def delete(self, condition: Column | str) -> int:
         """``DELETE FROM t WHERE condition`` — copy-on-write rewrite
@@ -153,7 +218,7 @@ class ParquetMergeTable:
         target = self.read()
         kept = target.filter(~cond.eqNullSafe(F.lit(True)))
         before = target.count()
-        self.overwrite(kept, expected_version=base)
+        self.overwrite(kept, expected_version=base, op="DELETE")
         return before - self.read().count()
 
     def update(self, condition: Column | str, assignments: dict[str, Column]) -> None:
@@ -171,7 +236,7 @@ class ParquetMergeTable:
                 for c in target.columns
             ]
         )
-        self.overwrite(updated, expected_version=base)
+        self.overwrite(updated, expected_version=base, op="UPDATE")
 
     def compact(
         self,
@@ -193,7 +258,7 @@ class ParquetMergeTable:
             )
         else:
             df = df.coalesce(target_files)
-        self.overwrite(df, epoch=epoch, expected_version=base)
+        self.overwrite(df, epoch=epoch, expected_version=base, op="OPTIMIZE")
 
     def merge(
         self,
@@ -235,7 +300,7 @@ class ParquetMergeTable:
         if not self.exists():
             # empty table: nothing matches, so the matched-delete clause
             # never fires — every source row inserts
-            self.overwrite(source.drop("_src_delete"), epoch=epoch)
+            self.overwrite(source.drop("_src_delete"), epoch=epoch, op="MERGE")
             return
         target = self.read()
         src_value_cols = [
@@ -285,4 +350,4 @@ class ParquetMergeTable:
             # null for untouched target rows
             *[F.col(f"_sv_{c}").alias(c) for c in new_cols],
         )
-        self.overwrite(merged, epoch=epoch, expected_version=base)
+        self.overwrite(merged, epoch=epoch, expected_version=base, op="MERGE")

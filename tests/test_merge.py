@@ -260,3 +260,41 @@ def test_compact_preserves_content_and_skipping_layout(spark, tmp_path):
         ranges.append((min(a for a, _ in ids), max(b for _, b in ids)))
     ranges.sort()
     assert ranges[0][1] < ranges[1][0]
+
+
+def test_history_timestamp_travel_and_restore(spark, tmp_path):
+    """DESCRIBE HISTORY / TIMESTAMP AS OF / RESTORE parity: the commit
+    log records one labeled entry per version; a timestamp between two
+    commits resolves to the earlier one; RESTORE re-commits an old
+    version as a new one (history only moves forward)."""
+    import time
+
+    import pytest as _pytest
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_hist"))
+    t.overwrite(spark.createDataFrame([(1, 10)], "id long, v long"))
+    between = time.time()
+    time.sleep(0.01)
+    t.merge(spark.createDataFrame([(2, 20)], "id long, v long"), keys=["id"])
+    t.delete("id = 1")
+
+    hist = t.history()
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert [h["op"] for h in hist] == ["WRITE", "MERGE", "DELETE"]
+    assert all(h["timestamp"] > 0 for h in hist)
+
+    # timestamp between v0 and v1 resolves to v0
+    assert _rows(t.read(timestamp=between)) == [(1, 10)]
+    assert _rows(t.read(timestamp=time.time())) == [(2, 20)]
+    with _pytest.raises(FileNotFoundError, match="existed at"):
+        t.read(timestamp=hist[0]["timestamp"] - 1000)
+    with _pytest.raises(ValueError, match="not both"):
+        t.read(version=0, timestamp=between)
+
+    # restore to v1 (pre-delete): new version 3, same rows as v1
+    t.restore(1)
+    assert t._version() == 3
+    assert _rows(t.read()) == [(1, 10), (2, 20)]
+    assert t.history()[-1]["op"] == "RESTORE"
+    # the restored-FROM version is still readable
+    assert _rows(t.read(version=2)) == [(2, 20)]
