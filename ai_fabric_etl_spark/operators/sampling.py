@@ -193,3 +193,52 @@ def pack_greedy_firstfit(
 
     out = df.groupBy(*group_cols).applyInPandas(pack, schema)
     return out.drop("_shard") if max_group_rows is not None else out
+
+
+def global_shuffle(
+    df: DataFrame, key: str, salt: str = "shuffle", pos_col: str = "shuffle_pos"
+) -> DataFrame:
+    """Deterministic global shuffle of a training corpus: total-order
+    every row by md5(salt || key) and assign its 1-based position.
+    Changing ``salt`` gives an independent permutation (per-epoch
+    reshuffle); the same salt always replays the same order.
+
+    Scale plan: the md5 sort is a range-partitioned sort (Spark
+    samples split points), so the output is evenly sharded with no
+    hot partition regardless of key skew — the standard way to break
+    source/time locality before sequential training reads. The
+    row_number window over the full order is computed per range
+    partition + a tiny offset cumsum, which Spark's window on a
+    globally-sorted frame handles without collapsing to one task only
+    if we avoid an empty partitionBy — so positions are derived from
+    a two-level scheme: partition-local rank plus broadcast partition
+    offsets."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    ranked = df.withColumn("_h", h).repartitionByRange(F.col("_h"))
+    # partition-local rank
+    part = F.spark_partition_id()
+    local = ranked.withColumn("_pid", part)
+    wlocal = Window.partitionBy("_pid").orderBy("_h")
+    local = local.withColumn("_local_rank", F.row_number().over(wlocal))
+    # per-partition row counts -> cumulative offsets (tiny, broadcast)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(pos_col, (F.col("_offset") + F.col("_local_rank")).cast("long"))
+        .drop("_h", "_pid", "_local_rank", "_offset")
+    )

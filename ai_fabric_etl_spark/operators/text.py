@@ -246,3 +246,90 @@ def repetition_profile(
             "top_word_share",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# composite quality gate (C4/Gopher-style document filtering)
+# ---------------------------------------------------------------------------
+
+QUALITY_RULES = {
+    "wc_ok": "token count in [min_tokens, max_tokens]",
+    "mwl_ok": "mean word length in [min_mwl, max_mwl]",
+    "stop_ok": "stopword occurrence fraction >= min_stop_frac",
+    "rep_ok": "top-word share <= max_top_word_share",
+    "dup_ok": "duplicate n-gram fraction <= max_dup_ngram_frac",
+}
+
+
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    min_mwl: float = 3.0,
+    max_mwl: float = 5.0,
+    min_stop_frac: float = 0.02,
+    max_top_word_share: float = 0.15,
+    max_dup_ngram_frac: float = 0.1,
+) -> DataFrame:
+    """C4/Gopher-style composite document-quality gate: evaluate the
+    five named rules (QUALITY_RULES) per document and emit each flag
+    plus ``keep`` (their conjunction), alongside the measured signals
+    — the standard pre-training corpus filter.
+
+    Scale plan: every signal except top-word share is per-row
+    expression work fused into one projection (no shuffle); the
+    top-word/dup-ngram signals ride repetition_profile's single
+    doc_id-keyed explode+agg. One shuffle total at any corpus size,
+    and the boolean gate composes with downstream dedup without
+    materializing the rejected rows.
+    """
+    c = F.col(text_col)
+    rep = repetition_profile(docs, text_col=text_col)
+    sw = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
+    toks = tokens(c)
+    char_sum = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    signals = docs.select(
+        "doc_id",
+        F.round(char_sum / F.size(toks), 6).alias("mean_word_len"),
+        F.round(
+            F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+            / F.size(toks),
+            6,
+        ).alias("stop_frac"),
+    )
+    flags = (
+        rep.join(signals, "doc_id")
+        .withColumn(
+            "wc_ok", F.col("n_tokens").between(min_tokens, max_tokens)
+        )
+        .withColumn(
+            "mwl_ok", F.col("mean_word_len").between(min_mwl, max_mwl)
+        )
+        .withColumn("stop_ok", F.col("stop_frac") >= min_stop_frac)
+        .withColumn("rep_ok", F.col("top_word_share") <= max_top_word_share)
+        .withColumn("dup_ok", F.col("dup_ngram_frac") <= max_dup_ngram_frac)
+    )
+    keep = (
+        F.col("wc_ok")
+        & F.col("mwl_ok")
+        & F.col("stop_ok")
+        & F.col("rep_ok")
+        & F.col("dup_ok")
+    )
+    return flags.select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "stop_frac",
+        "top_word_share",
+        "dup_ngram_frac",
+        "wc_ok",
+        "mwl_ok",
+        "stop_ok",
+        "rep_ok",
+        "dup_ok",
+        keep.alias("keep"),
+    )

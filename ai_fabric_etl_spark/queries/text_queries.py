@@ -623,3 +623,52 @@ def q_emb_kmeans_invariant(spark, sf_dir):
             ).alias("n_violations"),
         )
     )
+
+
+@register(
+    "text_quality_filter",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    rep AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             greatest(len(t) - 2, 1) AS n_ngrams,
+             CASE WHEN len(t) >= 3 THEN len(list_distinct(list_transform(range(1, len(t)-1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+                  ELSE 1 END AS n_distinct_ngrams,
+             list_aggregate(list_transform(t, x -> length(x)), 'sum') AS char_sum,
+             len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x)))
+               AS stop_hits
+      FROM tok),
+    tw AS (
+      SELECT doc_id, MAX(cnt) AS top_word_count FROM (
+        SELECT doc_id, tok, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(t) AS tok FROM tok)
+        GROUP BY doc_id, tok)
+      GROUP BY doc_id),
+    sig AS (
+      SELECT r.doc_id, r.n_tokens,
+             ROUND(r.char_sum / r.n_tokens, 6) AS mean_word_len,
+             ROUND(r.stop_hits / r.n_tokens, 6) AS stop_frac,
+             ROUND(tw.top_word_count / r.n_tokens, 6) AS top_word_share,
+             ROUND(1.0 - r.n_distinct_ngrams / r.n_ngrams, 6) AS dup_ngram_frac
+      FROM rep r JOIN tw USING (doc_id))
+    SELECT doc_id, n_tokens, mean_word_len, stop_frac, top_word_share,
+           dup_ngram_frac,
+           n_tokens BETWEEN 30 AND 100000 AS wc_ok,
+           mean_word_len BETWEEN 3.0 AND 5.0 AS mwl_ok,
+           stop_frac >= 0.02 AS stop_ok,
+           top_word_share <= 0.15 AS rep_ok,
+           dup_ngram_frac <= 0.1 AS dup_ok,
+           (n_tokens BETWEEN 30 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 5.0)
+             AND stop_frac >= 0.02 AND top_word_share <= 0.15
+             AND dup_ngram_frac <= 0.1 AS keep
+    FROM sig
+    """,
+)
+def q_text_quality_filter(spark, sf_dir):
+    """C4/Gopher composite quality gate: five named rules, per-rule
+    flags plus the conjunction — the standard pre-training corpus
+    filter, one doc_id-keyed shuffle total."""
+    from ai_fabric_etl_spark.operators.text import quality_filter
+
+    return quality_filter(_t(spark, sf_dir, "documents"))

@@ -220,3 +220,24 @@ def pack_firstfit_invariants_q(spark, sf_dir):
             (F.col("bin_tokens") <= 2000) | (F.col("bin_docs") == 1)
         ).alias("bins_within_budget"),
     )
+
+
+@register(
+    "sample_global_shuffle",
+    oracle="""
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (ORDER BY md5('shuffle' || CAST(doc_id AS VARCHAR)))
+             AS shuffle_pos
+    FROM documents
+    """,
+)
+def q_sample_global_shuffle(spark, sf_dir):
+    """Deterministic global corpus shuffle: total order by salted md5,
+    1-based position — per-epoch reshuffles via the salt, identical
+    permutation on replay. Range-partitioned sort + broadcast offset
+    join: no single-task bottleneck at any corpus size."""
+    from ai_fabric_etl_spark.operators.sampling import global_shuffle
+
+    return global_shuffle(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"), key="doc_id"
+    )

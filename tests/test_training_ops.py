@@ -354,3 +354,54 @@ def test_kmeans_clusters_partition_and_invariant(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_global_shuffle_is_deterministic_permutation(spark, sf_dir):
+    """Positions are exactly 1..N; the same salt replays the identical
+    permutation; a different salt produces a different one."""
+    from ai_fabric_etl_spark.operators.sampling import global_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+
+    a = {r.doc_id: r.shuffle_pos for r in global_shuffle(docs, "doc_id").collect()}
+    assert sorted(a.values()) == list(range(1, n + 1))
+
+    again = {r.doc_id: r.shuffle_pos for r in global_shuffle(docs, "doc_id").collect()}
+    assert a == again
+
+    other = {
+        r.doc_id: r.shuffle_pos
+        for r in global_shuffle(docs, "doc_id", salt="epoch2").collect()
+    }
+    assert sorted(other.values()) == list(range(1, n + 1))
+    assert other != a
+
+
+def test_quality_filter_flags_and_conjunction(spark):
+    """Each rule trips on its designed degenerate input; keep is the
+    conjunction of all five flags."""
+    from ai_fabric_etl_spark.operators.text import quality_filter
+
+    rows = [
+        # healthy: enough tokens, normal words, stopwords, varied
+        (1, " ".join(f"wrd{i} box{i} fox{i}" for i in range(30))
+            + " the a of and to"),
+        (2, "tiny doc"),  # wc_ok fails
+        # run-on single word: rep_ok (top word share) and dup_ok fail
+        (3, " ".join(["spam"] * 60)),
+        # no stopwords: stop_ok fails
+        (4, " ".join(f"w{i} q{i} z{i}" for i in range(20))),
+        # very long tokens: mwl_ok fails
+        (5, " ".join("x" * 14 for _ in range(40)) + " the a of and to"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in quality_filter(df).collect()}
+
+    assert got[1].keep
+    assert not got[2].wc_ok and not got[2].keep
+    assert not got[3].rep_ok and not got[3].dup_ok and not got[3].keep
+    assert not got[4].stop_ok and not got[4].keep
+    assert not got[5].mwl_ok and not got[5].keep
+    for r in got.values():
+        assert r.keep == (r.wc_ok and r.mwl_ok and r.stop_ok and r.rep_ok and r.dup_ok)
