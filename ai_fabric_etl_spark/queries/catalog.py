@@ -2131,15 +2131,22 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
               F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    parts = p.filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 15))
+    # push the part predicate BELOW both aggregates: the correlated min
+    # only matters for parts that survive the filter, so the fact rows
+    # for every other part never enter the shuffle (a ~20x input cut
+    # the SQL form leaves to the optimizer, which cannot see it across
+    # the grouped subquery boundary)
     supply = (
-        li.join(F.broadcast(eu_supp.select("s_suppkey")),
-                li.l_suppkey == F.col("s_suppkey"))
+        li.join(F.broadcast(parts.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(eu_supp.select("s_suppkey")),
+              li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6)
              .alias("unit_cost"))
     )
     best = supply.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
-    parts = p.filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 15))
     return (
         supply.join(best.withColumnRenamed("l_partkey", "b_partkey"),
                     (F.col("l_partkey") == F.col("b_partkey"))

@@ -46,6 +46,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime bloom-filter semi-join pruning: when a selective dim
+        # filter survives on the build side of a shuffle join, inject a
+        # bloom filter into the probe-side scan — at 100 TB this prunes
+        # fact-table row groups before the shuffle (explicit, though
+        # recent Spark defaults it on, so a cluster override can't
+        # silently lose it)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

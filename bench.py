@@ -39,6 +39,12 @@ HEADLINE = [
     "tpch_q12_priority_classes",   # fact-fact join + conditional classes
     "tpch_q14_promo_revenue",      # broadcast join + conditional ratio
     "tpch_q17_small_quantity_revenue",  # decorrelated scalar subquery
+    "tpch_q2_min_cost_supplier",   # correlated-min decorrelation
+    "tpch_q9_product_type_profit", # LIKE-filtered dim + fact-fact join
+    "tpch_q11_important_stock",    # global-scalar HAVING
+    "tpch_q15_top_supplier",       # reused view + MAX scalar
+    "tpch_q16_supplier_part_counts",  # NOT IN anti join + count-distinct
+    "tpch_q20_part_promotion_suppliers",  # nested-IN semi chain
     "text_profile",                # text analysis suite
     "asof_click_before_purchase",  # as-of join (union + window)
     "range_recent_activity",       # bucketed range join
