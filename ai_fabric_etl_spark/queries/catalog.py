@@ -74,7 +74,10 @@ _PRIORITY = [
     "sample_hash_split",
     "sample_stratified",
     "pack_token_bins",
-    "pack_greedy_firstfit",
+    # pack_greedy_firstfit itself is rows-only; its ★ invariant twin
+    # below carries the driver signal, freeing this slot for the
+    # ★ curation composite (filter→dedup→split→pack end to end)
+    "curate_corpus_pipeline",
     "pack_firstfit_invariants",
     # the six round-1 hash mismatches, fixed — must show green
     "a2_partner_matrix",

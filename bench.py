@@ -50,6 +50,7 @@ HEADLINE = [
     "range_recent_activity",       # bucketed range join
     "sample_hash_split",           # deterministic hash split
     "dedup_exact",                 # hash dedup
+    "curate_corpus_pipeline",      # quality gate -> dedup -> split -> pack
     "dedup_ngram_jaccard",         # inverted-index near-dup
     "dedup_minhash_lsh",           # MinHash LSH
     "emb_knn_bruteforce",          # similarity search
