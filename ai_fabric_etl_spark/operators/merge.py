@@ -243,16 +243,27 @@ class ParquetMergeTable:
         target_files: int = 1,
         sort_by: list[str] | None = None,
         epoch: int | None = None,
+        zorder_by: list[str] | None = None,
     ) -> None:
         """``OPTIMIZE`` — rewrite the current version into
         ``target_files`` files, optionally range-partitioned + sorted by
         ``sort_by`` so min/max footer stats give Delta-style data
         skipping on those columns (the plain-parquet analogue of
-        Z-ordering on a single dimension). Content is unchanged; readers
-        of older versions are unaffected (new version, same rows)."""
+        Z-ordering on a single dimension). ``zorder_by`` instead
+        clusters files along the Morton curve of 2+ columns
+        (``operators/zorder.py``), so footer stats skip on EVERY listed
+        column, not just the leading sort key — Delta's ``OPTIMIZE
+        ZORDER BY``. Content is unchanged; readers of older versions
+        are unaffected (new version, same rows)."""
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by or zorder_by, not both")
         base = self._version()
         df = self.read()
-        if sort_by:
+        if zorder_by:
+            from ai_fabric_etl_spark.operators.zorder import zorder_sort
+
+            df = zorder_sort(df, zorder_by, num_files=target_files)
+        elif sort_by:
             df = df.repartitionByRange(target_files, *sort_by).sortWithinPartitions(
                 *sort_by
             )

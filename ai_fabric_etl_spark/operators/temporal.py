@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ai_fabric_etl_spark.operators.timeutil import ts_micros
+
 
 def asof_join(
     left: DataFrame,
@@ -91,7 +93,8 @@ def asof_join(
     )
     if tolerance_seconds is not None:
         gap = F.abs(
-            F.col("_ts").cast("double") - F.col("_m._matched_ts").cast("double")
+            (ts_micros(F.col("_ts")) - ts_micros(F.col("_m._matched_ts")))
+            / F.lit(1_000_000.0)
         )
         filled = filled.withColumn(
             "_m", F.when(gap <= tolerance_seconds, F.col("_m"))
@@ -146,10 +149,10 @@ def range_join(
         else left
     )
 
-    lb = F.floor((F.unix_micros(F.col(left_ts)) - before_us) / w_us)
-    ub = F.floor((F.unix_micros(F.col(left_ts)) + after_us) / w_us)
+    lb = F.floor((ts_micros(left_ts) - before_us) / w_us)
+    ub = F.floor((ts_micros(left_ts) + after_us) / w_us)
     lex = left_in.withColumn("_bucket", F.explode(F.sequence(lb, ub)))
-    rb = right.withColumn("_bucket", F.floor(F.unix_micros(F.col(right_ts)) / w_us))
+    rb = right.withColumn("_bucket", F.floor(ts_micros(right_ts) / w_us))
 
     in_range = F.col(right_ts).between(
         F.col(left_ts) - F.make_dt_interval(secs=F.lit(before_seconds)),

@@ -1,0 +1,78 @@
+"""Z-order (Morton) clustering for multi-column data skipping.
+
+Sorting a table by one column gives perfect parquet footer-stat
+pruning on that column and none on any other. Interleaving the bits
+of several columns' rank-buckets (the Morton curve) gives every
+interleaved column locality: each output file covers a narrow range
+of EACH column, so a filter on any of them skips most files. This is
+Delta's OPTIMIZE ZORDER BY semantics, built from plain DataFrame ops:
+
+1. per column, map values to a 16-bit rank bucket via percent_rank
+   (rank-based, so skew and arbitrary types don't break the curve);
+2. interleave the bucket bits JVM-side (shiftleft/bitwise or — whole
+   stage codegen, no UDF);
+3. repartitionByRange + sortWithinPartitions on the Morton key so
+   each written file owns a compact curve segment.
+
+Scale: two window passes over rank (single shuffle each) + one range
+exchange — all linear; at 100 TB the rank pass can be replaced by a
+sampled quantile map (approxQuantile) without changing the contract.
+The reference has no clustering DDL at all (its tables are heaps;
+SURVEY §2.1 S4); this is the brief's "design for the 100 TB read
+path" extension, wired into ParquetMergeTable.compact(zorder_by=...).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_BITS = 16
+
+
+def _bucket(col: str) -> Column:
+    """Rank-based 16-bit bucket of a column (0 .. 65535)."""
+    pr = F.percent_rank().over(Window.orderBy(F.col(col)))
+    return F.least(
+        F.floor(pr * (1 << _BITS)).cast("long"), F.lit((1 << _BITS) - 1)
+    )
+
+
+def morton_key(df: DataFrame, cols: list[str], key_col: str = "_zorder") -> DataFrame:
+    """Attach the interleaved Morton key for ``cols`` (2+ columns).
+
+    The global-window percent_rank funnels through one partition; at
+    real scale swap ``_bucket`` for an approxQuantile-derived bucket
+    map (same key contract). Test scale uses the exact rank.
+    """
+    if len(cols) < 2:
+        raise ValueError("zorder needs at least 2 columns")
+    bucketed = df
+    bcols = []
+    for i, c in enumerate(cols):
+        bc = f"_zb{i}"
+        bucketed = bucketed.withColumn(bc, _bucket(c))
+        bcols.append(bc)
+    # interleave: output bit (b*len + i) takes bit b of column i
+    key = F.lit(0).cast("long")
+    for b in range(_BITS):
+        for i, bc in enumerate(bcols):
+            bit = F.shiftright(F.col(bc), b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(
+                F.shiftleft(bit, b * len(bcols) + i).cast("long")
+            )
+    return bucketed.withColumn(key_col, key).drop(*bcols)
+
+
+def zorder_sort(
+    df: DataFrame, cols: list[str], num_files: int | None = None
+) -> DataFrame:
+    """Return ``df`` ordered for writing: each output file covers a
+    compact segment of the Morton curve over ``cols``."""
+    keyed = morton_key(df, cols)
+    if num_files:
+        keyed = keyed.repartitionByRange(num_files, "_zorder")
+    else:
+        keyed = keyed.repartitionByRange("_zorder")
+    return keyed.sortWithinPartitions("_zorder").drop("_zorder")

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ai_fabric_etl_spark.operators.timeutil import ts_micros, ts_seconds
+
 # ---------------------------------------------------------------------------
 # registry plumbing
 # ---------------------------------------------------------------------------
@@ -226,9 +228,9 @@ def a1_transaction_summary(spark, sf_dir):
     oracle=f"""
     SELECT c.c_mktsegment,
            COUNT(*) AS total_transactions,
-           SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_count,
-           SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished_count,
-           SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS pending_count,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_count,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_count,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_count,
            COUNT(DISTINCT o.o_custkey) AS unique_partners,
            {DAVG('o.o_totalprice')} AS avg_amount
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -266,9 +268,9 @@ def a2_partner_matrix(spark, sf_dir):
            {DAVG('l_extendedprice')} AS avg_amount,
            MIN(l_extendedprice) AS min_amount,
            MAX(l_extendedprice) AS max_amount,
-           SUM(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END) AS high_band_count,
-           SUM(CASE WHEN l_quantity >= 15 AND l_quantity < 40 THEN 1 ELSE 0 END) AS medium_band_count,
-           SUM(CASE WHEN l_quantity < 15 THEN 1 ELSE 0 END) AS low_band_count,
+           CAST(SUM(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END) AS BIGINT) AS high_band_count,
+           CAST(SUM(CASE WHEN l_quantity >= 15 AND l_quantity < 40 THEN 1 ELSE 0 END) AS BIGINT) AS medium_band_count,
+           CAST(SUM(CASE WHEN l_quantity < 15 THEN 1 ELSE 0 END) AS BIGINT) AS low_band_count,
            {PCT6("SUM(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END)")} AS high_band_pct
     FROM lineitem
     GROUP BY l_returnflag
@@ -304,8 +306,8 @@ def a3_quality_bands(spark, sf_dir):
            COUNT(DISTINCT o_orderstatus) AS unique_statuses,
            COUNT(DISTINCT CAST(o_custkey AS VARCHAR) || '-' || o_orderstatus) AS unique_partner_combos,
            {DAVG('o_totalprice')} AS avg_amount,
-           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent_count,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS completed_count,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_count,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS completed_count,
            MAX(o_orderdate) AS last_processed
     FROM orders
     """,
@@ -364,7 +366,7 @@ def a6_collect_ack_lists(spark, sf_dir):
     oracle=f"""
     SELECT event_type,
            COUNT(*) AS events,
-           SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS high_value_events,
+           CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS high_value_events,
            {DAVG('value')} AS avg_value,
            MIN(value) AS min_value,
            MAX(value) AS max_value,
@@ -1046,7 +1048,7 @@ def scalar_datetime(spark, sf_dir):
         F.to_date("ts").alias("event_date"),
         F.hour("ts").alias("event_hour"),
         F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
-        F.unix_timestamp("ts").alias("epoch_seconds"),
+        ts_seconds("ts").alias("epoch_seconds"),
     )
 
 
@@ -1406,10 +1408,10 @@ def a13_percentiles(spark, sf_dir):
     "tpch_q12_priority_classes",
     oracle="""
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_priority_lines,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_priority_lines
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_lines
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
       AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
@@ -1575,9 +1577,9 @@ def u1_claim_metrics(spark, sf_dir):
     oracle=f"""
     SELECT CAST(ts AS DATE) AS event_day,
            COUNT(*) AS total_members,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS new_enrollments,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS terminations,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS changes,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS new_enrollments,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS terminations,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS changes,
            {PCT6("SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)")} AS enrollment_ratio,
            {PCT6("SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)")} AS termination_ratio
     FROM events
@@ -1609,9 +1611,9 @@ def u3_enrollment_metrics(spark, sf_dir):
     "u7_action_buckets",
     oracle=f"""
     SELECT CAST(ts AS DATE) AS event_day,
-           SUM(CASE WHEN event_type IN ('signup','purchase') THEN 1 ELSE 0 END) AS approved_count,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS denied_count,
-           SUM(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END) AS pending_count,
+           CAST(SUM(CASE WHEN event_type IN ('signup','purchase') THEN 1 ELSE 0 END) AS BIGINT) AS approved_count,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS denied_count,
+           CAST(SUM(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END) AS BIGINT) AS pending_count,
            {PCT6("SUM(CASE WHEN event_type IN ('signup','purchase') THEN 1 ELSE 0 END)")} AS approval_rate,
            {PCT6("SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)")} AS denial_rate
     FROM events
@@ -2013,7 +2015,7 @@ def w6_lag_lead_deltas(spark, sf_dir):
     # floor of the INTERVAL seconds (micros diff / 1e6), not
     # floor(a)-floor(b): the two differ when the fractional parts
     # straddle a second boundary, and the oracle computes the former
-    us = F.unix_micros(F.col("ts"))
+    us = ts_micros(F.col("ts"))
     gap = F.floor((us - F.lag(us).over(w)) / F.lit(1000000.0)).cast("long")
     return e.select(
         "event_id",

@@ -155,7 +155,7 @@ _JSONL_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
 FROM events
 WHERE event_id % 7 = 0
 GROUP BY event_type
@@ -214,4 +214,87 @@ def source_orc_roundtrip(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
         .cast("double")
         .alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 100 TB read-path extensions: mergeable HLL sketch rollups and
+# Z-order (Morton) clustering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_distinct_rollup",
+    oracle="""
+    SELECT COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS estimate_within_5pct
+    FROM events
+    """,
+)
+def sketch_distinct_rollup(spark, sf_dir):
+    """Mergeable-sketch distinct count (operators/sketches.py): one
+    HLL partial per day, union-merged to the global estimate WITHOUT
+    re-reading base data — the only distinct-count pattern that holds
+    at 100 TB (the exact twin here is the test gate, not the prod
+    plan). Driver contract: the DataSketches estimate must land
+    within 5% of exact (lg_k=12 ≈ 1.6% RSE)."""
+    from ai_fabric_etl_spark.operators.sketches import (
+        relative_error_ok,
+        sketch_partials,
+        sketch_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    partials = sketch_partials(ev, key="user_id", by=["day"], lg_k=12)
+    total = sketch_rollup(partials, by=[])
+    exact = ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return exact.crossJoin(total).select(
+        "n_events",
+        "exact_users",
+        relative_error_ok(
+            F.col("distinct_estimate"), F.col("exact_users"), 0.05
+        ).alias("estimate_within_5pct"),
+    )
+
+
+def _morton_sql_interleave(b0: str, b1: str, bits: int = 16) -> str:
+    terms = [
+        f"((({b0} >> {k}) & 1) << {2 * k}) | ((({b1} >> {k}) & 1) << {2 * k + 1})"
+        for k in range(bits)
+    ]
+    return "(" + " | ".join(f"({t})" for t in terms) + ")"
+
+
+@register(
+    "zorder_curve_keys",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_id,
+               LEAST(CAST(FLOOR(percent_rank() OVER (ORDER BY user_id) * 65536)
+                          AS BIGINT), 65535) AS b0,
+               LEAST(CAST(FLOOR(percent_rank() OVER (ORDER BY value) * 65536)
+                          AS BIGINT), 65535) AS b1
+        FROM events
+    )
+    SELECT event_id, {_morton_sql_interleave('b0', 'b1')} AS zkey
+    FROM b
+    """,
+)
+def zorder_curve_keys(spark, sf_dir):
+    """Z-order clustering key (operators/zorder.py): rank-bucket each
+    column to 16 bits, interleave the bits JVM-side. Value-oracled:
+    DuckDB reproduces the exact Morton key via the same percent_rank
+    buckets and bit ops, pinning both the curve definition and the
+    bucket math. ``ParquetMergeTable.compact(zorder_by=...)`` sorts
+    files along this key so footer stats skip on every interleaved
+    column (the multi-column data-skipping story at 100 TB)."""
+    from ai_fabric_etl_spark.operators.zorder import morton_key
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return morton_key(ev, ["user_id", "value"], key_col="zkey").select(
+        "event_id", "zkey"
     )

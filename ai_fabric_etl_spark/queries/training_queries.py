@@ -20,6 +20,7 @@ from ai_fabric_etl_spark.operators.sampling import (
     stratified_hash_sample,
 )
 from ai_fabric_etl_spark.operators.temporal import asof_join, range_join
+from ai_fabric_etl_spark.operators.timeutil import ts_micros
 from ai_fabric_etl_spark.queries.catalog import _t, register
 
 _N_TOKENS = "len(string_split_regex(trim(text), '\\s+'))"
@@ -54,7 +55,7 @@ def asof_click_before_purchase(spark, sf_dir):
         "user_id",
         F.col("ts").alias("purchase_ts"),
         F.col("matched_ts").alias("click_ts"),
-        (F.unix_micros("ts") - F.unix_micros("matched_ts")).alias("gap_us"),
+        (ts_micros("ts") - ts_micros("matched_ts")).alias("gap_us"),
     )
 
 
@@ -62,7 +63,7 @@ def asof_click_before_purchase(spark, sf_dir):
     "range_recent_activity",
     oracle="""
     SELECT e.event_id, e.user_id,
-           SUM(CASE WHEN r.event_id <> e.event_id THEN 1 ELSE 0 END) AS n_recent
+           CAST(SUM(CASE WHEN r.event_id <> e.event_id THEN 1 ELSE 0 END) AS BIGINT) AS n_recent
     FROM events e
     JOIN events r
       ON e.user_id = r.user_id
@@ -103,7 +104,7 @@ def range_recent_activity(spark, sf_dir):
     SELECT {split_case_sql('doc_id')} AS split,
            lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS chars_total
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total
     FROM documents
     GROUP BY 1, 2
     """,

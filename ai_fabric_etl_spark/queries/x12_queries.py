@@ -332,7 +332,11 @@ def _mart_entry(mart_fn, round_cols: dict[str, int] | None = None):
 
 
 _TYPE_COUNTS = ",\n           ".join(
-    f"SUM(CASE WHEN transaction_type = '{t}' THEN 1 ELSE 0 END) AS count_{t}"
+    # CAST to BIGINT: DuckDB SUM(int) yields HUGEINT, which the
+    # driver's fetch path canonicalizes differently than Spark's
+    # bigint (the r02 hash-mismatch class)
+    f"CAST(SUM(CASE WHEN transaction_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS count_{t}"
     for t in ("837", "835", "834", "270", "271", "276", "277", "278", "279")
 )
 
@@ -432,12 +436,12 @@ _MART_ORACLES = {
         {"average_quality_score": 6},
         f"""
         SELECT processing_date, sender_id, receiver_id,
-               SUM(CASE WHEN transaction_type = '270' THEN 1 ELSE 0 END) AS inquiries,
-               SUM(CASE WHEN transaction_type = '271' THEN 1 ELSE 0 END) AS responses,
-               SUM(COALESCE(parsed.inquiry_count, 0)) AS total_inquiry_items,
-               SUM(COALESCE(parsed.benefit_count, 0)) AS total_benefits,
-               SUM(CASE WHEN COALESCE(parsed.active_coverage, FALSE)
-                        THEN 1 ELSE 0 END) AS active_coverage_count,
+               CAST(SUM(CASE WHEN transaction_type = '270' THEN 1 ELSE 0 END) AS BIGINT) AS inquiries,
+               CAST(SUM(CASE WHEN transaction_type = '271' THEN 1 ELSE 0 END) AS BIGINT) AS responses,
+               CAST(SUM(COALESCE(parsed.inquiry_count, 0)) AS BIGINT) AS total_inquiry_items,
+               CAST(SUM(COALESCE(parsed.benefit_count, 0)) AS BIGINT) AS total_benefits,
+               CAST(SUM(CASE WHEN COALESCE(parsed.active_coverage, FALSE)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS active_coverage_count,
                ROUND(AVG(quality_score), 6) AS average_quality_score
         FROM {_VALID} WHERE transaction_type IN ('270', '271')
         GROUP BY processing_date, sender_id, receiver_id
@@ -457,8 +461,8 @@ _MART_ORACLES = {
             FROM base
         )
         SELECT processing_date, sender_id, receiver_id,
-               SUM(CASE WHEN transaction_type = '276' THEN 1 ELSE 0 END) AS status_requests,
-               SUM(CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END) AS status_responses,
+               CAST(SUM(CASE WHEN transaction_type = '276' THEN 1 ELSE 0 END) AS BIGINT) AS status_requests,
+               CAST(SUM(CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS status_responses,
                ROUND(SUM(COALESCE(s.charge_amount, 0.0)), 4) AS total_charge_amount,
                ROUND(SUM(COALESCE(s.paid_amount, 0.0)), 4) AS total_paid_amount
         FROM st
@@ -517,9 +521,9 @@ _MART_ORACLES = {
                ROUND(AVG(quality_score), 6) AS average_quality_score,
                MIN(quality_score) AS min_quality_score,
                MAX(quality_score) AS max_quality_score,
-               SUM(CASE WHEN quality_score >= 90 THEN 1 ELSE 0 END) AS high_quality_count,
-               SUM(CASE WHEN quality_score >= 70 AND quality_score < 90 THEN 1 ELSE 0 END) AS medium_quality_count,
-               SUM(CASE WHEN quality_score < 70 THEN 1 ELSE 0 END) AS low_quality_count,
+               CAST(SUM(CASE WHEN quality_score >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS high_quality_count,
+               CAST(SUM(CASE WHEN quality_score >= 70 AND quality_score < 90 THEN 1 ELSE 0 END) AS BIGINT) AS medium_quality_count,
+               CAST(SUM(CASE WHEN quality_score < 70 THEN 1 ELSE 0 END) AS BIGINT) AS low_quality_count,
                ROUND(SUM(CASE WHEN quality_score >= 90 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 6) AS high_quality_percentage,
                ROUND(SUM(CASE WHEN quality_score >= 70 AND quality_score < 90 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 6) AS medium_quality_percentage,
                ROUND(SUM(CASE WHEN quality_score < 70 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 6) AS low_quality_percentage,

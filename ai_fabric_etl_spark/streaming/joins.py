@@ -41,8 +41,20 @@ def stream_interval_join(
     if how not in ("inner", "left_outer"):
         raise ValueError(f"how must be inner|left_outer, got {how!r}")
     delay = f"{int(watermark_seconds)} seconds"
-    lw = left.withWatermark(left_ts, delay)
-    rw = right.withWatermark(right_ts, delay)
+    # Spark watermarks require TIMESTAMP (LTZ); parquet sources with
+    # isAdjustedToUTC=false arrive as TIMESTAMP_NTZ. Normalize for the
+    # watermark/join (wall-clock preserving under the session zone,
+    # and the range condition only compares the two sides' instants),
+    # then restore the source types so the batch twin stays
+    # column-for-column comparable.
+    l_type = dict(left.dtypes)[left_ts]
+    r_type = dict(right.dtypes)[right_ts]
+    lw = left.withColumn(left_ts, F.col(left_ts).cast("timestamp")).withWatermark(
+        left_ts, delay
+    )
+    rw = right.withColumn(right_ts, F.col(right_ts).cast("timestamp")).withWatermark(
+        right_ts, delay
+    )
     cond = None
     for k in by:
         c = lw[k] == rw[k]
@@ -54,4 +66,7 @@ def stream_interval_join(
     cond = cond & in_range
     joined = lw.join(rw, cond, how)
     # drop the right side's duplicated key columns
-    return joined.drop(*[rw[k] for k in by])
+    out = joined.drop(*[rw[k] for k in by])
+    return out.withColumn(left_ts, F.col(left_ts).cast(l_type)).withColumn(
+        right_ts, F.col(right_ts).cast(r_type)
+    )

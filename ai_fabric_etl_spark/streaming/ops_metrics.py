@@ -28,8 +28,13 @@ def with_watermark(events: DataFrame, delay: str = "2 hours") -> DataFrame:
     no late-data story at all (it batch-recomputes a lookback window,
     gold_x12_analytics.py:39,65-68); the watermark is what lets the
     same aggregation run incrementally forever without unbounded state.
+
+    Event time must be TIMESTAMP (LTZ) for Spark's watermark; NTZ
+    parquet sources are normalized here (wall-clock preserving).
     """
-    return events.withWatermark("ts", delay)
+    return events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", delay
+    )
 
 
 def hourly_rollup(events: DataFrame) -> DataFrame:
@@ -129,6 +134,8 @@ def dedup_within_watermark(
     """
     if keys is None:
         keys = ["event_id"]
-    return events.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
-        keys
+    return (
+        events.withColumn(event_time_col, F.col(event_time_col).cast("timestamp"))
+        .withWatermark(event_time_col, delay)
+        .dropDuplicatesWithinWatermark(keys)
     )

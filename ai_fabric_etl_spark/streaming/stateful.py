@@ -29,6 +29,7 @@ from typing import Any
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
@@ -98,7 +99,8 @@ def sessionize_with_state(
     qty, unit = gap.split()
     gap_s = int(qty) * unit_s[unit]
     return (
-        events.withWatermark("ts", watermark)
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
         .select("user_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(

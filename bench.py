@@ -83,16 +83,23 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # one failing query must never zero the whole round's numbers
+    # (round 2 lost its entire bench to a single analysis error):
+    # record the error, keep measuring the rest.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     SINGLE_RUN = {"x12_silver_transactions"}  # first run is the measurement
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        for _ in range(1 if name in SINGLE_RUN else 2):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(1 if name in SINGLE_RUN else 2):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as ex:  # noqa: BLE001 - keep the suite alive
+            errors[name] = f"{type(ex).__name__}: {ex}"[:300]
 
     # measured X12 parse throughput (VERDICT r1 item 8): parse a
     # 1024-file corpus through the real mapInPandas silver path and
@@ -100,14 +107,18 @@ def main() -> None:
     from ai_fabric_etl_spark.pipeline.silver import parse_to_silver
     from ai_fabric_etl_spark.x12.testgen import generate_corpus
 
-    corpus = generate_corpus(n_files=4096, seed=11)
-    files = spark.createDataFrame(corpus, ["file_name", "content"]).repartition(128)
-    files.persist().count()  # exclude driver-side generation from the timing
-    parse_to_silver(files, batch_id="warm").count()  # worker-pool warmup
-    t0 = time.perf_counter()
-    n_tx = parse_to_silver(files, batch_id="bench").count()
-    parse_s = time.perf_counter() - t0
-    files.unpersist()
+    n_tx, parse_s, corpus = 0, float("nan"), []
+    try:
+        corpus = generate_corpus(n_files=4096, seed=11)
+        files = spark.createDataFrame(corpus, ["file_name", "content"]).repartition(128)
+        files.persist().count()  # exclude driver-side generation from the timing
+        parse_to_silver(files, batch_id="warm").count()  # worker-pool warmup
+        t0 = time.perf_counter()
+        n_tx = parse_to_silver(files, batch_id="bench").count()
+        parse_s = time.perf_counter() - t0
+        files.unpersist()
+    except Exception as ex:  # noqa: BLE001 - keep the suite alive
+        errors["x12_parse_throughput"] = f"{type(ex).__name__}: {ex}"[:300]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -118,9 +129,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "x12_parse_files": len(corpus),
         "x12_parse_transactions": n_tx,
-        "x12_parse_seconds": round(parse_s, 3),
-        "x12_parse_tx_per_sec": round(n_tx / parse_s, 1),
+        "x12_parse_seconds": round(parse_s, 3) if parse_s == parse_s else None,
+        "x12_parse_tx_per_sec": round(n_tx / parse_s, 1) if parse_s == parse_s and parse_s > 0 else None,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

