@@ -41,6 +41,24 @@ def sketch_partials(
     )
 
 
+def sketch_merge(
+    partials: DataFrame,
+    by: list[str],
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Merge finer partials to a coarser grain KEEPING the mergeable
+    sketch (no estimate), so rollups chain: day → ``sketch_merge`` →
+    week → ``sketch_merge`` → month → ``sketch_rollup`` → estimate.
+    The output is itself a valid partials frame."""
+    agg = [
+        F.hll_union_agg(F.col(sketch_col)).alias(sketch_col),
+        F.sum("row_count").alias("row_count"),
+    ]
+    if by:
+        return partials.groupBy(*by).agg(*agg)
+    return partials.agg(*agg)
+
+
 def sketch_rollup(
     partials: DataFrame,
     by: list[str],

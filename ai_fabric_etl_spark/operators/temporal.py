@@ -92,8 +92,12 @@ def asof_join(
         F.col("_side") == 1
     )
     if tolerance_seconds is not None:
+        # _ts/_matched_ts carry the source column types; dispatch on
+        # them so LTZ inputs take the DST-safe unix_micros path
+        lt = dict(left.dtypes).get(left_ts)
+        rt = dict(right.dtypes).get(right_ts)
         gap = F.abs(
-            (ts_micros(F.col("_ts")) - ts_micros(F.col("_m._matched_ts")))
+            (ts_micros(F.col("_ts"), lt) - ts_micros(F.col("_m._matched_ts"), rt))
             / F.lit(1_000_000.0)
         )
         filled = filled.withColumn(
@@ -149,10 +153,12 @@ def range_join(
         else left
     )
 
-    lb = F.floor((ts_micros(left_ts) - before_us) / w_us)
-    ub = F.floor((ts_micros(left_ts) + after_us) / w_us)
+    lt = dict(left.dtypes).get(left_ts)
+    rt = dict(right.dtypes).get(right_ts)
+    lb = F.floor((ts_micros(left_ts, lt) - before_us) / w_us)
+    ub = F.floor((ts_micros(left_ts, lt) + after_us) / w_us)
     lex = left_in.withColumn("_bucket", F.explode(F.sequence(lb, ub)))
-    rb = right.withColumn("_bucket", F.floor(ts_micros(right_ts) / w_us))
+    rb = right.withColumn("_bucket", F.floor(ts_micros(right_ts, rt) / w_us))
 
     in_range = F.col(right_ts).between(
         F.col(left_ts) - F.make_dt_interval(secs=F.lit(before_seconds)),

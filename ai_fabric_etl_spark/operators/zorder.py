@@ -31,16 +31,22 @@ from pyspark.sql.window import Window
 _BITS = 16
 
 
-def _bucket(col: str) -> Column:
-    """Rank-based 16-bit bucket of a column (0 .. 65535)."""
+def _bucket(col: str, bits: int) -> Column:
+    """Rank-based ``bits``-bit bucket of a column (0 .. 2^bits - 1)."""
     pr = F.percent_rank().over(Window.orderBy(F.col(col)))
     return F.least(
-        F.floor(pr * (1 << _BITS)).cast("long"), F.lit((1 << _BITS) - 1)
+        F.floor(pr * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
     )
 
 
 def morton_key(df: DataFrame, cols: list[str], key_col: str = "_zorder") -> DataFrame:
     """Attach the interleaved Morton key for ``cols`` (2+ columns).
+
+    Bits-per-column is ``min(16, 63 // len(cols))`` so the interleaved
+    key always fits the 63 value bits of a signed long: a fixed 16
+    would push the top bit into the sign at 4 columns (negative keys
+    sort before the curve start) and silently collide via JVM shift
+    masking (shift & 63) at 5+.
 
     The global-window percent_rank funnels through one partition; at
     real scale swap ``_bucket`` for an approxQuantile-derived bucket
@@ -48,15 +54,16 @@ def morton_key(df: DataFrame, cols: list[str], key_col: str = "_zorder") -> Data
     """
     if len(cols) < 2:
         raise ValueError("zorder needs at least 2 columns")
+    bits = min(_BITS, 63 // len(cols))
     bucketed = df
     bcols = []
     for i, c in enumerate(cols):
         bc = f"_zb{i}"
-        bucketed = bucketed.withColumn(bc, _bucket(c))
+        bucketed = bucketed.withColumn(bc, _bucket(c, bits))
         bcols.append(bc)
     # interleave: output bit (b*len + i) takes bit b of column i
     key = F.lit(0).cast("long")
-    for b in range(_BITS):
+    for b in range(bits):
         for i, bc in enumerate(bcols):
             bit = F.shiftright(F.col(bc), b).bitwiseAND(F.lit(1))
             key = key.bitwiseOR(

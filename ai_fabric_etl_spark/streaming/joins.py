@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ai_fabric_etl_spark.operators.timeutil import instant_to_ntz, ntz_to_instant
+
 
 def stream_interval_join(
     left: DataFrame,
@@ -42,17 +44,26 @@ def stream_interval_join(
         raise ValueError(f"how must be inner|left_outer, got {how!r}")
     delay = f"{int(watermark_seconds)} seconds"
     # Spark watermarks require TIMESTAMP (LTZ); parquet sources with
-    # isAdjustedToUTC=false arrive as TIMESTAMP_NTZ. Normalize for the
-    # watermark/join (wall-clock preserving under the session zone,
-    # and the range condition only compares the two sides' instants),
-    # then restore the source types so the batch twin stays
-    # column-for-column comparable.
+    # isAdjustedToUTC=false arrive as TIMESTAMP_NTZ. A plain
+    # NTZ→TIMESTAMP cast goes through the session zone's wall clock,
+    # which is nonlinear across DST (nonexistent/ambiguous local
+    # times) and can reorder event time → spurious watermark drops.
+    # Bridge through epoch micros instead (NTZ read as UTC): linear on
+    # any session zone; restore the source types on the way out so the
+    # batch twin stays column-for-column comparable.
     l_type = dict(left.dtypes)[left_ts]
     r_type = dict(right.dtypes)[right_ts]
-    lw = left.withColumn(left_ts, F.col(left_ts).cast("timestamp")).withWatermark(
+
+    def _as_instant(c, t):
+        return ntz_to_instant(c) if t == "timestamp_ntz" else F.col(c).cast("timestamp")
+
+    def _restore(c, t):
+        return instant_to_ntz(c) if t == "timestamp_ntz" else F.col(c).cast(t)
+
+    lw = left.withColumn(left_ts, _as_instant(left_ts, l_type)).withWatermark(
         left_ts, delay
     )
-    rw = right.withColumn(right_ts, F.col(right_ts).cast("timestamp")).withWatermark(
+    rw = right.withColumn(right_ts, _as_instant(right_ts, r_type)).withWatermark(
         right_ts, delay
     )
     cond = None
@@ -67,6 +78,6 @@ def stream_interval_join(
     joined = lw.join(rw, cond, how)
     # drop the right side's duplicated key columns
     out = joined.drop(*[rw[k] for k in by])
-    return out.withColumn(left_ts, F.col(left_ts).cast(l_type)).withColumn(
-        right_ts, F.col(right_ts).cast(r_type)
+    return out.withColumn(left_ts, _restore(left_ts, l_type)).withColumn(
+        right_ts, _restore(right_ts, r_type)
     )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ai_fabric_etl_spark.operators.merge import ParquetMergeTable
 from ai_fabric_etl_spark.operators.sketches import (
+    sketch_merge,
     sketch_partials,
     sketch_rollup,
 )
@@ -82,7 +83,24 @@ def test_compact_zorder_preserves_content(spark, tmp_path):
     t.compact(target_files=4, zorder_by=["x", "y"])
     after = sorted(map(tuple, t.read().collect()))
     assert before == after
-    assert [h["operation"] for h in t.history()][-1] == "OPTIMIZE"
+    assert [h["op"] for h in t.history()][-1] == "OPTIMIZE"
+
+
+def test_zorder_many_columns_fit_long_sign_bit(spark):
+    # 4+ interleaved columns must shrink bits-per-column so the key
+    # stays in the 63 value bits of a long: no negative keys (sign-bit
+    # hit) and no shift-mask collisions collapsing the curve.
+    n = 8
+    rows = [
+        (i, i % n, (i // n) % n, (i * 3) % n, (i * 5) % n, (i * 7) % n)
+        for i in range(n * n)
+    ]
+    df = spark.createDataFrame(rows, "id long, a long, b long, c long, d long, e long")
+    for cols in (["a", "b", "c", "d"], ["a", "b", "c", "d", "e"]):
+        keys = [r["_zorder"] for r in morton_key(df, cols).collect()]
+        assert all(k >= 0 for k in keys), f"negative morton key for {cols}"
+        # distinct buckets survive: collisions would collapse most keys
+        assert len(set(keys)) > n * n // 2, f"morton collisions for {cols}"
 
 
 def test_sketch_rollup_accuracy_and_merge(spark):
@@ -104,14 +122,15 @@ def test_sketch_rollup_accuracy_and_merge(spark):
     assert abs(est - 500) / 500.0 < 0.05, est
     assert total["row_count"] == 5000
 
-    # two-level merge (day -> pentad -> global) estimates the same
-    # cardinality: sketches are associative under union
+    # two-level merge (day -> pentad -> global): the intermediate
+    # level keeps the mergeable sketch (sketch_merge) so rollups
+    # chain. Union is semantically associative but not bit-identical
+    # to the one-pass sketch (DataSketches mode transitions), so gate
+    # on the same accuracy bound as the flat rollup plus closeness.
     pent = partials.withColumn("pentad", F.dayofmonth("day") <= 5)
-    mid = sketch_partials  # noqa: F841 - name clarity only
-    two_level = sketch_rollup(
-        sketch_rollup(pent, by=["pentad"], estimate_col="ignored")
-        if False
-        else pent,
-        by=[],
-    ).collect()[0]["distinct_estimate"]
-    assert abs(two_level - est) / est < 0.02
+    mid = sketch_merge(pent, by=["pentad"])
+    assert mid.count() == 2
+    two_level = sketch_rollup(mid, by=[]).collect()[0]
+    assert abs(two_level["distinct_estimate"] - 500) / 500.0 < 0.05
+    assert abs(two_level["distinct_estimate"] - est) / est < 0.02
+    assert two_level["row_count"] == 5000
