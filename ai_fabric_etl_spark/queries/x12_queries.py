@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from ai_fabric_etl_spark.pipeline import gold
 from ai_fabric_etl_spark.pipeline.silver import parse_to_silver, silver_with_parsed
 from ai_fabric_etl_spark.queries.catalog import register
-from ai_fabric_etl_spark.x12.testgen import generate_corpus
+from ai_fabric_etl_spark.x12.testgen import expected_silver, generate_corpus
 
 _NOW = datetime(2025, 1, 2, 12, 0, 0)  # fixed clock for determinism
 
@@ -87,6 +87,52 @@ def _silver(spark: SparkSession) -> DataFrame:
     return df
 
 
+_EXPECTED_CACHE = os.path.join(_REPO_ROOT, ".cache", "x12_expected_silver")
+
+
+def _write_expected_silver() -> str:
+    """Materialize the spec-derived ground truth (testgen.expected_silver,
+    built WITHOUT running the parser) as a parquet DuckDB can read —
+    the independent oracle side for x12_silver_transactions. Pure
+    pyarrow: no Spark job, negligible cost, idempotent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = expected_silver(now=_NOW)
+    cols = list(rows[0].keys())
+    schema = pa.schema(
+        [
+            ("batch_id", pa.string()),
+            ("file_name", pa.string()),
+            ("processing_timestamp", pa.timestamp("us")),
+            ("interchange_control_number", pa.string()),
+            ("functional_group_number", pa.string()),
+            ("transaction_set_control_number", pa.string()),
+            ("transaction_type", pa.string()),
+            ("sender_id", pa.string()),
+            ("receiver_id", pa.string()),
+            ("transaction_date", pa.string()),
+            ("quality_score", pa.int32()),
+            ("is_valid", pa.bool_()),
+            ("processing_date", pa.date32()),
+        ]
+    )
+    table = pa.Table.from_pylist(rows, schema=schema)
+    assert table.num_columns == len(cols)
+    os.makedirs(_EXPECTED_CACHE, exist_ok=True)
+    pq.write_table(table, os.path.join(_EXPECTED_CACHE, "expected.parquet"))
+    return _EXPECTED_CACHE
+
+
+# the oracle side must exist whenever DuckDB runs, regardless of the
+# driver's Spark-vs-oracle execution order — write it at import time
+# (best-effort: read-only checkouts still import; the entry rewrites)
+import contextlib as _contextlib
+
+with _contextlib.suppress(OSError):
+    _write_expected_silver()
+
+
 def _silver_oracled(spark: SparkSession) -> DataFrame:
     """_silver plus the eager parquet write the DuckDB mart oracles
     read (one job per process; subsequent entries reuse both the
@@ -115,12 +161,31 @@ def _outer_unnest(list_expr: str, alias: str) -> str:
     )
 
 
-@register("x12_silver_transactions")
+@register(
+    "x12_silver_transactions",
+    oracle=f"SELECT * FROM read_parquet('{_EXPECTED_CACHE}/*.parquet')",
+)
 def x12_silver_transactions(spark, sf_dir):
-    """U9: the file->transaction-rows UDTF via mapInPandas. Rows-only
-    (the parse is the thing SQL can't express); the entry also
-    materializes the silver parquet every mart oracle below reads."""
-    return _silver(spark).drop("parsed")
+    """U9: the file->transaction-rows UDTF via mapInPandas.
+
+    Value-oracled (VERDICT r1/r3: this was the last rows-only flagship
+    row): the oracle reads a parquet of SPEC-derived expected rows —
+    control numbers, partners, dates, and the quality contract taken
+    from the generator's own construction loop
+    (testgen.expected_silver), never from the parser. A parse
+    regression in any envelope/identity/quality column flips the
+    driver's value hash. The two free-text JSON columns (parsed_data,
+    validation_results) are parser-internal representations with no
+    spec-level canonical form; they are exercised by the typed-struct
+    mart oracles below and the pytest parity suite.
+
+    The entry also materializes the silver parquet every mart oracle
+    below reads.
+    """
+    _write_expected_silver()
+    return _silver_oracled(spark).drop(
+        "parsed", "parsed_data", "validation_results"
+    )
 
 
 @register(

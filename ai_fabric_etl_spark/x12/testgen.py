@@ -198,3 +198,48 @@ def generate_corpus(n_files: int = 27, seed: int = 7) -> list[tuple[str, str]]:
                             func_code=func_code)
         out.append((f"test_{txn_type}_{i:03d}.x12", content))
     return out
+
+
+def expected_silver(
+    n_files: int = 27, seed: int = 7, batch_id: str = "entry", now=None
+) -> list[dict]:
+    """Spec-derived ground truth for the envelope surface of the
+    silver parse — one dict per ST..SE set, built from the generator's
+    OWN loop (control numbers, partners, GS date) without ever running
+    the parser. Quality is a spec-level constant: every maker emits
+    all of validate.REQUIRED_SEGMENTS for its type with a correct SE
+    count, and the envelope always carries sender/receiver/ICN, so
+    issues = warnings = 0 → score 100, valid. This is the independent
+    oracle the driver hashes x12_silver_transactions against.
+    """
+    from datetime import datetime
+
+    now = now or datetime(2025, 1, 2, 12, 0, 0)
+    rng = random.Random(seed)
+    types = list(_MAKERS)
+    out: list[dict] = []
+    for i in range(n_files):
+        txn_type = types[i % len(types)]
+        maker, _ = _MAKERS[txn_type]
+        n_sets = rng.randint(1, 3)
+        for j in range(n_sets):
+            cn = 1000 * (i + 1) + j
+            maker(rng, cn)  # consume the body's randomness; content unused
+            out.append(
+                {
+                    "batch_id": batch_id,
+                    "file_name": f"test_{txn_type}_{i:03d}.x12",
+                    "processing_timestamp": now,
+                    "interchange_control_number": f"{10_000 + i:09d}",
+                    "functional_group_number": str(500 + i),
+                    "transaction_set_control_number": f"{cn:09d}",
+                    "transaction_type": txn_type,
+                    "sender_id": f"SENDER{(i % 3) + 1:02d}",
+                    "receiver_id": f"RECV{(i % 2) + 1:02d}",
+                    "transaction_date": "20250101",
+                    "quality_score": 100,
+                    "is_valid": True,
+                    "processing_date": now.date(),
+                }
+            )
+    return out

@@ -124,6 +124,24 @@ def test_all_types_parse_with_quality():
             assert row["processing_date"] == NOW.date()
 
 
+def test_parse_matches_spec_ground_truth():
+    # the driver oracle for x12_silver_transactions: parsing the
+    # generated corpus must reproduce the generator's OWN spec
+    # (control numbers, partners, GS date, quality contract) on every
+    # envelope-surface column, row for row
+    from ai_fabric_etl_spark.x12.testgen import expected_silver
+
+    parsed = []
+    for name, content in generate_corpus():
+        parsed.extend(parse_x12_file(name, content, batch_id="entry", now=NOW))
+    expected = expected_silver(batch_id="entry", now=NOW)
+    assert len(parsed) == len(expected)
+    surface = list(expected[0].keys())
+    key = lambda r: (r["file_name"], r["transaction_set_control_number"])  # noqa: E731
+    for got, want in zip(sorted(parsed, key=key), sorted(expected, key=key)):
+        assert {c: got[c] for c in surface} == want
+
+
 def test_quality_formula_canonical():
     # a transaction missing required segments: 837 with no CLM/NM1/BHT
     text = (
