@@ -70,6 +70,15 @@ _PRIORITY = [
     "x12_gold_preauth_request_analytics",
     "x12_gold_preauth_response_analytics",
     "x12_gold_data_quality_metrics",
+    # fingerprint composites: the whole TPC-H suite + every other
+    # oracled family the 50-entry cap leaves row-less, one exact
+    # summary row per sub-query (queries/composites.py). Slots paid
+    # for by folding text_clean_redact / p11_text_predicates /
+    # a11_pivot_daily / o1_topk_nations into the composites.
+    "fp_tpch_core",
+    "fp_tpch_advanced",
+    "fp_relational_ops",
+    "fp_training_sources",
     # temporal / sampling / packing (round-1 gap)
     "asof_click_before_purchase",
     "range_recent_activity",
@@ -94,18 +103,14 @@ _PRIORITY = [
     "scalar_strings",
     "a5_approx_distinct",
     "a10_hourly_rollup",
-    "a11_pivot_daily",
     "j1_left_join_activity",
     "w1_latest_event_per_user",
     "lakehouse_merge_orders",  # MERGE/lakehouse semantics (A7/S5) — scalar_datetime yields its slot (§2.8 stays repped by scalar_strings)
     "w4_session_windows",
-    "o1_topk_nations",
     "p6_projection_casts",
     # training-data suite with its verified gates
     "text_profile",
-    "text_clean_redact",
     "dedup_exact",
-    "p11_text_predicates",
     "dedup_drop_neardups",
     "dedup_minhash_lsh",
     "dedup_simhash_planted",

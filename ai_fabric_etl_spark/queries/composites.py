@@ -1,0 +1,129 @@
+"""Fingerprint composite entries — driver-visible coverage for every
+oracled query the 50-entry correctness cap would otherwise leave
+without a driver row (see fingerprint.py for the mechanism).
+
+Groups are thematic so a driver hash-fail localizes: the failing
+composite's `q` column names the sub-query whose summary diverged
+(verify locally with tools/verify_oracle.py <sf> <fp_name>).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ai_fabric_etl_spark.queries.catalog import _ORACLES, _QUERIES, register
+from ai_fabric_etl_spark.queries.fingerprint import (
+    oracle_fingerprint,
+    spark_fingerprint,
+)
+
+# every name must be a registered ★-oracled entry; rows-only entries
+# (hash-defined LSH variants, greedy packer, fake-decode plumbing)
+# keep their dedicated gate twins inside the top-50 instead
+FP_GROUPS: dict[str, list[str]] = {
+    "fp_tpch_core": [
+        "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority",
+        "tpch_q4_order_priority",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q6_forecast_revenue",
+        "tpch_q7_volume_shipping",
+        "tpch_q10_returned_items",
+        "tpch_q12_priority_classes",
+        "tpch_q14_promo_revenue",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q18_large_volume_customer",
+    ],
+    "fp_tpch_advanced": [
+        "tpch_q2_min_cost_supplier",
+        "tpch_q8_market_share",
+        "tpch_q9_product_type_profit",
+        "tpch_q11_important_stock",
+        "tpch_q13_order_count_distribution",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_part_counts",
+        "tpch_q19_disjunctive_revenue",
+        "tpch_q20_part_promotion_suppliers",
+        "tpch_q21_waiting_supplier",
+        "tpch_q22_global_sales_opportunity",
+    ],
+    "fp_relational_ops": [
+        "a1_transaction_summary",
+        "a6_collect_ack_lists",
+        "a10_sliding_rollup",
+        "a11_pivot_daily",
+        "a13_percentiles",
+        "rollup_region_nation",
+        "cube_status_priority",
+        "j2_semi_join",
+        "j2_anti_join",
+        "set_intersect_except",
+        "w2_rank_topk",
+        "w3_running_totals",
+        "w5_ntile_distribution",
+        "w6_lag_lead_deltas",
+        "skew_salted_agg",
+        "p8_concat_partner_keys",
+        "p10_case_bands",
+        "div_full_priority_customers",
+        "o1_topk_nations",
+        "u1_claim_metrics",
+    ],
+    "fp_training_sources": [
+        "scalar_datetime",
+        "scalar_json",
+        "scalar_arrays",
+        "sample_global_shuffle",
+        "dedup_ngram_jaccard",
+        "emb_neardup_exact",
+        "emb_kmeans_invariant",
+        "text_decontaminate",
+        "text_repetition",
+        "text_quality_filter",
+        "text_clean_redact",
+        "p11_text_predicates",
+        "multimodal_bytes",
+        "multimodal_video_frames",
+        "multimodal_features_real",
+        "sink_partitioned_roundtrip",
+        "source_csv_roundtrip",
+        "source_jsonl_roundtrip",
+        "source_orc_roundtrip",
+        "sketch_distinct_rollup",
+        "zorder_curve_keys",
+    ],
+}
+
+
+try:
+    from ai_fabric_etl_spark.queries.fingerprint_meta import FP_META
+except ImportError:  # bootstrap: run tools/gen_fingerprint_meta.py
+    FP_META = {}
+
+
+def _composite_fn(names: list[str]):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        parts = [
+            spark_fingerprint(n, _QUERIES[n](spark, sf_dir), FP_META[n])
+            for n in names
+        ]
+        return reduce(DataFrame.unionByName, parts)
+
+    return fn
+
+
+def _composite_oracle(names: list[str]) -> str:
+    return "\nUNION ALL\n".join(
+        oracle_fingerprint(n, _ORACLES[n], FP_META[n]) for n in names
+    )
+
+
+for _group, _names in FP_GROUPS.items():
+    missing = [n for n in _names if n not in _QUERIES or n not in _ORACLES]
+    if missing:  # defensive: never register a composite with holes
+        raise ImportError(f"fingerprint group {_group} missing {missing}")
+    if any(n not in FP_META for n in _names):
+        continue  # meta not generated yet; gen tool imports this module
+    register(_group, oracle=_composite_oracle(_names))(_composite_fn(_names))
