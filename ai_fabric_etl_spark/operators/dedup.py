@@ -359,21 +359,31 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def neardup_components(
+    pairs: DataFrame, max_iter: int = 25, algorithm: str = "star"
+) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, component),
     component = min doc_id reachable. Pairs are an edge list
     (doc_a < doc_b) from any of the pair operators above.
 
-    Min-label propagation: every node repeatedly adopts the smallest
-    label among itself and its neighbors; converges in O(diameter)
-    rounds, and near-dup graphs are unions of small dense clusters, so
-    the diameter is tiny. Each round is one grouped aggregation over
-    the (undirected) edge list joined to current labels; convergence
-    is checked with a count of changed labels. For adversarially long
-    chain graphs at 100 TB the large-star/small-star variant halves
-    rounds, but clusters here are cliques-with-noise where plain
-    propagation already terminates in 2-3 rounds.
+    ``algorithm="star"`` (default): alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    O(log n) rounds on ANY graph shape — chains included — each round
+    two grouped aggregations over the edge list. The scale-safe
+    default.
+
+    ``algorithm="propagation"``: min-label propagation — every node
+    repeatedly adopts the smallest label among itself and its
+    neighbors; one grouped aggregation per round but O(diameter)
+    rounds, so only for graphs known to be unions of small dense
+    clusters (near-dup cliques-with-noise converge in 2-3 rounds).
+    Raises if ``max_iter`` rounds pass without convergence rather
+    than returning silently wrong labels.
     """
+    if algorithm == "star":
+        return _components_star(pairs, max_iter)
+    if algorithm != "propagation":
+        raise ValueError(f"algorithm must be star|propagation, got {algorithm!r}")
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
@@ -411,8 +421,98 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"min-label propagation did not converge in {max_iter} rounds "
+        "(graph diameter exceeds the round budget) — use "
+        'algorithm="star", which needs O(log n) rounds on any shape'
+    )
+
+
+def _components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Each round, with Γ(u) the neighborhood from the symmetric edge
+    list and m(u) = min(Γ(u) ∪ {u}):
+
+    - large-star: for every v ∈ Γ(u) with v > u, emit (v, m(u)) —
+      hangs big neighbors under the local minimum;
+    - small-star: with N = {v ∈ Γ(u) : v ≤ u}, m = min(N ∪ {u}),
+      emit (v, m) for v ∈ N and (u, m) — flattens the ≤-side.
+
+    The edge set converges (in O(log n) rounds) to star graphs whose
+    centers are the component minima; comparisons use the doc_id
+    ordering, so labels equal the min reachable id — the same
+    contract as propagation. Every step is a groupBy + join on the
+    edge list: no per-node state, no driver-side graph, AQE-friendly.
+    """
+    base = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    nodes = (
+        base.select(F.col("u").alias("doc_id"))
+        .unionByName(base.select(F.col("v").alias("doc_id")))
+        .distinct()
+        .cache()
+    )
+    # canonical undirected form (a < b), deduped
+    edges = base.filter(F.col("u") != F.col("v")).select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct().localCheckpoint(eager=True)
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    def _canon(e: DataFrame) -> DataFrame:
+        return (
+            e.filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        sym = _sym(edges)
+        m = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        mcol = F.least(F.col("u"), F.col("_mn"))
+        # large-star: (v, m(u)) for neighbors v > u
+        large = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), mcol.alias("v"))
+        )
+        after_large = _canon(large).localCheckpoint(eager=True)
+
+        sym = _sym(after_large)
+        small_n = sym.filter(F.col("v") <= F.col("u"))
+        m = small_n.groupBy("u").agg(F.min("v").alias("_mn"))
+        mcol = F.least(F.col("u"), F.col("_mn"))
+        # small-star: (v, m) for v ≤ u, plus (u, m)
+        small = (
+            small_n.join(m, "u")
+            .select(F.col("v").alias("u"), mcol.alias("v"))
+            .unionByName(m.select(F.col("u"), mcol.alias("v")))
+        )
+        new_edges = _canon(small).localCheckpoint(eager=True)
+
+        converged = new_edges.exceptAll(edges).limit(1).count() == 0 and (
+            edges.exceptAll(new_edges).limit(1).count() == 0
+        )
+        edges = new_edges
+        if converged:
             break
-    return labels
+    else:
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {max_iter} rounds"
+        )
+
+    # converged edges are stars (node -> component min); roots and
+    # isolated nodes label themselves
+    root_of = edges.groupBy(F.col("b").alias("doc_id")).agg(
+        F.min("a").alias("_root")
+    )
+    return nodes.join(root_of, "doc_id", "left").select(
+        "doc_id", F.coalesce("_root", F.col("doc_id")).alias("component")
+    )
 
 
 def drop_near_duplicates(

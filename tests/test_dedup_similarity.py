@@ -218,14 +218,62 @@ def test_neardup_components_and_drop(spark):
 
 
 def test_neardup_components_long_chain(spark):
-    """Propagation converges on a path graph longer than one hop."""
+    """Both algorithms converge on a short path graph."""
     n = 12
     pairs = spark.createDataFrame(
         [(i, i + 1, 0.9) for i in range(n)], "doc_a long, doc_b long, jaccard double"
     )
-    comp = dedup.neardup_components(pairs).collect()
+    for algo in ("star", "propagation"):
+        comp = dedup.neardup_components(pairs, algorithm=algo).collect()
+        assert {r.component for r in comp} == {0}, algo
+        assert len(comp) == n + 1, algo
+
+
+def test_components_star_chain_beyond_propagation_budget(spark):
+    """A path graph longer than the propagation round budget: star
+    converges in O(log n) rounds where propagation (O(diameter))
+    must raise instead of returning silently wrong labels."""
+    import pytest as _pytest
+
+    n = 60  # diameter 60 >> default 25-round budget
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 0.9) for i in range(n)], "doc_a long, doc_b long, jaccard double"
+    )
+    comp = dedup.neardup_components(pairs, algorithm="star").collect()
     assert {r.component for r in comp} == {0}
     assert len(comp) == n + 1
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.neardup_components(pairs, algorithm="propagation")
+
+
+def test_components_star_matches_propagation_random(spark):
+    """On random clustered graphs (propagation's home turf) the two
+    algorithms agree label-for-label."""
+    import random as _random
+
+    rng = _random.Random(11)
+    edges = set()
+    for cluster in range(8):
+        base = cluster * 50
+        members = [base + k for k in range(rng.randint(2, 12))]
+        for m in members[1:]:
+            edges.add((members[0], m))
+        for _ in range(4):
+            a, b = rng.sample(members, 2)
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in sorted(edges)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    star = {
+        r.doc_id: r.component
+        for r in dedup.neardup_components(pairs, algorithm="star").collect()
+    }
+    prop = {
+        r.doc_id: r.component
+        for r in dedup.neardup_components(pairs, algorithm="propagation").collect()
+    }
+    assert star == prop
 
 
 def test_ngram_jaccard_exact_under_boilerplate(spark):
