@@ -39,7 +39,44 @@ def _bucket(col: str, bits: int) -> Column:
     )
 
 
-def morton_key(df: DataFrame, cols: list[str], key_col: str = "_zorder") -> DataFrame:
+_APPROX_BITS = 8
+
+
+def _approx_bucket_exprs(
+    df: DataFrame, cols: list[str], bits: int
+) -> dict[str, Column]:
+    """Quantile-breakpoint buckets without any global window: ONE
+    aggregation computes 2^bits-1 approximate percentiles per column
+    (driver receives a few KB of breakpoints), then each row's bucket
+    is the count of breakpoints <= value — a literal-array filter
+    inside codegen. This is how OPTIMIZE ZORDER scales: the exact
+    percent_rank path funnels every row through one partition, the
+    sampled-quantile path touches each row once, fully parallel."""
+    qs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    agg = df.agg(
+        *[
+            F.percentile_approx(F.col(c).cast("double"), qs, 10_000).alias(c)
+            for c in cols
+        ]
+    )
+    row = agg.collect()[0]
+    out: dict[str, Column] = {}
+    for c in cols:
+        bps = sorted(set(b for b in (row[c] or []) if b is not None))
+        arr = F.lit(bps).cast("array<double>")
+        v = F.col(c).cast("double")
+        cnt = F.size(F.filter(arr, lambda x: x <= v))
+        # nulls sort first, matching percent_rank's null placement
+        out[c] = F.when(v.isNull(), F.lit(0)).otherwise(cnt).cast("long")
+    return out
+
+
+def morton_key(
+    df: DataFrame,
+    cols: list[str],
+    key_col: str = "_zorder",
+    method: str = "exact",
+) -> DataFrame:
     """Attach the interleaved Morton key for ``cols`` (2+ columns).
 
     Bits-per-column is ``min(16, 63 // len(cols))`` so the interleaved
@@ -48,18 +85,28 @@ def morton_key(df: DataFrame, cols: list[str], key_col: str = "_zorder") -> Data
     sort before the curve start) and silently collide via JVM shift
     masking (shift & 63) at 5+.
 
-    The global-window percent_rank funnels through one partition; at
-    real scale swap ``_bucket`` for an approxQuantile-derived bucket
-    map (same key contract). Test scale uses the exact rank.
+    ``method="exact"``: percent_rank buckets — deterministic and
+    rank-perfect, but the global window funnels through one partition;
+    for test/interactive scale. ``method="approx"``: one
+    percentile_approx pass derives 2^8-1 breakpoints per (numeric)
+    column and every row buckets independently — the 100 TB path: no
+    single-partition stage, one extra scan, coarser (8-bit) but still
+    curve-cell counts far above any realistic file count.
     """
     if len(cols) < 2:
         raise ValueError("zorder needs at least 2 columns")
-    bits = min(_BITS, 63 // len(cols))
+    if method not in ("exact", "approx"):
+        raise ValueError(f"method must be exact|approx, got {method!r}")
+    bits = min(_BITS if method == "exact" else _APPROX_BITS, 63 // len(cols))
     bucketed = df
     bcols = []
+    approx_exprs = (
+        _approx_bucket_exprs(df, cols, bits) if method == "approx" else {}
+    )
     for i, c in enumerate(cols):
         bc = f"_zb{i}"
-        bucketed = bucketed.withColumn(bc, _bucket(c, bits))
+        expr = approx_exprs[c] if method == "approx" else _bucket(c, bits)
+        bucketed = bucketed.withColumn(bc, expr)
         bcols.append(bc)
     # interleave: output bit (b*len + i) takes bit b of column i
     key = F.lit(0).cast("long")
@@ -73,11 +120,14 @@ def morton_key(df: DataFrame, cols: list[str], key_col: str = "_zorder") -> Data
 
 
 def zorder_sort(
-    df: DataFrame, cols: list[str], num_files: int | None = None
+    df: DataFrame,
+    cols: list[str],
+    num_files: int | None = None,
+    method: str = "exact",
 ) -> DataFrame:
     """Return ``df`` ordered for writing: each output file covers a
     compact segment of the Morton curve over ``cols``."""
-    keyed = morton_key(df, cols)
+    keyed = morton_key(df, cols, method=method)
     if num_files:
         keyed = keyed.repartitionByRange(num_files, "_zorder")
     else:

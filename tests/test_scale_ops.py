@@ -86,6 +86,27 @@ def test_compact_zorder_preserves_content(spark, tmp_path):
     assert [h["op"] for h in t.history()][-1] == "OPTIMIZE"
 
 
+def test_zorder_approx_skips_without_global_window(spark, tmp_path):
+    # the approx (percentile_approx breakpoint) path must deliver the
+    # same both-column file skipping as the exact rank path, and its
+    # plan must contain no Window operator (the single-partition
+    # funnel it exists to remove)
+    df = _grid(spark)
+    keyed = zorder_sort(df, ["x", "y"], num_files=16, method="approx")
+    assert "Window" not in keyed._jdf.queryExecution().executedPlan().toString()
+
+    zpath = str(tmp_path / "za")
+    keyed.write.parquet(zpath)
+
+    def hit_fraction(col, lo, hi):
+        ranges = _file_ranges(zpath, col)
+        hits = sum(1 for mn, mx in ranges if not (mx < lo or mn > hi))
+        return hits / len(ranges)
+
+    assert hit_fraction("y", 0, 7) <= 0.5
+    assert hit_fraction("x", 0, 7) <= 0.5
+
+
 def test_zorder_many_columns_fit_long_sign_bit(spark):
     # 4+ interleaved columns must shrink bits-per-column so the key
     # stays in the 63 value bits of a long: no negative keys (sign-bit
