@@ -246,6 +246,58 @@ def test_components_star_chain_beyond_propagation_budget(spark):
         dedup.neardup_components(pairs, algorithm="propagation")
 
 
+def test_components_star_matches_unionfind_property(spark):
+    """Star CC against a driver-side union-find ground truth on
+    adversarial random graphs (mixed chains, cliques, bridges)."""
+    import random as _random
+
+    def ground_truth(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # fully compress, then label by component min
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        return {n: min(m) for m in comp.values() for n in m}
+
+    rng = _random.Random(4242)
+    for trial in range(3):
+        n = 120
+        edges = set()
+        # chains
+        start = rng.randrange(n)
+        for _ in range(rng.randint(10, 40)):
+            nxt = rng.randrange(n)
+            if start != nxt:
+                edges.add((min(start, nxt), max(start, nxt)))
+            start = nxt
+        # random extra edges
+        for _ in range(rng.randint(5, 30)):
+            a, b = rng.sample(range(n), 2)
+            edges.add((min(a, b), max(a, b)))
+        nodes = sorted({x for e in edges for x in e})
+        want = ground_truth(edges, nodes)
+        pairs = spark.createDataFrame(
+            [(a, b, 1.0) for a, b in sorted(edges)],
+            "doc_a long, doc_b long, jaccard double",
+        )
+        got = {
+            r.doc_id: r.component
+            for r in dedup.neardup_components(pairs, algorithm="star").collect()
+        }
+        assert got == want, f"trial {trial}"
+
+
 def test_components_star_matches_propagation_random(spark):
     """On random clustered graphs (propagation's home turf) the two
     algorithms agree label-for-label."""

@@ -142,6 +142,42 @@ def test_parse_matches_spec_ground_truth():
         assert {c: got[c] for c in surface} == want
 
 
+def test_sql_udtf_parity_with_silver_path(spark):
+    # the LATERAL parse_x12 SQL surface must agree with the batched
+    # mapInPandas silver path on every deterministic column
+    from ai_fabric_etl_spark.pipeline.silver import parse_to_silver
+    from ai_fabric_etl_spark.x12.sql_udtf import register_parse_x12
+
+    register_parse_x12(spark)
+    corpus = generate_corpus()[:6]
+    files = spark.createDataFrame(corpus, ["file_name", "content"])
+    files.createOrReplaceTempView("udtf_files")
+    got = spark.sql(
+        "SELECT p.* FROM udtf_files AS f, "
+        "LATERAL parse_x12(f.file_name, f.content) AS p"
+    )
+    want = parse_to_silver(files, batch_id="sql")
+    # wall-clock columns (now-dependent) excluded; batch ids match
+    drop = ["processing_timestamp", "processing_date"]
+    key = lambda r: (r["file_name"], r["transaction_set_control_number"])  # noqa: E731
+    g = sorted((r.asDict() for r in got.drop(*drop).collect()), key=key)
+    w = sorted((r.asDict() for r in want.drop(*drop).collect()), key=key)
+    assert g == w
+    assert len(g) >= 6
+
+
+def test_sql_udtf_corrupt_input_yields_no_rows(spark):
+    from ai_fabric_etl_spark.x12.sql_udtf import register_parse_x12
+
+    register_parse_x12(spark)
+    rows = spark.sql(
+        "SELECT p.* FROM VALUES ('junk.x12', 'NOT*X12~AT*ALL~'), "
+        "('empty.x12', ''), ('null.x12', CAST(NULL AS STRING)) AS f(file_name, content), "
+        "LATERAL parse_x12(f.file_name, f.content) AS p"
+    ).collect()
+    assert rows == []
+
+
 def test_quality_formula_canonical():
     # a transaction missing required segments: 837 with no CLM/NM1/BHT
     text = (
