@@ -75,6 +75,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "scalar_datetime",
         "scalar_json",
         "scalar_arrays",
+        "variant_props_profile",
         "sample_global_shuffle",
         "dedup_ngram_jaccard",
         "emb_neardup_exact",

@@ -314,3 +314,49 @@ def q_curate_corpus_pipeline(spark, sf_dir):
         split, tokens_col="n_tokens", budget=2048, by=["split"],
         order_col="doc_id",
     ).select("doc_id", "n_tokens", "split", "bin_id")
+
+
+@register(
+    "variant_props_profile",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS n_with_k,
+           CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MIN(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(MAX(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS k_max,
+           CAST(COUNT(CASE WHEN props IS NOT NULL
+                            AND CAST(props ->> '$.k' AS BIGINT) IS NULL
+                           THEN 1 END) AS BIGINT) AS k_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_props_profile(spark, sf_dir):
+    """Semi-structured payloads via Spark 4 VARIANT: parse the
+    open-schema ``props`` JSON ONCE into the binary field-indexed
+    encoding (try_parse_json), then every field access is a typed
+    variant_get — no re-tokenizing per consumer, and parquet
+    shredding can push extraction into the scan at 100 TB. The
+    reference re-parses its JSON payload strings in every mart
+    (gold_x12_analytics.py json-decodes parsed_data per query);
+    this is the engine-level fix for payloads too open for a struct.
+    """
+    from ai_fabric_etl_spark.operators.semistructured import vfield, with_variant
+
+    ev = with_variant(_t(spark, sf_dir, "events"), "props")
+    k = vfield("_variant", "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"), F.col("props"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count(
+                F.when(F.col("props").isNotNull() & F.col("k").isNull(), 1)
+            ).alias("k_missing"),
+        )
+    )
