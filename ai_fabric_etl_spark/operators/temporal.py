@@ -44,7 +44,9 @@ def asof_join(
     """Left as-of join: every ``left`` row, plus the ``right_cols`` of
     the most recent ``right`` row with ``right.ts <= left.ts`` per
     ``by`` key (``direction="backward"``; ``"forward"`` matches the
-    nearest ``right.ts >= left.ts``). Unmatched left rows keep nulls.
+    nearest ``right.ts >= left.ts``; ``"nearest"`` takes whichever
+    side is closer, ties to backward — pandas merge_asof semantics).
+    Unmatched left rows keep nulls.
 
     Among right rows sharing the winning timestamp the choice is
     tie-broken by the order of ``right_cols`` values (deterministic
@@ -77,20 +79,47 @@ def asof_join(
     )
     # right rows (side 0) sort before left rows at equal ts → inclusive.
     # deterministic tiebreak among equal-ts right rows via the payload.
-    if direction == "backward":
-        order = [F.col("_ts").asc(), F.col("_side").asc(), F.col("_r").asc()]
-    elif direction == "forward":
-        order = [F.col("_ts").desc(), F.col("_side").asc(), F.col("_r").desc()]
+    back_order = [F.col("_ts").asc(), F.col("_side").asc(), F.col("_r").asc()]
+    fwd_order = [F.col("_ts").desc(), F.col("_side").asc(), F.col("_r").desc()]
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+
+    def _w(order):
+        return (
+            Window.partitionBy(*by)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    if direction in ("backward", "forward"):
+        order = back_order if direction == "backward" else fwd_order
+        filled = unioned.withColumn(
+            "_m", F.last("_r", ignorenulls=True).over(_w(order))
+        ).filter(F.col("_side") == 1)
     else:
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = unioned.withColumn("_m", F.last("_r", ignorenulls=True).over(w)).filter(
-        F.col("_side") == 1
-    )
+        # nearest (pandas merge_asof parity): fill both directions in
+        # one keyed shuffle (same partitioning → one exchange, two
+        # sorts), pick the closer match, ties to the backward side
+        lt = dict(left.dtypes).get(left_ts)
+        rt = dict(right.dtypes).get(right_ts)
+        both = (
+            unioned.withColumn(
+                "_mb", F.last("_r", ignorenulls=True).over(_w(back_order))
+            )
+            .withColumn("_mf", F.last("_r", ignorenulls=True).over(_w(fwd_order)))
+            .filter(F.col("_side") == 1)
+        )
+        gap_b = ts_micros(F.col("_ts"), lt) - ts_micros(F.col("_mb._matched_ts"), rt)
+        gap_f = ts_micros(F.col("_mf._matched_ts"), rt) - ts_micros(F.col("_ts"), lt)
+        filled = both.withColumn(
+            "_m",
+            F.when(F.col("_mb").isNull(), F.col("_mf"))
+            .when(F.col("_mf").isNull(), F.col("_mb"))
+            .when(gap_f < gap_b, F.col("_mf"))
+            .otherwise(F.col("_mb")),
+        ).drop("_mb", "_mf")
     if tolerance_seconds is not None:
         # _ts/_matched_ts carry the source column types; dispatch on
         # them so LTZ inputs take the DST-safe unix_micros path

@@ -74,6 +74,87 @@ def test_asof_forward_and_tolerance(spark):
     assert tol == {1: "n", 2: None}  # ts(120) is 70min past ts(50)
 
 
+def test_asof_nearest_matches_pandas(spark):
+    """direction='nearest' against pandas merge_asof itself on random
+    keyed data — same matches, ties resolved to the backward side."""
+    import random as _random
+
+    import pandas as pd
+
+    rng = _random.Random(99)
+    left_rows = [
+        (i, rng.randint(1, 4), _ts(rng.randint(0, 300))) for i in range(60)
+    ]
+    right_rows = [
+        (rng.randint(1, 4), _ts(rng.randint(0, 300)), f"t{j}") for j in range(40)
+    ]
+    left = _events(spark, left_rows)
+    right = spark.createDataFrame(
+        right_rows, "user_id long, ts timestamp, tag string"
+    )
+    got = {
+        r.event_id: r.matched_ts
+        for r in asof_join(
+            left, right, by=["user_id"], right_cols=[], direction="nearest"
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["event_id", "user_id", "ts"]).sort_values(
+        "ts", kind="mergesort"
+    )
+    rp = (
+        pd.DataFrame(right_rows, columns=["user_id", "ts", "tag"])
+        .drop(columns=["tag"])
+        .sort_values("ts", kind="mergesort")
+    )
+    want_df = pd.merge_asof(
+        lp, rp, on="ts", by="user_id", direction="nearest", suffixes=("", "_r")
+    )
+    # pandas reports the left ts; recover the matched right ts by
+    # recomputing per row (nearest right ts, ties backward)
+    by_user: dict[int, list] = {}
+    for _, r in rp.iterrows():
+        by_user.setdefault(r["user_id"], []).append(r["ts"])
+    want = {}
+    for _, r in lp.iterrows():
+        cands = by_user.get(r["user_id"], [])
+        if not cands:
+            want[r["event_id"]] = None
+            continue
+        best = min(
+            cands,
+            key=lambda c: (abs((c - r["ts"]).total_seconds()), c > r["ts"]),
+        )
+        want[r["event_id"]] = best.to_pydatetime()
+    assert got == want
+    # sanity: every pandas-matched row is matched here too
+    assert want_df["ts"].notna().all()
+
+
+def test_asof_nearest_tolerance_and_ties(spark):
+    left = _events(spark, [(1, 1, _ts(10)), (2, 1, _ts(100))])
+    right = spark.createDataFrame(
+        [(1, _ts(7), "b3"), (1, _ts(13), "f3"), (1, _ts(220), "far")],
+        "user_id long, ts timestamp, tag string",
+    )
+    got = {
+        r.event_id: r.tag
+        for r in asof_join(
+            left, right, by=["user_id"], right_cols=["tag"], direction="nearest"
+        ).collect()
+    }
+    assert got[1] == "b3"  # 3min either way -> tie goes backward
+    assert got[2] == "f3"  # backward f3 (gap 87min) beats forward far (120min)
+    tol = {
+        r.event_id: r.tag
+        for r in asof_join(
+            left, right, by=["user_id"], right_cols=["tag"],
+            direction="nearest", tolerance_seconds=600,
+        ).collect()
+    }
+    assert tol == {1: "b3", 2: None}  # f3 is 87min away, beyond 10min
+
+
 def test_asof_matches_naive_on_events(spark, sf_dir):
     """asof_join == the naive per-pair max-prior-ts join on real data."""
     from ai_fabric_etl_spark.queries.catalog import load_events
