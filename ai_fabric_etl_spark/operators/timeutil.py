@@ -81,6 +81,17 @@ def ntz_to_instant(col: Column | str) -> Column:
     return F.timestamp_micros(ts_micros(c))
 
 
+def as_instant_col(df, col: str) -> Column:
+    """Event-time normalization for watermarks: TIMESTAMP passes
+    through; TIMESTAMP_NTZ takes the linear epoch-micros bridge
+    (identity wall clock under UTC sessions, DST-proof elsewhere —
+    a plain cast is nonlinear across the session zone's transitions)."""
+    t = dict(df.dtypes).get(col)
+    if t == "timestamp_ntz":
+        return ntz_to_instant(F.col(col))
+    return F.col(col).cast("timestamp")
+
+
 def instant_to_ntz(col: Column | str) -> Column:
     """Inverse of ``ntz_to_instant``: TIMESTAMP (LTZ) instant to the
     NTZ wall clock equal to its UTC rendering. Integer-exact (epoch

@@ -30,9 +30,12 @@ def with_watermark(events: DataFrame, delay: str = "2 hours") -> DataFrame:
     same aggregation run incrementally forever without unbounded state.
 
     Event time must be TIMESTAMP (LTZ) for Spark's watermark; NTZ
-    parquet sources are normalized here (wall-clock preserving).
+    parquet sources are normalized via the linear epoch-micros bridge
+    (session-zone independent; a plain cast is nonlinear across DST).
     """
-    return events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+    from ai_fabric_etl_spark.operators.timeutil import as_instant_col
+
+    return events.withColumn("ts", as_instant_col(events, "ts")).withWatermark(
         "ts", delay
     )
 
@@ -134,8 +137,10 @@ def dedup_within_watermark(
     """
     if keys is None:
         keys = ["event_id"]
+    from ai_fabric_etl_spark.operators.timeutil import as_instant_col
+
     return (
-        events.withColumn(event_time_col, F.col(event_time_col).cast("timestamp"))
+        events.withColumn(event_time_col, as_instant_col(events, event_time_col))
         .withWatermark(event_time_col, delay)
         .dropDuplicatesWithinWatermark(keys)
     )

@@ -98,8 +98,10 @@ def sessionize_with_state(
     unit_s = {"minutes": 60, "minute": 60, "hours": 3600, "hour": 3600, "seconds": 1, "second": 1}
     qty, unit = gap.split()
     gap_s = int(qty) * unit_s[unit]
+    from ai_fabric_etl_spark.operators.timeutil import as_instant_col
+
     return (
-        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        events.withColumn("ts", as_instant_col(events, "ts"))
         .withWatermark("ts", watermark)
         .select("user_id", "ts")
         .groupBy("user_id")
