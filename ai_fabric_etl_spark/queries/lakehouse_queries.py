@@ -234,20 +234,26 @@ def source_orc_roundtrip(spark, sf_dir):
 )
 def sketch_distinct_rollup(spark, sf_dir):
     """Mergeable-sketch distinct count (operators/sketches.py): one
-    HLL partial per day, union-merged to the global estimate WITHOUT
-    re-reading base data — the only distinct-count pattern that holds
-    at 100 TB (the exact twin here is the test gate, not the prod
-    plan). Driver contract: the DataSketches estimate must land
-    within 5% of exact (lg_k=12 ≈ 1.6% RSE)."""
+    HLL partial per day, merged day -> week (sketch_merge keeps the
+    mergeable sketch) -> global estimate WITHOUT re-reading base data
+    — the only distinct-count pattern that holds at 100 TB (the exact
+    twin here is the test gate, not the prod plan). The two-level
+    chain is deliberate: it drives the day→week→total rollup path the
+    API promises. Driver contract: the DataSketches estimate must
+    land within 5% of exact (lg_k=12 ≈ 1.6% RSE)."""
     from ai_fabric_etl_spark.operators.sketches import (
         relative_error_ok,
+        sketch_merge,
         sketch_partials,
         sketch_rollup,
     )
 
     ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     partials = sketch_partials(ev, key="user_id", by=["day"], lg_k=12)
-    total = sketch_rollup(partials, by=[])
+    weekly = sketch_merge(
+        partials.withColumn("week", F.weekofyear("day")), by=["week"]
+    )
+    total = sketch_rollup(weekly, by=[])
     exact = ev.agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("exact_users"),
