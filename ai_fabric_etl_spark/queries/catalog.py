@@ -2436,3 +2436,79 @@ def tpch_q20_part_promotion_suppliers(spark, sf_dir):
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.4/§2.5 completions: GROUPING SETS and time-range window frames
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_mixed",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS orders,
+           {DSUM('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_mixed(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond ROLLUP/CUBE's fixed lattices):
+    status-only, priority-only, and grand-total in ONE pass, with
+    GROUPING() flags disambiguating real NULLs from subtotal rows —
+    completing the §2.4 grouping-set family. Expressed through the
+    SQL surface (spark.sql), which is first-class in this engine."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus) AS g_status,
+               GROUPING(o_orderpriority) AS g_priority,
+               COUNT(*) AS orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_price
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "w7_time_range_frame",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+    )
+    SELECT user_id, event_id,
+           COUNT(*) OVER w AS events_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS value_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w7_time_range_frame(spark, sf_dir):
+    """RANGE window frame over event time: per user, the rolling
+    1-hour event count and exact-decimal value sum — the frame bounds
+    follow the VALUE axis (epoch micros), not row positions, so ties
+    and gaps behave correctly without tie-break columns. Completes
+    §2.5 beyond the rows-frame w3. One shuffle on user_id; the frame
+    scan is streaming within each sorted partition."""
+    e = _t(spark, sf_dir, "events").withColumn("ts_us", ts_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("events_1h"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("value_1h"),
+    )

@@ -57,6 +57,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "a13_percentiles",
         "rollup_region_nation",
         "cube_status_priority",
+        "grouping_sets_mixed",
         "j2_semi_join",
         "j2_anti_join",
         "set_intersect_except",
@@ -64,6 +65,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "w3_running_totals",
         "w5_ntile_distribution",
         "w6_lag_lead_deltas",
+        "w7_time_range_frame",
         "skew_salted_agg",
         "p8_concat_partner_keys",
         "p10_case_bands",
