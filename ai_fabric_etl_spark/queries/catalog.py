@@ -2512,3 +2512,44 @@ def w7_time_range_frame(spark, sf_dir):
         .cast("double")
         .alias("value_1h"),
     )
+
+
+@register(
+    "a14_unpivot_daily",
+    oracle="""
+    WITH piv AS (
+        SELECT CAST(ts AS DATE) AS event_day,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS error
+        FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT event_day, event_type, n_events
+    FROM piv
+    UNPIVOT (n_events FOR event_type
+             IN (click, view, purchase, signup, error))
+    WHERE n_events > 0
+    """,
+)
+def a14_unpivot_daily(spark, sf_dir):
+    """UNPIVOT (melt): the inverse reshaping of a11's day × type
+    matrix back to long form — wide telemetry/mart tables melt into
+    (key, metric, value) triples for generic downstream consumers.
+    Zero-count cells are dropped on both sides (DuckDB's UNPIVOT
+    excludes NULL cells; the pivot side materializes 0 for absent
+    combinations, so the filter keeps the engines aligned)."""
+    e = _t(spark, sf_dir, "events")
+    piv = (
+        e.groupBy(F.to_date("ts").alias("event_day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    wide = piv.select(
+        "event_day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+    return wide.unpivot(
+        "event_day", _EVENT_TYPES, "event_type", "n_events"
+    ).filter(F.col("n_events") > 0)

@@ -54,6 +54,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "a6_collect_ack_lists",
         "a10_sliding_rollup",
         "a11_pivot_daily",
+        "a14_unpivot_daily",
         "a13_percentiles",
         "rollup_region_nation",
         "cube_status_priority",
