@@ -2459,20 +2459,18 @@ def grouping_sets_mixed(spark, sf_dir):
     """Explicit GROUPING SETS (beyond ROLLUP/CUBE's fixed lattices):
     status-only, priority-only, and grand-total in ONE pass, with
     GROUPING() flags disambiguating real NULLs from subtotal rows —
-    completing the §2.4 grouping-set family. Expressed through the
-    SQL surface (spark.sql), which is first-class in this engine."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority,
-               GROUPING(o_orderstatus) AS g_status,
-               GROUPING(o_orderpriority) AS g_priority,
-               COUNT(*) AS orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-                 AS total_price
-        FROM gs_orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
+    completing the §2.4 grouping-set family via the Spark 4 native
+    DataFrame.groupingSets API (no temp-view indirection)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").alias("g_status"),
+        F.grouping("o_orderpriority").alias("g_priority"),
+        F.count(F.lit(1)).alias("orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
     )
 
 
