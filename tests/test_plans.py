@@ -205,3 +205,38 @@ def test_q20_semi_join_chain(spark, sf_dir):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed, executed[:2000]
+
+
+def test_w7_range_frame_single_shuffle(spark, sf_dir):
+    """The value-axis RANGE frame is one keyed shuffle + one sorted
+    window scan — no extra exchange, no join."""
+    from ai_fabric_etl_spark.plans.inspect import exchange_count, plan_string
+    from ai_fabric_etl_spark.queries.catalog import w7_time_range_frame
+
+    df = w7_time_range_frame(spark, sf_dir)
+    assert exchange_count(df) == 1
+    assert "Join" not in plan_string(df)
+
+
+def test_grouping_sets_single_expand_pass(spark, sf_dir):
+    """GROUPING SETS must plan as ONE Expand + aggregation over a
+    single scan — not one scan per grouping set unioned together."""
+    from ai_fabric_etl_spark.plans.inspect import plan_string
+    from ai_fabric_etl_spark.queries.catalog import grouping_sets_mixed
+
+    plan = plan_string(grouping_sets_mixed(spark, sf_dir), mode="simple")
+    assert plan.count("Expand") >= 1
+    assert plan.count("FileScan parquet") == 1
+    assert "Union" not in plan
+
+
+def test_unpivot_is_expand_not_union(spark, sf_dir):
+    """UNPIVOT melts via a single Expand projection, never a per-column
+    union of scans."""
+    from ai_fabric_etl_spark.plans.inspect import plan_string
+    from ai_fabric_etl_spark.queries.catalog import a14_unpivot_daily
+
+    plan = plan_string(a14_unpivot_daily(spark, sf_dir), mode="simple")
+    assert "Expand" in plan
+    assert "Union" not in plan
+    assert plan.count("FileScan parquet") == 1
