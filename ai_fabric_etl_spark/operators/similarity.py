@@ -240,6 +240,82 @@ def ivf_topk(
     )
 
 
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index the 100 TB story promises: the corpus
+    written PARTITIONED BY its k-means cell, plus the (tiny) centroid
+    table alongside. One-off build job; after it, every query batch
+    touches only its probed cells' files (see ivf_topk_indexed)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    feats = c.withColumn(
+        "features", array_to_vector(F.col("c_vec").cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, distanceMeasure="cosine", featuresCol="features"
+    ).fit(feats)
+    assigned = model.transform(feats).select(
+        "neighbor_id", "c_vec", F.col("prediction").alias("centroid_id")
+    )
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/cells"
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "centroid_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the on-disk IVF index: probe selection against the
+    broadcast centroid table, then a broadcast join on ``centroid_id``
+    against the partitioned cells — Spark's dynamic partition pruning
+    turns that into reading ONLY the probed cells' files (the scan
+    carries a dynamicpruning PartitionFilter; asserted in
+    tests/test_plans.py). This is the concrete form of "each probe
+    reads n_probe/n_centroids of the data"."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    cells = spark.read.parquet(f"{path}/cells")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("centroid_sim"), F.asc("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("centroid_sim", cosine(F.col("q_vec"), F.col("centroid")))
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    cand = cells.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
 def lsh_cosine_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

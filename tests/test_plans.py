@@ -240,3 +240,34 @@ def test_unpivot_is_expand_not_union(spark, sf_dir):
     assert "Expand" in plan
     assert "Union" not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_ivf_index_scan_is_dynamically_pruned(spark, sf_dir, tmp_path):
+    """The on-disk IVF index must be queried with dynamic partition
+    pruning: the cells scan carries a dynamicpruning PartitionFilter
+    on centroid_id, and results match the in-memory IVF path."""
+    from ai_fabric_etl_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+    from ai_fabric_etl_spark.plans.inspect import plan_string
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.limit(400)
+    queries = emb.limit(8)
+    path = str(tmp_path / "ivf")
+    ivf_write_index(corpus, path, n_centroids=8, seed=13)
+
+    out = ivf_topk_indexed(spark, path, queries, k=3, n_probe=3)
+    plan = plan_string(out, mode="formatted")
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    got = {
+        (r.query_id, r.rank): r.neighbor_id for r in out.collect()
+    }
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(corpus, queries, k=3, n_centroids=8, n_probe=3, seed=13).collect()
+    }
+    assert got == want
