@@ -174,30 +174,16 @@ def lsh_topk(
     )
 
 
-def ivf_topk(
+def _ivf_fit_cells(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    seed: int = 13,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate cosine top-k via IVF (inverted file) partitioning.
-
-    Index build: k-means (cosine distance) over the corpus assigns
-    every vector to its nearest centroid — at 100 TB this is a one-off
-    job whose output is the corpus written partitioned by
-    ``centroid_id``, so each probe reads only n_probe/n_centroids of
-    the data (partition pruning does the work LSH does with bucket
-    joins, but with data-adaptive cells).
-
-    Query: score each query against the (tiny, broadcast) centroid
-    table, keep the ``n_probe`` nearest cells, then search only those
-    cells' vectors. Recall grows with n_probe; n_probe == n_centroids
-    degenerates to exact brute force.
-    """
+    n_centroids: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """K-means (cosine) cell assignment: returns (assigned, centroids)
+    — the single source of the index build shared by the in-memory and
+    on-disk IVF paths."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -211,88 +197,25 @@ def ivf_topk(
     assigned = model.transform(feats).select(
         "neighbor_id", "c_vec", F.col("prediction").alias("centroid_id")
     )
-
-    spark = corpus.sparkSession
-    centroids = spark.createDataFrame(
+    centroids = corpus.sparkSession.createDataFrame(
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
         "centroid_id int, centroid array<double>",
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.desc("centroid_sim"), F.asc("centroid_id")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("centroid_sim", cosine(F.col("q_vec"), F.col("centroid")))
-        .withColumn("probe_rank", F.row_number().over(probe_w))
-        .filter(F.col("probe_rank") <= n_probe)
-        .select("query_id", "q_vec", "centroid_id")
-    )
-    cand = assigned.join(F.broadcast(probes), "centroid_id").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    scored = cand.withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine_sim")
-    )
+    return assigned, centroids
 
 
-def ivf_write_index(
-    corpus: DataFrame,
-    path: str,
-    n_centroids: int = 16,
-    seed: int = 13,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> None:
-    """Materialize the IVF index the 100 TB story promises: the corpus
-    written PARTITIONED BY its k-means cell, plus the (tiny) centroid
-    table alongside. One-off build job; after it, every query batch
-    touches only its probed cells' files (see ivf_topk_indexed)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    feats = c.withColumn(
-        "features", array_to_vector(F.col("c_vec").cast("array<double>"))
-    )
-    model = KMeans(
-        k=n_centroids, seed=seed, distanceMeasure="cosine", featuresCol="features"
-    ).fit(feats)
-    assigned = model.transform(feats).select(
-        "neighbor_id", "c_vec", F.col("prediction").alias("centroid_id")
-    )
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        f"{path}/cells"
-    )
-    spark = corpus.sparkSession
-    spark.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
-        "centroid_id int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-
-
-def ivf_topk_indexed(
-    spark,
-    path: str,
+def _ivf_probe_and_score(
+    cells: DataFrame,
+    centroids: DataFrame,
     queries: DataFrame,
-    k: int = 5,
-    n_probe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Query the on-disk IVF index: probe selection against the
-    broadcast centroid table, then a broadcast join on ``centroid_id``
-    against the partitioned cells — Spark's dynamic partition pruning
-    turns that into reading ONLY the probed cells' files (the scan
-    carries a dynamicpruning PartitionFilter; asserted in
-    tests/test_plans.py). This is the concrete form of "each probe
-    reads n_probe/n_centroids of the data"."""
-    centroids = spark.read.parquet(f"{path}/centroids")
-    cells = spark.read.parquet(f"{path}/cells")
+    """Probe selection (broadcast centroid scoring) + candidate search
+    + per-query top-k — shared by ivf_topk and ivf_topk_indexed, so
+    tie-breaking and the self-match filter cannot drift between them."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     probe_w = Window.partitionBy("query_id").orderBy(
         F.desc("centroid_sim"), F.asc("centroid_id")
@@ -313,6 +236,78 @@ def ivf_topk_indexed(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted file) partitioning.
+
+    Index build: k-means (cosine distance) over the corpus assigns
+    every vector to its nearest centroid — at 100 TB this is a one-off
+    job whose output is the corpus written partitioned by
+    ``centroid_id`` (ivf_write_index), so each probe reads only
+    n_probe/n_centroids of the data (partition pruning does the work
+    LSH does with bucket joins, but with data-adaptive cells).
+
+    Query: score each query against the (tiny, broadcast) centroid
+    table, keep the ``n_probe`` nearest cells, then search only those
+    cells' vectors. Recall grows with n_probe; n_probe == n_centroids
+    degenerates to exact brute force.
+    """
+    assigned, centroids = _ivf_fit_cells(corpus, n_centroids, seed, id_col, vec_col)
+    return _ivf_probe_and_score(
+        assigned, centroids, queries, k, n_probe, id_col, vec_col
+    )
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index the 100 TB story promises: the corpus
+    written PARTITIONED BY its k-means cell, plus the (tiny) centroid
+    table alongside. One-off build job; after it, every query batch
+    touches only its probed cells' files (see ivf_topk_indexed)."""
+    assigned, centroids = _ivf_fit_cells(corpus, n_centroids, seed, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/cells"
+    )
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the on-disk IVF index: probe selection against the
+    broadcast centroid table, then a broadcast join on ``centroid_id``
+    against the partitioned cells — Spark's dynamic partition pruning
+    turns that into reading ONLY the probed cells' files (the scan
+    carries a dynamicpruning PartitionFilter; asserted in
+    tests/test_plans.py). This is the concrete form of "each probe
+    reads n_probe/n_centroids of the data"."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    cells = spark.read.parquet(f"{path}/cells")
+    return _ivf_probe_and_score(
+        cells, centroids, queries, k, n_probe, id_col, vec_col
     )
 
 

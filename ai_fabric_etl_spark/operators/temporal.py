@@ -55,9 +55,27 @@ def asof_join(
 
     If ``tolerance_seconds`` is set, matches farther than that from
     the left timestamp are nulled out (pandas merge_asof semantics).
+
+    Mixed NTZ/LTZ timestamp sides are normalized to TIMESTAMP instants
+    (NTZ wall clock read as UTC) before joining, so ordering and gap
+    math stay on one time axis; the output then carries the
+    normalized types.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in by and c != right_ts]
+    # Mixed NTZ/LTZ sides would otherwise be union-coerced through the
+    # session zone AND make the gap math compare naive-epoch to
+    # instant-epoch micros (skew = the session offset). Normalize both
+    # to instants via the linear bridge up front; same-typed inputs
+    # pass through untouched.
+    lt = dict(left.dtypes).get(left_ts)
+    rt = dict(right.dtypes).get(right_ts)
+    if lt != rt and {lt, rt} == {"timestamp", "timestamp_ntz"}:
+        from ai_fabric_etl_spark.operators.timeutil import as_instant_col
+
+        left = left.withColumn(left_ts, as_instant_col(left, left_ts))
+        right = right.withColumn(right_ts, as_instant_col(right, right_ts))
+        lt = rt = "timestamp"
     out_struct = F.struct(
         F.col(right_ts).alias("_matched_ts"),
         *[F.col(c) for c in right_cols],
@@ -102,8 +120,6 @@ def asof_join(
         # nearest (pandas merge_asof parity): fill both directions in
         # one keyed shuffle (same partitioning → one exchange, two
         # sorts), pick the closer match, ties to the backward side
-        lt = dict(left.dtypes).get(left_ts)
-        rt = dict(right.dtypes).get(right_ts)
         both = (
             unioned.withColumn(
                 "_mb", F.last("_r", ignorenulls=True).over(_w(back_order))
@@ -121,10 +137,8 @@ def asof_join(
             .otherwise(F.col("_mb")),
         ).drop("_mb", "_mf")
     if tolerance_seconds is not None:
-        # _ts/_matched_ts carry the source column types; dispatch on
-        # them so LTZ inputs take the DST-safe unix_micros path
-        lt = dict(left.dtypes).get(left_ts)
-        rt = dict(right.dtypes).get(right_ts)
+        # _ts/_matched_ts carry the (normalized) source column types;
+        # dispatch so LTZ inputs take the DST-safe unix_micros path
         gap = F.abs(
             (ts_micros(F.col("_ts"), lt) - ts_micros(F.col("_m._matched_ts"), rt))
             / F.lit(1_000_000.0)

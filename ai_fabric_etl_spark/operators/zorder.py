@@ -63,6 +63,12 @@ def _approx_bucket_exprs(
     out: dict[str, Column] = {}
     for c in cols:
         bps = sorted(set(b for b in (row[c] or []) if b is not None))
+        if not bps:
+            raise ValueError(
+                f"zorder method='approx' needs a numeric-castable column, "
+                f"got no quantile breakpoints for {c!r} — use method='exact' "
+                "for non-numeric curve columns"
+            )
         arr = F.lit(bps).cast("array<double>")
         v = F.col(c).cast("double")
         cnt = F.size(F.filter(arr, lambda x: x <= v))

@@ -2538,16 +2538,7 @@ def a14_unpivot_daily(spark, sf_dir):
     Zero-count cells are dropped on both sides (DuckDB's UNPIVOT
     excludes NULL cells; the pivot side materializes 0 for absent
     combinations, so the filter keeps the engines aligned)."""
-    e = _t(spark, sf_dir, "events")
-    piv = (
-        e.groupBy(F.to_date("ts").alias("event_day"))
-        .pivot("event_type", _EVENT_TYPES)
-        .count()
-    )
-    wide = piv.select(
-        "event_day",
-        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
-    )
+    wide = a11_pivot_daily(spark, sf_dir)  # the matrix this melts
     return wide.unpivot(
         "event_day", _EVENT_TYPES, "event_type", "n_events"
     ).filter(F.col("n_events") > 0)

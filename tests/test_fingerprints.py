@@ -62,6 +62,27 @@ def test_fingerprint_detects_value_change(spark):
     assert base["n"] == got["n"] == 2
 
 
+def test_fingerprint_detects_row_swap(spark):
+    # pooled sums are blind to values REDISTRIBUTED between rows;
+    # keyed_sum (value x string-key weight) must catch the swap
+    from ai_fabric_etl_spark.queries.fingerprint import (
+        schema_kinds,
+        spark_fingerprint,
+    )
+
+    base = spark.createDataFrame(
+        [("URGENT", 100), ("HIGH", 7)], "prio string, cnt long"
+    )
+    swapped = spark.createDataFrame(
+        [("URGENT", 7), ("HIGH", 100)], "prio string, cnt long"
+    )
+    kinds = schema_kinds(base)
+    a = spark_fingerprint("t", base, kinds).collect()[0]
+    b = spark_fingerprint("t", swapped, kinds).collect()[0]
+    assert a["num_sum"] == b["num_sum"]  # the blind spot, by design
+    assert a["keyed_sum"] != b["keyed_sum"]  # closed by the keyed term
+
+
 @pytest.mark.parametrize("group", ["fp_tpch_core", "fp_relational_ops"])
 def test_composite_runs_one_row_per_subquery(spark, group):
     from ai_fabric_etl_spark.queries import composites

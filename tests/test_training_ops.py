@@ -155,6 +155,51 @@ def test_asof_nearest_tolerance_and_ties(spark):
     assert tol == {1: "b3", 2: None}  # f3 is 87min away, beyond 10min
 
 
+def test_asof_mixed_ntz_ltz_sides_consistent(spark):
+    """A TIMESTAMP_NTZ left against a TIMESTAMP right must produce the
+    same matches as same-typed inputs, even on a DST session zone —
+    both sides are normalized to one time axis before the union, so
+    gap/tolerance math never mixes naive and instant epochs."""
+    from ai_fabric_etl_spark.operators.timeutil import instant_to_ntz
+
+    # zone-independent constructors (epoch micros), so the DataFrames
+    # mean the same instants regardless of when casts are evaluated
+    def us(h, m):  # 2024-03-10 h:m UTC
+        base = 1_710_028_800_000_000  # 2024-03-10 00:00:00 UTC
+        return base + (h * 3600 + m * 60) * 1_000_000
+
+    left = spark.createDataFrame(
+        [(1, 1, us(6, 30)), (2, 1, us(9, 0))],
+        "event_id long, user_id long, ts_us long",
+    ).select(
+        "event_id",
+        "user_id",
+        instant_to_ntz(F.timestamp_micros("ts_us")).alias("ts"),
+    )
+    right = spark.createDataFrame(
+        [(1, us(6, 0), "a"), (1, us(8, 55), "b")],
+        "user_id long, ts_us long, tag string",
+    ).select("user_id", F.timestamp_micros("ts_us").alias("ts"), "tag")
+    assert dict(left.dtypes)["ts"] == "timestamp_ntz"
+    assert dict(right.dtypes)["ts"] == "timestamp"
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        got = {
+            r.event_id: r.tag
+            for r in asof_join(
+                left, right, by=["user_id"], right_cols=["tag"],
+                direction="nearest", tolerance_seconds=3600,
+            ).collect()
+        }
+        # one shared axis: 06:30 is 30min after 06:00 ('a', kept by
+        # tolerance); 09:00 is 5min after 08:55 ('b')
+        assert got == {1: "a", 2: "b"}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_asof_matches_naive_on_events(spark, sf_dir):
     """asof_join == the naive per-pair max-prior-ts join on real data."""
     from ai_fabric_etl_spark.queries.catalog import load_events
