@@ -40,34 +40,59 @@ class ParquetMergeTable:
         self.spark = spark
         self.path = path
 
-    def _pointer(self) -> tuple[int, int | None]:
-        """(version, last_applied_epoch). Pointer file holds ``v`` or
-        ``v:epoch`` — the epoch rides in the SAME atomic swap as the
-        version, so a crash can never record an epoch without its data
-        (or vice versa)."""
+    def _pointer(self) -> tuple[int, int | None, str | None]:
+        """(version, last_applied_epoch, app_id). Pointer file holds
+        ``v``, ``v:epoch``, or ``v:epoch:app`` — epoch and app ride in
+        the SAME atomic swap as the version, so a crash can never
+        record an epoch without its data (or vice versa). ``app``
+        identifies WHICH stream the epoch counter belongs to (Delta's
+        txnAppId), so a query restarted on a fresh checkpoint — whose
+        epoch ids reset to 0 — is not mistaken for a replay."""
         try:
             with open(os.path.join(self.path, "_LATEST"), encoding="utf-8") as fh:
                 raw = fh.read().strip()
         except FileNotFoundError:
-            return -1, None
-        if ":" in raw:
-            v, e = raw.split(":", 1)
-            return int(v), int(e)
-        return int(raw), None
+            return -1, None, None
+        parts = raw.split(":", 2)
+        v = int(parts[0])
+        e = int(parts[1]) if len(parts) > 1 and parts[1] != "" else None
+        app = parts[2] if len(parts) > 2 and parts[2] != "" else None
+        return v, e, app
 
     def _version(self) -> int:
         return self._pointer()[0]
 
-    def last_epoch(self) -> int | None:
+    def last_epoch(self, app_id: str | None = None) -> int | None:
         """Last streaming epoch folded into this table (exactly-once
-        guard for at-least-once foreachBatch replays)."""
-        return self._pointer()[1]
+        guard for at-least-once foreachBatch replays). When both the
+        caller and the pointer carry an app identity and they differ,
+        returns None: a different stream's epoch counter says nothing
+        about THIS stream's batches (fail open = apply the batch,
+        matching Delta txnAppId semantics)."""
+        _, e, app = self._pointer()
+        if app_id is not None and app is not None and app != app_id:
+            return None
+        return e
+
+    @staticmethod
+    def _sanitize_app(app_id: str | None) -> str | None:
+        return app_id.replace(":", "_").replace("\n", "_") if app_id else None
 
     def _swap(
-        self, version: int, epoch: int | None = None, op: str = "WRITE"
+        self,
+        version: int,
+        epoch: int | None = None,
+        op: str = "WRITE",
+        app_id: str | None = None,
     ) -> None:
         tmp = os.path.join(self.path, "_LATEST.tmp")
-        content = str(version) if epoch is None else f"{version}:{epoch}"
+        app = self._sanitize_app(app_id)
+        if epoch is None and app is None:
+            content = str(version)
+        elif app is None:
+            content = f"{version}:{epoch}"
+        else:
+            content = f"{version}:{'' if epoch is None else epoch}:{app}"
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(content)
         os.replace(tmp, os.path.join(self.path, "_LATEST"))
@@ -179,8 +204,16 @@ class ParquetMergeTable:
         epoch: int | None = None,
         expected_version: int | None = None,
         op: str = "WRITE",
+        app_id: str | None = None,
     ) -> None:
         """Write a new version and swap the pointer to it.
+
+        ``epoch=None`` CARRIES FORWARD the pointer's recorded
+        (epoch, app): maintenance operations (compact, delete, update,
+        restore) and direct batch writes on a streaming state table
+        must not erase the exactly-once replay guard — doing so would
+        let a replayed micro-batch double-fold additive partials.
+        Passing an explicit epoch (with its ``app_id``) replaces both.
 
         ``expected_version`` enables optimistic concurrency: pass the
         version this transaction's snapshot was read at, and the commit
@@ -196,7 +229,10 @@ class ParquetMergeTable:
                 f"{self.path}: snapshot v{expected_version} is stale "
                 f"(current v{self._version()})"
             )
-        v = self._version() + 1
+        cur_v, cur_e, cur_app = self._pointer()
+        if epoch is None:
+            epoch, app_id = cur_e, (app_id or cur_app)
+        v = cur_v + 1
         os.makedirs(self.path, exist_ok=True)
         df.write.mode("overwrite").parquet(os.path.join(self.path, f"v={v}"))
         if expected_version is not None and self._version() != expected_version:
@@ -204,7 +240,7 @@ class ParquetMergeTable:
                 f"{self.path}: lost commit race for v{v} "
                 f"(current v{self._version()})"
             )
-        self._swap(v, epoch, op=op)
+        self._swap(v, epoch, op=op, app_id=app_id)
 
     def delete(self, condition: Column | str) -> int:
         """``DELETE FROM t WHERE condition`` — copy-on-write rewrite
@@ -217,9 +253,9 @@ class ParquetMergeTable:
         cond = F.expr(condition) if isinstance(condition, str) else condition
         target = self.read()
         kept = target.filter(~cond.eqNullSafe(F.lit(True)))
-        before = target.count()
+        deleted = target.filter(cond.eqNullSafe(F.lit(True))).count()
         self.overwrite(kept, expected_version=base, op="DELETE")
-        return before - self.read().count()
+        return deleted
 
     def update(self, condition: Column | str, assignments: dict[str, Column]) -> None:
         """``UPDATE t SET col = expr WHERE condition`` — copy-on-write:
@@ -279,6 +315,7 @@ class ParquetMergeTable:
         epoch: int | None = None,
         delete_condition: Column | str | None = None,
         check_conflicts: bool = False,
+        app_id: str | None = None,
     ) -> None:
         """Upsert ``source`` by ``keys``: matched target rows take the
         source's ``update_cols`` (default: every non-key column);
@@ -311,7 +348,7 @@ class ParquetMergeTable:
         if not self.exists():
             # empty table: nothing matches, so the matched-delete clause
             # never fires — every source row inserts
-            self.overwrite(source.drop("_src_delete"), epoch=epoch, op="MERGE")
+            self.overwrite(source.drop("_src_delete"), epoch=epoch, op="MERGE", app_id=app_id)
             return
         target = self.read()
         src_value_cols = [
@@ -361,4 +398,4 @@ class ParquetMergeTable:
             # null for untouched target rows
             *[F.col(f"_sv_{c}").alias(c) for c in new_cols],
         )
-        self.overwrite(merged, epoch=epoch, expected_version=base, op="MERGE")
+        self.overwrite(merged, epoch=epoch, expected_version=base, op="MERGE", app_id=app_id)

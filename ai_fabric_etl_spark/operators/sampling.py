@@ -29,9 +29,16 @@ _HEX_SPACE = 16**8
 
 def hash_bucket(key: Column, salt: str) -> Column:
     """First 8 hex chars of md5(key || '-' || salt): a deterministic
-    uniform draw, as a lexicographically comparable hex string."""
+    uniform draw, as a lexicographically comparable hex string.
+
+    NULL keys hash as the literal '__NULL__' (r4 self-review): a NULL
+    md5 would make every split comparison NULL, silently dumping all
+    NULL-keyed rows into the last split and dropping them from
+    stratified samples. Coalescing keeps them deterministic first-class
+    citizens of the bucket space instead."""
+    k = F.coalesce(key.cast("string"), F.lit("__NULL__"))
     return F.substring(
-        F.md5(F.concat(key.cast("string"), F.lit(f"-{salt}")).cast("binary")), 1, 8
+        F.md5(F.concat(k, F.lit(f"-{salt}")).cast("binary")), 1, 8
     )
 
 
@@ -76,7 +83,10 @@ def split_case_sql(key: str, weights: dict[str, float] | None = None,
                    salt: str = "split") -> str:
     """The ANSI-SQL twin of ``hash_split`` for oracle queries."""
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
-    h = f"substr(md5(CAST({key} AS VARCHAR) || '-{salt}'), 1, 8)"
+    h = (
+        f"substr(md5(COALESCE(CAST({key} AS VARCHAR), '__NULL__')"
+        f" || '-{salt}'), 1, 8)"
+    )
     names = _thresholds(weights)
     whens = " ".join(
         f"WHEN {h} < '{hi}' THEN '{name}'" for name, hi in names[:-1]
@@ -136,6 +146,7 @@ def pack_greedy_firstfit(
     order_col: str,
     bin_col: str = "bin_id",
     max_group_rows: int | None = 100_000,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """First-fit greedy packing per ``by`` group: each row goes to the
     lowest-numbered open bin with enough remaining budget, else opens
@@ -149,13 +160,22 @@ def pack_greedy_firstfit(
     documented, deterministic relaxation that costs at most one
     under-filled bin per shard). ``max_group_rows=None`` restores
     whole-group packing when the caller knows strata are bounded.
+
+    Determinism requires a total order: when ``order_col`` has ties,
+    shard assignment (row_number) and the in-shard sort would both
+    fall back to arrival order, so bin ids could differ run to run.
+    Ties break on ``tokens_col`` and then ``tiebreak_col`` if given —
+    pass a unique column (a doc id) whenever ``order_col`` alone is
+    not unique.
     """
     from pyspark.sql.types import StructType
 
-    order_cols = [order_col]
+    order_cols = [order_col, tokens_col]
+    if tiebreak_col is not None:
+        order_cols.append(tiebreak_col)
     group_cols = list(by)
     if max_group_rows is not None:
-        w = Window.partitionBy(*by).orderBy(order_col)
+        w = Window.partitionBy(*by).orderBy(*order_cols)
         df = df.withColumn(
             "_shard",
             F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(max_group_rows)),
@@ -215,11 +235,18 @@ def global_shuffle(
     offsets."""
     h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
     ranked = df.withColumn("_h", h).repartitionByRange(F.col("_h"))
-    # partition-local rank
+    # partition-local rank. The lineage is PINNED (localCheckpoint):
+    # offsets and the probe side below both read `local`, and without
+    # pinning each would independently re-run the range sort — twice
+    # the dominant cost, and two evaluations of nondeterministic
+    # spark_partition_id() (sampled range boundaries can shift between
+    # runs) could disagree, leaving gaps/duplicates in the positions
+    # (r4 self-review).
     part = F.spark_partition_id()
     local = ranked.withColumn("_pid", part)
     wlocal = Window.partitionBy("_pid").orderBy("_h")
     local = local.withColumn("_local_rank", F.row_number().over(wlocal))
+    local = local.localCheckpoint(eager=False)
     # per-partition row counts -> cumulative offsets (tiny, broadcast)
     offsets = (
         local.groupBy("_pid")

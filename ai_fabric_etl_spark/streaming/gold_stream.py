@@ -44,10 +44,14 @@ def start_gold_lookback_refresh(
     gold_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    lookback_days: int | None = None,
 ) -> StreamingQuery:
     """Append the stream to silver, then rebuild marts from the
     accumulated table each micro-batch (reference-compatible
-    recompute semantics)."""
+    recompute semantics). ``lookback_days`` bounds the recompute to
+    processing_date >= max(processing_date) - lookback_days via
+    partition pruning (gold_x12_analytics.py:39's window); None keeps
+    the full-history rebuild."""
 
     def refresh(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -59,7 +63,20 @@ def start_gold_lookback_refresh(
             .partitionBy("processing_date", "transaction_type")
             .parquet(f"{silver_dir}/epoch={epoch_id}")
         )
-        silver = silver_with_parsed(spark.read.parquet(silver_dir).drop("epoch"))
+        raw = spark.read.parquet(silver_dir).drop("epoch")
+        # partition-column type inference would read the all-numeric
+        # transaction_type partition values back as INT, drifting the
+        # streamed marts' schema from the batch pipeline's STRING —
+        # restore the silver schema's type explicitly
+        raw = raw.withColumn(
+            "transaction_type", F.col("transaction_type").cast("string")
+        )
+        silver = silver_with_parsed(raw)
+        if lookback_days is not None:
+            horizon = silver.agg(
+                F.date_sub(F.max("processing_date"), lookback_days).alias("h")
+            ).collect()[0]["h"]
+            silver = silver.filter(F.col("processing_date") >= F.lit(horizon))
         write_marts(build_all_marts(silver), gold_dir)
 
     writer = (
@@ -84,6 +101,7 @@ def _summary_partials(silver_batch: DataFrame) -> DataFrame:
     return silver_batch.filter(F.col("is_valid")).groupBy(*_KEYS).agg(
         F.count(F.lit(1)).alias("transaction_count"),
         F.sum(F.col("quality_score").cast("decimal(18,4)")).alias("score_sum"),
+        F.count("quality_score").alias("score_cnt"),
         F.min("processing_timestamp").alias("first_processed"),
         F.max("processing_timestamp").alias("last_processed"),
         F.hll_sketch_agg("interchange_control_number", F.lit(_HLL_LG_K)).alias(
@@ -100,6 +118,7 @@ def _fold(
     keys: list[str],
     merge_exprs: list,
     epoch_id: int | None = None,
+    app_id: str | None = None,
 ) -> None:
     """union(prev, batch) → re-aggregate with the partials' merge
     functions → atomic swap. One shuffle over O(batch + |keys|) rows.
@@ -107,25 +126,32 @@ def _fold(
     Exactly-once: foreachBatch is at-least-once, and these folds are
     ADDITIVE, so a replayed batch would double-count. The last applied
     epoch rides in the table pointer (same atomic swap as the data);
-    an epoch we have already folded is skipped (ADVICE r1 — the same
-    guard running_aggs._pointer uses)."""
+    an epoch we have already folded is skipped, and the epoch counter
+    is scoped to the checkpoint identity (``app_id``) so a fresh
+    checkpoint's restarted counter is not mistaken for replays
+    (ADVICE r1 + r4 self-review)."""
     table = ParquetMergeTable(spark, state_path)
     if epoch_id is not None:
-        last = table.last_epoch()
+        # app_id (the checkpoint identity) scopes the epoch counter:
+        # a restart on a FRESH checkpoint resets epoch ids to 0, and
+        # without the scoping every real batch up to the old maximum
+        # would be silently skipped as a "replay" (Delta txnAppId)
+        last = table.last_epoch(app_id)
         if last is not None and epoch_id <= last:
             return  # replayed batch: already folded into this state
     if not table.exists():
-        table.overwrite(batch_partials, epoch=epoch_id)
+        table.overwrite(batch_partials, epoch=epoch_id, app_id=app_id)
         return
     merged = (
         table.read().unionByName(batch_partials).groupBy(*keys).agg(*merge_exprs)
     )
-    table.overwrite(merged, epoch=epoch_id)
+    table.overwrite(merged, epoch=epoch_id, app_id=app_id)
 
 
 _SUMMARY_MERGE = [
     F.sum("transaction_count").alias("transaction_count"),
     F.sum("score_sum").alias("score_sum"),
+    F.sum("score_cnt").alias("score_cnt"),
     F.min("first_processed").alias("first_processed"),
     F.max("last_processed").alias("last_processed"),
     F.hll_union_agg("interchange_sketch").alias("interchange_sketch"),
@@ -135,11 +161,11 @@ _SUMMARY_MERGE = [
 
 def merge_summary_batch(
     spark: SparkSession, silver_batch: DataFrame, state_path: str,
-    epoch_id: int | None = None,
+    epoch_id: int | None = None, app_id: str | None = None,
 ) -> None:
     """Fold one batch into the incremental summary-mart partials."""
     _fold(spark, _summary_partials(silver_batch), state_path, _KEYS, _SUMMARY_MERGE,
-          epoch_id=epoch_id)
+          epoch_id=epoch_id, app_id=app_id)
 
 
 def read_incremental_summary(spark: SparkSession, state_path: str) -> DataFrame:
@@ -148,7 +174,9 @@ def read_incremental_summary(spark: SparkSession, state_path: str) -> DataFrame:
     return t.select(
         *_KEYS,
         "transaction_count",
-        (F.col("score_sum").cast("double") / F.col("transaction_count")).alias(
+        # divide by the NON-NULL score count (F.avg semantics in the
+        # batch mart), not the row count
+        (F.col("score_sum").cast("double") / F.col("score_cnt")).alias(
             "average_quality_score"
         ),
         "first_processed",
@@ -180,6 +208,7 @@ def _partner_partials(silver_batch: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("total_transactions"),
         F.collect_set("transaction_type").alias("type_set"),
         F.sum(F.col("quality_score").cast("decimal(18,4)")).alias("score_sum"),
+        F.count("quality_score").alias("score_cnt"),
         *type_counts,
         F.hll_sketch_agg("interchange_control_number", F.lit(_HLL_LG_K)).alias(
             "interchange_sketch"
@@ -193,6 +222,7 @@ _PARTNER_MERGE = [
     F.sum("total_transactions").alias("total_transactions"),
     F.array_distinct(F.flatten(F.collect_list("type_set"))).alias("type_set"),
     F.sum("score_sum").alias("score_sum"),
+    F.sum("score_cnt").alias("score_cnt"),
     *[F.sum(f"count_{t}").alias(f"count_{t}") for t in _TX_TYPES],
     F.hll_union_agg("interchange_sketch").alias("interchange_sketch"),
     F.min("first_transaction").alias("first_transaction"),
@@ -202,12 +232,12 @@ _PARTNER_MERGE = [
 
 def merge_partner_batch(
     spark: SparkSession, silver_batch: DataFrame, state_path: str,
-    epoch_id: int | None = None,
+    epoch_id: int | None = None, app_id: str | None = None,
 ) -> None:
     """Fold one batch into the incremental partner-analytics partials."""
     _fold(
         spark, _partner_partials(silver_batch), state_path, _PARTNER_KEYS, _PARTNER_MERGE,
-        epoch_id=epoch_id,
+        epoch_id=epoch_id, app_id=app_id,
     )
 
 
@@ -218,7 +248,7 @@ def read_incremental_partner(spark: SparkSession, state_path: str) -> DataFrame:
         *_PARTNER_KEYS,
         "total_transactions",
         F.size("type_set").alias("unique_transaction_types"),
-        (F.col("score_sum").cast("double") / F.col("total_transactions")).alias(
+        (F.col("score_sum").cast("double") / F.col("score_cnt")).alias(
             "average_quality_score"
         ),
         *[f"count_{t}" for t in _TX_TYPES],
@@ -239,8 +269,12 @@ def start_gold_incremental_summary(
 ) -> StreamingQuery:
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         # epoch_id MUST thread through or the exactly-once replay guard
-        # never engages for this entry point
-        merge_summary_batch(batch_df.sparkSession, batch_df, state_path, epoch_id)
+        # never engages for this entry point; the checkpoint path scopes
+        # the counter so a fresh checkpoint cannot alias old epochs
+        merge_summary_batch(
+            batch_df.sparkSession, batch_df, state_path, epoch_id,
+            app_id=checkpoint_dir,
+        )
 
     writer = (
         silver_stream.writeStream.foreachBatch(fold)
@@ -289,15 +323,16 @@ def _detail_marts():
 
 def merge_detail_batch(
     spark: SparkSession, silver_batch: DataFrame, state_root: str,
-    epoch_id: int | None = None,
+    epoch_id: int | None = None, app_id: str | None = None,
+    parsed_batch: DataFrame | None = None,
 ) -> None:
     """Upsert one silver batch's rows into every detail mart (the
     upsert is idempotent under replay; epoch recorded for parity)."""
-    swp = silver_with_parsed(silver_batch)
+    swp = parsed_batch if parsed_batch is not None else silver_with_parsed(silver_batch)
     for name, fn in _detail_marts().items():
         mart = fn(swp).dropDuplicates(_DETAIL_KEYS)
         ParquetMergeTable(spark, f"{state_root}/{name}").merge(
-            mart, _DETAIL_KEYS, epoch=epoch_id
+            mart, _DETAIL_KEYS, epoch=epoch_id, app_id=app_id
         )
 
 
@@ -315,10 +350,13 @@ def read_incremental_detail(
 _ELIG_KEYS = ["processing_date", "sender_id", "receiver_id"]
 
 
-def _eligibility_partials(silver_batch: DataFrame) -> DataFrame:
+def _eligibility_partials(
+    silver_batch: DataFrame, parsed_batch: DataFrame | None = None
+) -> DataFrame:
     """Partials for gold_eligibility_analytics: every term is an
-    additive sum; avg decomposes to (decimal score_sum, n_rows)."""
-    swp = silver_with_parsed(silver_batch).filter(
+    additive sum; avg decomposes to (decimal score_sum, score_cnt)."""
+    base = parsed_batch if parsed_batch is not None else silver_with_parsed(silver_batch)
+    swp = base.filter(
         F.col("is_valid") & F.col("transaction_type").isin("270", "271")
     )
     p = "parsed"
@@ -339,6 +377,7 @@ def _eligibility_partials(silver_batch: DataFrame) -> DataFrame:
             F.when(F.coalesce(F.col(f"{p}.active_coverage"), F.lit(False)), 1).otherwise(0)
         ).alias("active_coverage_count"),
         F.sum(F.col("quality_score").cast("decimal(18,4)")).alias("score_sum"),
+        F.count("quality_score").alias("score_cnt"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -350,21 +389,23 @@ _ELIG_SUM_COLS = [
     "total_benefits",
     "active_coverage_count",
     "score_sum",
+    "score_cnt",
     "n_rows",
 ]
 
 
 def merge_eligibility_batch(
     spark: SparkSession, silver_batch: DataFrame, state_path: str,
-    epoch_id: int | None = None,
+    epoch_id: int | None = None, app_id: str | None = None,
+    parsed_batch: DataFrame | None = None,
 ) -> None:
     _fold(
         spark,
-        _eligibility_partials(silver_batch),
+        _eligibility_partials(silver_batch, parsed_batch),
         state_path,
         _ELIG_KEYS,
         [F.sum(c).alias(c) for c in _ELIG_SUM_COLS],
-        epoch_id=epoch_id,
+        epoch_id=epoch_id, app_id=app_id,
     )
 
 
@@ -377,19 +418,22 @@ def read_incremental_eligibility(spark: SparkSession, state_path: str) -> DataFr
         "total_inquiry_items",
         "total_benefits",
         "active_coverage_count",
-        (F.col("score_sum").cast("double") / F.col("n_rows")).alias(
+        (F.col("score_sum").cast("double") / F.col("score_cnt")).alias(
             "average_quality_score"
         ),
     )
 
 
-def _claim_status_partials(silver_batch: DataFrame) -> DataFrame:
+def _claim_status_partials(
+    silver_batch: DataFrame, parsed_batch: DataFrame | None = None
+) -> DataFrame:
     """Partials for gold_claim_status_analytics — the batch mart's agg
     runs over EXPLODED status rows, and all four terms are sums over
     those rows, so the per-batch mart itself is the partial."""
     from ai_fabric_etl_spark.pipeline.gold import claim_status_analytics
 
-    return claim_status_analytics(silver_with_parsed(silver_batch))
+    swp = parsed_batch if parsed_batch is not None else silver_with_parsed(silver_batch)
+    return claim_status_analytics(swp)
 
 
 _CLAIM_STATUS_SUM_COLS = [
@@ -402,15 +446,16 @@ _CLAIM_STATUS_SUM_COLS = [
 
 def merge_claim_status_batch(
     spark: SparkSession, silver_batch: DataFrame, state_path: str,
-    epoch_id: int | None = None,
+    epoch_id: int | None = None, app_id: str | None = None,
+    parsed_batch: DataFrame | None = None,
 ) -> None:
     _fold(
         spark,
-        _claim_status_partials(silver_batch),
+        _claim_status_partials(silver_batch, parsed_batch),
         state_path,
         _ELIG_KEYS,
         [F.sum(c).alias(c) for c in _CLAIM_STATUS_SUM_COLS],
-        epoch_id=epoch_id,
+        epoch_id=epoch_id, app_id=app_id,
     )
 
 
@@ -439,6 +484,7 @@ def _quality_partials(silver_batch: DataFrame) -> DataFrame:
     return silver_batch.groupBy(*_QUALITY_KEYS).agg(
         F.count(F.lit(1)).alias("transaction_count"),
         F.sum(F.col("quality_score").cast("decimal(18,4)")).alias("score_sum"),
+        F.count("quality_score").alias("score_cnt"),
         F.min("quality_score").alias("min_quality_score"),
         F.max("quality_score").alias("max_quality_score"),
         high.alias("high_quality_count"),
@@ -453,6 +499,7 @@ def _quality_partials(silver_batch: DataFrame) -> DataFrame:
 _QUALITY_MERGE = [
     F.sum("transaction_count").alias("transaction_count"),
     F.sum("score_sum").alias("score_sum"),
+    F.sum("score_cnt").alias("score_cnt"),
     F.min("min_quality_score").alias("min_quality_score"),
     F.max("max_quality_score").alias("max_quality_score"),
     F.sum("high_quality_count").alias("high_quality_count"),
@@ -466,10 +513,10 @@ _QUALITY_MERGE = [
 
 def merge_quality_batch(
     spark: SparkSession, silver_batch: DataFrame, state_path: str,
-    epoch_id: int | None = None,
+    epoch_id: int | None = None, app_id: str | None = None,
 ) -> None:
     _fold(spark, _quality_partials(silver_batch), state_path, _QUALITY_KEYS, _QUALITY_MERGE,
-          epoch_id=epoch_id)
+          epoch_id=epoch_id, app_id=app_id)
 
 
 def read_incremental_quality(spark: SparkSession, state_path: str) -> DataFrame:
@@ -478,7 +525,9 @@ def read_incremental_quality(spark: SparkSession, state_path: str) -> DataFrame:
     return t.select(
         *_QUALITY_KEYS,
         "transaction_count",
-        (F.col("score_sum").cast("double") / cnt).alias("average_quality_score"),
+        (F.col("score_sum").cast("double") / F.col("score_cnt")).alias(
+            "average_quality_score"
+        ),
         "min_quality_score",
         "max_quality_score",
         "high_quality_count",
@@ -507,6 +556,7 @@ def _kpi_partials(silver_batch: DataFrame) -> DataFrame:
         F.hll_sketch_agg("receiver_id", F.lit(_HLL_LG_K)).alias("receiver_sketch"),
         F.hll_sketch_agg(combo, F.lit(_HLL_LG_K)).alias("combo_sketch"),
         F.sum(F.col("quality_score").cast("decimal(18,4)")).alias("score_sum"),
+        F.count("quality_score").alias("score_cnt"),
         F.max("processing_timestamp").alias("last_processed"),
     )
 
@@ -519,16 +569,17 @@ _KPI_MERGE = [
     F.hll_union_agg("receiver_sketch").alias("receiver_sketch"),
     F.hll_union_agg("combo_sketch").alias("combo_sketch"),
     F.sum("score_sum").alias("score_sum"),
+    F.sum("score_cnt").alias("score_cnt"),
     F.max("last_processed").alias("last_processed"),
 ]
 
 
 def merge_kpis_batch(
     spark: SparkSession, silver_batch: DataFrame, state_path: str,
-    epoch_id: int | None = None,
+    epoch_id: int | None = None, app_id: str | None = None,
 ) -> None:
     _fold(spark, _kpi_partials(silver_batch), state_path, ["_all"], _KPI_MERGE,
-          epoch_id=epoch_id)
+          epoch_id=epoch_id, app_id=app_id)
 
 
 def read_incremental_kpis(spark: SparkSession, state_path: str) -> DataFrame:
@@ -540,7 +591,7 @@ def read_incremental_kpis(spark: SparkSession, state_path: str) -> DataFrame:
         F.hll_sketch_estimate("sender_sketch").alias("unique_senders"),
         F.hll_sketch_estimate("receiver_sketch").alias("unique_receivers"),
         F.hll_sketch_estimate("combo_sketch").alias("unique_trading_partnerships"),
-        (F.col("score_sum").cast("double") / F.col("total_transactions")).alias(
+        (F.col("score_sum").cast("double") / F.col("score_cnt")).alias(
             "average_quality_score"
         ),
         "last_processed",
@@ -560,18 +611,34 @@ def start_gold_incremental(
     five detail marts. Each micro-batch costs O(batch + |touched
     keys|); nothing ever rescans silver."""
 
+    app_id = checkpoint_dir  # epoch counters scoped to this checkpoint
+
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df.cache()
+        # parse the typed payload ONCE per batch; three consumers
+        # (eligibility, claim-status, detail upserts) share it instead
+        # of re-running from_json over the whole batch each
+        swp = silver_with_parsed(batch_df).cache()
         # each state path records its own last epoch, so a crash between
         # the seven merges replays only the marts that missed the batch
-        merge_summary_batch(spark, batch_df, f"{state_root}/summary", epoch_id)
-        merge_partner_batch(spark, batch_df, f"{state_root}/partner", epoch_id)
-        merge_eligibility_batch(spark, batch_df, f"{state_root}/eligibility", epoch_id)
-        merge_claim_status_batch(spark, batch_df, f"{state_root}/claim_status", epoch_id)
-        merge_quality_batch(spark, batch_df, f"{state_root}/quality", epoch_id)
-        merge_kpis_batch(spark, batch_df, f"{state_root}/kpis", epoch_id)
-        merge_detail_batch(spark, batch_df, f"{state_root}/detail", epoch_id)
+        merge_summary_batch(spark, batch_df, f"{state_root}/summary", epoch_id, app_id)
+        merge_partner_batch(spark, batch_df, f"{state_root}/partner", epoch_id, app_id)
+        merge_eligibility_batch(
+            spark, batch_df, f"{state_root}/eligibility", epoch_id, app_id,
+            parsed_batch=swp,
+        )
+        merge_claim_status_batch(
+            spark, batch_df, f"{state_root}/claim_status", epoch_id, app_id,
+            parsed_batch=swp,
+        )
+        merge_quality_batch(spark, batch_df, f"{state_root}/quality", epoch_id, app_id)
+        merge_kpis_batch(spark, batch_df, f"{state_root}/kpis", epoch_id, app_id)
+        merge_detail_batch(
+            spark, batch_df, f"{state_root}/detail", epoch_id, app_id,
+            parsed_batch=swp,
+        )
+        swp.unpersist()
         batch_df.unpersist()
 
     writer = (

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ai_fabric_etl_spark.operators.merge import ParquetMergeTable
 
 
@@ -59,9 +61,36 @@ def test_merge_epoch_guard_round_trip(spark, tmp_path):
     t.merge(spark.createDataFrame([(2, 20)], "id long, v long"), keys=["id"], epoch=1)
     assert t.last_epoch() == 1
     assert _rows(t.read()) == [(1, 10), (2, 20)]
-    # epoch-less writes clear the marker (batch-mode writes)
+    # epoch-less writes CARRY the marker FORWARD (r4 self-review):
+    # maintenance ops and direct batch writes on a streaming state
+    # table must not disarm the replay guard — erasing it would let a
+    # replayed micro-batch double-fold additive partials
     t.overwrite(df)
-    assert t.last_epoch() is None
+    assert t.last_epoch() == 1
+    t.compact(target_files=1)
+    assert t.last_epoch() == 1
+    t.update("id = 1", {"v": F.lit(11)})
+    assert t.last_epoch() == 1
+    t.delete("id = 999")
+    assert t.last_epoch() == 1
+
+
+def test_merge_epoch_scoped_by_app_identity(spark, tmp_path):
+    """Epoch counters are per-stream (Delta txnAppId semantics): a
+    query restarted on a FRESH checkpoint restarts epoch ids at 0, and
+    its batches must NOT be skipped as replays of the old stream."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_app"))
+    df = spark.createDataFrame([(1, 10)], "id long, v long")
+    t.overwrite(df, epoch=500, app_id="/ckpt/run-a")
+    assert t.last_epoch("/ckpt/run-a") == 500
+    # a different stream identity sees no epoch -> applies its batches
+    assert t.last_epoch("/ckpt/run-b") is None
+    # legacy callers without an app still see the raw epoch
+    assert t.last_epoch() == 500
+    # adopting the new stream replaces both epoch and app
+    t.overwrite(df, epoch=0, app_id="/ckpt/run-b")
+    assert t.last_epoch("/ckpt/run-b") == 0
+    assert t.last_epoch("/ckpt/run-a") is None
 
 
 def test_merge_failure_mid_swap_keeps_old_version(spark, tmp_path):

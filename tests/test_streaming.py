@@ -217,9 +217,18 @@ def test_gold_lookback_refresh_stream(spark, landing, tmp_path):
     q = start_gold_lookback_refresh(stream, silver_dir, gold_dir, ckpt)
     q.awaitTermination(180)
 
-    batch_silver = silver_with_parsed(spark.read.parquet(silver_dir))
+    # restore the silver schema's STRING transaction_type — partition
+    # type inference reads the all-numeric values back as int, and the
+    # expected side must not inherit that drift (r4 self-review: the
+    # old test compared drifted-to-drifted and couldn't see the bug)
+    batch_silver = silver_with_parsed(
+        spark.read.parquet(silver_dir)
+        .drop("epoch")
+        .withColumn("transaction_type", F.col("transaction_type").cast("string"))
+    )
     expected = build_all_marts(batch_silver)
     got = spark.read.parquet(f"{gold_dir}/gold_transaction_summary")
+    assert dict(got.dtypes)["transaction_type"] == "string"
     exp = expected["gold_transaction_summary"]
     key_cols = ["processing_date", "transaction_type", "sender_id", "receiver_id"]
     assert sorted(map(tuple, got.select(*key_cols, "transaction_count").collect())) == sorted(
@@ -275,6 +284,31 @@ def test_gold_incremental_summary_matches_batch(spark, landing, tmp_path):
         gi, gf = got_d[sk(r)]
         assert abs(gi - r.unique_interchanges) <= max(1, 0.05 * r.unique_interchanges)
         assert abs(gf - r.unique_files) <= max(1, 0.05 * r.unique_files)
+
+
+def test_gold_incremental_average_skips_null_scores(spark, tmp_path):
+    """F.avg skips NULLs in the batch marts; the incremental views
+    must divide score_sum by the NON-NULL score count, not the row
+    count (r4 self-review) — else a NULL-scored silver row silently
+    deflates every streamed average."""
+    from ai_fabric_etl_spark.streaming.gold_stream import (
+        merge_summary_batch,
+        read_incremental_summary,
+    )
+
+    rows = [
+        ("b", "f1", NOW, "1", "1", "c1", "837", "S", "R", "d", "{}", "{}", 90, True, NOW.date()),
+        ("b", "f2", NOW, "1", "1", "c2", "837", "S", "R", "d", "{}", "{}", None, True, NOW.date()),
+        ("b", "f3", NOW, "1", "1", "c3", "837", "S", "R", "d", "{}", "{}", 70, True, NOW.date()),
+    ]
+    from ai_fabric_etl_spark.schemas import SILVER_SCHEMA
+
+    silver = spark.createDataFrame(rows, SILVER_SCHEMA)
+    state = str(tmp_path / "nullscore")
+    merge_summary_batch(spark, silver, state)
+    got = read_incremental_summary(spark, state).collect()[0]
+    assert got["transaction_count"] == 3
+    assert got["average_quality_score"] == 80.0  # (90+70)/2, not /3
 
 
 def test_gold_incremental_partner_matches_batch(spark, landing, tmp_path):
