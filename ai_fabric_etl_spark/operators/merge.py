@@ -5,9 +5,9 @@ The reference upserts running rows with Postgres ``ON CONFLICT DO
 UPDATE`` (local-development/process_test_data.py:112-148). On a
 lakehouse that is one Delta/Iceberg ``MERGE INTO``; this environment
 has plain parquet, so the table is versioned directories with an
-atomically swapped pointer (the same ACID-light scheme
-streaming/running_aggs.py uses for its aggregate state, generalized
-to row-level merge semantics):
+atomically swapped pointer (streaming/running_aggs.py and
+streaming/gold_stream.py keep their aggregate state in this class),
+supporting row-level merge semantics:
 
 - whenMatched:    update target columns from the source row
 - whenNotMatched: insert the source row

@@ -6,90 +6,75 @@ transaction_count = transaction_count + EXCLUDED.transaction_count,
 avg_quality_score = (avg_quality_score + EXCLUDED.avg_quality_score)/2``
 (local-development/process_test_data.py:112-148). The ``(a+b)/2`` is
 wrong — it weights the last batch at 50% regardless of size. Here the
-state carries the *partials* (count, exact score sum), so the mean is
-always the exact weighted mean (documented deviation, SURVEY §7.3
-risk 2).
+state carries the *partials* (count, exact score sum, non-null score
+count), so the mean is always the exact weighted mean with F.avg's
+null semantics (documented deviation, SURVEY §7.3 risk 2).
 
-State layout: versioned parquet (``state_dir/v=N/`` + a ``_LATEST``
-pointer swapped with os.replace) — an ACID-light stand-in for what is
-one ``MERGE INTO`` statement on Delta/Iceberg in production. The merge
-itself is union + re-aggregate over partial sums: associative, so it
-needs no join, and at 100 TB the state table stays
-keys-cardinality-sized (dates x types), never events-sized.
+State lives in a :class:`ParquetMergeTable` (versioned parquet +
+atomically swapped pointer — one ``MERGE INTO`` on Delta/Iceberg in
+production); the merge itself is union + re-aggregate over partial
+sums: associative, so it needs no join, and at 100 TB the state table
+stays keys-cardinality-sized (dates x types), never events-sized.
 
-Replays are idempotent: foreachBatch epoch ids are recorded in the
-pointer and already-applied epochs are skipped — the exactly-once
-contract the reference approximates by moving files to archive/.
+Replays are idempotent: foreachBatch epoch ids ride in the table
+pointer, scoped to the checkpoint identity (Delta txnAppId style), so
+already-applied epochs are skipped while a restart on a fresh
+checkpoint — whose epoch counter resets to 0 — is still applied.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ai_fabric_etl_spark.operators.merge import ParquetMergeTable
+
 _KEYS = ["processing_date", "transaction_type"]
-
-
-def _pointer(state_dir: str) -> tuple[int, int]:
-    """(version, last_epoch); (-1, -1) if no state yet."""
-    try:
-        with open(os.path.join(state_dir, "_LATEST"), encoding="utf-8") as fh:
-            v, e = fh.read().split(",")
-            return int(v), int(e)
-    except FileNotFoundError:
-        return -1, -1
-
-
-def _swap_pointer(state_dir: str, version: int, epoch: int) -> None:
-    tmp = os.path.join(state_dir, "_LATEST.tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(f"{version},{epoch}")
-    os.replace(tmp, os.path.join(state_dir, "_LATEST"))
 
 
 def _partials(silver_batch: DataFrame) -> DataFrame:
     return silver_batch.groupBy(*_KEYS).agg(
         F.count(F.lit(1)).alias("transaction_count"),
         F.sum(F.col("quality_score").cast("decimal(18,4)")).alias("score_sum"),
+        F.count("quality_score").alias("score_cnt"),
     )
 
 
 def merge_running_totals(
-    spark: SparkSession, silver_batch: DataFrame, state_dir: str, epoch_id: int
+    spark: SparkSession,
+    silver_batch: DataFrame,
+    state_dir: str,
+    epoch_id: int,
+    app_id: str | None = None,
 ) -> None:
     """One foreachBatch merge. Also callable directly from batch jobs."""
-    version, last_epoch = _pointer(state_dir)
-    if epoch_id <= last_epoch:
+    table = ParquetMergeTable(spark, state_dir)
+    last = table.last_epoch(app_id)
+    if last is not None and epoch_id <= last:
         return  # replayed epoch after restart — already merged
     batch = _partials(silver_batch)
-    if version >= 0:
-        state = spark.read.parquet(os.path.join(state_dir, f"v={version}"))
+    if table.exists():
         batch = (
-            state.unionByName(batch)
+            table.read()
+            .unionByName(batch)
             .groupBy(*_KEYS)
             .agg(
                 F.sum("transaction_count").alias("transaction_count"),
                 F.sum("score_sum").alias("score_sum"),
+                F.sum("score_cnt").alias("score_cnt"),
             )
         )
-    os.makedirs(state_dir, exist_ok=True)
-    batch.write.mode("overwrite").parquet(os.path.join(state_dir, f"v={version + 1}"))
-    _swap_pointer(state_dir, version + 1, epoch_id)
+    table.overwrite(batch, epoch=epoch_id, app_id=app_id)
 
 
 def read_running_totals(spark: SparkSession, state_dir: str) -> DataFrame:
     """Current totals with the exact weighted mean materialized."""
-    version, _ = _pointer(state_dir)
-    if version < 0:
-        raise FileNotFoundError(f"no running-totals state at {state_dir}")
-    df = spark.read.parquet(os.path.join(state_dir, f"v={version}"))
+    df = ParquetMergeTable(spark, state_dir).read()
     return df.select(
         *_KEYS,
         "transaction_count",
-        (F.col("score_sum").cast("double") / F.col("transaction_count")).alias(
+        (F.col("score_sum").cast("double") / F.col("score_cnt")).alias(
             "avg_quality_score"
         ),
     )
@@ -104,7 +89,10 @@ def start_running_totals(
     """Attach the merge to a streaming silver DataFrame."""
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
-        merge_running_totals(batch_df.sparkSession, batch_df, state_dir, epoch_id)
+        merge_running_totals(
+            batch_df.sparkSession, batch_df, state_dir, epoch_id,
+            app_id=checkpoint_dir,
+        )
 
     writer = (
         silver_stream.writeStream.foreachBatch(_merge)
