@@ -59,13 +59,20 @@ def read_bronze(
         F.trim(F.try_element_at(isa, F.lit(16))).alias("usage_indicator"),
     )
 
+    # segment presence = terminator-anchored "~SEG*" patterns, not raw
+    # substring containment: bare contains('GS') matches the letters
+    # inside any element value (a sender id 'WESTGS'), passing files
+    # with no GS segment at all (r4 self-review). Leading whitespace
+    # is tolerated like envelope.validate_x12_text's lstrip.
     checks = [
-        content.startswith("ISA").alias("starts_with_isa"),
+        F.ltrim(content).startswith("ISA").alias("starts_with_isa"),
         (F.length(content) >= MIN_FILE_LENGTH).alias("min_length_ok"),
         (F.size(F.split(content, "~")) >= 5).alias("terminator_count_ok"),
-        content.contains("GS").alias("has_gs"),
-        content.contains("ST").alias("has_st"),
-        content.contains("IEA").alias("has_iea"),
+        content.contains("~GS*").alias("has_gs"),
+        content.contains("~ST*").alias("has_st"),
+        content.contains("~SE*").alias("has_se"),
+        content.contains("~GE*").alias("has_ge"),
+        content.contains("~IEA*").alias("has_iea"),
     ]
     df = df.select("*", *checks)
     valid = (
@@ -74,6 +81,8 @@ def read_bronze(
         & F.col("terminator_count_ok")
         & F.col("has_gs")
         & F.col("has_st")
+        & F.col("has_se")
+        & F.col("has_ge")
         & F.col("has_iea")
     )
     return df.withColumn("is_valid_x12", valid).withColumn(

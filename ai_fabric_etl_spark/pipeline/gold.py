@@ -226,20 +226,40 @@ def eligibility_analytics(silver: DataFrame, **w) -> DataFrame:
 
 def claim_status_analytics(silver: DataFrame, **w) -> DataFrame:
     """Claim-status mart (276/277) — promised by README.md:257, never
-    built in the reference (U5 registered, never applied). Wired here."""
+    built in the reference (U5 registered, never applied). Wired here.
+
+    Grain is explicit (r4 self-review): requests AND responses are
+    counted at TRANSACTION grain (one 276 = one request, one 277 = one
+    response — comparable for request/response ratios), while
+    ``status_responses`` counts the 277s' individual STC status lines
+    and the amount sums aggregate over those lines. The old shape
+    counted 276s per exploded row and responses per line, mixing
+    grains in one ratio."""
+    keys = ["processing_date", "sender_id", "receiver_id"]
     base = _base(silver, **w).filter(F.col("transaction_type").isin("276", "277"))
-    st = base.select(
-        "processing_date",
-        "sender_id",
-        "receiver_id",
-        "transaction_type",
-        F.explode_outer(F.col(f"{P}.claim_status")).alias("s"),
+    tx = base.groupBy(*keys).agg(
+        F.sum(F.when(F.col("transaction_type") == "276", 1).otherwise(0)).alias(
+            "status_requests"
+        ),
+        F.sum(F.when(F.col("transaction_type") == "277", 1).otherwise(0)).alias(
+            "response_transactions"
+        ),
     )
-    return st.groupBy("processing_date", "sender_id", "receiver_id").agg(
-        F.sum(F.when(F.col("transaction_type") == "276", 1).otherwise(0)).alias("status_requests"),
+    st = base.filter(F.col("transaction_type") == "277").select(
+        *keys, F.explode_outer(F.col(f"{P}.claim_status")).alias("s")
+    )
+    ln = st.groupBy(*keys).agg(
         F.sum(F.when(F.col("s").isNotNull(), 1).otherwise(0)).alias("status_responses"),
         F.sum(F.coalesce(F.col("s.charge_amount"), F.lit(0.0))).alias("total_charge_amount"),
         F.sum(F.coalesce(F.col("s.paid_amount"), F.lit(0.0))).alias("total_paid_amount"),
+    )
+    return tx.join(ln, keys, "left").select(
+        *keys,
+        "status_requests",
+        "response_transactions",
+        F.coalesce(F.col("status_responses"), F.lit(0)).alias("status_responses"),
+        F.coalesce(F.col("total_charge_amount"), F.lit(0.0)).alias("total_charge_amount"),
+        F.coalesce(F.col("total_paid_amount"), F.lit(0.0)).alias("total_paid_amount"),
     )
 
 

@@ -30,12 +30,31 @@ def parse_to_silver(
 ) -> DataFrame:
     """(file_name, content) -> one silver row per ST..SE set.
 
-    ``now`` injectable for deterministic golden-output tests.
-    Files are never split across tasks, so the order-dependent
-    ST..SE/current-claim accumulation is safe (SURVEY §7.3 risk 1).
+    ``now`` injectable for deterministic golden-output tests; when
+    omitted it is stamped ONCE here on the driver, not per task —
+    datetime.now() inside executor code would give retried/speculated/
+    recomputed tasks different processing timestamps (and near
+    midnight different processing_date PARTITIONS) for identical input
+    (r4 self-review). Files are never split across tasks, so the
+    order-dependent ST..SE/current-claim accumulation is safe (SURVEY
+    §7.3 risk 1).
+
+    A file that makes the parser raise does NOT vanish: it yields one
+    dead-letter row (transaction_type 'ERR', quality 0, invalid, the
+    error in validation_results), so corrupt inputs stay visible to
+    the data-quality mart instead of silently shrinking row counts —
+    the reference records the same failures in its bronze tracking
+    table (bronze_x12_ingestion.py status columns).
     """
+    if now is None:
+        from datetime import datetime as _dt
+        from datetime import timezone as _tz
+
+        now = _dt.now(_tz.utc).replace(tzinfo=None)
 
     def parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
         for pdf in batches:
             rows: list[dict] = []
             for file_name, content in zip(pdf["file_name"], pdf["content"]):
@@ -43,8 +62,34 @@ def parse_to_silver(
                     rows.extend(
                         parse_x12_file(file_name, content, batch_id=batch_id, now=now)
                     )
-                except Exception:  # noqa: BLE001 - a corrupt file must not kill the batch
-                    continue
+                except Exception as exc:  # noqa: BLE001 - a corrupt file must not kill the batch
+                    rows.append(
+                        {
+                            "batch_id": batch_id,
+                            "file_name": file_name,
+                            "processing_timestamp": now,
+                            "interchange_control_number": "",
+                            "functional_group_number": "",
+                            "transaction_set_control_number": "",
+                            "transaction_type": "ERR",
+                            "sender_id": "",
+                            "receiver_id": "",
+                            "transaction_date": "",
+                            "parsed_data": "{}",
+                            "validation_results": json.dumps(
+                                {
+                                    "is_valid": False,
+                                    "quality_score": 0,
+                                    "issues": [f"parse failure: {type(exc).__name__}"],
+                                    "warnings": [],
+                                },
+                                sort_keys=True,
+                            ),
+                            "quality_score": 0,
+                            "is_valid": False,
+                            "processing_date": now.date(),
+                        }
+                    )
             if rows:
                 yield pd.DataFrame(rows, columns=_SILVER_COLS)
 

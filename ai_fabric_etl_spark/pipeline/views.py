@@ -21,7 +21,16 @@ def register_views(
     bronze: DataFrame | None = None,
     as_of: str | None = None,
 ) -> list[str]:
-    """Create the v_* temp views; returns the view names."""
+    """Create the v_* temp views; returns the view names.
+
+    ``as_of`` is validated as an ISO date and re-emitted canonically
+    before interpolation — it is spliced into SQL text, and an
+    arbitrary string (from a job config, say) must not be able to
+    inject clauses into the view definitions."""
+    if as_of is not None:
+        import datetime as _dt
+
+        as_of = _dt.date.fromisoformat(str(as_of)).isoformat()
     silver.createOrReplaceTempView("silver_x12_transactions_v")
     created = ["v_daily_processing_summary", "v_transaction_type_breakdown"]
     day_filter = (

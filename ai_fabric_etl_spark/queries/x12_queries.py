@@ -292,7 +292,14 @@ def x12_gold_business_kpis(spark, sf_dir):
         SELECT sender_id, receiver_id, interchange_control_number,
                COUNT(*) AS n,
                MAX(processing_timestamp) AS last_processed,
-               string_agg('AK2*837*' || transaction_set_control_number
+               CASE MIN(transaction_type)
+                    WHEN '837' THEN 'HC' WHEN '835' THEN 'HP'
+                    WHEN '834' THEN 'BE' WHEN '270' THEN 'HS'
+                    WHEN '271' THEN 'HB' WHEN '276' THEN 'HR'
+                    WHEN '277' THEN 'HN' WHEN '278' THEN 'HI'
+                    WHEN '279' THEN 'HI' ELSE 'FA' END AS group_code,
+               string_agg('AK2*' || transaction_type || '*'
+                          || transaction_set_control_number
                           || '~AK5*A~', ''
                           ORDER BY transaction_set_control_number) AS ak_body
         FROM {{src}}
@@ -309,7 +316,7 @@ def x12_gold_business_kpis(spark, sf_dir):
              || 'GS*FA*' || receiver_id || '*' || sender_id
              || '*20250101*0000*' || interchange_control_number || '*X*005010~'
              || 'ST*997*0001~'
-             || 'AK1*HC*' || interchange_control_number || '~'
+             || 'AK1*' || group_code || '*' || interchange_control_number || '~'
              || ak_body
              || 'AK9*A*' || n || '*' || n || '*' || n || '~'
              || 'SE*' || (4 + 2 * n) || '*0001~'
@@ -520,18 +527,30 @@ _MART_ORACLES = {
         WITH base AS (
             SELECT * FROM {_VALID} WHERE transaction_type IN ('276', '277')
         ),
+        tx AS (
+            SELECT processing_date, sender_id, receiver_id,
+                   CAST(SUM(CASE WHEN transaction_type = '276' THEN 1 ELSE 0 END) AS BIGINT) AS status_requests,
+                   CAST(SUM(CASE WHEN transaction_type = '277' THEN 1 ELSE 0 END) AS BIGINT) AS response_transactions
+            FROM base GROUP BY 1, 2, 3
+        ),
         st AS (
-            SELECT processing_date, sender_id, receiver_id, transaction_type,
+            SELECT processing_date, sender_id, receiver_id,
                    {_outer_unnest('parsed.claim_status', 's')}
-            FROM base
+            FROM base WHERE transaction_type = '277'
+        ),
+        ln AS (
+            SELECT processing_date, sender_id, receiver_id,
+                   CAST(SUM(CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS status_responses,
+                   SUM(COALESCE(s.charge_amount, 0.0)) AS total_charge_amount,
+                   SUM(COALESCE(s.paid_amount, 0.0)) AS total_paid_amount
+            FROM st GROUP BY 1, 2, 3
         )
-        SELECT processing_date, sender_id, receiver_id,
-               CAST(SUM(CASE WHEN transaction_type = '276' THEN 1 ELSE 0 END) AS BIGINT) AS status_requests,
-               CAST(SUM(CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS status_responses,
-               ROUND(SUM(COALESCE(s.charge_amount, 0.0)), 4) AS total_charge_amount,
-               ROUND(SUM(COALESCE(s.paid_amount, 0.0)), 4) AS total_paid_amount
-        FROM st
-        GROUP BY processing_date, sender_id, receiver_id
+        SELECT t.processing_date, t.sender_id, t.receiver_id,
+               t.status_requests, t.response_transactions,
+               CAST(COALESCE(l.status_responses, 0) AS BIGINT) AS status_responses,
+               ROUND(COALESCE(l.total_charge_amount, 0.0), 4) AS total_charge_amount,
+               ROUND(COALESCE(l.total_paid_amount, 0.0), 4) AS total_paid_amount
+        FROM tx t LEFT JOIN ln l USING (processing_date, sender_id, receiver_id)
         """,
     ),
     # U6 — 278 preauth requests (pure per-row projection)

@@ -438,6 +438,7 @@ def _claim_status_partials(
 
 _CLAIM_STATUS_SUM_COLS = [
     "status_requests",
+    "response_transactions",
     "status_responses",
     "total_charge_amount",
     "total_paid_amount",

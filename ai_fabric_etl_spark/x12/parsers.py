@@ -24,7 +24,7 @@ from __future__ import annotations
 import json
 from datetime import datetime, timezone
 
-from ai_fabric_etl_spark.x12.envelope import extract_envelope_metadata
+from ai_fabric_etl_spark.x12.envelope import EnvelopeMetadata
 from ai_fabric_etl_spark.x12.segments import Segment, split_segments
 from ai_fabric_etl_spark.x12.validate import validate_transaction
 
@@ -390,20 +390,36 @@ def parse_x12_file(
     """Parse one X12 file into silver-row dicts (the U9 UDTF surface).
 
     Grouping: segments between ST and SE (inclusive) form one
-    transaction set; envelope metadata from the surrounding ISA/GS is
-    attached to every set. ``now`` is injectable for deterministic
-    golden tests (SURVEY §7.3 risk 6).
+    transaction set; envelope metadata from the ENCLOSING ISA/GS is
+    attached to every set — tracked per interchange as the scan
+    passes each ISA, so a legal multi-interchange file
+    (ISA..IEA ISA..IEA) labels every row with its own interchange's
+    sender/receiver/ICN instead of letting the last ISA win (r4
+    self-review; the reference parses one interchange per file and
+    never hits this). ``now`` is injectable for deterministic golden
+    tests (SURVEY §7.3 risk 6).
     """
     if now is None:
         now = datetime.now(timezone.utc).replace(tzinfo=None)
     segments = split_segments(text)
-    env = extract_envelope_metadata(segments)
 
     rows: list[dict] = []
+    env = EnvelopeMetadata()  # empty until the first ISA
     current_gs: dict = {}
     current_set: list[Segment] | None = None
     for seg in segments:
-        if seg.segment_id == "GS":
+        if seg.segment_id == "ISA":
+            env = EnvelopeMetadata(
+                sender_qualifier=seg.el(4).strip(),
+                sender_id=seg.el(5).strip(),
+                receiver_qualifier=seg.el(6).strip(),
+                receiver_id=seg.el(7).strip(),
+                interchange_date=seg.el(8).strip(),
+                interchange_time=seg.el(9).strip(),
+                interchange_control_number=seg.el(12).strip(),
+                usage_indicator=seg.el(14).strip(),
+            )
+        elif seg.segment_id == "GS":
             current_gs = {
                 "group_control_number": seg.el(5),
                 "transaction_date": seg.el(3),

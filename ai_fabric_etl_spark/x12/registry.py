@@ -88,9 +88,12 @@ def typed_segment(elements: Column, segment_spec: dict) -> Column:
     silver_x12_parsing.py:109).
 
     Casts are null-safe: ``try_element_at`` for bounds,
-    empty-string-to-null trim, then cast; decimals additionally
-    coalesce to 0.00 matching the reference's ``float(x) if x else
-    0.0`` guard (silver_x12_parsing.py:231 — SURVEY §7.3 risk 4).
+    empty-string-to-null trim, then cast. Decimals follow the
+    reference's ``float(x) if x else 0.0`` guard EXACTLY
+    (silver_x12_parsing.py:231 — SURVEY §7.3 risk 4): absent/empty
+    elements become 0.00, but a present-and-malformed value ('ABC')
+    becomes NULL — coalescing it to 0.00 would conflate garbage with
+    a genuine zero amount and silently corrupt downstream sums.
     """
     fields = []
     for el in segment_spec.get("elements", []):
@@ -100,9 +103,9 @@ def typed_segment(elements: Column, segment_spec: dict) -> Column:
         if t == "integer":
             typed = raw.try_cast("int")  # ANSI-safe: malformed -> null
         elif t == "decimal":
-            typed = F.coalesce(
-                raw.try_cast("decimal(15,2)"), F.lit(0).cast("decimal(15,2)")
-            )
+            typed = F.when(
+                raw.isNull(), F.lit(0).cast("decimal(15,2)")
+            ).otherwise(raw.try_cast("decimal(15,2)"))
         elif t == "date":
             # X12 compact CCYYMMDD (scripts/generate_test_x12_data.py:38-52)
             typed = F.to_date(raw, "yyyyMMdd")

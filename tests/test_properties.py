@@ -86,23 +86,38 @@ def test_quality_score_formula_bounds(seed):
 
 
 @given(
-    st.text(alphabet="ABCDEFGHIJ0123456789", min_size=2, max_size=15),
-    st.text(alphabet="ABCDEFGHIJ0123456789", min_size=2, max_size=15),
-    st.integers(min_value=1, max_value=999999999),
+    st.text(alphabet="ABCDEFGHIJ0123456789", min_size=2, max_size=25),
+    st.text(alphabet="ABCDEFGHIJ0123456789", min_size=2, max_size=25),
+    st.integers(min_value=1, max_value=99_999_999_999),
     st.lists(
-        st.text(alphabet="0123456789", min_size=4, max_size=9),
+        st.tuples(
+            st.text(alphabet="0123456789", min_size=4, max_size=9),
+            st.sampled_from(
+                ["837", "835", "834", "270", "271", "276", "277", "278", "279", "999"]
+            ),
+        ),
         min_size=1,
         max_size=12,
     ),
 )
 @settings(max_examples=200, deadline=None)
-def test_generated_997_always_valid(sender, receiver, icn, control_numbers):
+def test_generated_997_always_valid(sender, receiver, icn, sets):
     """U8 self-validation (generate_x12_acknowledgments.py:298-337):
-    any generated 997 passes the structural validator."""
+    any generated 997 passes the structural validator — including
+    oversized ids/ICNs, which must truncate into the fixed-width ISA
+    rather than overflow it."""
     from ai_fabric_etl_spark.x12.ack997 import _build_997_text
 
-    text = _build_997_text(sender, receiver, str(icn), control_numbers)
+    text = _build_997_text(sender, receiver, str(icn), sets)
     ok, issues = validate_997(text)
     assert ok, issues
-    # one AK2 loop per acknowledged transaction set
-    assert text.count("AK2" + ELEMENT_SEPARATOR) == len(control_numbers)
+    # one AK2 loop per acknowledged transaction set, carrying the
+    # set's ACTUAL type (not the reference's control-number slice)
+    assert text.count("AK2" + ELEMENT_SEPARATOR) == len(sets)
+    for cn, t in sets:
+        assert f"AK2*{t}*{cn}~" in text
+    # the ISA segment stays fixed-width: 16 elements, ids at 15 chars
+    isa = text.split("~")[0]
+    els = isa.split("*")
+    assert len(els[6]) == 15 and len(els[8]) == 15
+    assert len(els[13]) == 9

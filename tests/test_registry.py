@@ -65,7 +65,7 @@ def test_typed_segment_extraction(spark):
         [
             (["CLM001", "1500.50", "x", "y", "11"],),
             (["CLM002", "", "x"],),  # empty decimal -> 0.00 (reference guard)
-            (["CLM003", "notanumber"],),  # malformed -> 0.00 via coalesce
+            (["CLM003", "notanumber"],),  # malformed -> NULL (not a fake zero)
         ],
         "elements array<string>",
     )
@@ -73,7 +73,7 @@ def test_typed_segment_extraction(spark):
         reg.typed_segment(F.col("elements"), REGISTRY["837"]["segments"]["CLM"]).alias("s")
     ).select("s.*")
     rows = out.collect()
-    assert [str(r.monetary_amount) for r in rows] == ["1500.50", "0.00", "0.00"]
+    assert [str(r.monetary_amount) for r in rows] == ["1500.50", "0.00", "None"]
     assert rows[0].facility_code_value == "11"
     assert rows[1].facility_code_value is None  # out of bounds -> null
 

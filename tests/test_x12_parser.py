@@ -194,6 +194,52 @@ def test_quality_formula_canonical():
     assert rows[0]["is_valid"] is False
 
 
+def test_multi_interchange_file_labels_rows_per_isa():
+    """A legal concatenated file (ISA..IEA ISA..IEA) from two senders:
+    each row must carry ITS OWN interchange's envelope, not the last
+    ISA's (r4 self-review)."""
+    import random
+
+    from ai_fabric_etl_spark.x12.testgen import _envelope, _set, make_835, make_837
+
+    rng = random.Random(3)
+    first = _envelope(
+        [_set("837", 1, make_837(rng, 1))], "ALPHA", "RECVA", icn=111, gcn=11,
+        func_code="HC",
+    )
+    second = _envelope(
+        [_set("835", 2, make_835(rng, 2))], "BRAVO", "RECVB", icn=222, gcn=22,
+        func_code="HP",
+    )
+    rows = parse_x12_file("multi.x12", first + second, now=NOW)
+    assert len(rows) == 2
+    by_type = {r["transaction_type"]: r for r in rows}
+    assert by_type["837"]["sender_id"] == "ALPHA"
+    assert by_type["837"]["interchange_control_number"] == "000000111"
+    assert by_type["837"]["functional_group_number"] == "11"
+    assert by_type["835"]["sender_id"] == "BRAVO"
+    assert by_type["835"]["interchange_control_number"] == "000000222"
+    assert by_type["835"]["functional_group_number"] == "22"
+
+
+def test_parse_failure_yields_dead_letter_row(spark):
+    """A file that makes the parser raise must surface as one ERR
+    dead-letter row (invalid, quality 0), never vanish silently."""
+    from ai_fabric_etl_spark.pipeline.silver import parse_to_silver
+    from ai_fabric_etl_spark.x12.testgen import generate_corpus
+
+    good = generate_corpus(n_files=2)
+    files = spark.createDataFrame(
+        [*good, ("broken.x12", None)], "file_name string, content string"
+    )
+    rows = parse_to_silver(files, batch_id="dlq", now=NOW).collect()
+    err = [r for r in rows if r["transaction_type"] == "ERR"]
+    assert len(err) == 1
+    assert err[0]["file_name"] == "broken.x12"
+    assert err[0]["is_valid"] is False and err[0]["quality_score"] == 0
+    assert len(rows) > len(err)  # the good files still parsed
+
+
 def test_unknown_type_generic_fallback():
     import json
 
