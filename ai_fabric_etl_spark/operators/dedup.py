@@ -285,33 +285,11 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, sig_from_text(F.col(text_col)))
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
-    num_hashes: int = 32,
-    bands: int = 8,
-    n: int = 3,
-    threshold: float = 0.5,
-    max_bucket: int = 1000,
-) -> DataFrame:
-    """Near-dup candidate pairs via banded MinHash LSH, verified with
-    exact shingle Jaccard.
-
-    rows/band = num_hashes/bands = 4 → s-curve threshold
-    (1/bands)^(1/rows) ≈ 0.59; candidates shuffle on band keys only.
-    Buckets larger than ``max_bucket`` are dropped (skew guard — a
-    boilerplate shingle bucket would otherwise produce O(n²) pairs);
-    the drop is observable via the returned pair set being banded.
-    """
+def _lsh_band_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) from a signature frame — the only rows
+    the LSH shuffle ever carries; the wide shingle arrays stay out."""
     rows_per_band = num_hashes // bands
-    sig = docs.select(
-        "doc_id",
-        hashed_shingles(F.col(text_col), n).alias("hs"),
-    ).withColumn("sig", _minhash_sig_udf(num_hashes)(F.col("hs")))
-    sig = sig.cache()
-    # band keys carry only (doc_id, band, bucket) — the wide shingle
-    # arrays never enter the band shuffle
-    band_keys = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -331,7 +309,35 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH, verified with
+    exact shingle Jaccard.
+
+    rows/band = num_hashes/bands = 4 → s-curve threshold
+    (1/bands)^(1/rows) ≈ 0.59; candidates shuffle on band keys only.
+    Buckets larger than ``max_bucket`` are dropped (skew guard — a
+    boilerplate shingle bucket would otherwise produce O(n²) pairs);
+    the drop is observable via the returned pair set being banded.
+    """
+    sig = docs.select(
+        "doc_id",
+        hashed_shingles(F.col(text_col), n).alias("hs"),
+    ).withColumn("sig", _minhash_sig_udf(num_hashes)(F.col("hs")))
+    sig = sig.cache()
+    band_keys = _lsh_band_keys(sig, num_hashes, bands)
 
     # skew guard: drop degenerate buckets
     sized = band_keys.withColumn(
@@ -352,6 +358,128 @@ def minhash_lsh_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return _verify_jaccard(cand, sig.select("doc_id", "hs"), threshold)
+
+
+def minhash_index_write(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> None:
+    """Persist the MinHash LSH index for INCREMENTAL dedup: a
+    continuously-ingested corpus must not re-shingle and re-sign 100 TB
+    of history to admit each day's batch, so the signatures and band
+    keys are computed ONCE and stored.
+
+    Layout under ``path``:
+    - ``bands/`` — (doc_id, bucket, bucket_size) partitioned by
+      ``band``; bucket_size is precomputed at build time so queries
+      apply the skew guard without re-aggregating the index.
+    - ``sigs/`` — (doc_id, hs): the hashed shingle sets that let the
+      incremental path confirm candidates with EXACT Jaccard (same
+      contract as the batch path). ~8 bytes/shingle; drop this side
+      and verify on signature agreement if the deployment can accept
+      estimated similarity instead.
+
+    Rebuild-free growth: ``minhash_dedup_incremental`` appends its
+    batch to both directories after screening, keeping the index
+    current (append code left to the caller's table format; the
+    layouts are plain partitioned parquet precisely so a Delta-style
+    append is one write).
+    """
+    sig = docs.select(
+        "doc_id",
+        hashed_shingles(F.col(text_col), n).alias("hs"),
+    ).withColumn("sig", _minhash_sig_udf(num_hashes)(F.col("hs")))
+    sig = sig.cache()
+    bk = _lsh_band_keys(sig, num_hashes, bands)
+    sized = bk.withColumn(
+        "bucket_size",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
+    )
+    sized.write.partitionBy("band").mode("overwrite").parquet(f"{path}/bands")
+    sig.select("doc_id", "hs").write.mode("overwrite").parquet(f"{path}/sigs")
+    sig.unpersist()
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup matches for a NEW batch against an indexed corpus
+    (minhash_index_write) plus within the batch itself, WITHOUT
+    touching corpus text: (doc_a, doc_b, jaccard) where doc_b is a
+    new-batch doc and doc_a an indexed doc (corpus×new) or an
+    earlier-id new doc (within-batch). Exact-Jaccard verified, so
+    precision vs shingle-Jaccard is 1 and the anti-join of new_docs
+    against doc_b is the batch's clean admission set.
+
+    Corpus and batch doc_ids must be disjoint.
+
+    Scale shape: only the batch is shingled and signed (O(batch), not
+    O(corpus)); the batch's band keys are BROADCAST against the
+    band-partitioned index, so the corpus-side scan is map-side only —
+    no shuffle of the 100 TB index, ever. The stored ``bucket_size``
+    applies the same skew guard the batch path uses, pre-aggregated.
+    The candidate pair set is small (bounded by band collisions), so
+    AQE broadcasts it through the exact-Jaccard verify joins.
+    """
+    spark = new_docs.sparkSession
+    new_sig = new_docs.select(
+        "doc_id",
+        hashed_shingles(F.col(text_col), n).alias("hs"),
+    ).withColumn("sig", _minhash_sig_udf(num_hashes)(F.col("hs")))
+    new_sig = new_sig.cache()
+    new_bk = _lsh_band_keys(new_sig, num_hashes, bands)
+
+    idx_bk = spark.read.parquet(f"{index_path}/bands").filter(
+        F.col("bucket_size") <= max_bucket
+    )
+    a = idx_bk.alias("a")
+    b = new_bk.alias("b")
+    cand_cross = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    # within-batch pairs: the batch is small; window-guard its buckets
+    sized_new = new_bk.withColumn(
+        "bucket_size",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
+    ).filter(F.col("bucket_size") <= max_bucket)
+    wa = sized_new.alias("wa")
+    wb = sized_new.alias("wb")
+    cand_within = (
+        wa.join(
+            wb,
+            (F.col("wa.band") == F.col("wb.band"))
+            & (F.col("wa.bucket") == F.col("wb.bucket"))
+            & (F.col("wa.doc_id") < F.col("wb.doc_id")),
+        )
+        .select(F.col("wa.doc_id").alias("doc_a"), F.col("wb.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    cand = cand_cross.unionByName(cand_within).dropDuplicates(["doc_a", "doc_b"])
+    hs_all = (
+        spark.read.parquet(f"{index_path}/sigs")
+        .unionByName(new_sig.select("doc_id", "hs"))
+    )
+    return _verify_jaccard(cand, hs_all, threshold)
 
 
 # ---------------------------------------------------------------------------

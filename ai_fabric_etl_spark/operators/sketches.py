@@ -78,6 +78,116 @@ def sketch_rollup(
     return partials.agg(*agg)
 
 
+def misra_gries_partials(
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+    count_col: str = "mg_count",
+) -> DataFrame:
+    """Per-partition Misra–Gries frequency summaries: at most ``k``
+    ``(value, lower-bound count)`` rows per partition, built in one
+    pass with O(k) memory regardless of the column's cardinality.
+
+    This is the frequent-items sibling of the HLL partials above — the
+    sketch every large-scale profiler uses when ``groupBy(col).count()``
+    itself is the bottleneck (a shuffle of every distinct value; at
+    100 TB a high-cardinality column makes that shuffle the job). Here
+    the shuffle carries at most k rows per input partition.
+
+    Guarantees (classic MG, preserved under merge-by-summation per
+    Agarwal et al., "Mergeable Summaries", PODS'12): every emitted
+    count is a LOWER bound on the true count, the total undercount
+    across all values is at most n/(k+1), and therefore any value with
+    true frequency > n/(k+1) is guaranteed to survive. When the column
+    has at most k distinct values no compression ever fires and the
+    summary is EXACT — the driver-gated entry exploits that.
+
+    NULLs are ignored (a null heavy hitter is a data-quality signal
+    the profiler reports separately). Implemented with mapInPandas so
+    the scan reads only ``col`` (column pruning reaches the parquet
+    footer) and each Arrow batch folds in via a vectorized
+    value_counts; the counter dict is compressed back to k entries
+    whenever it exceeds 8k.
+    """
+    import pandas as pd
+
+    field = df.schema[col]
+    if field.dataType.simpleString() not in ("string",):
+        raise ValueError(
+            f"misra_gries_partials supports string columns, got "
+            f"{col}: {field.dataType.simpleString()}"
+        )
+
+    def _compress(counters: dict, limit: int) -> None:
+        if len(counters) <= limit:
+            return
+        # subtract the (limit+1)-th largest count from everyone and
+        # drop the non-positive — the standard k-counter decrement,
+        # batched
+        m = sorted(counters.values(), reverse=True)[limit]
+        for v in list(counters):
+            c = counters[v] - m
+            if c > 0:
+                counters[v] = c
+            else:
+                del counters[v]
+
+    def gen(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[col].value_counts(dropna=True)
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            _compress(counters, 8 * k)
+        _compress(counters, k)
+        if counters:
+            yield pd.DataFrame(
+                {col: list(counters.keys()), count_col: list(counters.values())}
+            )
+
+    return df.select(col).mapInPandas(
+        gen, schema=f"{col} string, {count_col} long"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_share: float,
+    k: int = 64,
+) -> DataFrame:
+    """Values of ``col`` whose frequency is at least ``min_share`` of
+    the rows, with (lower-bound) counts and shares, heaviest first.
+
+    Two-level plan: MG partials per partition (≤ k rows each), one
+    small groupBy merge, then a broadcast of the single-row total for
+    the share filter — no shuffle ever carries per-value rows beyond
+    k × partitions. Because MG undercounts by at most n/(k+1) in
+    total, choose k > 1/min_share so qualifying values cannot be
+    compressed away; with that, recall is exact and only borderline
+    values within the error band can be off in their reported count.
+    """
+    if k <= 1.0 / min_share:
+        raise ValueError(
+            f"k={k} too small for min_share={min_share}: need k > 1/min_share "
+            f"so no qualifying value can be compressed away"
+        )
+    partials = misra_gries_partials(df, col, k=k)
+    merged = partials.groupBy(col).agg(F.sum("mg_count").alias("hh_count"))
+    # share denominator = non-null rows, matching the partials' dropna
+    total = df.select(col).agg(F.count(F.col(col)).alias("_n"))
+    return (
+        merged.join(F.broadcast(total))
+        .filter(F.col("hh_count") >= F.lit(min_share) * F.col("_n"))
+        .select(
+            col,
+            F.col("hh_count"),
+            F.round(F.col("hh_count") / F.col("_n"), 6).alias("hh_share"),
+        )
+        .orderBy(F.col("hh_count").desc(), F.col(col))
+    )
+
+
 def relative_error_ok(
     estimate: Column, exact: Column, rel_tol: float
 ) -> Column:

@@ -97,6 +97,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "source_orc_roundtrip",
         "sketch_distinct_rollup",
         "zorder_curve_keys",
+        "heavy_hitters_langs",
+        "dedup_incremental_planted",
     ],
 }
 

@@ -267,6 +267,39 @@ def sketch_distinct_rollup(spark, sf_dir):
     )
 
 
+@register(
+    "heavy_hitters_langs",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS hh_count FROM documents GROUP BY lang),
+         t AS (SELECT COUNT(lang) AS n FROM documents)
+    SELECT lang, hh_count, ROUND(hh_count / n, 6) AS hh_share
+    FROM c, t
+    WHERE hh_count >= 0.1 * n
+    ORDER BY hh_count DESC, lang
+    """,
+)
+def heavy_hitters_langs(spark, sf_dir):
+    """Distributed Misra–Gries heavy hitters (operators/sketches.py):
+    per-partition frequency summaries with O(k) memory and at most k
+    output rows per partition, merged by summation — the shuffle never
+    carries per-value rows, so the pattern holds when
+    ``groupBy(col).count()`` itself (one shuffled row per distinct
+    value) is the bottleneck at 100 TB.
+
+    Driver contract exploits the MG exactness guarantee: with at most
+    k distinct values no compression ever fires, so over the 5-value
+    ``lang`` column the summary equals the exact GROUP BY — DuckDB
+    computes it directly. The compression regime (cardinality ≫ k:
+    lower-bound counts, total undercount ≤ n/(k+1), guaranteed recall
+    of every value above that band) is pytest-gated in
+    test_scale_ops.py."""
+    from ai_fabric_etl_spark.operators.sketches import heavy_hitters
+
+    return heavy_hitters(
+        _t(spark, sf_dir, "documents"), "lang", min_share=0.1, k=32
+    )
+
+
 def _morton_sql_interleave(b0: str, b1: str, bits: int = 16) -> str:
     terms = [
         f"((({b0} >> {k}) & 1) << {2 * k}) | ((({b1} >> {k}) & 1) << {2 * k + 1})"

@@ -268,6 +268,49 @@ def q_dedup_simhash_planted(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_incremental_planted",
+    oracle="""
+    SELECT doc_id AS doc_a, doc_id + 20000 AS doc_b,
+           CAST(1.0 AS DOUBLE) AS jaccard
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def q_dedup_incremental_planted(spark, sf_dir):
+    """Driver-gated INCREMENTAL dedup (operators/dedup.py
+    minhash_index_write / minhash_dedup_incremental): the corpus is
+    indexed once (persisted band table + signatures), then a new batch
+    is screened against the index WITHOUT re-signing the corpus — the
+    admission pattern a continuously-ingested 100 TB corpus needs
+    (O(batch) work per batch, map-side join against the
+    band-partitioned index, no corpus shuffle).
+
+    50 exact copies of corpus docs (ids +20000) are planted as the new
+    batch; identical text gives identical signatures, so every planted
+    doc MUST surface against its original at exact Jaccard 1.0 —
+    structurally, via the band equi-join + exact verification, not by
+    luck. The entry returns the planted slice so the oracle asserts
+    the full value set; an indexing or screening regression loses
+    rows. Incremental == batch-path parity on mixed novel/dup batches
+    is pytest-gated (test_dedup_similarity.py)."""
+    import os
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"minhash_idx_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    dedup.minhash_index_write(docs, idx)
+    batch = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    out = dedup.minhash_dedup_incremental(batch, idx, threshold=0.5)
+    return out.filter(
+        (F.col("doc_b") == F.col("doc_a") + 20000) & (F.col("doc_a") < 50)
+    )
+
+
 _KNN_DOT = (
     "(SELECT SUM(x * y) FROM (SELECT unnest(q.qv)::DOUBLE AS x, unnest(c.cv)::DOUBLE AS y))"
 )

@@ -59,6 +59,43 @@ def test_minhash_lsh_recall_vs_exact(docs):
     assert not missed, f"LSH missed high-similarity pairs: {missed}"
 
 
+def test_minhash_incremental_matches_batch(spark, docs, tmp_path):
+    """Incremental screening against a persisted index equals the
+    batch LSH path restricted to pairs that involve the new batch:
+    same candidates, same exact-Jaccard verdicts. The batch mixes
+    planted exact copies (must match their originals at 1.0) with
+    novel docs renumbered out of the corpus range."""
+    corpus = docs.filter(F.col("doc_id") < 400).select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    dedup.minhash_index_write(corpus, idx)
+
+    copies = corpus.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    novel = (
+        docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 440))
+        .select((F.col("doc_id") + 30000).alias("doc_id"), "text")
+    )
+    batch = copies.unionByName(novel)
+
+    inc = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_dedup_incremental(batch, idx, threshold=0.5).collect()
+    }
+    # every planted copy matches its original exactly
+    for i in range(20):
+        assert inc.get((i, i + 20000)) == pytest.approx(1.0)
+    # parity: batch path over corpus+batch, restricted to new-doc pairs
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            corpus.unionByName(batch), threshold=0.5
+        ).collect()
+        if r["doc_b"] >= 20000
+    }
+    assert inc == pytest.approx(full)
+
+
 def test_simhash_pairs_are_symmetric_sane(docs):
     pairs = dedup.simhash_near_pairs(docs, max_hamming=3).collect()
     for r in pairs:

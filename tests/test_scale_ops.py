@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 from ai_fabric_etl_spark.operators.merge import ParquetMergeTable
 from ai_fabric_etl_spark.operators.sketches import (
+    heavy_hitters,
+    misra_gries_partials,
     sketch_merge,
     sketch_partials,
     sketch_rollup,
@@ -155,3 +157,70 @@ def test_sketch_rollup_accuracy_and_merge(spark):
     assert abs(two_level["distinct_estimate"] - 500) / 500.0 < 0.05
     assert abs(two_level["distinct_estimate"] - est) / est < 0.02
     assert two_level["row_count"] == 5000
+
+
+def test_misra_gries_bounds_and_recall(spark):
+    """Compression regime (cardinality >> k): every merged MG count is
+    a lower bound on the truth, per-value undercount stays within the
+    n/(k+1) budget, and the planted heavy value survives with its
+    share intact."""
+    n_hot, n_tail, k = 6000, 14000, 50
+    n = n_hot + n_tail
+    # 6k rows of 'hot' (30%) + 14k rows spread over 7000 distinct tails
+    df = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") < n_hot, F.lit("hot"))
+            .otherwise(F.concat(F.lit("tail_"), (F.col("id") % 7000)))
+            .alias("v")
+        )
+        .repartition(8)  # multiple partitions: the merge path is real
+    )
+    merged = (
+        misra_gries_partials(df, "v", k=k)
+        .groupBy("v")
+        .agg(F.sum("mg_count").alias("est"))
+    )
+    exact = df.groupBy("v").agg(F.count(F.lit(1)).alias("true_n"))
+    joined = merged.join(exact, "v").collect()
+    budget = n / (k + 1)
+    for r in joined:
+        assert r["est"] <= r["true_n"], (r["v"], r["est"], r["true_n"])
+        assert r["true_n"] - r["est"] <= budget, (r["v"], r["est"], r["true_n"])
+    hot = {r["v"]: r for r in joined}["hot"]
+    assert hot["true_n"] == n_hot
+
+    hh = heavy_hitters(df, "v", min_share=0.2, k=k).collect()
+    assert [r["v"] for r in hh] == ["hot"]
+    # reported share is within the MG undercount band
+    assert n_hot / n >= hh[0]["hh_share"] >= (n_hot - budget) / n
+
+
+def test_heavy_hitters_exact_at_low_cardinality(spark, sf_dir):
+    """With distinct(col) <= k no compression fires: the MG summary
+    IS the exact GROUP BY (the property the driver entry gates)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("lang").alias("n")).collect()
+    }
+    got = {
+        r["lang"]: r["hh_count"]
+        for r in heavy_hitters(docs, "lang", min_share=0.05, k=32).collect()
+    }
+    assert got == exact
+
+
+def test_misra_gries_rejects_non_string_and_ignores_nulls(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)], "v string"
+    )
+    rows = (
+        misra_gries_partials(df, "v", k=8)
+        .groupBy("v").agg(F.sum("mg_count").alias("c")).collect()
+    )
+    assert {r["v"]: r["c"] for r in rows} == {"a": 2, "b": 1}
+    with _pytest.raises(ValueError):
+        misra_gries_partials(spark.range(3), "id", k=8)
