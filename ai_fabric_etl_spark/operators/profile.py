@@ -1,0 +1,67 @@
+"""Single-pass column profiler: per-column null counts, distinct
+counts, and min/max in ONE aggregation over the table.
+
+Generalizes the reference's hand-rolled data-quality mart
+(gold_x12_analytics.py:773-787 — per-table null/distinct tallies for
+a fixed column list) into the table-generic operator every warehouse
+exposes (DESCRIBE/SUMMARY/dbt-style profiling): the statistics a
+training-data pipeline checks before admitting a source (null
+fraction, cardinality, value range).
+
+Scale notes: everything is computed in a single ``df.agg`` pass, so
+the table is scanned once with full column pruning (only the profiled
+columns are read). Exact ``countDistinct`` per column makes Catalyst
+expand to one aggregate traversal per distinct (correct but
+multiplies the shuffle at high column counts); ``approx=True`` swaps
+in HLL ``approx_count_distinct`` (one traversal total, ~2% error) —
+the 100 TB default. min/max are rendered to strings ENGINE-side so
+one long-form schema covers every column type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """Long-form profile: one row per column —
+    (col_name, n_rows, n_nulls, n_distinct, min_value, max_value).
+
+    ``cols`` defaults to every column. min/max/distinct follow SQL
+    aggregate semantics (nulls ignored); an all-null column yields
+    NULL min/max and 0 distinct.
+    """
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        nd = (
+            F.approx_count_distinct(c)
+            if approx
+            else F.countDistinct(F.col(c))
+        )
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            nd.alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', `__nn_{c}`, `__nd_{c}`, `__mn_{c}`, `__mx_{c}`" for c in cols
+    )
+    stacked = one.selectExpr(
+        "__n",
+        f"stack({len(cols)}, {parts}) AS "
+        "(col_name, __nn, n_distinct, min_value, max_value)",
+    )
+    return stacked.select(
+        "col_name",
+        F.col("__n").alias("n_rows"),
+        (F.col("__n") - F.col("__nn")).alias("n_nulls"),
+        "n_distinct",
+        "min_value",
+        "max_value",
+    )

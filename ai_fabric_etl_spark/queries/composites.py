@@ -73,6 +73,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "div_full_priority_customers",
         "o1_topk_nations",
         "u1_claim_metrics",
+        "profile_orders",
+        "scd2_customer_history",
     ],
     "fp_training_sources": [
         "scalar_datetime",

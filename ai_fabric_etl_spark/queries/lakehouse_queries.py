@@ -267,6 +267,126 @@ def sketch_distinct_rollup(spark, sf_dir):
     )
 
 
+_PROFILE_COLS = [
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_orderdate",
+    "o_custkey",
+    "o_totalprice",
+]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS col_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM (SELECT * REPLACE (CAST(o_totalprice AS DECIMAL(15,2)) AS o_totalprice)
+          FROM orders) _p
+    """
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_orders", oracle=_PROFILE_ORACLE)
+def profile_orders(spark, sf_dir):
+    """Single-pass column profiler (operators/profile.py): per-column
+    null/distinct/min/max in ONE agg over a pruned scan — the
+    source-admission statistics pass generalizing the reference's
+    fixed-column data-quality mart (gold_x12_analytics.py:773-787).
+    Exact countDistinct here (oracle-matched); ``approx=True`` is the
+    one-traversal HLL path for 100 TB (error-bound pytest-gated).
+    o_totalprice rides as DECIMAL(15,2) so both engines render the
+    same min/max strings."""
+    from ai_fabric_etl_spark.operators.profile import profile_columns
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_orderdate",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(15,2)").alias("o_totalprice"),
+    )
+    return profile_columns(o)
+
+
+_SCD2_ORACLE = """
+WITH v AS (
+  SELECT c_custkey, c_mktsegment, TIMESTAMP '2024-01-01 00:00:00' AS ts
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_mktsegment || '_A', TIMESTAMP '2024-02-01 00:00:00'
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey,
+         (CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment || '_A'
+               ELSE c_mktsegment END) || '_B',
+         TIMESTAMP '2024-03-01 00:00:00'
+  FROM customer WHERE c_custkey % 5 = 0
+)
+SELECT c_custkey, c_mktsegment,
+       ts AS effective_from,
+       LEAD(ts) OVER (PARTITION BY c_custkey ORDER BY ts) AS effective_to,
+       LEAD(ts) OVER (PARTITION BY c_custkey ORDER BY ts) IS NULL AS is_current
+FROM v
+"""
+
+
+@register("scd2_customer_history", oracle=_SCD2_ORACLE)
+def scd2_customer_history(spark, sf_dir):
+    """SCD type-2 dimension history (operators/scd.py): three update
+    batches replayed through ``scd2_apply`` on the versioned table —
+    initial load, a segment change for keys %3, a second change for
+    keys %5 (some keys change twice, closing two versions). The final
+    history must equal the window-SQL reconstruction: effective_to =
+    LEAD(effective_from) per key, open row is current. Change
+    suppression, as-of snapshots, and no-op batches are pytest-gated
+    (tests/test_scd.py)."""
+    from ai_fabric_etl_spark.operators.scd import scd2_apply
+
+    t = ParquetMergeTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="scd2_"), "dim")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    def at(ts: str):
+        return F.lit(ts).cast("timestamp")
+
+    scd2_apply(
+        t,
+        c.withColumn("effective_from", at("2024-01-01 00:00:00")),
+        ["c_custkey"],
+        ["c_mktsegment"],
+    )
+    u1 = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            F.concat(F.col("c_mktsegment"), F.lit("_A")).alias("c_mktsegment"),
+        )
+        .withColumn("effective_from", at("2024-02-01 00:00:00"))
+    )
+    scd2_apply(t, u1, ["c_custkey"], ["c_mktsegment"])
+    u2 = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            F.concat(
+                F.when(
+                    F.col("c_custkey") % 3 == 0,
+                    F.concat(F.col("c_mktsegment"), F.lit("_A")),
+                ).otherwise(F.col("c_mktsegment")),
+                F.lit("_B"),
+            ).alias("c_mktsegment"),
+        )
+        .withColumn("effective_from", at("2024-03-01 00:00:00"))
+    )
+    scd2_apply(t, u2, ["c_custkey"], ["c_mktsegment"])
+    return t.read()
+
+
 @register(
     "heavy_hitters_langs",
     oracle="""
