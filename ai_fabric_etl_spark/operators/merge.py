@@ -167,6 +167,148 @@ class ParquetMergeTable:
             )
         return self.spark.read.parquet(d)
 
+    def file_stats(self, version: int | None = None) -> dict[str, dict]:
+        """Per-FILE column min/max/null-count for a retained version,
+        read from the parquet FOOTERS (no data pages touched) and
+        cached as ``_stats/v={v}.json`` — the manifest Delta keeps in
+        its log and Iceberg in manifest files. Values are stored with a
+        type tag so skipping comparisons run on native types, and a
+        file whose footer lacks stats for a column is marked unknown
+        (never skipped — correctness over pruning)."""
+        import glob as _glob
+        import json
+
+        v = self._version() if version is None else version
+        cache = os.path.join(self.path, "_stats", f"v={v}.json")
+        if os.path.exists(cache):
+            with open(cache, encoding="utf-8") as fh:
+                return json.load(fh)
+        import pyarrow.parquet as pq
+
+        stats: dict[str, dict] = {}
+        for f in sorted(
+            _glob.glob(os.path.join(self.path, f"v={v}", "*.parquet"))
+        ):
+            md = pq.ParquetFile(f).metadata
+            names = md.schema.names
+            per_col: dict[str, dict] = {}
+            for i, name in enumerate(names):
+                lo = hi = None
+                known = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(i).statistics
+                    if st is None or not st.has_min_max:
+                        known = False
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if not known or md.num_row_groups == 0:
+                    per_col[name] = {"known": False}
+                else:
+                    per_col[name] = {
+                        "known": True,
+                        "min": self._stat_encode(lo),
+                        "max": self._stat_encode(hi),
+                    }
+            stats[f] = {"columns": per_col, "rows": md.num_rows}
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(stats, fh)
+        os.replace(tmp, cache)
+        return stats
+
+    @staticmethod
+    def _stat_encode(v):
+        import datetime
+        import decimal
+
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return {"t": "dt", "v": v.isoformat()}
+        if isinstance(v, decimal.Decimal):
+            return {"t": "num", "v": float(v)}
+        if isinstance(v, bytes):
+            return {"t": "str", "v": v.decode("utf-8", "replace")}
+        if isinstance(v, bool):
+            return {"t": "num", "v": int(v)}
+        if isinstance(v, (int, float)):
+            return {"t": "num", "v": v}
+        return {"t": "str", "v": str(v)}
+
+    @staticmethod
+    def _stat_decode(d):
+        if d["t"] == "dt":
+            import datetime
+
+            s = d["v"]
+            try:
+                return datetime.datetime.fromisoformat(s)
+            except ValueError:
+                return s
+        return d["v"]
+
+    def _skip_files(
+        self, ranges: dict[str, tuple], version: int | None = None
+    ) -> tuple[list[str], int]:
+        """(files whose footer [min,max] MAY intersect every range,
+        total files). A range is (lo, hi); either bound may be None."""
+        import datetime
+
+        def norm(x):
+            if isinstance(x, datetime.date) and not isinstance(
+                x, datetime.datetime
+            ):
+                return datetime.datetime(x.year, x.month, x.day)
+            return x
+
+        stats = self.file_stats(version)
+        keep = []
+        for f, s in stats.items():
+            ok = True
+            for col, (lo, hi) in ranges.items():
+                cs = s["columns"].get(col, {"known": False})
+                if not cs["known"]:
+                    continue  # unknown stats: cannot skip
+                fmin = norm(self._stat_decode(cs["min"]))
+                fmax = norm(self._stat_decode(cs["max"]))
+                if lo is not None and fmax < norm(lo):
+                    ok = False
+                    break
+                if hi is not None and fmin > norm(hi):
+                    ok = False
+                    break
+            if ok:
+                keep.append(f)
+        return keep, len(stats)
+
+    def read_where(
+        self, ranges: dict[str, tuple], version: int | None = None
+    ) -> DataFrame:
+        """Scan with FILE-LEVEL data skipping (Delta/Iceberg min-max
+        pruning): ``ranges`` maps column → (lo, hi) closed bounds
+        (either side None for open). Files whose footer stats prove no
+        row can match are never handed to Spark — after an OPTIMIZE
+        with ``sort_by``/``zorder_by`` on the range columns this turns
+        a full-table scan into a few files, which is the difference
+        between touching 100 TB and touching gigabytes. The exact
+        predicate is still applied to the surviving files, so the
+        result equals ``read().filter(...)`` regardless of layout."""
+        v = self._version() if version is None else version
+        files, _total = self._skip_files(ranges, version=v)
+        if not files:
+            df = self.read(version=v)
+        else:
+            df = self.spark.read.parquet(*files)
+        cond = F.lit(True)
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                cond = cond & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(col) <= F.lit(hi))
+        if not files:
+            return df.filter(F.lit(False))
+        return df.filter(cond)
+
     def restore(self, version: int) -> None:
         """Delta ``RESTORE TABLE ... TO VERSION AS OF``: re-commit a
         retained old version's rows as a NEW version (history moves
@@ -241,6 +383,90 @@ class ParquetMergeTable:
                 f"(current v{self._version()})"
             )
         self._swap(v, epoch, op=op, app_id=app_id)
+
+    def changes(
+        self,
+        keys: list[str],
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """CHANGE DATA FEED between two retained versions (Delta's
+        ``table_changes(from, to)``): one row per inserted/deleted key
+        plus a preimage/postimage pair per updated key, tagged with
+        ``_change_type`` ∈ {insert, delete, update_preimage,
+        update_postimage} and ``_commit_version``.
+
+        Delta derives CDF from the commit log; this stand-in's versions
+        are immutable snapshot directories, so the exact net change is
+        the keyed snapshot diff — ONE full-outer join on ``keys``
+        (both sides key-partitioned, prunable to affected partitions on
+        a partitioned table at 100 TB). Net-change semantics: a row
+        updated twice between the versions appears once, with the final
+        postimage — same as Delta CDF read over a version range with
+        intermediate versions vacuumed.
+
+        Downstream incremental consumers (the reference re-reads whole
+        tables to refresh marts, e.g. generate_x12_acknowledgments.py:61)
+        can instead fold just this feed."""
+        to_v = self._version() if to_version is None else to_version
+        old = self.read(version=from_version)
+        new = self.read(version=to_v)
+        if set(old.columns) != set(new.columns):
+            # schema evolution between the versions: align on the union,
+            # absent columns read null (Delta CDF does the same)
+            for c in new.columns:
+                if c not in old.columns:
+                    old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+            for c in old.columns:
+                if c not in new.columns:
+                    new = new.withColumn(c, F.lit(None).cast(old.schema[c].dataType))
+        value_cols = [c for c in new.columns if c not in keys]
+        o = old.select(
+            *[F.col(k).alias(f"_ok_{k}") for k in keys],
+            *[F.col(c).alias(f"_ov_{c}") for c in value_cols],
+            F.lit(True).alias("_o_present"),
+        )
+        n = new.select(
+            *[F.col(k).alias(f"_nk_{k}") for k in keys],
+            *[F.col(c).alias(f"_nv_{c}") for c in value_cols],
+            F.lit(True).alias("_n_present"),
+        )
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
+        j = o.join(n, on=cond, how="full_outer")
+        in_old = F.coalesce(F.col("_o_present"), F.lit(False))
+        in_new = F.coalesce(F.col("_n_present"), F.lit(False))
+        differs = F.lit(False)
+        for c in value_cols:
+            differs = differs | ~F.col(f"_ov_{c}").eqNullSafe(F.col(f"_nv_{c}"))
+        key_out = [
+            F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k) for k in keys
+        ]
+        inserts = j.filter(in_new & ~in_old).select(
+            *key_out,
+            *[F.col(f"_nv_{c}").alias(c) for c in value_cols],
+            F.lit("insert").alias("_change_type"),
+        )
+        deletes = j.filter(in_old & ~in_new).select(
+            *key_out,
+            *[F.col(f"_ov_{c}").alias(c) for c in value_cols],
+            F.lit("delete").alias("_change_type"),
+        )
+        updated = j.filter(in_old & in_new & differs)
+        pre = updated.select(
+            *key_out,
+            *[F.col(f"_ov_{c}").alias(c) for c in value_cols],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        post = updated.select(
+            *key_out,
+            *[F.col(f"_nv_{c}").alias(c) for c in value_cols],
+            F.lit("update_postimage").alias("_change_type"),
+        )
+        return (
+            inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+        ).withColumn("_commit_version", F.lit(to_v))
 
     def delete(self, condition: Column | str) -> int:
         """``DELETE FROM t WHERE condition`` — copy-on-write rewrite

@@ -269,3 +269,89 @@ def global_shuffle(
         .withColumn(pos_col, (F.col("_offset") + F.col("_local_rank")).cast("long"))
         .drop("_h", "_pid", "_local_rank", "_offset")
     )
+
+
+def _priority(key: str, salt: str) -> Column:
+    """Full-width md5 priority (32 hex chars) over the same
+    NULL-coalesced key encoding as :func:`hash_bucket` — deterministic,
+    uniform, and bit-identical in ANSI SQL (``md5(key || '-' || salt)``)."""
+    k = F.coalesce(F.col(key).cast("string"), F.lit("__NULL__"))
+    return F.md5(F.concat(k, F.lit(f"-{salt}")).cast("binary"))
+
+
+def priority_sample(
+    df: DataFrame,
+    key: str,
+    k: int,
+    by: list[str] | None = None,
+    salt: str = "prio",
+    prereduce: bool = True,
+) -> DataFrame:
+    """Deterministic uniform sample of EXACTLY min(k, group size) rows
+    (per ``by`` group, or globally): every row draws a hash priority
+    and the k smallest win — the mergeable bottom-k sample (Cohen &
+    Kaplan, "Summarizing data using bottom-k sketches", PODC'07).
+    Unlike ``DataFrame.sample`` this is exact-size, partition-order
+    independent, and growth-stable: a row's fate depends only on its
+    own key and the salt, plus which k-1 other priorities beat it.
+
+    Scale plan: globally the plan is TakeOrdered (per-partition
+    partial top-k, no full sort). Per group, ``prereduce=True`` first
+    folds each input partition to its local bottom-k per group with
+    one mapInPandas pass (O(groups x k) memory, at most k rows per
+    (group, partition) enter the shuffle), then one small window
+    finishes — the same partial->merge shape as the HLL/MG sketches.
+    At 100 TB the shuffle carries k x partitions rows per group
+    instead of the group's full population."""
+    prio = _priority(key, salt)
+    if by is None:
+        return (
+            df.withColumn("_prio", prio)
+            .orderBy("_prio", key)
+            .limit(k)
+            .drop("_prio")
+        )
+    work = df.withColumn("_prio", prio)
+    if prereduce:
+        import pandas as pd
+
+        cols = work.columns
+        schema = work.schema
+
+        def local_bottomk(batches):
+            held: dict[tuple, pd.DataFrame] = {}
+            for pdf in batches:
+                for g, part in pdf.groupby(by, dropna=False, sort=False):
+                    merged = (
+                        part
+                        if g not in held
+                        else pd.concat([held[g], part], ignore_index=True)
+                    )
+                    held[g] = merged.sort_values(
+                        ["_prio", key], kind="mergesort"
+                    ).head(k)
+            if held:
+                yield pd.concat(held.values(), ignore_index=True)[cols]
+
+        work = work.mapInPandas(local_bottomk, schema=schema)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_prio"), F.col(key))
+    )
+    return (
+        work.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_prio", "_rn")
+    )
+
+
+def priority_sample_sql(
+    key: str, k: int, by: list[str], salt: str = "prio"
+) -> str:
+    """QUALIFY predicate fragment replaying :func:`priority_sample`
+    in ANSI SQL (DuckDB oracle)."""
+    p = f"md5(COALESCE(CAST({key} AS VARCHAR), '__NULL__') || '-{salt}')"
+    return (
+        f"row_number() OVER (PARTITION BY {', '.join(by)} "
+        f"ORDER BY {p}, {key}) <= {k}"
+    )

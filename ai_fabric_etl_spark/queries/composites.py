@@ -75,6 +75,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "u1_claim_metrics",
         "profile_orders",
         "scd2_customer_history",
+        "lakehouse_change_feed",
+        "lakehouse_skipping_scan",
     ],
     "fp_training_sources": [
         "scalar_datetime",
@@ -82,6 +84,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "scalar_arrays",
         "variant_props_profile",
         "sample_global_shuffle",
+        "sample_priority_bottomk",
         "dedup_ngram_jaccard",
         "emb_neardup_exact",
         "emb_kmeans_invariant",

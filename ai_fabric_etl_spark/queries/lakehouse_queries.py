@@ -457,3 +457,102 @@ def zorder_curve_keys(spark, sf_dir):
     return morton_key(ev, ["user_id", "value"], key_col="zkey").select(
         "event_id", "zkey"
     )
+
+
+_CDF_ORACLE = """
+WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status, o_custkey AS cust
+           FROM orders)
+SELECT k, 'U' AS status, cust + 1000000 AS cust, 'insert' AS change_type,
+       2 AS commit_version
+FROM o WHERE k % 3 = 2 AND k % 5 = 0 AND k % 7 <> 3
+UNION ALL
+SELECT k, status, cust, 'delete', 2
+FROM o WHERE k % 3 <> 2 AND k % 7 = 3
+UNION ALL
+SELECT k, status, cust, 'update_preimage', 2
+FROM o WHERE k % 3 <> 2 AND k % 5 = 0 AND k % 7 <> 3
+UNION ALL
+SELECT k, 'U', cust + 1000000, 'update_postimage', 2
+FROM o WHERE k % 3 <> 2 AND k % 5 = 0 AND k % 7 <> 3
+"""
+
+
+@register("lakehouse_change_feed", oracle=_CDF_ORACLE)
+def lakehouse_change_feed(spark, sf_dir):
+    """CHANGE DATA FEED (Delta ``table_changes`` analogue) across a
+    MERGE + DELETE transaction pair: the feed must tag net inserts,
+    deletes, and preimage/postimage update pairs, and stamp the commit
+    version. The oracle derives the same change set relationally from
+    the update rules. Downstream marts fold THIS feed instead of
+    rescanning the table (the reference refreshes by re-reading whole
+    tables, generate_x12_acknowledgments.py:61) — at 100 TB the feed
+    is the only scan-free path to incremental maintenance."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_custkey").alias("cust"),
+    )
+    t = ParquetMergeTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="lakehouse_cdf_"), "t")
+    )
+    t.overwrite(orders.filter(F.col("k") % 3 != 2))
+    v0 = t._version()
+    src = orders.filter(F.col("k") % 5 == 0).select(
+        "k", F.lit("U").alias("status"), (F.col("cust") + 1000000).alias("cust")
+    )
+    t.merge(src, keys=["k"])
+    t.delete(F.col("k") % 7 == 3)
+    return t.changes(keys=["k"], from_version=v0).select(
+        "k",
+        "status",
+        "cust",
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    )
+
+
+_SKIP_ORACLE = """
+SELECT o_orderdate,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+GROUP BY o_orderdate
+"""
+
+
+@register("lakehouse_skipping_scan", oracle=_SKIP_ORACLE)
+def lakehouse_skipping_scan(spark, sf_dir):
+    """File-level min/max data skipping (Delta/Iceberg manifest
+    pruning): OPTIMIZE clusters orders by o_orderdate, then a
+    one-month ``read_where`` must (a) consult only footer stats to
+    drop files — asserted: strictly fewer files survive than exist —
+    and (b) return exactly what a full scan + filter returns. At
+    100 TB this is the difference between listing metadata and
+    reading the table."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    t = ParquetMergeTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="lakehouse_skip_"), "t")
+    )
+    t.overwrite(orders)
+    t.compact(target_files=16, sort_by=["o_orderdate"])
+    import datetime
+
+    lo, hi = datetime.date(1995, 3, 1), datetime.date(1995, 3, 31)
+    files, total = t._skip_files({"o_orderdate": (lo, hi)})
+    if not files or len(files) >= total:
+        raise AssertionError(
+            f"data skipping ineffective: {len(files)}/{total} files survive"
+        )
+    return (
+        t.read_where({"o_orderdate": (lo, hi)})
+        .groupBy("o_orderdate")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -16,6 +16,8 @@ from ai_fabric_etl_spark.operators.sampling import (
     hash_split,
     pack_greedy_firstfit,
     pack_token_bins,
+    priority_sample,
+    priority_sample_sql,
     split_case_sql,
     stratified_hash_sample,
 )
@@ -359,4 +361,30 @@ def q_variant_props_profile(spark, sf_dir):
                 F.when(F.col("props").isNotNull() & F.col("k").isNull(), 1)
             ).alias("k_missing"),
         )
+    )
+
+
+_PRIO_K = 7
+_PRIO_ORACLE = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+QUALIFY {priority_sample_sql("doc_id", _PRIO_K, ["lang", "source"], salt="prio")}
+"""
+
+
+@register("sample_priority_bottomk", oracle=_PRIO_ORACLE)
+def q_sample_priority_bottomk(spark, sf_dir):
+    """Exact-size deterministic per-group sampling: bottom-k hash
+    priorities per (lang, source) — the mergeable bottom-k sample.
+    Unlike fraction sampling this yields EXACTLY min(k, group size)
+    rows per group, reproducibly, independent of partitioning; the
+    prereduce path bounds the shuffle at k rows per (group, input
+    partition), so the sample of a 100 TB corpus moves megabytes.
+    The oracle replays the identical md5 priorities with one QUALIFY
+    window."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return priority_sample(
+        docs, key="doc_id", k=_PRIO_K, by=["lang", "source"], salt="prio"
     )

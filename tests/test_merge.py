@@ -327,3 +327,70 @@ def test_history_timestamp_travel_and_restore(spark, tmp_path):
     assert t.history()[-1]["op"] == "RESTORE"
     # the restored-FROM version is still readable
     assert _rows(t.read(version=2)) == [(2, 20)]
+
+
+def test_change_feed_insert_update_delete(spark, tmp_path):
+    """CDF diff between versions: tagged net changes, one preimage/
+    postimage pair per updated key, nothing for untouched keys."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_cdf"))
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, s string, v int"))
+    v0 = t._version()
+    # update k=2, delete k=3, insert k=4, leave k=1 untouched
+    t.merge(spark.createDataFrame(
+        [(2, "B", 99), (4, "d", 40)], "k int, s string, v int"), keys=["k"])
+    t.delete(F.col("k") == 3)
+    feed = t.changes(keys=["k"], from_version=v0)
+    got = {(r["k"], r["_change_type"]): (r["s"], r["v"]) for r in feed.collect()}
+    assert got == {
+        (2, "update_preimage"): ("b", 20),
+        (2, "update_postimage"): ("B", 99),
+        (3, "delete"): ("c", 30),
+        (4, "insert"): ("d", 40),
+    }
+    assert feed.select("_commit_version").distinct().collect()[0][0] == t._version()
+
+
+def test_change_feed_schema_evolution(spark, tmp_path):
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_cdf_evo"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k int, s string"))
+    t.merge(spark.createDataFrame([(1, "a", 7)], "k int, s string, extra int"),
+            keys=["k"])
+    feed = t.changes(keys=["k"], from_version=0)
+    got = {r["_change_type"]: (r["s"], r["extra"]) for r in feed.collect()}
+    # old row reads null for the evolved column -> counts as an update
+    assert got == {"update_preimage": ("a", None), "update_postimage": ("a", 7)}
+
+
+def test_read_where_skips_files_and_matches_full_scan(spark, tmp_path):
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_skip"))
+    df = spark.range(0, 10000).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 97).cast("int").alias("v"),
+    )
+    t.overwrite(df)
+    t.compact(target_files=8, sort_by=["k"])
+    files, total = t._skip_files({"k": (100, 200)})
+    assert total == 8 and len(files) < total
+    got = _rows(t.read_where({"k": (100, 200)}))
+    want = _rows(t.read().filter((F.col("k") >= 100) & (F.col("k") <= 200)))
+    assert got == want and len(got) == 101
+
+
+def test_read_where_unsorted_layout_still_exact(spark, tmp_path):
+    """Without clustering, stats may prune nothing - results must
+    still equal the exact filter (skipping is a pure optimization)."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_skip2"))
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 2654435761 % 5000).cast("int").alias("k"))
+    t.overwrite(df.repartition(4))
+    got = _rows(t.read_where({"k": (10, 50)}))
+    want = _rows(t.read().filter((F.col("k") >= 10) & (F.col("k") <= 50)))
+    assert got == want
+
+
+def test_read_where_empty_range_returns_empty_with_schema(spark, tmp_path):
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_skip3"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k int, s string"))
+    out = t.read_where({"k": (100, 200)})
+    assert out.columns == ["k", "s"] and out.count() == 0

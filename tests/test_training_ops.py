@@ -531,3 +531,35 @@ def test_quality_filter_flags_and_conjunction(spark):
     assert not got[5].mwl_ok and not got[5].keep
     for r in got.values():
         assert r.keep == (r.wc_ok and r.mwl_ok and r.stop_ok and r.rep_ok and r.dup_ok)
+
+
+def test_priority_sample_exact_size_and_parity(spark, sf_dir):
+    from ai_fabric_etl_spark.operators.sampling import priority_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    fast = priority_sample(docs, key="doc_id", k=5, by=["lang"], prereduce=True)
+    slow = priority_sample(docs, key="doc_id", k=5, by=["lang"], prereduce=False)
+    f_rows = sorted(map(tuple, fast.collect()))
+    assert f_rows == sorted(map(tuple, slow.collect()))
+    sizes = {r["lang"]: r["n"] for r in fast.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    pops = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {lang: min(5, n) for lang, n in pops.items()}
+    # determinism: same rows under a different partitioning
+    again = priority_sample(
+        docs.repartition(13), key="doc_id", k=5, by=["lang"], prereduce=True
+    )
+    assert sorted(map(tuple, again.collect())) == f_rows
+
+
+def test_priority_sample_global_topk_plan(spark, sf_dir):
+    from ai_fabric_etl_spark.operators.sampling import priority_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    out = priority_sample(docs, key="doc_id", k=10)
+    assert out.count() == 10
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
