@@ -1,0 +1,221 @@
+"""Full-text relevance search over a document corpus: BM25 scoring
+and term-frequency statistics, pure DataFrame ops (no UDFs).
+
+Brief extension beyond the reference (its only text predicates are
+substring/regex filters, SURVEY §2.2 P11); a training-data pipeline
+needs corpus search for targeted curation — "pull the top-k documents
+about X" — without an external index.
+
+Scale design (100 TB):
+- the per-document work is explode + filter-to-query-terms: the term
+  list is a broadcast literal, so the corpus side prunes to matching
+  tokens BEFORE any shuffle — the only wide exchange carries
+  (doc, query-term, tf) rows for documents containing at least one
+  query term;
+- corpus statistics (N, avgdl) are one scalar aggregate, broadcast
+  back; per-term document frequencies are at most |query| rows,
+  broadcast;
+- top-k is orderBy+limit → TakeOrderedAndProject (per-partition
+  partial top-k, never a global sort).
+
+Scores are rounded to a fixed scale for cross-engine determinism
+(the repo-wide convention for derived doubles).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokenize(text_col) -> "F.Column":
+    """Lowercase alphanumeric tokens — the same regex DuckDB's
+    ``string_split_regex`` replays bit-identically."""
+    return F.filter(
+        F.split(F.lower(text_col), _TOKEN_SPLIT), lambda t: t != F.lit("")
+    )
+
+
+def normalize_query(query: str) -> list[str]:
+    """Query string → deduplicated token list (same tokenizer)."""
+    toks = [t for t in re.split(_TOKEN_SPLIT, query.lower()) if t]
+    seen: dict[str, None] = {}
+    for t in toks:
+        seen.setdefault(t)
+    return list(seen)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for ``query`` under BM25 (Robertson/Sparck
+    Jones; the Lucene-style ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf,
+    which is always positive). Returns (id, score, n_terms_matched),
+    highest score first, ties broken by id.
+
+    Every stage is JVM-side: tokenize → explode → filter to the
+    broadcast query-term set → one groupBy(doc, term) for tf → join
+    the ≤|query|-row df table and the scalar (N, avgdl) — both
+    broadcast — → weighted sum per doc → TakeOrdered top-k.
+    """
+    terms = normalize_query(query)
+    if not terms:
+        raise ValueError("query tokenizes to no terms")
+
+    toks = docs.select(
+        F.col(id_col),
+        tokenize(F.col(text_col)).alias("_toks"),
+    ).select(
+        id_col,
+        F.size("_toks").cast("double").alias("_dl"),
+        F.explode("_toks").alias("term"),
+    )
+    hits = toks.filter(F.col("term").isin(terms))
+
+    # tf per (doc, term); carry the doc length through the same shuffle
+    tf = hits.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.first("_dl").alias("dl"),
+    )
+
+    # corpus scalars and per-term document frequency (both tiny)
+    stats = docs.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(tokenize(F.col(text_col)))).alias("avgdl"),
+    )
+    df_t = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.round(F.sum("w"), 6).alias("score"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    return per_doc.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def bm25_topk_sql(
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """ANSI/DuckDB oracle replaying :func:`bm25_topk` exactly."""
+    terms = normalize_query(query)
+    in_list = ", ".join(f"''{t}''" for t in terms).replace("''", "'")
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         len(list_filter(string_split_regex(lower({text_col}),
+              '{_TOKEN_SPLIT}'), x -> x <> '')) AS dl,
+         unnest(list_filter(string_split_regex(lower({text_col}),
+              '{_TOKEN_SPLIT}'), x -> x <> '')) AS term
+  FROM {table}
+),
+tf AS (
+  SELECT {id_col}, term, CAST(COUNT(*) AS DOUBLE) AS tf,
+         CAST(MIN(dl) AS DOUBLE) AS dl
+  FROM toks WHERE term IN ({in_list})
+  GROUP BY {id_col}, term
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         AVG(len(list_filter(string_split_regex(lower({text_col}),
+              '{_TOKEN_SPLIT}'), x -> x <> ''))) AS avgdl
+  FROM {table}
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+)
+SELECT tf.{id_col},
+       ROUND(SUM(
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * (tf.tf * ({k1} + 1.0))
+         / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / s.avgdl))
+       ), 6) AS score,
+       COUNT(*) AS n_terms_matched
+FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+GROUP BY tf.{id_col}
+ORDER BY score DESC, tf.{id_col}
+LIMIT {k}
+"""
+
+
+def term_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Corpus vocabulary statistics — (term, df, total_tf, idf) for
+    terms appearing in at least ``min_df`` documents. One explode +
+    two-level aggregate; the idf uses the same positive-ln form as
+    :func:`bm25_topk`. This is the build side of any inverted-index/
+    keyword-curation step."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    per_doc = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf_doc")
+    )
+    n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf_doc").alias("total_tf"),
+        )
+        .filter(F.col("df") >= min_df)
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "idf",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                ),
+                6,
+            ),
+        )
+        .drop("n_docs")
+    )
+
+
+# math import kept for callers computing reference scores in tests
+_ = math

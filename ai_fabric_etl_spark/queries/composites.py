@@ -91,6 +91,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "text_decontaminate",
         "text_repetition",
         "text_quality_filter",
+        "search_bm25_topk",
+        "search_term_stats",
         "text_clean_redact",
         "p11_text_predicates",
         "multimodal_bytes",

@@ -715,3 +715,54 @@ def q_text_quality_filter(spark, sf_dir):
     from ai_fabric_etl_spark.operators.text import quality_filter
 
     return quality_filter(_t(spark, sf_dir, "documents"))
+
+
+from ai_fabric_etl_spark.operators.search import (  # noqa: E402
+    bm25_topk,
+    bm25_topk_sql,
+    term_stats,
+)
+
+_BM25_QUERY = "vector hash stream"
+
+
+@register(
+    "search_bm25_topk",
+    oracle=bm25_topk_sql(_BM25_QUERY, k=20),
+)
+def q_search_bm25_topk(spark, sf_dir):
+    """BM25 corpus search: top-20 documents for a three-term query.
+    Explode → broadcast-term filter → one tf shuffle → broadcast df/
+    corpus-stats joins → TakeOrdered; the oracle replays the identical
+    tokenizer, idf, and length normalization in SQL. Fills the search
+    hole in the reference's text surface (P11 is substring/regex
+    only)."""
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_QUERY, k=20)
+
+
+_TERM_STATS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS term
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, term, COUNT(*) AS tf_doc FROM toks GROUP BY doc_id, term
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT term, COUNT(*) AS df, CAST(SUM(tf_doc) AS BIGINT) AS total_tf,
+       ROUND(ln(1.0 + (n.n_docs - COUNT(*) + 0.5) / (COUNT(*) + 0.5)), 6)
+         AS idf
+FROM per_doc CROSS JOIN n
+GROUP BY term, n.n_docs
+HAVING COUNT(*) >= 5
+"""
+
+
+@register("search_term_stats", oracle=_TERM_STATS_ORACLE)
+def q_search_term_stats(spark, sf_dir):
+    """Corpus vocabulary statistics (df / total tf / idf, min_df=5):
+    the build side of an inverted index or keyword-curation pass —
+    one explode, two-level aggregate, broadcast scalar."""
+    return term_stats(_t(spark, sf_dir, "documents"), min_df=5)

@@ -563,3 +563,41 @@ def test_priority_sample_global_topk_plan(spark, sf_dir):
     assert out.count() == 10
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_ranks_full_matches_first(spark):
+    from ai_fabric_etl_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry apple"),
+            (2, "apple noise noise noise noise noise noise"),
+            (3, "banana cherry"),
+            (4, "unrelated words only here"),
+            (5, "apple banana cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, "apple banana cherry", k=5)
+    rows = out.collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 4 not in ids  # no matching term, no row
+    by_id = {r["doc_id"]: r for r in rows}
+    # docs matching all three terms outrank partial matches
+    assert by_id[1]["n_terms_matched"] == 3
+    assert min(by_id[1]["score"], by_id[5]["score"]) > max(
+        by_id[2]["score"], by_id[3]["score"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_term_stats_counts(spark):
+    from ai_fabric_etl_spark.operators.search import term_stats
+
+    docs = spark.createDataFrame(
+        [(1, "x x y"), (2, "x z"), (3, "z q")], "doc_id long, text string"
+    )
+    got = {r["term"]: (r["df"], r["total_tf"]) for r in
+           term_stats(docs, min_df=2).collect()}
+    assert got == {"x": (2, 3), "z": (2, 2)}
