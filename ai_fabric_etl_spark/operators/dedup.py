@@ -837,3 +837,74 @@ def decontaminate(
         docs, benchmark, n=n, text_col=text_col, id_col=id_col
     ).filter(F.col("n_overlap") >= min_overlap)
     return docs.join(flagged.select(id_col), id_col, "left_anti")
+
+
+def _deletion_variants_expr(col: str, max_dist: int) -> Column:
+    """Array of DISTINCT strings reachable from ``col`` by deleting at
+    most ``max_dist`` characters (the string itself included), as one
+    codegen expression — no UDF."""
+    del1 = (
+        "transform(sequence(1, length({c})), "
+        "i -> concat(substring({c}, 1, i-1), substring({c}, i+1)))"
+    )
+    variants = F.array_union(
+        F.array(F.col(col)), F.expr(del1.format(c=col))
+    )
+    if max_dist == 2:
+        inner = del1.format(c=col)
+        v2 = F.expr(
+            f"flatten(transform({inner}, s -> "
+            "transform(sequence(1, length(s)), "
+            "i -> concat(substring(s, 1, i-1), substring(s, i+1)))))"
+        )
+        variants = F.array_union(variants, F.array_distinct(v2))
+    return variants
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 1,
+) -> DataFrame:
+    """EXACT Levenshtein-threshold self-join (all pairs with edit
+    distance ≤ ``max_dist``, ``max_dist`` ∈ {1, 2}) via symmetric
+    deletion neighborhoods — the SymSpell candidate scheme: if
+    ed(a, b) ≤ d then deleting at most d characters from each reaches
+    a common string, so joining on the deletion-variant key finds
+    every true pair (pigeonhole, no misses) and ``F.levenshtein``
+    verification removes false candidates. Returns
+    (id_a, id_b, dist), id_a < id_b.
+
+    Scale shape: each string emits O(len^d) variant keys (expression-
+    side, no UDF), the join shuffles only (key, id, string) rows, and
+    verification runs once per DISTINCT candidate pair. This is the
+    short-string operator (titles, names, codes — the reference's
+    partner ids and control numbers are exactly this shape); for long
+    documents use the shingle/MinHash family instead, where the
+    neighborhood blow-up doesn't apply."""
+    if max_dist not in (1, 2):
+        raise ValueError(f"max_dist must be 1 or 2, got {max_dist}")
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+        F.explode(_deletion_variants_expr(text_col, max_dist)).alias("_vkey"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
+        a.join(b, F.col("a._vkey") == F.col("b._vkey"))
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("a._txt").alias("_txt_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("b._txt").alias("_txt_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("_txt_a", "_txt_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

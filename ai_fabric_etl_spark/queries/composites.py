@@ -86,6 +86,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "sample_global_shuffle",
         "sample_priority_bottomk",
         "dedup_ngram_jaccard",
+        "dedup_editdistance",
         "emb_neardup_exact",
         "emb_kmeans_invariant",
         "text_decontaminate",

@@ -766,3 +766,44 @@ def q_search_term_stats(spark, sf_dir):
     the build side of an inverted index or keyword-curation pass —
     one explode, two-level aggregate, broadcast scalar."""
     return term_stats(_t(spark, sf_dir, "documents"), min_df=5)
+
+
+_EDITDIST_ORACLE = """
+WITH corpus AS (
+  SELECT p_partkey AS doc_id, p_name AS text FROM part
+  UNION ALL
+  SELECT p_partkey + 1000000,
+         substring(p_name, 1, 4) || substring(p_name, 6)
+  FROM part WHERE p_partkey % 7 = 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.text, b.text) AS INT) AS dist
+FROM corpus a
+JOIN corpus b
+  ON a.doc_id < b.doc_id
+ AND abs(length(a.text) - length(b.text)) <= 1
+WHERE levenshtein(a.text, b.text) <= 1
+"""
+
+
+@register("dedup_editdistance", oracle=_EDITDIST_ORACLE)
+def q_dedup_editdistance(spark, sf_dir):
+    """Exact Levenshtein-≤1 self-join over part names with planted
+    one-character-deletion typos: the SymSpell deletion-neighborhood
+    join must recover every planted (original, typo) pair plus any
+    naturally-close name pair — verified against a brute-force
+    levenshtein oracle (exact, not recall-based). The engine side
+    never materializes the O(n²) pair space; the oracle does, which
+    is exactly why it can't be the engine plan at 100 TB."""
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text")
+    )
+    typos = part.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 4), F.expr("substring(text, 6)")
+        ).alias("text"),
+    )
+    return dedup.edit_distance_pairs(
+        part.unionByName(typos), id_col="doc_id", text_col="text", max_dist=1
+    )

@@ -563,3 +563,40 @@ def test_phone_redaction_covers_plus_prefix(spark):
     df = spark.createDataFrame([(1, "call +1 (555) 123-4567 now")], "id long, t string")
     out = df.select(redact_pii(F.col("t")).alias("t")).collect()[0].t
     assert out == "call <PHONE> now"
+
+
+def test_edit_distance_pairs_exact_vs_bruteforce(spark):
+    from ai_fabric_etl_spark.operators.dedup import edit_distance_pairs
+
+    names = [
+        (1, "shimmer blue"),
+        (2, "shimer blue"),     # deletion, d=1
+        (3, "shimmer blux"),    # substitution, d=1
+        (4, "shimmerx blue"),   # insertion, d=1
+        (5, "shmer blux"),      # d=2+ from most
+        (6, "totally different"),
+        (7, "shimmer blue"),    # exact dup, d=0
+    ]
+    df = spark.createDataFrame(names, "doc_id long, text string")
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    for d in (1, 2):
+        want = sorted(
+            (ia, ib, lev(ta, tb))
+            for ia, ta in names
+            for ib, tb in names
+            if ia < ib and lev(ta, tb) <= d
+        )
+        got = sorted(
+            map(tuple, edit_distance_pairs(df, max_dist=d).collect())
+        )
+        assert got == want, f"d={d}"
