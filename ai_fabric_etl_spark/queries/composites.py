@@ -77,6 +77,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "scd2_customer_history",
         "lakehouse_change_feed",
         "lakehouse_skipping_scan",
+        "dq_expectations_orders",
     ],
     "fp_training_sources": [
         "scalar_datetime",

@@ -556,3 +556,88 @@ def lakehouse_skipping_scan(spark, sf_dir):
             .alias("total_price"),
         )
     )
+
+
+_DQ_ORACLE = """
+WITH corrupted AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate,
+         CASE WHEN o_orderkey % 17 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus,
+         o_orderpriority,
+         CASE WHEN o_orderkey % 23 = 0 THEN o_custkey + 5000000 ELSE o_custkey END AS o_custkey
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderdate, o_totalprice, o_orderstatus,
+         o_orderpriority, o_custkey
+  FROM orders WHERE o_orderkey % 19 = 0
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+    SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn,
+    SUM(CASE WHEN NOT COALESCE(o_totalprice >= 0 AND o_totalprice <= 1000000, FALSE) THEN 1 ELSE 0 END) AS btw,
+    SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O', 'F', 'P'), FALSE) THEN 1 ELSE 0 END) AS ins,
+    SUM(CASE WHEN NOT COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE) THEN 1 ELSE 0 END) AS rex,
+    COUNT(*) - COUNT(DISTINCT o_orderkey)
+      - SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS uq
+  FROM corrupted
+),
+refmiss AS (
+  SELECT COUNT(*) AS miss FROM corrupted c
+  WHERE o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = c.o_custkey)
+)
+SELECT rule, n_violations, n_rows,
+       ROUND(n_violations * 1.0 / n_rows, 6) AS violation_pct
+FROM (
+  SELECT 'o_orderdate_not_null' AS rule, nn AS n_violations, n AS n_rows FROM stats
+  UNION ALL SELECT 'o_totalprice_between', btw, n FROM stats
+  UNION ALL SELECT 'o_orderstatus_in_set', ins, n FROM stats
+  UNION ALL SELECT 'o_orderpriority_regex', rex, n FROM stats
+  UNION ALL SELECT 'unique_o_orderkey', uq, n FROM stats
+  UNION ALL SELECT 'o_custkey_ref_c_custkey', miss, n FROM refmiss, stats
+)
+"""
+
+
+@register("dq_expectations_orders", oracle=_DQ_ORACLE)
+def dq_expectations_orders(spark, sf_dir):
+    """Declarative data-quality contract over a deterministically
+    corrupted orders feed: nulled dates, negated totals, dangling
+    customer keys, duplicated keys. Six rules — four row predicates
+    compiled into ONE aggregate pass, a uniqueness check, and a
+    broadcast-anti referential check — produce the violation report
+    the oracle recomputes relationally. Generalizes the reference's
+    hand-rolled X12 validators (silver_x12_parsing.py required-segment
+    checks) into the reusable expectations layer."""
+    from ai_fabric_etl_spark.operators import expectations as X
+
+    orders = _t(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus",
+        "o_orderpriority", "o_custkey",
+    ]
+    corrupted = orders.select(
+        F.col("o_orderkey"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(None))
+        .otherwise(F.col("o_orderdate")).alias("o_orderdate"),
+        F.when(F.col("o_orderkey") % 17 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.when(F.col("o_orderkey") % 23 == 0, F.col("o_custkey") + 5000000)
+        .otherwise(F.col("o_custkey")).alias("o_custkey"),
+    ).unionByName(orders.filter(F.col("o_orderkey") % 19 == 0).select(cols))
+    rules = [
+        X.expect_not_null("o_orderdate"),
+        X.expect_between("o_totalprice", 0, 1000000),
+        X.expect_in("o_orderstatus", ["O", "F", "P"]),
+        X.expect_regex("o_orderpriority", "^[1-5]-"),
+    ]
+    customer = _t(spark, sf_dir, "customer")
+    return X.report(
+        corrupted,
+        rules,
+        unique_keys=[["o_orderkey"]],
+        references=[("o_custkey", customer, "c_custkey")],
+    )

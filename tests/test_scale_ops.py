@@ -224,3 +224,56 @@ def test_misra_gries_rejects_non_string_and_ignores_nulls(spark):
     assert {r["v"]: r["c"] for r in rows} == {"a": 2, "b": 1}
     with _pytest.raises(ValueError):
         misra_gries_partials(spark.range(3), "id", k=8)
+
+
+def test_expectations_annotate_and_quarantine(spark):
+    from ai_fabric_etl_spark.operators import expectations as X
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, None, 5.0),          # null name
+            (3, "c", -1.0),          # out of range
+            (4, None, 2000.0),       # null name AND out of range
+            (5, "e", 50.0),
+        ],
+        "id long, name string, amount double",
+    )
+    rules = [
+        X.expect_not_null("name"),
+        X.expect_between("amount", 0.0, 1000.0),
+    ]
+    ann = X.annotate(df, rules)
+    viol = {r["id"]: sorted(r["_violations"]) for r in ann.collect()}
+    assert viol == {
+        1: [], 5: [],
+        2: ["name_not_null"],
+        3: ["amount_between"],
+        4: ["amount_between", "name_not_null"],
+    }
+    clean, bad = X.quarantine_split(df, rules)
+    assert sorted(r["id"] for r in clean.collect()) == [1, 5]
+    assert "_violations" in bad.columns and bad.count() == 3
+
+
+def test_expectations_report_unique_and_ref(spark):
+    from ai_fabric_etl_spark.operators import expectations as X
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 100), (2, 200), (3, 999), (None, 100)],
+        "k int, fk int",
+    )
+    dim = spark.createDataFrame([(100,), (200,)], "d int")
+    rep = {
+        r["rule"]: (r["n_violations"], r["n_rows"])
+        for r in X.report(
+            df, [X.expect_not_null("k")],
+            unique_keys=[["k"]],
+            references=[("fk", dim, "d")],
+        ).collect()
+    }
+    # k=2 appears twice -> 1 dup violation; null k is not a dup
+    assert rep["unique_k"] == (1, 5)
+    assert rep["k_not_null"] == (1, 5)
+    # fk=999 dangles
+    assert rep["fk_ref_d"] == (1, 5)
