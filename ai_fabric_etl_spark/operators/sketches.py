@@ -196,3 +196,135 @@ def relative_error_ok(
         F.abs(estimate.cast("double") - exact.cast("double"))
         <= F.greatest(exact.cast("double") * rel_tol, F.lit(1.0))
     )
+
+
+def quantile_partials(
+    df: DataFrame,
+    col: str,
+    by: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Mergeable QUANTILE summaries (Munro–Paterson / MRL multi-level
+    collapse, the deterministic ancestor of KLL): per partition and
+    ``by`` group, values fold into levels of weighted samples — level
+    i holds items standing for 2^i input rows; a level overflowing
+    ``k`` items sort-collapses to half, promoting alternate elements
+    (alternating offset, the classic bias cancellation) one level up.
+    Output rows are ``(by…, value, weight)`` — at most k·⌈log2(n/k)+1⌉
+    rows per (partition, group) enter any shuffle, the quantile
+    sibling of the HLL/MG partials above.
+
+    Rank guarantee (Munro–Paterson): an estimate from the summary is
+    off by at most ~(log2(n/k)/2 + 1)·(n/k) ranks — gated empirically
+    in tests; with ``k`` at least the per-partition group size no
+    collapse ever fires and the summary is EXACT (the driver-gated
+    entry exploits that, mirroring heavy_hitters).
+
+    NULL values are ignored (SQL aggregate semantics); NULL group
+    keys form their own group."""
+    import pandas as pd
+
+    def gen(batches):
+        state: dict = {}  # group key -> (levels, offsets)
+        for pdf in batches:
+            for g, part in pdf.groupby(by, dropna=False, sort=False):
+                key = g if isinstance(g, tuple) else (g,)
+                levels, offsets = state.setdefault(key, ([[]], {}))
+                vals = part[col].dropna().tolist()
+                lv0 = levels[0]
+                for v in vals:
+                    lv0.append(float(v))
+                    if len(lv0) > k:
+                        i = 0
+                        while i < len(levels) and len(levels[i]) > k:
+                            buf = sorted(levels[i])
+                            off = offsets.get(i, 0)
+                            offsets[i] = 1 - off
+                            levels[i] = []
+                            if i + 1 == len(levels):
+                                levels.append([])
+                            levels[i + 1].extend(buf[off::2])
+                            i += 1
+                        lv0 = levels[0]
+        rows = []
+        for key, (levels, _off) in state.items():
+            for i, lv in enumerate(levels):
+                w = 1 << i
+                rows.extend(key + (v, w) for v in lv)
+        if rows:
+            yield pd.DataFrame(rows, columns=by + ["value", "weight"])
+
+    by_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in by
+    )
+    return df.select(*by, col).mapInPandas(
+        gen, schema=f"{by_schema}, value double, weight long"
+    )
+
+
+def quantile_values(
+    partials: DataFrame,
+    by: list[str],
+    qs: dict[str, float],
+) -> DataFrame:
+    """Quantile estimates from (unioned) partials, matching the
+    discrete-quantile convention ``rank = max(1, ceil(q·W))`` over
+    cumulative weights (bit-equal to DuckDB ``quantile_disc`` when the
+    summary is exact). Pure JVM: one window cumsum per group (RANGE
+    frame, so ties accumulate together deterministically) + one
+    aggregate."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*by).orderBy("value")
+    cum = partials.withColumn("_cum", F.sum("weight").over(w)).withColumn(
+        "_w", F.sum("weight").over(Window.partitionBy(*by))
+    )
+    aggs = []
+    for name, q in qs.items():
+        rank = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("_w")))
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= rank, F.col("value"))).alias(name)
+        )
+    return cum.groupBy(*by).agg(*aggs)
+
+
+def quantile_compress(
+    partials: DataFrame,
+    by: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Re-compress unioned partials back to ≤ k·levels rows per group
+    so rollups CHAIN (day → week → total) without unbounded growth —
+    the quantile sibling of ``sketch_merge``. Items re-enter the
+    level structure at the level matching their weight, then the same
+    alternating collapse bounds each level."""
+    import pandas as pd
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        levels: list[list] = [[]]
+        offsets: dict = {}
+        for v, w in zip(pdf["value"], pdf["weight"]):
+            lvl = max(0, int(w).bit_length() - 1)
+            while len(levels) <= lvl:
+                levels.append([])
+            levels[lvl].append(float(v))
+        i = 0
+        while i < len(levels):
+            if len(levels[i]) > k:
+                buf = sorted(levels[i])
+                off = offsets.get(i, 0)
+                offsets[i] = 1 - off
+                levels[i] = []
+                if i + 1 == len(levels):
+                    levels.append([])
+                levels[i + 1].extend(buf[off::2])
+            i += 1
+        rows = []
+        for i, lv in enumerate(levels):
+            rows.extend(key + (v, 1 << i) for v in lv)
+        return pd.DataFrame(rows, columns=list(pdf.columns))
+
+    schema = partials.schema
+    return partials.groupBy(*by).applyInPandas(
+        lambda key, pdf: merge(key, pdf), schema=schema
+    )

@@ -105,6 +105,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "source_jsonl_roundtrip",
         "source_orc_roundtrip",
         "sketch_distinct_rollup",
+        "quantile_sketch_prices",
         "zorder_curve_keys",
         "heavy_hitters_langs",
         "dedup_incremental_planted",

@@ -641,3 +641,38 @@ def dq_expectations_orders(spark, sf_dir):
         unique_keys=[["o_orderkey"]],
         references=[("o_custkey", customer, "c_custkey")],
     )
+
+
+_QSKETCH_ORACLE = """
+SELECT o_orderpriority,
+       quantile_disc(o_totalprice, 0.5) AS p50,
+       quantile_disc(o_totalprice, 0.95) AS p95,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("quantile_sketch_prices", oracle=_QSKETCH_ORACLE)
+def quantile_sketch_prices(spark, sf_dir):
+    """Mergeable quantile summaries (Munro–Paterson levels) driven in
+    the exact regime: per-priority p50/p95 of order totals from the
+    persisted partials must equal DuckDB's quantile_disc — the same
+    exact-at-small-cardinality gate pattern as heavy_hitters_langs.
+    The compressed regime (k ≪ n, the 100 TB path where the state per
+    group is kilobytes) is rank-bound-gated in tests; rollups chain
+    via quantile_compress without rescanning base data."""
+    from ai_fabric_etl_spark.operators.sketches import (
+        quantile_partials,
+        quantile_values,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("price")
+    )
+    parts = quantile_partials(orders, "price", by=["o_orderpriority"], k=32768)
+    est = quantile_values(parts, ["o_orderpriority"], {"p50": 0.5, "p95": 0.95})
+    counts = parts.groupBy("o_orderpriority").agg(
+        F.sum("weight").alias("n_rows")
+    )
+    return est.join(counts, "o_orderpriority")

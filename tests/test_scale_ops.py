@@ -277,3 +277,73 @@ def test_expectations_report_unique_and_ref(spark):
     assert rep["k_not_null"] == (1, 5)
     # fk=999 dangles
     assert rep["fk_ref_d"] == (1, 5)
+
+
+def test_quantile_sketch_exact_regime_and_chaining(spark):
+    from ai_fabric_etl_spark.operators.sketches import (
+        quantile_compress,
+        quantile_partials,
+        quantile_values,
+    )
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 37) % 1009).cast("double").alias("x"),
+    ).repartition(8)
+    parts = quantile_partials(df, "x", by=["g"], k=10000)
+    # exact regime: weights sum to the true count
+    n = parts.groupBy("g").agg(F.sum("weight").alias("w")).collect()
+    assert all(r["w"] == 1000 for r in n)
+    got = {
+        r["g"]: (r["p50"], r["p95"])
+        for r in quantile_values(parts, ["g"], {"p50": 0.5, "p95": 0.95}).collect()
+    }
+    import math
+
+    for g in ("0", "1", "2"):
+        vals = sorted(
+            float((i * 37) % 1009) for i in range(3000) if i % 3 == int(g)
+        )
+        want = (
+            vals[max(1, math.ceil(0.5 * len(vals))) - 1],
+            vals[max(1, math.ceil(0.95 * len(vals))) - 1],
+        )
+        assert got[g] == want
+    # chaining: compress keeps estimates within the rank bound
+    packed = quantile_compress(parts, ["g"], k=64)
+    assert packed.count() < parts.count()
+    est = {
+        r["g"]: r["p50"]
+        for r in quantile_values(packed, ["g"], {"p50": 0.5}).collect()
+    }
+    for g in ("0", "1", "2"):
+        vals = sorted(
+            float((i * 37) % 1009) for i in range(3000) if i % 3 == int(g)
+        )
+        true_rank = sum(v <= est[g] for v in vals)
+        assert abs(true_rank - 500) <= 150, (g, est[g], true_rank)
+
+
+def test_quantile_sketch_compressed_rank_bound(spark):
+    from ai_fabric_etl_spark.operators.sketches import (
+        quantile_partials,
+        quantile_values,
+    )
+
+    n, k = 100_000, 256
+    df = spark.range(0, n).select(
+        F.lit("all").alias("g"),
+        ((F.col("id") * 2654435761) % 999983).cast("double").alias("x"),
+    ).repartition(16)
+    parts = quantile_partials(df, "x", by=["g"], k=k)
+    qs = {f"q{int(q*100)}": q for q in (0.01, 0.25, 0.5, 0.75, 0.99)}
+    est = quantile_values(parts, ["g"], qs).collect()[0]
+    vals = sorted(float((i * 2654435761) % 999983) for i in range(n))
+    # generous multiple of the MRL bound (log2(n/k)/2 + 1) * n/k
+    import math
+
+    bound = 3 * (math.log2(n / k) / 2 + 1) * (n / k)
+    for name, q in qs.items():
+        true_rank = q * n
+        got_rank = sum(v <= est[name] for v in vals)
+        assert abs(got_rank - true_rank) <= bound, (name, got_rank, true_rank)
