@@ -355,3 +355,58 @@ def priority_sample_sql(
         f"row_number() OVER (PARTITION BY {', '.join(by)} "
         f"ORDER BY {p}, {key}) <= {k}"
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak: str | None = None,
+    prereduce: bool = True,
+) -> DataFrame:
+    """Top-``k`` rows per group by ``order_col`` (ties broken by
+    ``tiebreak`` ascending for determinism) — the generalized form of
+    :func:`priority_sample`'s bottom-k: ``prereduce`` folds every
+    input partition to its local top-k per group in one mapInPandas
+    pass, so the shuffle carries at most k rows per (group,
+    partition) instead of whole groups; a plain window ranks the
+    survivors. The window-only plan shuffles the full table — at
+    100 TB that is the difference between moving k·partitions rows
+    and moving everything."""
+    import pandas as pd
+
+    sort_cols = [order_col] + ([tiebreak] if tiebreak else [])
+    ascending = [not descending] + ([True] if tiebreak else [])
+    work = df
+    if prereduce:
+        cols = work.columns
+        schema = work.schema
+
+        def local_topk(batches):
+            held: dict[tuple, pd.DataFrame] = {}
+            for pdf in batches:
+                for g, part in pdf.groupby(by, dropna=False, sort=False):
+                    key = g if isinstance(g, tuple) else (g,)
+                    merged = (
+                        part
+                        if key not in held
+                        else pd.concat([held[key], part], ignore_index=True)
+                    )
+                    held[key] = merged.sort_values(
+                        sort_cols, ascending=ascending, kind="mergesort"
+                    ).head(k)
+            if held:
+                yield pd.concat(held.values(), ignore_index=True)[cols]
+
+        work = work.mapInPandas(local_topk, schema=schema)
+    order_exprs = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    ] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(*by).orderBy(*order_exprs)
+    return (
+        work.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1,0 +1,167 @@
+"""Behavioral analytics over the events stream: sequential funnels,
+cohort retention, grouped top-k — the product-analytics operators a
+query engine is expected to answer natively (brief extension; the
+reference's only event analytics are the KQL summarize/time-bucket
+shapes, SURVEY §2.4 A9/A10).
+
+Scale notes: every step keys on user_id, so the funnel is a chain of
+co-partitioned aggregates (one shuffle each, no fact-fact storm);
+cohort retention is two aggregates and a join on the cohort key;
+top-k rides the prereduced window (k rows per partition per group
+into the shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai_fabric_etl_spark.operators.sampling import topk_per_group
+from ai_fabric_etl_spark.queries.catalog import _t, register
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+       (SELECT COUNT(*) FROM s2) AS n_then_click,
+       (SELECT COUNT(*) FROM s3) AS n_then_purchase,
+       ROUND((SELECT COUNT(*) FROM s2) * 1.0
+             / (SELECT COUNT(*) FROM s1), 6) AS click_rate,
+       ROUND((SELECT COUNT(*) FROM s3) * 1.0
+             / NULLIF((SELECT COUNT(*) FROM s2), 0), 6) AS purchase_rate
+"""
+
+
+@register("funnel_view_click_purchase", oracle=_FUNNEL_ORACLE)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Strict sequential funnel view → click → purchase: each step's
+    timestamp must come after the user's EARLIEST completion of the
+    previous step. Three co-partitioned aggregates chained on
+    user_id — at 100 TB each step shuffles only the surviving users'
+    events, and AQE reuses the user_id partitioning across steps."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .join(s2.agg(F.count(F.lit(1)).alias("n_then_click")))
+        .join(s3.agg(F.count(F.lit(1)).alias("n_then_purchase")))
+    )
+    return counts.select(
+        "n_view",
+        "n_then_click",
+        "n_then_purchase",
+        F.round(F.col("n_then_click") / F.col("n_view"), 6).alias("click_rate"),
+        F.round(
+            F.col("n_then_purchase")
+            / F.nullif(F.col("n_then_click"), F.lit(0)),
+            6,
+        ).alias("purchase_rate"),
+    )
+
+
+_COHORT_ORACLE = """
+WITH cohort AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date FROM events
+  GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT e.user_id, c.cohort_date,
+         date_diff('day', c.cohort_date, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN cohort c USING (user_id)
+),
+sizes AS (
+  SELECT cohort_date, COUNT(*) AS cohort_size FROM cohort GROUP BY cohort_date
+)
+SELECT a.cohort_date, a.day_offset,
+       COUNT(*) AS n_active,
+       ROUND(COUNT(*) * 1.0 / s.cohort_size, 6) AS retention
+FROM active a JOIN sizes s USING (cohort_date)
+WHERE a.day_offset <= 7
+GROUP BY a.cohort_date, a.day_offset, s.cohort_size
+"""
+
+
+@register("cohort_retention_weekly", oracle=_COHORT_ORACLE)
+def cohort_retention_weekly(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen date, activity
+    counted per day offset (first week). Two aggregates on user_id +
+    one broadcastable join on the cohort key — the cohort/size table
+    is tiny (one row per day) regardless of corpus size."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    active = (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_date",
+            F.datediff(F.col("d"), F.col("cohort_date")).alias("day_offset"),
+        )
+        .distinct()
+        .filter(F.col("day_offset") <= 7)
+    )
+    sizes = cohort.groupBy("cohort_date").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        active.groupBy("cohort_date", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_date")
+        .select(
+            "cohort_date",
+            "day_offset",
+            "n_active",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+_TOPK_ORACLE = """
+SELECT doc_id, source, n_chars
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source ORDER BY n_chars DESC, doc_id
+) <= 3
+"""
+
+
+@register("topk_docs_per_source", oracle=_TOPK_ORACLE)
+def topk_docs_per_source(spark, sf_dir):
+    """Grouped top-k through the prereduced path: 3 longest documents
+    per source. The mapInPandas prereduce bounds the shuffle at k
+    rows per (group, partition); the oracle is the plain QUALIFY
+    window."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return topk_per_group(
+        docs, ["source"], "n_chars", k=3, tiebreak="doc_id", prereduce=True
+    )

@@ -78,6 +78,9 @@ FP_GROUPS: dict[str, list[str]] = {
         "lakehouse_change_feed",
         "lakehouse_skipping_scan",
         "dq_expectations_orders",
+        "funnel_view_click_purchase",
+        "cohort_retention_weekly",
+        "topk_docs_per_source",
     ],
     "fp_training_sources": [
         "scalar_datetime",

@@ -601,3 +601,30 @@ def test_term_stats_counts(spark):
     got = {r["term"]: (r["df"], r["total_tf"]) for r in
            term_stats(docs, min_df=2).collect()}
     assert got == {"x": (2, 3), "z": (2, 2)}
+
+
+def test_topk_per_group_parity_and_exactness(spark, sf_dir):
+    from ai_fabric_etl_spark.operators.sampling import topk_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    fast = topk_per_group(
+        docs, ["lang"], "n_chars", k=4, tiebreak="doc_id", prereduce=True
+    )
+    slow = topk_per_group(
+        docs, ["lang"], "n_chars", k=4, tiebreak="doc_id", prereduce=False
+    )
+    f_rows = sorted(map(tuple, fast.collect()))
+    assert f_rows == sorted(map(tuple, slow.collect()))
+    # exact: per lang, the 4 largest n_chars
+    import collections
+
+    pops = collections.defaultdict(list)
+    for r in docs.collect():
+        pops[r["lang"]].append((r["n_chars"], r["doc_id"]))
+    want = []
+    for lang, vals in pops.items():
+        for n_chars, doc_id in sorted(vals, key=lambda t: (-t[0], t[1]))[:4]:
+            want.append((doc_id, lang, n_chars))
+    assert f_rows == sorted(want)
