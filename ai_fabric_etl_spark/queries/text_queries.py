@@ -769,12 +769,15 @@ def q_search_term_stats(spark, sf_dir):
 
 
 _EDITDIST_ORACLE = """
-WITH corpus AS (
-  SELECT p_partkey AS doc_id, p_name AS text FROM part
+WITH names AS (
+  SELECT MIN(p_partkey) AS doc_id, p_name AS text FROM part GROUP BY p_name
+),
+corpus AS (
+  SELECT doc_id, text FROM names
   UNION ALL
-  SELECT p_partkey + 1000000,
-         substring(p_name, 1, 4) || substring(p_name, 6)
-  FROM part WHERE p_partkey % 7 = 0
+  SELECT doc_id + 10000000,
+         substring(text, 1, 4) || substring(text, 6)
+  FROM names WHERE doc_id % 3 <> 2
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(levenshtein(a.text, b.text) AS INT) AS dist
@@ -788,22 +791,32 @@ WHERE levenshtein(a.text, b.text) <= 1
 
 @register("dedup_editdistance", oracle=_EDITDIST_ORACLE)
 def q_dedup_editdistance(spark, sf_dir):
-    """Exact Levenshtein-≤1 self-join over part names with planted
-    one-character-deletion typos: the SymSpell deletion-neighborhood
-    join must recover every planted (original, typo) pair plus any
-    naturally-close name pair — verified against a brute-force
-    levenshtein oracle (exact, not recall-based). The engine side
-    never materializes the O(n²) pair space; the oracle does, which
-    is exactly why it can't be the engine plan at 100 TB."""
-    part = _t(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text")
+    """Exact Levenshtein-≤1 self-join over the DISTINCT part-name
+    vocabulary with planted one-character-deletion typos: the SymSpell
+    deletion-neighborhood join must recover every planted
+    (original, typo) pair plus any naturally-close name pair —
+    verified against a brute-force levenshtein oracle (exact, not
+    recall-based). Distinct-first is the scale-correct shape: exact
+    duplicates collapse via hash dedup BEFORE the quadratic-prone
+    near-join (a value repeated m times would otherwise contribute m²
+    candidate pairs), so the neighborhood join runs on vocabulary
+    size, not corpus size. The engine never materializes the O(n²)
+    pair space; the oracle does, which is exactly why it can't be the
+    engine plan at 100 TB."""
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("text"))
+        .agg(F.min("p_partkey").alias("doc_id"))
     )
-    typos = part.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+    typos = names.filter(F.col("doc_id") % 3 != 2).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
         F.concat(
             F.substring("text", 1, 4), F.expr("substring(text, 6)")
         ).alias("text"),
     )
     return dedup.edit_distance_pairs(
-        part.unionByName(typos), id_col="doc_id", text_col="text", max_dist=1
+        names.select("doc_id", "text").unionByName(typos),
+        id_col="doc_id",
+        text_col="text",
+        max_dist=1,
     )

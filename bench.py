@@ -62,6 +62,11 @@ HEADLINE = [
     "dedup_minhash_lsh",           # MinHash LSH
     "emb_knn_bruteforce",          # similarity search
     "emb_neardup",                 # embedding near-dup (bucketed LSH path)
+    "search_bm25_topk",            # BM25 relevance top-k
+    "sample_priority_bottomk",     # mergeable bottom-k per-group sample
+    "topk_docs_per_source",        # grouped top-k (prereduced window)
+    "quantile_sketch_prices",      # mergeable quantile summaries
+    "funnel_view_click_purchase",  # sequential funnel (chained aggs)
     "x12_silver_transactions",     # distributed X12 parse
 ]
 
