@@ -10,5 +10,6 @@ from ai_fabric_etl_spark.queries import training_queries  # noqa: F401  (registe
 from ai_fabric_etl_spark.queries import text_queries  # noqa: F401  (registers entries)
 from ai_fabric_etl_spark.queries import lakehouse_queries  # noqa: F401  (registers entries)
 from ai_fabric_etl_spark.queries import behavior_queries  # noqa: F401  (registers entries)
+from ai_fabric_etl_spark.queries import graph_queries  # noqa: F401  (registers entries)
 from ai_fabric_etl_spark.queries import composites  # noqa: F401  (must import last: fingerprints registered entries)
 from ai_fabric_etl_spark.queries.catalog import oracle_sql, queries  # noqa: F401

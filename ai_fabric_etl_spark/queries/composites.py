@@ -81,6 +81,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "funnel_view_click_purchase",
         "cohort_retention_weekly",
         "topk_docs_per_source",
+        "graph_pagerank_suppliers",
+        "graph_hierarchy_roots",
     ],
     "fp_training_sources": [
         "scalar_datetime",

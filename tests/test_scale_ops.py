@@ -347,3 +347,49 @@ def test_quantile_sketch_compressed_rank_bound(spark):
         true_rank = q * n
         got_rank = sum(v <= est[name] for v in vals)
         assert abs(got_rank - true_rank) <= bound, (name, got_rank, true_rank)
+
+
+def test_pagerank_sink_collects_mass(spark):
+    from ai_fabric_etl_spark.operators.graph import pagerank
+
+    # star: 1..4 -> 5; 5 has no out-edges (dangling, simplified variant)
+    edges = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 5), (4, 5)], "src long, dst long"
+    )
+    r = {row["node"]: row["rank"] for row in pagerank(edges, iterations=2).collect()}
+    assert len(r) == 5
+    # sources keep only teleport mass; the sink accumulates theirs
+    teleport = 0.15 / 5
+    assert all(abs(r[i] - round(teleport, 6)) < 1e-9 for i in (1, 2, 3, 4))
+    assert r[5] == round(teleport + 0.85 * 4 * teleport, 6)
+
+
+def test_resolve_roots_depth_and_doubling(spark):
+    from ai_fabric_etl_spark.operators.graph import resolve_roots
+
+    # chain 1 <- 2 <- 3 ... <- 40 (depth 39) plus a second tree
+    rows = [(1, None)] + [(i, i - 1) for i in range(2, 41)]
+    rows += [(100, None), (101, 100), (102, 100)]
+    df = spark.createDataFrame(rows, "id long, parent long")
+    got = {r["id"]: (r["root"], r["depth"]) for r in
+           resolve_roots(df, max_rounds=7).collect()}
+    assert got[40] == (1, 39) and got[1] == (1, 0)
+    assert got[101] == (100, 1) and got[102] == (100, 1)
+    # depth 39 must resolve in <= 6 doubling rounds; 7 rounds suffice,
+    # a per-level loop would need 39
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        resolve_roots(df, max_rounds=3)  # 2^3 = 8 < 39: must raise
+
+
+def test_resolve_roots_cycle_raises(spark):
+    from ai_fabric_etl_spark.operators.graph import resolve_roots
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1)], "id long, parent long"
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        resolve_roots(df, max_rounds=5)
