@@ -109,6 +109,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "source_csv_roundtrip",
         "source_jsonl_roundtrip",
         "source_orc_roundtrip",
+        "source_fixedwidth_roundtrip",
+        "lakehouse_incremental_mart",
         "sketch_distinct_rollup",
         "quantile_sketch_prices",
         "zorder_curve_keys",

@@ -676,3 +676,120 @@ def quantile_sketch_prices(spark, sf_dir):
         F.sum("weight").alias("n_rows")
     )
     return est.join(counts, "o_orderpriority")
+
+
+_FW_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("source_fixedwidth_roundtrip", oracle=_FW_ORACLE)
+def source_fixedwidth_roundtrip(spark, sf_dir):
+    """Fixed-width text connector round trip (mainframe/EDI-adjacent
+    layout, the format family the reference's X12 fixed-element ISA
+    segment lives in — envelope.py slices the same way): write orders
+    as 40-char records via format_string (zero-padded numerics,
+    space-padded status, price scaled to implied 2-decimal cents, the
+    COBOL convention), read back with pure substring/cast projections
+    — both directions stay whole-stage-codegen expressions, no UDF.
+    The aggregate matching the parquet-side oracle proves the text
+    codec loses nothing, including the implied-decimal scaling."""
+    out = os.path.join(tempfile.mkdtemp(prefix="fw_rt_"), "orders_fw")
+    o = _t(spark, sf_dir, "orders").select(
+        F.format_string(
+            "%012d%-1s%015d",
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        ).alias("value")
+    )
+    o.write.mode("overwrite").text(out)
+    back = spark.read.text(out).select(
+        F.substring("value", 1, 12).cast("long").alias("o_orderkey"),
+        F.trim(F.substring("value", 13, 1)).alias("o_orderstatus"),
+        (F.substring("value", 14, 15).cast("long") / 100)
+        .cast("decimal(18,2)")
+        .alias("o_totalprice"),
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum("o_totalprice").cast("double").alias("total_price"),
+    )
+
+
+_IVM_ORACLE = """
+WITH final AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
+              ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+  FROM orders WHERE o_orderkey % 11 <> 3
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(price) AS DOUBLE) AS total_price
+FROM final
+GROUP BY o_orderstatus
+"""
+
+
+@register("lakehouse_incremental_mart", oracle=_IVM_ORACLE)
+def lakehouse_incremental_mart(spark, sf_dir):
+    """Incremental view maintenance driven by the CHANGE FEED: a
+    per-status (count, sum) mart is first built from the v0 snapshot,
+    then UPDATEs (price doubled on keys %5=0) and DELETEs (keys
+    %11=3) hit the base table — and the mart is folded forward from
+    ``changes()`` alone: +postimage −preimage −delete, NEVER
+    rescanning the base table. The oracle recomputes the mart from
+    the final state relationally; equality proves feed-driven
+    maintenance is exact. At 100 TB this is the only affordable mart
+    refresh (the reference rescans whole tables,
+    generate_x12_acknowledgments.py:61)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    t = ParquetMergeTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="lakehouse_ivm_"), "t")
+    )
+    t.overwrite(orders)
+    v0 = t._version()
+    mart0 = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").alias("total_price"),
+    )
+    t.update(
+        F.col("o_orderkey") % 5 == 0,
+        {"price": (F.col("price") * 2).cast("decimal(18,2)")},
+    )
+    t.delete(F.col("o_orderkey") % 11 == 3)
+    feed = t.changes(keys=["o_orderkey"], from_version=v0)
+    deltas = feed.select(
+        "o_orderstatus",
+        F.when(F.col("_change_type").isin("insert", "update_postimage"), 1)
+        .otherwise(-1)
+        .alias("_sign"),
+        "price",
+    ).groupBy("o_orderstatus").agg(
+        F.sum("_sign").alias("d_n"),
+        F.sum(F.col("_sign") * F.col("price")).alias("d_price"),
+    )
+    return (
+        mart0.join(deltas, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (F.coalesce(F.col("n_orders"), F.lit(0))
+             + F.coalesce(F.col("d_n"), F.lit(0))).alias("n_orders"),
+            (
+                F.coalesce(F.col("total_price"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("d_price"), F.lit(0).cast("decimal(18,2)"))
+            ).cast("double").alias("total_price"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
