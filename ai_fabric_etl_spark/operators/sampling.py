@@ -410,3 +410,57 @@ def topk_per_group(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    by: list[str] | None = None,
+    salt: str = "wprio",
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement
+    (Efraimidis–Spirakis via the exponential race): each row draws
+    u = hash-uniform(0,1) from its key and competes with priority
+    −ln(u)/w — the k smallest win, giving inclusion probability
+    proportional to weight, reproducibly (no RNG, stable under
+    corpus growth like every sampler here). Rows with weight ≤ 0 or
+    NULL never win (standard semantics: zero weight = never sampled).
+
+    The priority is one codegen expression (md5 prefix → conv to
+    long → ln); an ANSI oracle replays it bit-for-bit
+    (``('0x'||hex)::BIGINT`` in DuckDB). Global top-k is TakeOrdered;
+    per-group uses one window shuffle (compose with the
+    :func:`priority_sample` prereduce pattern when groups are huge).
+    """
+    kcol = F.coalesce(F.col(key).cast("string"), F.lit("__NULL__"))
+    hexpart = F.substring(
+        F.md5(F.concat(kcol, F.lit(f"-{salt}")).cast("binary")), 1, 8
+    )
+    u = (F.conv(hexpart, 16, 10).cast("long") + 1) / F.lit(float(_HEX_SPACE) + 1)
+    w = F.col(weight_col).cast("double")
+    prio = -F.log(u) / w
+    work = df.filter(w.isNotNull() & (w > 0)).withColumn("_wprio", prio)
+    if by is None:
+        return work.orderBy("_wprio", key).limit(k).drop("_wprio")
+    win = Window.partitionBy(*by).orderBy(F.col("_wprio"), F.col(key))
+    return (
+        work.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .drop("_wprio", "_rn")
+    )
+
+
+def weighted_priority_sample_sql(
+    key: str, weight_expr: str, k: int, by: list[str], salt: str = "wprio"
+) -> str:
+    """QUALIFY fragment replaying :func:`weighted_priority_sample`."""
+    u = (
+        f"((('0x' || substr(md5(COALESCE(CAST({key} AS VARCHAR), '__NULL__')"
+        f" || '-{salt}'), 1, 8))::BIGINT + 1) / {float(_HEX_SPACE) + 1!r})"
+    )
+    return (
+        f"row_number() OVER (PARTITION BY {', '.join(by)} "
+        f"ORDER BY -ln({u}) / ({weight_expr}), {key}) <= {k}"
+    )

@@ -91,6 +91,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "variant_props_profile",
         "sample_global_shuffle",
         "sample_priority_bottomk",
+        "sample_weighted_priority",
         "dedup_ngram_jaccard",
         "dedup_editdistance",
         "emb_neardup_exact",

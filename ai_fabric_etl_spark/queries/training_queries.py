@@ -388,3 +388,32 @@ def q_sample_priority_bottomk(spark, sf_dir):
     return priority_sample(
         docs, key="doc_id", k=_PRIO_K, by=["lang", "source"], salt="prio"
     )
+
+
+from ai_fabric_etl_spark.operators.sampling import (  # noqa: E402
+    weighted_priority_sample,
+    weighted_priority_sample_sql,
+)
+
+_WPRIO_K = 9
+_WPRIO_ORACLE = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE n_chars IS NOT NULL AND n_chars > 0
+QUALIFY {weighted_priority_sample_sql(
+    "doc_id", "CAST(n_chars AS DOUBLE)", _WPRIO_K, ["lang"], salt="wprio")}
+"""
+
+
+@register("sample_weighted_priority", oracle=_WPRIO_ORACLE)
+def q_sample_weighted_priority(spark, sf_dir):
+    """Weighted sampling without replacement, length-biased: per
+    language, 9 documents drawn with probability proportional to
+    n_chars via the deterministic exponential race — the sampler
+    behind importance-weighted training mixes. The oracle replays the
+    identical md5→uniform→−ln(u)/w priorities in SQL."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_priority_sample(
+        docs, key="doc_id", weight_col="n_chars", k=_WPRIO_K, by=["lang"],
+        salt="wprio",
+    )

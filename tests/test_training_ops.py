@@ -628,3 +628,28 @@ def test_topk_per_group_parity_and_exactness(spark, sf_dir):
         for n_chars, doc_id in sorted(vals, key=lambda t: (-t[0], t[1]))[:4]:
             want.append((doc_id, lang, n_chars))
     assert f_rows == sorted(want)
+
+
+def test_weighted_priority_sample_bias_and_determinism(spark):
+    from ai_fabric_etl_spark.operators.sampling import weighted_priority_sample
+
+    # 1000 rows; weight 100 for ids < 50, weight 1 otherwise: heavy
+    # rows are ~100x likelier per slot and must dominate the sample
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_priority_sample(df, key="id", weight_col="w", k=50)
+    ids = [r["id"] for r in got.collect()]
+    assert len(ids) == 50
+    heavy = sum(1 for i in ids if i < 50)
+    assert heavy >= 30, heavy  # ~50x expected share under uniform would be 2.5
+    # deterministic under repartitioning
+    again = weighted_priority_sample(
+        df.repartition(7), key="id", weight_col="w", k=50
+    )
+    assert sorted(r["id"] for r in again.collect()) == sorted(ids)
+    # zero/negative/null weights never win
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, None), (4, 1.0)], "id long, w double"
+    )
+    assert [r["id"] for r in weighted_priority_sample(
+        df2, key="id", weight_col="w", k=4).collect()] == [4]
