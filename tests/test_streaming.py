@@ -710,3 +710,75 @@ def test_stream_dedup_within_watermark_matches_batch(spark, events_dir, tmp_path
     got_ids = {r.event_id for r in spark.table("dedup_wm").select("event_id").collect()}
     exp_ids = {r.event_id for r in ev.select("event_id").collect()}
     assert got_ids == exp_ids
+
+
+def test_quantile_state_stream_equals_batch_exact_regime(spark, tmp_path):
+    """Exact regime (k >= n): quantiles from micro-batch-folded state
+    must equal the batch discrete quantiles over all data, and a
+    replayed epoch must not change the state."""
+    import math
+
+    from ai_fabric_etl_spark.streaming.sketch_state import (
+        merge_quantile_state,
+        read_quantiles,
+    )
+
+    state = str(tmp_path / "qstate")
+    rows = [(("A" if i % 2 else "B"), float((i * 37) % 251)) for i in range(900)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    assert df.count() == 900
+    # three micro-batches of 300 rows
+    for epoch in range(3):
+        lo, hi = epoch * 300, (epoch + 1) * 300
+        batch = spark.createDataFrame(rows[lo:hi], "g string, x double")
+        merge_quantile_state(
+            spark, batch, state, epoch, "x", ["g"], k=4096, app_id="t1"
+        )
+    # replay epoch 2 with different data: must be skipped
+    merge_quantile_state(
+        spark,
+        spark.createDataFrame([("A", 1e9)], "g string, x double"),
+        state, 2, "x", ["g"], k=4096, app_id="t1",
+    )
+    got = {
+        r["g"]: (r["p50"], r["p95"])
+        for r in read_quantiles(spark, state, ["g"], {"p50": 0.5, "p95": 0.95})
+        .collect()
+    }
+    for g in ("A", "B"):
+        vals = sorted(x for gg, x in rows if gg == g)
+        want = (
+            vals[max(1, math.ceil(0.5 * len(vals))) - 1],
+            vals[max(1, math.ceil(0.95 * len(vals))) - 1],
+        )
+        assert got[g] == want, g
+
+
+def test_quantile_state_streaming_wiring(spark, tmp_path):
+    """availableNow file stream through start_quantile_state: the
+    persisted state answers quantiles without rescanning the source."""
+    from ai_fabric_etl_spark.streaming.sketch_state import (
+        read_quantiles,
+        start_quantile_state,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [(("A" if i % 3 == 0 else "B"), float(i % 101)) for i in range(600)]
+    spark.createDataFrame(rows, "g string, x double").write.parquet(src)
+    stream = spark.readStream.schema("g string, x double").parquet(src)
+    q = start_quantile_state(
+        stream, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        "x", ["g"], k=8192,
+    )
+    q.awaitTermination(120)
+    import math
+
+    got = {
+        r["g"]: r["p50"]
+        for r in read_quantiles(
+            spark, str(tmp_path / "state"), ["g"], {"p50": 0.5}
+        ).collect()
+    }
+    for g in ("A", "B"):
+        vals = sorted(x for gg, x in rows if gg == g)
+        assert got[g] == vals[max(1, math.ceil(0.5 * len(vals))) - 1]
