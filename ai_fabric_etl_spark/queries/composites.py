@@ -111,6 +111,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "source_jsonl_roundtrip",
         "source_orc_roundtrip",
         "source_fixedwidth_roundtrip",
+        "x12_datasource_scan",
         "lakehouse_incremental_mart",
         "sketch_distinct_rollup",
         "quantile_sketch_prices",

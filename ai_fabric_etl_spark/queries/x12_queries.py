@@ -622,3 +622,49 @@ _MART_ORACLES = {
 
 for _name, (_fn, _round_cols, _oracle) in _MART_ORACLES.items():
     register(_name, oracle=_oracle)(_mart_entry(_fn, _round_cols))
+
+
+# ---------------------------------------------------------------------------
+# the same parse as a first-class Spark format (Python Data Source)
+# ---------------------------------------------------------------------------
+
+_DS_LANDING = os.path.join(_REPO_ROOT, ".cache", "x12_landing_files")
+
+
+def _landing_files() -> str:
+    """Materialize the generated corpus as actual .x12 files once per
+    checkout (the data source reads FILES, like production landing
+    zones — not in-memory rows)."""
+    marker = os.path.join(_DS_LANDING, "_complete")
+    if not os.path.exists(marker):
+        os.makedirs(_DS_LANDING, exist_ok=True)
+        for name, content in generate_corpus():
+            with open(os.path.join(_DS_LANDING, name), "w", encoding="utf-8") as fh:
+                fh.write(content)
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write("ok")
+    return _DS_LANDING
+
+
+@register(
+    "x12_datasource_scan",
+    oracle=f"SELECT * FROM read_parquet('{_EXPECTED_CACHE}/*.parquet')",
+)
+def x12_datasource_scan(spark, sf_dir):
+    """U9 through the OTHER door: ``spark.read.format("x12")`` — the
+    Spark 4 Python Data Source (sources/x12_datasource.py) planning
+    its own file partitions — must hit the same spec-derived
+    expected-silver oracle as the mapInPandas pipeline path. One
+    format, two access paths, one ground truth."""
+    from ai_fabric_etl_spark.sources.x12_datasource import register as _reg
+
+    _write_expected_silver()
+    _reg(spark)
+    return (
+        spark.read.format("x12")
+        .option("batchid", "entry")
+        .option("now", _NOW.isoformat())
+        .option("numpartitions", "8")
+        .load(_landing_files())
+        .drop("parsed_data", "validation_results")
+    )

@@ -1,0 +1,142 @@
+"""``spark.read.format("x12")`` — a native Spark 4 Python Data
+Source for X12 EDI files (PySpark DataSource API, SPARK-44076).
+
+The mapInPandas silver path (pipeline/silver.py, SURVEY §2.10 U9)
+stays the high-throughput pipeline route; this source makes the same
+parse a FIRST-CLASS FORMAT: any Spark consumer — SQL, a notebook, a
+different pipeline — reads parsed transactions directly with
+``spark.read.format("x12").load(dir)``, no pipeline import, schema
+attached, file-level parallelism planned by the source itself.
+
+Scale/engine notes:
+- ``partitions()`` plans one InputPartition per file CHUNK (default
+  up to 64 partitions, round-robin by sorted order) so a directory of
+  millions of files fans out across executors while tiny directories
+  don't produce empty tasks;
+- the driver stamps ``processing_timestamp`` ONCE in the reader (the
+  reader object is pickled to executors), keeping retries/speculation
+  deterministic — the same r4 fix the pipeline path carries;
+- a file that fails to parse yields its dead-letter ERR row (same
+  contract as parse_to_silver), never a lost file;
+- rows stream out as plain tuples in schema order; Spark converts
+  per-batch via Arrow.
+
+Reference parity: this is the read surface of the reference's
+bronze→silver function pair (silver_x12_parsing.py) re-expressed as
+a Spark source. Options: ``batchid`` (default "x12-datasource"),
+``numpartitions`` (default 64 cap), ``pattern`` (glob, default
+``*.x12``), ``now`` (ISO timestamp for deterministic golden tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ai_fabric_etl_spark.schemas import SILVER_SCHEMA
+
+
+class X12FilesPartition(InputPartition):
+    def __init__(self, files: list[str]):
+        self.files = files
+
+
+class X12DataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "x12"
+
+    def schema(self):
+        return SILVER_SCHEMA
+
+    def reader(self, schema) -> "X12Reader":
+        return X12Reader(self.options)
+
+
+class X12Reader(DataSourceReader):
+    def __init__(self, options: dict):
+        from datetime import datetime, timezone
+
+        path = options.get("path")
+        if not path:
+            raise ValueError("x12 source requires a path: .load('/dir')")
+        self.path = path
+        self.pattern = options.get("pattern", "*.x12")
+        self.batch_id = options.get("batchid", "x12-datasource")
+        self.max_partitions = int(options.get("numpartitions", 64))
+        now_opt = options.get("now")
+        self.now = (
+            datetime.fromisoformat(now_opt)
+            if now_opt
+            else datetime.now(timezone.utc).replace(tzinfo=None)
+        )
+
+    def _files(self) -> list[str]:
+        import glob as _glob
+        import os
+
+        if os.path.isfile(self.path):
+            return [self.path]
+        return sorted(_glob.glob(os.path.join(self.path, self.pattern)))
+
+    def partitions(self) -> list[X12FilesPartition]:
+        files = self._files()
+        if not files:
+            raise FileNotFoundError(
+                f"x12 source: no files matching {self.pattern} under {self.path}"
+            )
+        n = min(self.max_partitions, len(files))
+        chunks: list[list[str]] = [[] for _ in range(n)]
+        for i, f in enumerate(files):
+            chunks[i % n].append(f)
+        return [X12FilesPartition(c) for c in chunks]
+
+    def read(self, partition: X12FilesPartition):
+        import json
+        import os
+
+        from ai_fabric_etl_spark.x12.parsers import parse_x12_file
+
+        cols = [f.name for f in SILVER_SCHEMA.fields]
+        for path in partition.files:
+            name = os.path.basename(path)
+            try:
+                with open(path, encoding="utf-8") as fh:
+                    text = fh.read()
+                rows = parse_x12_file(
+                    name, text, batch_id=self.batch_id, now=self.now
+                )
+            except Exception as exc:  # noqa: BLE001 - dead-letter, not data loss
+                rows = [
+                    {
+                        "batch_id": self.batch_id,
+                        "file_name": name,
+                        "processing_timestamp": self.now,
+                        "interchange_control_number": "",
+                        "functional_group_number": "",
+                        "transaction_set_control_number": "",
+                        "transaction_type": "ERR",
+                        "sender_id": "",
+                        "receiver_id": "",
+                        "transaction_date": "",
+                        "parsed_data": "{}",
+                        "validation_results": json.dumps(
+                            {
+                                "is_valid": False,
+                                "errors": [f"{type(exc).__name__}: {exc}"],
+                                "warnings": [],
+                                "quality_score": 0,
+                            }
+                        ),
+                        "quality_score": 0,
+                        "is_valid": False,
+                        "processing_date": self.now.date(),
+                    }
+                ]
+            for r in rows:
+                yield tuple(r.get(c) for c in cols)
+
+
+def register(spark) -> None:
+    """Idempotently register the format with a session:
+    ``register(spark); spark.read.format('x12').load(dir)``."""
+    spark.dataSource.register(X12DataSource)

@@ -64,3 +64,55 @@ def test_eligible_files_age_and_size(spark, tmp_path):
 def test_landing_path_layout():
     p = landing_path("/bronze", "BCBS001", datetime.datetime(2024, 3, 7))
     assert p == "/bronze/BCBS001/year=2024/month=03/day=07"
+
+
+def test_x12_datasource_parity_with_pipeline(spark, tmp_path):
+    """spark.read.format('x12') must produce exactly what the
+    mapInPandas silver path produces for the same files, same batch
+    id, same injected timestamp — one format, two access paths."""
+    from ai_fabric_etl_spark.pipeline.silver import parse_to_silver
+    from ai_fabric_etl_spark.sources.x12_datasource import register
+    from ai_fabric_etl_spark.x12.testgen import generate_corpus
+
+    from datetime import datetime
+
+    corpus = generate_corpus(n_files=12, seed=23)
+    d = tmp_path / "landing"
+    d.mkdir()
+    for name, content in corpus:
+        (d / name).write_text(content, encoding="utf-8")
+    now = datetime(2026, 1, 2, 3, 4, 5)
+
+    register(spark)
+    via_source = (
+        spark.read.format("x12")
+        .option("batchid", "b1")
+        .option("now", now.isoformat())
+        .load(str(d))
+    )
+    files_df = spark.createDataFrame(corpus, ["file_name", "content"])
+    via_pipeline = parse_to_silver(files_df, batch_id="b1", now=now)
+    a = sorted(map(tuple, via_source.collect()))
+    b = sorted(map(tuple, via_pipeline.collect()))
+    assert a == b and len(a) > 0
+    # file-level parallelism is planned by the source
+    assert via_source.rdd.getNumPartitions() > 1
+
+
+def test_x12_datasource_dead_letter_and_missing(spark, tmp_path):
+    from ai_fabric_etl_spark.sources.x12_datasource import register
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / "broken.x12").write_bytes(b"\xff\xfe garbage not utf8 \xff")
+    register(spark)
+    rows = spark.read.format("x12").load(str(d)).collect()
+    assert len(rows) == 1 and rows[0]["transaction_type"] == "ERR"
+    assert rows[0]["is_valid"] is False
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises((Py4JJavaError, Exception)):
+        spark.read.format("x12").load(str(empty)).collect()
