@@ -116,3 +116,50 @@ def test_x12_datasource_dead_letter_and_missing(spark, tmp_path):
     empty.mkdir()
     with pytest.raises((Py4JJavaError, Exception)):
         spark.read.format("x12").load(str(empty)).collect()
+
+
+def test_x12_datasource_streaming_new_file_detection(spark, tmp_path):
+    """readStream.format('x12'): each availableNow pass emits exactly
+    the files not yet in the checkpointed offset — no duplicates, no
+    losses across restarts (the poll+archive replacement, SURVEY
+    §2.9, expressed as a Spark 4 streaming data source)."""
+    from datetime import datetime
+
+    from ai_fabric_etl_spark.sources.x12_datasource import register
+    from ai_fabric_etl_spark.x12.testgen import generate_corpus
+
+    corpus = generate_corpus(n_files=10, seed=31)
+    d = tmp_path / "landing"
+    d.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    register(spark)
+
+    def run_pass():
+        q = (
+            spark.readStream.format("x12")
+            .option("batchid", "s1")
+            .option("now", datetime(2026, 1, 1).isoformat())
+            .load(str(d))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for name, content in corpus[:6]:
+        (d / name).write_text(content, encoding="utf-8")
+    run_pass()
+    first = spark.read.parquet(out).count()
+    assert first > 0
+    for name, content in corpus[6:]:
+        (d / name).write_text(content, encoding="utf-8")
+    run_pass()
+    got = spark.read.parquet(out)
+    # every (file, set) exactly once, covering all 10 files
+    assert got.count() == got.dropDuplicates(
+        ["file_name", "functional_group_number",
+         "transaction_set_control_number"]).count()
+    assert got.select("file_name").distinct().count() == 10
