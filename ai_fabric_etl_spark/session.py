@@ -32,6 +32,18 @@ def get_spark(
       at our scale factors, partner registries in the X12 domain) are
       always broadcast, never shuffled.
     """
+    # Executor Python workers resolve this package via PYTHONPATH (they
+    # inherit the JVM's env, which inherits ours at gateway launch):
+    # without this, any session created from a foreign cwd fails worker
+    # imports for mapInPandas/data-source code pickled by module
+    # reference. Must run BEFORE the gateway starts; harmless after.
+    _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _repo_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _repo_root + (os.pathsep + _pp if _pp else "")
+        )
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if master is None:
         master = f"local[{cpus}]"
@@ -53,6 +65,10 @@ def get_spark(
         # recent Spark defaults it on, so a cluster override can't
         # silently lose it)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Python data sources (sources/x12_datasource.py) may prune
+        # their file listings from pushed filters; off by default in
+        # Spark 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

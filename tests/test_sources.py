@@ -7,6 +7,7 @@ import os
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from ai_fabric_etl_spark.sources import eligible_files, jdbc_read_options, landing_path
 from ai_fabric_etl_spark.sources.sftp_ingest import SFTPConnector
@@ -163,3 +164,28 @@ def test_x12_datasource_streaming_new_file_detection(spark, tmp_path):
         ["file_name", "functional_group_number",
          "transaction_set_control_number"]).count()
     assert got.select("file_name").distinct().count() == 10
+
+
+def test_x12_datasource_filename_pushdown_prunes_files(spark, tmp_path):
+    from datetime import datetime
+
+    from ai_fabric_etl_spark.sources.x12_datasource import register
+    from ai_fabric_etl_spark.x12.testgen import generate_corpus
+
+    corpus = generate_corpus(n_files=12, seed=23)
+    d = tmp_path / "landing"
+    d.mkdir()
+    for name, content in corpus:
+        (d / name).write_text(content, encoding="utf-8")
+    register(spark)
+    target = corpus[0][0]
+    df = (
+        spark.read.format("x12")
+        .option("now", datetime(2026, 1, 1).isoformat())
+        .load(str(d))
+        .filter(F.col("file_name") == target)
+    )
+    rows = df.collect()
+    assert rows and all(r["file_name"] == target for r in rows)
+    # the pruned listing plans exactly one partition (one file)
+    assert df.rdd.getNumPartitions() == 1
