@@ -219,3 +219,56 @@ def range_join(
             c, F.lit(None).cast(dict(right.dtypes)[c])
         )
     return matched.unionByName(unmatched.select(*matched.columns)).drop("_lid")
+
+
+def fill_time_gaps(
+    df: DataFrame,
+    by: list[str],
+    ts_col: str,
+    step_seconds: int,
+    fill_zero: list[str] | None = None,
+    ffill: list[str] | None = None,
+) -> DataFrame:
+    """Time-series gap filling: per group, densify ``ts_col`` to a
+    complete grid from the group's min to max at ``step_seconds``
+    (the input must already be bucket-aligned, e.g. date_trunc'd),
+    then repair the new rows — ``fill_zero`` columns read 0 (counts),
+    ``ffill`` columns carry the last observed value forward (gauges).
+    Everything else reads NULL on gap rows.
+
+    Plan: one tiny per-group bounds aggregate, ``sequence()`` exploded
+    into the grid (rows ∝ gaps, never a cross join), one left join
+    back on (group, ts) — co-partitioned with the source — and one
+    ordered window per group for the forward fill. At 100 TB the grid
+    is generated, not shuffled from data, and the join keys on the
+    same (group, bucket) partitioning the aggregation that produced
+    ``df`` already used."""
+    from pyspark.sql.window import Window as _W
+
+    fill_zero = fill_zero or []
+    ffill = ffill or []
+    bounds = df.groupBy(*by).agg(
+        F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")
+    )
+    grid = bounds.select(
+        *by,
+        F.explode(
+            F.sequence(
+                F.col("_lo"),
+                F.col("_hi"),
+                F.expr(f"INTERVAL {int(step_seconds)} SECOND"),
+            )
+        ).alias(ts_col),
+    )
+    out = grid.join(df, [*by, ts_col], "left")
+    for c in fill_zero:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    if ffill:
+        w = (
+            _W.partitionBy(*by)
+            .orderBy(ts_col)
+            .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+        )
+        for c in ffill:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out

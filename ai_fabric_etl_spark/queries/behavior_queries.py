@@ -165,3 +165,105 @@ def topk_docs_per_source(spark, sf_dir):
     return topk_per_group(
         docs, ["source"], "n_chars", k=3, tiebreak="doc_id", prereduce=True
     )
+
+
+_GAPFILL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         COUNT(*) AS n_events,
+         ROUND(AVG(value), 6) AS avg_value
+  FROM events WHERE event_type IN ('purchase', 'error')
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1
+),
+grid AS (
+  SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+  FROM bounds b
+)
+SELECT g.event_type, g.h,
+       COALESCE(hourly.n_events, 0) AS n_events,
+       last_value(hourly.avg_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS avg_value_ffill
+FROM grid g LEFT JOIN hourly ON hourly.event_type = g.event_type AND hourly.h = g.h
+"""
+
+
+@register("timeseries_gap_fill", oracle=_GAPFILL_ORACLE)
+def timeseries_gap_fill(spark, sf_dir):
+    """Gap filling over sparse hourly series: purchase/error activity
+    densified to a complete per-type hourly grid — counts read 0 on
+    missing hours, the average gauge carries forward. The grid is
+    GENERATED per group from its own bounds (sequence + explode),
+    never built by shuffling data; the repair join is co-partitioned
+    with the aggregation that produced the series."""
+    from ai_fabric_etl_spark.operators.temporal import fill_time_gaps
+    from ai_fabric_etl_spark.queries.catalog import load_events
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    filled = fill_time_gaps(
+        hourly, by=["event_type"], ts_col="h", step_seconds=3600,
+        fill_zero=["n_events"], ffill=["avg_value"],
+    )
+    return filled.select(
+        "event_type", "h", "n_events",
+        F.col("avg_value").alias("avg_value_ffill"),
+    )
+
+
+_ZSCORE_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         AVG(n) AS mu,
+         stddev_samp(n) AS sigma
+  FROM daily GROUP BY 1
+)
+SELECT d.event_type, d.d, d.n,
+       ROUND((d.n - s.mu) / s.sigma, 6) AS zscore,
+       ABS((d.n - s.mu) / s.sigma) > 2.0 AS is_anomaly
+FROM daily d JOIN stats s USING (event_type)
+WHERE s.sigma > 0
+"""
+
+
+@register("anomaly_zscore_daily", oracle=_ZSCORE_ORACLE)
+def anomaly_zscore_daily(spark, sf_dir):
+    """Volume-anomaly flags: per event type, each day's count scored
+    against the type's own mean/stddev (|z| > 2 flags). One aggregate
+    + one broadcast stats join — the daily-counts table is tiny
+    regardless of event volume, so anomaly scoring costs one scan."""
+    from ai_fabric_etl_spark.queries.catalog import load_events
+
+    daily = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(F.col("sigma") > 0)
+        .select(
+            "event_type", "d", "n",
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+    )

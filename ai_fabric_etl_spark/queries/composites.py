@@ -80,6 +80,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "dq_expectations_orders",
         "funnel_view_click_purchase",
         "cohort_retention_weekly",
+        "timeseries_gap_fill",
+        "anomaly_zscore_daily",
         "topk_docs_per_source",
         "graph_pagerank_suppliers",
         "graph_hierarchy_roots",

@@ -653,3 +653,30 @@ def test_weighted_priority_sample_bias_and_determinism(spark):
     )
     assert [r["id"] for r in weighted_priority_sample(
         df2, key="id", weight_col="w", k=4).collect()] == [4]
+
+
+def test_fill_time_gaps_semantics(spark):
+    from ai_fabric_etl_spark.operators.temporal import fill_time_gaps
+
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1, 0), 3, 1.5),
+        ("a", datetime.datetime(2024, 1, 1, 3), 2, None),
+        ("b", datetime.datetime(2024, 1, 1, 5), 1, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, h timestamp, n long, v double"
+    )
+    out = fill_time_gaps(
+        df, by=["g"], ts_col="h", step_seconds=3600,
+        fill_zero=["n"], ffill=["v"],
+    )
+    got = {(r["g"], r["h"].hour): (r["n"], r["v"]) for r in out.collect()}
+    # a: grid 0..3 — gap hours read n=0, v carried from hour 0;
+    # hour 3's own NULL v also reads the carried value (ffill)
+    assert got == {
+        ("a", 0): (3, 1.5),
+        ("a", 1): (0, 1.5),
+        ("a", 2): (0, 1.5),
+        ("a", 3): (2, 1.5),
+        ("b", 5): (1, 9.0),
+    }
