@@ -33,12 +33,16 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     In,
     InputPartition,
     SimpleDataSourceStreamReader,
     StringStartsWith,
+    WriterCommitMessage,
 )
+
+import os
 
 from ai_fabric_etl_spark.schemas import SILVER_SCHEMA
 
@@ -61,6 +65,9 @@ class X12DataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "X12SimpleStreamReader":
         return X12SimpleStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "X12Writer":
+        return X12Writer(self.options, overwrite)
 
 
 class X12Reader(DataSourceReader):
@@ -232,3 +239,69 @@ class X12SimpleStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean: offsets fully describe progress
+
+
+class _FilesStaged(WriterCommitMessage):
+    def __init__(self, names: list[str]):
+        self.names = names
+
+
+class X12Writer(DataSourceWriter):
+    """``df.write.format("x12").save(dir)`` — the sink side of the
+    format: each input row is one X12 file (``file_name``,
+    ``content``), written with TWO-PHASE COMMIT so partial job
+    failures never leave half a landing zone: tasks stage into a
+    job-unique ``_staging_*`` directory (idempotent under task
+    retries — same name, same bytes, last attempt wins), and only the
+    driver's ``commit`` moves staged files into place; ``abort``
+    removes the staging tree. This is the 997-acknowledgment delivery
+    path (SURVEY S8 — the reference writes ack files one by one,
+    generate_x12_acknowledgments.py) as a first-class Spark sink."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
+        path = options.get("path")
+        if not path:
+            raise ValueError("x12 sink requires a path: .save('/dir')")
+        self.path = path
+        self.overwrite = overwrite
+        self.staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
+
+    def write(self, rows) -> _FilesStaged:
+        import os
+
+        os.makedirs(self.staging, exist_ok=True)
+        names = []
+        for row in rows:
+            name = row["file_name"]
+            if not name or "/" in name or name.startswith("_"):
+                raise ValueError(f"invalid x12 file name: {name!r}")
+            with open(
+                os.path.join(self.staging, name), "w", encoding="utf-8"
+            ) as fh:
+                fh.write(row["content"] or "")
+            names.append(name)
+        return _FilesStaged(names)
+
+    def commit(self, messages) -> None:
+        import glob as _glob
+        import os
+        import shutil
+
+        os.makedirs(self.path, exist_ok=True)
+        if self.overwrite:
+            for old in _glob.glob(os.path.join(self.path, "*.x12")):
+                os.remove(old)
+        for m in messages:
+            for name in m.names if m else []:
+                os.replace(
+                    os.path.join(self.staging, name),
+                    os.path.join(self.path, name),
+                )
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)

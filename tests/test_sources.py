@@ -189,3 +189,36 @@ def test_x12_datasource_filename_pushdown_prunes_files(spark, tmp_path):
     assert rows and all(r["file_name"] == target for r in rows)
     # the pruned listing plans exactly one partition (one file)
     assert df.rdd.getNumPartitions() == 1
+
+
+def test_x12_sink_write_then_read_roundtrip(spark, tmp_path):
+    """df.write.format('x12') stages then commits one file per row;
+    reading the directory back through the same format reproduces the
+    pipeline parse exactly. _staging_* must be gone after commit."""
+    import os
+    from datetime import datetime
+
+    from ai_fabric_etl_spark.pipeline.silver import parse_to_silver
+    from ai_fabric_etl_spark.sources.x12_datasource import register
+    from ai_fabric_etl_spark.x12.testgen import generate_corpus
+
+    corpus = generate_corpus(n_files=8, seed=41)
+    d = str(tmp_path / "sink")
+    register(spark)
+    df = spark.createDataFrame(corpus, ["file_name", "content"])
+    df.repartition(4).write.format("x12").mode("overwrite").save(d)
+    assert sorted(os.listdir(d)) == sorted(n for n, _ in corpus)
+    now = datetime(2026, 2, 3)
+    back = (
+        spark.read.format("x12")
+        .option("batchid", "rt")
+        .option("now", now.isoformat())
+        .load(d)
+    )
+    want = parse_to_silver(df, batch_id="rt", now=now)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # overwrite replaces earlier files
+    df.limit(1).write.format("x12").mode("overwrite").save(d)
+    assert len(os.listdir(d)) == 1
