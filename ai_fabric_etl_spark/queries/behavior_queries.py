@@ -267,3 +267,48 @@ def anomaly_zscore_daily(spark, sf_dir):
             (F.abs(z) > 2.0).alias("is_anomaly"),
         )
     )
+
+
+_SEQ_ORACLE = """
+SELECT user_id,
+       list(event_type ORDER BY ts, event_id)[:20] AS first_events,
+       COUNT(*) AS n_events,
+       MIN(ts) AS first_ts
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("user_event_sequences", oracle=_SEQ_ORACLE)
+def user_event_sequences(spark, sf_dir):
+    """Per-user ordered event sequences (the behavioral-cloning /
+    session-modeling export): each user's first 20 event types in
+    strict (ts, event_id) order as an array column — sort inside the
+    aggregation buffer (sort_array over collected structs), not a
+    global sort; one shuffle on user_id."""
+    from ai_fabric_etl_spark.queries.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts").alias("ts"),
+                                F.col("event_id").alias("event_id"),
+                                F.col("event_type").alias("et"),
+                            )
+                        )
+                    ),
+                    lambda s: s["et"],
+                ),
+                1,
+                20,
+            ).alias("first_events"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+        )
+    )

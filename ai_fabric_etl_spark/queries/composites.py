@@ -103,6 +103,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "text_quality_filter",
         "search_bm25_topk",
         "search_term_stats",
+        "text_top_bigrams",
+        "user_event_sequences",
         "text_clean_redact",
         "p11_text_predicates",
         "multimodal_bytes",

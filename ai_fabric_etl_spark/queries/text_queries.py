@@ -820,3 +820,59 @@ def q_dedup_editdistance(spark, sf_dir):
         text_col="text",
         max_dist=1,
     )
+
+
+_BIGRAM_MIN = 30
+_BIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+bigrams AS (
+  SELECT doc_id,
+         unnest(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+                               p -> p[1] || ' ' || p[2])) AS bigram
+  FROM toks
+)
+SELECT bigram,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM bigrams
+GROUP BY bigram
+HAVING COUNT(*) >= {_BIGRAM_MIN}
+"""
+
+
+@register("text_top_bigrams", oracle=_BIGRAM_ORACLE)
+def q_text_top_bigrams(spark, sf_dir):
+    """Corpus bigram statistics (the n-gram frequency table LM data
+    work reads constantly): adjacent-token pairs built expression-
+    side (arrays_zip of the token array against its own shift — no
+    UDF, no self-join), exploded once, aggregated with a HAVING
+    floor so only corpus-level-frequent bigrams survive the shuffle's
+    final stage."""
+    from ai_fabric_etl_spark.operators.search import tokenize
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokenize(F.col("text")).alias("t")
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(arrays_zip(slice(t, 1, greatest(size(t)-1, 0)), "
+                "slice(t, 2, greatest(size(t)-1, 0))), "
+                "p -> concat(p['0'], ' ', p['1']))"
+            )
+        ).alias("bigram"),
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= _BIGRAM_MIN)
+    )
