@@ -41,11 +41,19 @@ def pagerank(
     Nodes are the union of sources and destinations. The edge set is
     deduplicated (parallel edges count once, matching the relational
     oracle)."""
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    # persist the deduped edge set and derived frames: every iteration
+    # references them, and without this the edge-dedup shuffle and the
+    # upstream join re-execute once per iteration
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .persist()
+    )
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
         .distinct()
+        .persist()
     )
     n_nodes = nodes.count()
     outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))

@@ -407,7 +407,11 @@ class ParquetMergeTable:
 
         Downstream incremental consumers (the reference re-reads whole
         tables to refresh marts, e.g. generate_x12_acknowledgments.py:61)
-        can instead fold just this feed."""
+        can instead fold just this feed.
+
+        Requires ``keys`` to be unique within each version (the same
+        contract ``merge`` enforces on its source); duplicate keys
+        would cross-pair in the diff join."""
         to_v = self._version() if to_version is None else to_version
         old = self.read(version=from_version)
         new = self.read(version=to_v)
