@@ -394,3 +394,22 @@ def test_read_where_empty_range_returns_empty_with_schema(spark, tmp_path):
     t.overwrite(spark.createDataFrame([(1, "a")], "k int, s string"))
     out = t.read_where({"k": (100, 200)})
     assert out.columns == ["k", "s"] and out.count() == 0
+
+
+def test_read_where_after_zorder_prunes_on_both_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (x, y) + footer-stat skipping: a narrow
+    range on EITHER curve column must prune files (single-key sorting
+    would only prune on the leading key), and results stay exact."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_zskip"))
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 141).cast("int").alias("x"),
+        ((F.col("id") * 7919) % 141).cast("int").alias("y"),
+    )
+    t.overwrite(df)
+    t.compact(target_files=16, zorder_by=["x", "y"])
+    fx, total = t._skip_files({"x": (0, 8)})
+    fy, _ = t._skip_files({"y": (0, 8)})
+    assert total == 16 and len(fx) < total and len(fy) < total
+    got = _rows(t.read_where({"y": (0, 8)}))
+    want = _rows(t.read().filter((F.col("y") >= 0) & (F.col("y") <= 8)))
+    assert got == want
