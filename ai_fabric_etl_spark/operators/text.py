@@ -333,3 +333,58 @@ def quality_filter(
         "dup_ok",
         keep.alias("keep"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    RAG/pretraining chunker: whitespace tokens, windows of
+    ``chunk_tokens`` advancing by ``chunk_tokens − overlap``, last
+    window keeps the tail (never empty, never out of range). Output:
+    (id, chunk_id, n_chunk_tokens, chunk_text), chunk_id 0-based.
+
+    Entirely expression-side: the token array is built once, window
+    starts come from ``sequence()`` (rows ∝ chunks, no self-join, no
+    UDF), and each chunk is a ``slice`` + ``array_join`` inside one
+    whole-stage-codegen projection — at 100 TB the only cost above
+    the scan is the explode's row multiplication, which IS the
+    output."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    step = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # window starts: 1, 1+step, ... while start <= max(n - overlap, 1)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(n - F.lit(overlap), F.lit(1)),
+        F.lit(step),
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_t"), starts.alias("_starts"))
+        .select(
+            id_col,
+            F.posexplode("_starts").alias("chunk_id", "_start"),
+            F.col("_t"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.slice(F.col("_t"), F.col("_start"), F.lit(chunk_tokens)).alias(
+                "_chunk"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("_chunk").alias("n_chunk_tokens"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
+        )
+    )

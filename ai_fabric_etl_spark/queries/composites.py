@@ -105,6 +105,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "search_term_stats",
         "text_top_bigrams",
         "user_event_sequences",
+        "text_chunk_windows",
+        "emb_quantize_int8",
         "text_clean_redact",
         "p11_text_predicates",
         "multimodal_bytes",

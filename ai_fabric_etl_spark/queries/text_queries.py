@@ -876,3 +876,67 @@ def q_text_top_bigrams(spark, sf_dir):
         )
         .filter(F.col("n_occurrences") >= _BIGRAM_MIN)
     )
+
+
+_CHUNK_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM documents
+),
+s AS (
+  SELECT doc_id, tok,
+         unnest(generate_series(1, greatest(len(tok) - 16, 1), 48)) AS strt
+  FROM t
+)
+SELECT doc_id,
+       CAST((strt - 1) / 48 AS INTEGER) AS chunk_id,
+       len(tok[strt:strt + 63]) AS n_chunk_tokens,
+       array_to_string(tok[strt:strt + 63], ' ') AS chunk_text
+FROM s
+"""
+
+
+@register("text_chunk_windows", oracle=_CHUNK_ORACLE)
+def q_text_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking (64-token windows, 16-token
+    overlap — the RAG/pretraining document splitter): window starts
+    from one sequence(), each chunk one slice+array_join inside a
+    single codegen projection; the oracle replays the identical
+    windows with list slicing. Tail windows keep their remainder;
+    every token of every document lands in at least one chunk."""
+    from ai_fabric_etl_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        chunk_tokens=64,
+        overlap=16,
+    )
+
+
+_QUANT_ORACLE = """
+WITH base AS (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+  FROM embeddings
+)
+SELECT vec_id, label,
+       CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0)
+            ELSE list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) / (amax / 127.0)) AS INTEGER))
+       END AS qvec,
+       CAST(amax / 127.0 AS FLOAT) AS qvec_scale
+FROM base
+"""
+
+
+@register("emb_quantize_int8", oracle=_QUANT_ORACLE)
+def q_emb_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding table
+    (scale = max|x|/127): the storage/bandwidth reduction pass in
+    front of a sharded ANN index, value-oracled element-for-element —
+    float→double promotion is exact in both engines, so the scale and
+    every rounded component must match bit-for-bit."""
+    from ai_fabric_etl_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(
+        _t(spark, sf_dir, "embeddings"), col="embedding"
+    ).select("vec_id", "label", "qvec", "qvec_scale")

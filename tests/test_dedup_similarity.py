@@ -600,3 +600,29 @@ def test_edit_distance_pairs_exact_vs_bruteforce(spark):
             map(tuple, edit_distance_pairs(df, max_dist=d).collect())
         )
         assert got == want, f"d={d}"
+
+
+def test_quantize_int8_bounds_and_roundtrip(spark):
+    from ai_fabric_etl_spark.operators.similarity import (
+        normalize_l2,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [3.0, 4.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert out[1]["qvec"] == [64, -127, 32]  # scale 1/127
+    assert out[2]["qvec"] == [0, 0, 0] and out[2]["qvec_scale"] == 0.0
+    assert all(-127 <= v <= 127 for r in out.values() for v in r["qvec"])
+    # dequantized error bounded by scale/2 per component
+    for r in out.values():
+        s = r["qvec_scale"]
+        orig = {1: [0.5, -1.0, 0.25], 2: [0, 0, 0], 3: [3.0, 4.0, 0.0]}[r["vec_id"]]
+        for q, x in zip(r["qvec"], orig):
+            assert abs(q * s - x) <= s / 2 + 1e-9
+
+    norm = {r["vec_id"]: r["embedding"] for r in normalize_l2(df).collect()}
+    assert abs(sum(v * v for v in norm[3]) - 1.0) < 1e-6
+    assert norm[2] == [0.0, 0.0, 0.0]  # zero vector unchanged

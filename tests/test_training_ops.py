@@ -680,3 +680,35 @@ def test_fill_time_gaps_semantics(spark):
         ("a", 3): (2, 1.5),
         ("b", 5): (1, 9.0),
     }
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from ai_fabric_etl_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, "x " * 64)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 100 tokens -> starts 1, 49 -> chunks of 64 and 52
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_chunk_tokens"] for r in c1] == [64, 52]
+    assert c1[0]["chunk_text"].split()[:2] == ["w0", "w1"]
+    assert c1[1]["chunk_text"].split()[0] == "w48"  # 16-token overlap
+    # every token appears in at least one chunk
+    covered = set()
+    for r in c1:
+        covered.update(r["chunk_text"].split())
+    assert covered == {f"w{i}" for i in range(100)}
+    # doc 2: single small chunk; doc 3: exactly 64 tokens -> one chunk
+    assert [r["n_chunk_tokens"] for r in by_doc[2]] == [2]
+    assert [r["n_chunk_tokens"] for r in by_doc[3]] == [64]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=32, overlap=32)
