@@ -100,6 +100,58 @@ __all__ = [
     "merge_quantile_state",
     "read_quantiles",
     "start_quantile_state",
+    "merge_heavy_hitters_state",
+    "read_heavy_hitters",
 ]
 
-_ = F  # referenced by callers composing filters on the read side
+
+def merge_heavy_hitters_state(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    epoch_id: int,
+    col: str,
+    k: int = 64,
+    app_id: str | None = None,
+) -> None:
+    """Fold one micro-batch into a Misra–Gries heavy-hitter state
+    table: batch partials merge by summation, then one k-counter
+    decrement re-bounds the state (Agarwal et al. mergeable-summaries
+    — the undercount bounds ADD across merges, so the streaming
+    state keeps the same guarantees as the batch sketch). State is
+    ≤ k rows forever; when the stream's distinct values never exceed
+    k the counts stay EXACT (stream == batch groupBy, tested)."""
+    from ai_fabric_etl_spark.operators.sketches import misra_gries_partials
+
+    table = ParquetMergeTable(spark, state_dir)
+    last = table.last_epoch(app_id)
+    if last is not None and epoch_id <= last:
+        return
+    parts = misra_gries_partials(batch, col, k=k)
+    if table.exists():
+        parts = table.read().unionByName(parts)
+    summed = parts.groupBy(col).agg(F.sum("mg_count").alias("mg_count"))
+    # k-counter decrement only when over budget (state is tiny: the
+    # limit/collect touches at most k + k*partitions rows)
+    if summed.count() > k:
+        thr = (
+            summed.orderBy(F.col("mg_count").desc())
+            .limit(k + 1)
+            .agg(F.min("mg_count"))
+            .collect()[0][0]
+        )
+        summed = summed.select(
+            col, (F.col("mg_count") - F.lit(thr)).alias("mg_count")
+        ).filter(F.col("mg_count") > 0)
+    table.overwrite(summed, epoch=epoch_id, app_id=app_id)
+
+
+def read_heavy_hitters(
+    spark: SparkSession, state_dir: str, min_count: int = 1
+) -> DataFrame:
+    """Current heavy-hitter summary (lower-bound counts), heaviest
+    first."""
+    t = ParquetMergeTable(spark, state_dir).read()
+    return t.filter(F.col("mg_count") >= min_count).orderBy(
+        F.col("mg_count").desc(), t.columns[0]
+    )

@@ -782,3 +782,52 @@ def test_quantile_state_streaming_wiring(spark, tmp_path):
     for g in ("A", "B"):
         vals = sorted(x for gg, x in rows if gg == g)
         assert got[g] == vals[max(1, math.ceil(0.5 * len(vals))) - 1]
+
+
+def test_heavy_hitter_state_exact_regime_and_replay(spark, tmp_path):
+    from ai_fabric_etl_spark.streaming.sketch_state import (
+        merge_heavy_hitters_state,
+        read_heavy_hitters,
+    )
+
+    state = str(tmp_path / "hhstate")
+    rows = [(f"v{i % 9}",) for i in range(600)]
+    for epoch in range(3):
+        batch = spark.createDataFrame(rows[epoch * 200:(epoch + 1) * 200],
+                                      "lang string")
+        merge_heavy_hitters_state(
+            spark, batch, state, epoch, "lang", k=64, app_id="hh1"
+        )
+    # replay epoch 1 with junk: must be ignored
+    merge_heavy_hitters_state(
+        spark, spark.createDataFrame([("junk",)] * 50, "lang string"),
+        state, 1, "lang", k=64, app_id="hh1",
+    )
+    got = {r["lang"]: r["mg_count"] for r in
+           read_heavy_hitters(spark, state).collect()}
+    import collections
+
+    want = collections.Counter(v for v, in rows)
+    assert got == dict(want)  # distinct (9) <= k: exact == batch groupBy
+
+
+def test_heavy_hitter_state_compression_keeps_heavies(spark, tmp_path):
+    from ai_fabric_etl_spark.streaming.sketch_state import (
+        merge_heavy_hitters_state,
+        read_heavy_hitters,
+    )
+
+    state = str(tmp_path / "hhstate2")
+    # 1000 distinct singletons + one value with 200 occurrences, k=16
+    rows = [(f"u{i}",) for i in range(1000)] + [("hot",)] * 200
+    for epoch in range(2):
+        batch = spark.createDataFrame(rows[epoch * 600:(epoch + 1) * 600],
+                                      "lang string")
+        merge_heavy_hitters_state(
+            spark, batch, state, epoch, "lang", k=16, app_id="hh2"
+        )
+    out = read_heavy_hitters(spark, state).collect()
+    assert len(out) <= 16
+    got = {r["lang"]: r["mg_count"] for r in out}
+    # hot survives with a lower-bound count within the MG error band
+    assert "hot" in got and 200 - 1200 / 17 <= got["hot"] <= 200
