@@ -107,6 +107,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "user_event_sequences",
         "text_chunk_windows",
         "emb_quantize_int8",
+        "curate_chunks_pipeline",
         "text_clean_redact",
         "p11_text_predicates",
         "multimodal_bytes",

@@ -940,3 +940,87 @@ def q_emb_quantize_int8(spark, sf_dir):
     return quantize_int8(
         _t(spark, sf_dir, "embeddings"), col="embedding"
     ).select("vec_id", "label", "qvec", "qvec_scale")
+
+
+_CURATE_CHUNKS_ORACLE = f"""
+WITH t AS (
+  SELECT d.doc_id, d.lang,
+         string_split_regex(trim(d.text), '\\s+') AS tok
+  FROM documents d
+),
+s AS (
+  SELECT doc_id, lang, tok,
+         unnest(generate_series(1, greatest(len(tok) - 16, 1), 48)) AS strt
+  FROM t
+),
+chunks AS (
+  SELECT doc_id, lang,
+         CAST((strt - 1) / 48 AS INTEGER) AS chunk_id,
+         len(tok[strt:strt + 63]) AS n_chunk_tokens,
+         array_to_string(tok[strt:strt + 63], ' ') AS chunk_text
+  FROM s
+),
+-- exact chunk dedup: keep the lowest (doc_id, chunk_id) per content
+deduped AS (
+  SELECT * FROM chunks
+  QUALIFY row_number() OVER (
+    PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_id
+  ) = 1
+),
+-- token-weighted sample: 50 chunks per language by exponential race
+sampled AS (
+  SELECT doc_id, chunk_id, lang, n_chunk_tokens FROM deduped
+  WHERE n_chunk_tokens > 0
+  QUALIFY row_number() OVER (
+    PARTITION BY lang
+    ORDER BY -ln((('0x' || substr(md5(COALESCE(CAST(doc_id * 1000 + chunk_id
+        AS VARCHAR), '__NULL__') || '-chsample'), 1, 8))::BIGINT + 1)
+        / {16 ** 8 + 1!r}) / CAST(n_chunk_tokens AS DOUBLE),
+      doc_id * 1000 + chunk_id
+  ) <= 50
+)
+SELECT lang,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(n_chunk_tokens) AS BIGINT) AS tokens_total,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM sampled
+GROUP BY lang
+"""
+
+
+@register("curate_chunks_pipeline", oracle=_CURATE_CHUNKS_ORACLE)
+def q_curate_chunks_pipeline(spark, sf_dir):
+    """End-to-end chunk-level curation composing this round's
+    operators: chunk_documents (64/16 windows) → exact chunk dedup
+    (hash-groupBy on content, lowest (doc, chunk) canonical) →
+    token-WEIGHTED sampling (50 chunks per language via the
+    deterministic exponential race, long chunks proportionally
+    likelier) → per-language token accounting. Every stage is
+    deterministic, so the oracle replays the whole pipeline
+    relationally — the composition IS the test."""
+    from ai_fabric_etl_spark.operators.sampling import weighted_priority_sample
+    from ai_fabric_etl_spark.operators.text import chunk_documents
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy(F.md5("chunk_text")).orderBy("doc_id", "chunk_id")
+    deduped = (
+        chunks.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("n_chunk_tokens") > 0))
+        .drop("_rn")
+    )
+    keyed = deduped.withColumn(
+        "chunk_key", F.col("doc_id") * 1000 + F.col("chunk_id")
+    )
+    sampled = weighted_priority_sample(
+        keyed, key="chunk_key", weight_col="n_chunk_tokens", k=50,
+        by=["lang"], salt="chsample",
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("tokens_total"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
