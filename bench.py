@@ -67,6 +67,8 @@ HEADLINE = [
     "topk_docs_per_source",        # grouped top-k (prereduced window)
     "quantile_sketch_prices",      # mergeable quantile summaries
     "funnel_view_click_purchase",  # sequential funnel (chained aggs)
+    "text_chunk_windows",          # token-window chunking (codegen)
+    "emb_quantize_int8",           # int8 embedding quantization
     "x12_silver_transactions",     # distributed X12 parse
 ]
 
