@@ -74,7 +74,14 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
             ).alias("rank"),
         )
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
+    # pin the result, then release the iteration caches — otherwise
+    # every pagerank call leaks persisted blocks for the app lifetime
+    out = ranks.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    return out
 
 
 def resolve_roots(
@@ -116,10 +123,15 @@ def resolve_roots(
             F.col("anc").alias("_anc2"),
             F.col("depth").alias("_d2"),
         )
-        nxt = cur.join(hop, "anc").select(
+        # LEFT join: a dangling parent (anc not an id in the frame) must
+        # keep its pointer and be caught by the bogus-root check below —
+        # an inner join would silently DROP the node instead of raising
+        nxt = cur.join(hop, "anc", "left").select(
             "id",
-            F.col("_anc2").alias("anc"),
-            (F.col("depth") + F.col("_d2")).alias("depth"),
+            F.coalesce(F.col("_anc2"), F.col("anc")).alias("anc"),
+            (F.col("depth") + F.coalesce(F.col("_d2"), F.lit(0))).alias(
+                "depth"
+            ),
         ).localCheckpoint(eager=True)
         # fixpoint when no pointer moved this round (one small count on
         # the checkpointed frames — the only driver action per round)
@@ -142,8 +154,9 @@ def resolve_roots(
             bogus = cur.join(true_roots, "anc", "left_anti").count()
             if bogus:
                 raise RuntimeError(
-                    f"parent relation has a cycle: {bogus} node(s) "
-                    "resolve to a non-root ancestor"
+                    f"parent relation is not a forest: {bogus} node(s) "
+                    "resolve to a non-root ancestor (cycle or dangling "
+                    "parent reference)"
                 )
             return cur.select("id", F.col("anc").alias("root"), "depth")
     raise RuntimeError(

@@ -70,7 +70,12 @@ class ParquetMergeTable:
         about THIS stream's batches (fail open = apply the batch,
         matching Delta txnAppId semantics)."""
         _, e, app = self._pointer()
-        if app_id is not None and app is not None and app != app_id:
+        # compare sanitized-to-sanitized: the pointer stores the
+        # sanitized form, so a raw app_id containing ':' (e.g.
+        # "quantile_state:/ckpt") must be sanitized before comparison
+        # or the guard never matches and replays double-fold
+        caller = self._sanitize_app(app_id)
+        if caller is not None and app is not None and app != caller:
             return None
         return e
 

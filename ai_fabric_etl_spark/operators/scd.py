@@ -51,10 +51,21 @@ def scd2_apply(
       identical record must not fragment history);
     - keys absent from the batch carry forward untouched.
     """
+    # a NULL effective-from timestamp is unanswerable (as_of could
+    # never match the row) — reject loudly rather than silently
+    # dropping the change, and use an EXPLICIT presence flag below
+    # (not _uts null-ness) so presence and data stay independent
+    null_ts = updates.filter(F.col(ts_col).isNull()).count()
+    if null_ts:
+        raise ValueError(
+            f"scd2_apply: {null_ts} update row(s) have NULL {ts_col}; "
+            "an effective-from instant is required"
+        )
     u = updates.select(
         *[F.col(k).alias(f"_uk_{k}") for k in keys],
         *[F.col(c).alias(f"_uv_{c}") for c in tracked],
         F.col(ts_col).alias("_uts"),
+        F.lit(True).alias("_u_present"),
     )
     if not table.exists():
         initial = u.select(
@@ -76,7 +87,10 @@ def scd2_apply(
         cond = cond & live[k].eqNullSafe(F.col(f"_uk_{k}"))
     j = live.join(u, on=cond, how="full_outer")
 
-    matched = F.col("_uts").isNotNull() & F.col("is_current").isNotNull()
+    matched = (
+        F.coalesce(F.col("_u_present"), F.lit(False))
+        & F.col("is_current").isNotNull()
+    )
     changed = matched & ~_all_equal(j, tracked)
     new_key = F.col("is_current").isNull()
 

@@ -162,11 +162,16 @@ def heavy_hitters(
     Two-level plan: MG partials per partition (≤ k rows each), one
     small groupBy merge, then a broadcast of the single-row total for
     the share filter — no shuffle ever carries per-value rows beyond
-    k × partitions. Because MG undercounts by at most n/(k+1) in
-    total, choose k > 1/min_share so qualifying values cannot be
-    compressed away; with that, recall is exact and only borderline
-    values within the error band can be off in their reported count.
-    """
+    k × partitions. Because MG counts are LOWER bounds undercounting
+    by at most n/(k+1) in total, the filter runs at
+    ``(min_share − 1/(k+1))·n``: every value with true share ≥
+    min_share is then GUARANTEED to surface (ε-approximate
+    heavy-hitter semantics — a threshold with no slack would drop a
+    qualifying value whose count the compression shaved just below
+    it), at the price of possibly including values whose true share
+    is within 1/(k+1) below min_share. In the exact regime (distinct
+    ≤ k) counts are exact and the slack only widens the reported set
+    deterministically."""
     if k <= 1.0 / min_share:
         raise ValueError(
             f"k={k} too small for min_share={min_share}: need k > 1/min_share "
@@ -176,9 +181,12 @@ def heavy_hitters(
     merged = partials.groupBy(col).agg(F.sum("mg_count").alias("hh_count"))
     # share denominator = non-null rows, matching the partials' dropna
     total = df.select(col).agg(F.count(F.col(col)).alias("_n"))
+    slack = 1.0 / (k + 1)
     return (
         merged.join(F.broadcast(total))
-        .filter(F.col("hh_count") >= F.lit(min_share) * F.col("_n"))
+        .filter(
+            F.col("hh_count") >= F.lit(min_share - slack) * F.col("_n")
+        )
         .select(
             col,
             F.col("hh_count"),

@@ -62,17 +62,22 @@ def read_bronze(
     # segment presence = terminator-anchored "~SEG*" patterns, not raw
     # substring containment: bare contains('GS') matches the letters
     # inside any element value (a sender id 'WESTGS'), passing files
-    # with no GS segment at all (r4 self-review). Leading whitespace
-    # is tolerated like envelope.validate_x12_text's lstrip.
+    # with no GS segment at all (r4 self-review). Whitespace after the
+    # terminator is tolerated — split_segments strips \r/\n between
+    # segments, so newline-separated files ("...~\nGS*...") are legal
+    # and must pass these gates too (r4 second review pass).
+    def _has_seg(seg: str):
+        return content.rlike(f"~\\s*{seg}\\*")
+
     checks = [
         F.ltrim(content).startswith("ISA").alias("starts_with_isa"),
         (F.length(content) >= MIN_FILE_LENGTH).alias("min_length_ok"),
         (F.size(F.split(content, "~")) >= 5).alias("terminator_count_ok"),
-        content.contains("~GS*").alias("has_gs"),
-        content.contains("~ST*").alias("has_st"),
-        content.contains("~SE*").alias("has_se"),
-        content.contains("~GE*").alias("has_ge"),
-        content.contains("~IEA*").alias("has_iea"),
+        _has_seg("GS").alias("has_gs"),
+        _has_seg("ST").alias("has_st"),
+        _has_seg("SE").alias("has_se"),
+        _has_seg("GE").alias("has_ge"),
+        _has_seg("IEA").alias("has_iea"),
     ]
     df = df.select("*", *checks)
     valid = (

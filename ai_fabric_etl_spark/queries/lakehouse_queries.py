@@ -394,7 +394,7 @@ def scd2_customer_history(spark, sf_dir):
          t AS (SELECT COUNT(lang) AS n FROM documents)
     SELECT lang, hh_count, ROUND(hh_count / n, 6) AS hh_share
     FROM c, t
-    WHERE hh_count >= 0.1 * n
+    WHERE hh_count >= (0.1 - 1.0 / 33) * n
     ORDER BY hh_count DESC, lang
     """,
 )

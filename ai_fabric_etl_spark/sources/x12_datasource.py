@@ -169,7 +169,10 @@ class X12Reader(DataSourceReader):
                         "validation_results": json.dumps(
                             {
                                 "is_valid": False,
-                                "errors": [f"{type(exc).__name__}: {exc}"],
+                                # same shape as the pipeline dead letter
+                                # (validate.py contract): "issues", not
+                                # "errors"
+                                "issues": [f"{type(exc).__name__}: {exc}"],
                                 "warnings": [],
                                 "quality_score": 0,
                             }
