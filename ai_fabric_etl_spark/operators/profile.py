@@ -65,3 +65,60 @@ def profile_columns(
         "min_value",
         "max_value",
     )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 10,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Equi-width histogram of ``col`` (per ``by`` group): bin edges
+    from the (group's) min/max, EVERY bin present including empty
+    ones, the max value closed into the last bin. Output:
+    (by…, bin_id, bin_lo, bin_hi, n_rows).
+
+    Plan: one bounds aggregate (broadcast back), one codegen bin
+    assignment on the scan, one groupBy — then the empty-bin grid is
+    GENERATED (sequence + explode ∝ bins) and left-joined, so the
+    histogram of 100 TB costs one scan plus a bins-sized join.
+    Degenerate groups (min == max, or a single row) collapse into one
+    bin 0 spanning the point."""
+    by = by or []
+    v = F.col(col).cast("double")
+    bounds = df.groupBy(*by).agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi")
+    )
+    joined = df.join(F.broadcast(bounds), by) if by else df.crossJoin(
+        F.broadcast(bounds)
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    bin_id = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(bins - 1),
+            F.floor((v - F.col("_lo")) / width).cast("int"),
+        )
+    )
+    counts = (
+        joined.filter(v.isNotNull())
+        .withColumn("_bin", bin_id)
+        .groupBy(*by, "_bin")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    grid = bounds.select(
+        *by,
+        "_lo",
+        "_hi",
+        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("_bin"),
+    )
+    w = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    return (
+        grid.join(counts, [*by, "_bin"], "left")
+        .select(
+            *by,
+            F.col("_bin").alias("bin_id"),
+            F.round(F.col("_lo") + F.col("_bin") * w, 6).alias("bin_lo"),
+            F.round(F.col("_lo") + (F.col("_bin") + 1) * w, 6).alias("bin_hi"),
+            F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+        )
+    )

@@ -74,6 +74,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "o1_topk_nations",
         "u1_claim_metrics",
         "profile_orders",
+        "profile_histogram_prices",
         "scd2_customer_history",
         "lakehouse_change_feed",
         "lakehouse_skipping_scan",
@@ -103,6 +104,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "text_quality_filter",
         "search_bm25_topk",
         "search_term_stats",
+        "search_posting_lists",
         "text_top_bigrams",
         "user_event_sequences",
         "text_chunk_windows",

@@ -793,3 +793,46 @@ def lakehouse_incremental_mart(spark, sf_dir):
         )
         .filter(F.col("n_orders") > 0)
     )
+
+
+_HISTOGRAM_ORACLE = """
+WITH b AS (
+  SELECT o_orderstatus, MIN(CAST(o_totalprice AS DOUBLE)) AS lo,
+         MAX(CAST(o_totalprice AS DOUBLE)) AS hi
+  FROM orders GROUP BY 1
+),
+counts AS (
+  SELECT o.o_orderstatus,
+         CASE WHEN b.hi = b.lo THEN 0
+              ELSE LEAST(11, CAST(FLOOR(
+                (CAST(o.o_totalprice AS DOUBLE) - b.lo)
+                / ((b.hi - b.lo) / 12.0)) AS INTEGER)) END AS bin,
+         COUNT(*) AS n
+  FROM orders o JOIN b USING (o_orderstatus)
+  WHERE o.o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT o_orderstatus, lo, hi, unnest(generate_series(0, 11)) AS bin FROM b
+)
+SELECT g.o_orderstatus, g.bin AS bin_id,
+       ROUND(g.lo + g.bin * (g.hi - g.lo) / 12.0, 6) AS bin_lo,
+       ROUND(g.lo + (g.bin + 1) * (g.hi - g.lo) / 12.0, 6) AS bin_hi,
+       COALESCE(c.n, 0) AS n_rows
+FROM grid g LEFT JOIN counts c
+  ON c.o_orderstatus = g.o_orderstatus AND c.bin = g.bin
+"""
+
+
+@register("profile_histogram_prices", oracle=_HISTOGRAM_ORACLE)
+def profile_histogram_prices(spark, sf_dir):
+    """Equi-width histogram of order totals per status (12 bins,
+    empty bins included): one scan + one codegen bin assignment + a
+    generated bins-sized grid join — the distribution profiler that
+    complements profile_orders' scalar stats."""
+    from ai_fabric_etl_spark.operators.profile import histogram
+
+    return histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice", bins=12,
+        by=["o_orderstatus"],
+    )

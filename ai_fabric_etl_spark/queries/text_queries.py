@@ -1024,3 +1024,50 @@ def q_curate_chunks_pipeline(spark, sf_dir):
         F.sum("n_chunk_tokens").alias("tokens_total"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+_POSTINGS_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS term
+  FROM documents
+),
+agg AS (
+  SELECT term, list(doc_id ORDER BY doc_id) AS postings,
+         COUNT(*) AS df
+  FROM toks GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT term, df, postings
+FROM agg, n WHERE df >= 5 AND df <= 0.9 * n_docs
+"""
+
+
+@register("search_posting_lists", oracle=_POSTINGS_ORACLE)
+def q_search_posting_lists(spark, sf_dir):
+    """Inverted-index posting lists (term → sorted doc ids) for the
+    useful-frequency band (5 ≤ df ≤ 90% of the corpus — near-
+    universal terms stay out of the index, hapaxes aren't worth a
+    posting): one explode + distinct + sort-inside-aggregation, the
+    band bound riding a broadcast one-row total. With
+    search_bm25_topk and search_term_stats this completes the
+    search-index build surface."""
+    from ai_fabric_etl_spark.operators.search import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .join(F.broadcast(total))
+        .filter((F.col("df") >= 5) & (F.col("df") <= 0.9 * F.col("n_docs")))
+        .select("term", "df", "postings")
+    )

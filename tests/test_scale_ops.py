@@ -393,3 +393,22 @@ def test_resolve_roots_cycle_raises(spark):
 
     with pytest.raises(RuntimeError):
         resolve_roots(df, max_rounds=5)
+
+
+def test_histogram_grid_and_degenerate_group(spark):
+    from ai_fabric_etl_spark.operators.profile import histogram
+
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 5.0), ("a", 10.0), ("b", 7.0), ("b", 7.0),
+         ("a", None)],
+        "g string, v double",
+    )
+    out = histogram(df, "v", bins=5, by=["g"]).collect()
+    a = sorted((r["bin_id"], r["n_rows"]) for r in out if r["g"] == "a")
+    # width 2: 0 -> bin0, 5 -> bin2, 10 (max) closed into last bin 4
+    assert a == [(0, 1), (1, 0), (2, 1), (3, 0), (4, 1)]
+    b = [r for r in out if r["g"] == "b"]
+    # degenerate min == max: everything in bin 0, grid still complete
+    assert sorted((r["bin_id"], r["n_rows"]) for r in b) == [
+        (0, 2), (1, 0), (2, 0), (3, 0), (4, 0)]
+    assert sum(r["n_rows"] for r in out) == 5  # null v excluded
