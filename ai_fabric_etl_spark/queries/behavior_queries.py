@@ -312,3 +312,91 @@ def user_event_sequences(spark, sf_dir):
             F.min("ts").alias("first_ts"),
         )
     )
+
+
+_AFFINITY_ORACLE = """
+WITH lines AS (
+  SELECT DISTINCT l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b
+  FROM lines a JOIN lines b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+)
+SELECT brand_a, brand_b, COUNT(*) AS support
+FROM pairs
+GROUP BY brand_a, brand_b
+HAVING COUNT(*) >= 10
+"""
+
+
+@register("affinity_brand_pairs", oracle=_AFFINITY_ORACLE)
+def affinity_brand_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: brand pairs appearing in the same
+    order, support-floored (frequent-itemset mining's pair pass).
+    The self-join keys on l_orderkey, so the pair space is bounded by
+    per-order line counts (≤ 7 in this schema), never the catalog —
+    the part dimension broadcasts ahead of the order-key shuffle."""
+    lines = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "part")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = lines.alias("a")
+    b = lines.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 10)
+    )
+
+
+_TRANSITION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       COUNT(*) AS n_transitions
+FROM ordered
+WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register("event_transition_matrix", oracle=_TRANSITION_ORACLE)
+def event_transition_matrix(spark, sf_dir):
+    """Behavioral transition matrix: consecutive event-type pairs per
+    user in strict (ts, event_id) order (the Markov-chain estimate of
+    session behavior). One window on user_id + one small aggregate."""
+    from ai_fabric_etl_spark.queries.catalog import load_events
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load_events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

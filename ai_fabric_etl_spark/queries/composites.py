@@ -83,6 +83,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "cohort_retention_weekly",
         "timeseries_gap_fill",
         "anomaly_zscore_daily",
+        "affinity_brand_pairs",
+        "event_transition_matrix",
         "topk_docs_per_source",
         "graph_pagerank_suppliers",
         "graph_hierarchy_roots",
