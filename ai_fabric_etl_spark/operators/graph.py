@@ -29,6 +29,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    eager: bool = True,
 ) -> DataFrame:
     """PageRank after a fixed number of iterations over distinct
     directed edges: r₀ = 1/N; rₖ₊₁(v) = (1−d)/N + d·Σ rₖ(u)/outdeg(u)
@@ -40,21 +41,26 @@ def pagerank(
 
     Nodes are the union of sources and destinations. The edge set is
     deduplicated (parallel edges count once, matching the relational
-    oracle)."""
+    oracle).
+
+    ``eager=True`` (default) persists the edge frames across
+    iterations, materializes the result, and releases the caches —
+    the execution mode. ``eager=False`` returns a pure lazy plan
+    (schema/plan inspection without running the job; each action
+    recomputes the iteration cascade)."""
     # persist the deduped edge set and derived frames: every iteration
     # references them, and without this the edge-dedup shuffle and the
     # upstream join re-execute once per iteration
-    e = (
-        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-        .distinct()
-        .persist()
-    )
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    if eager:
+        e = e.persist()
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
         .distinct()
-        .persist()
     )
+    if eager:
+        nodes = nodes.persist()
     n_nodes = nodes.count()
     outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     base = 1.0 / n_nodes
@@ -74,13 +80,13 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
             ).alias("rank"),
         )
-    # pin the result, then release the iteration caches — otherwise
-    # every pagerank call leaks persisted blocks for the app lifetime
-    out = ranks.select(
-        "node", F.round("rank", 6).alias("rank")
-    ).localCheckpoint(eager=True)
-    e.unpersist()
-    nodes.unpersist()
+    out = ranks.select("node", F.round("rank", 6).alias("rank"))
+    if eager:
+        # pin the result, then release the iteration caches — otherwise
+        # every pagerank call leaks persisted blocks for the app lifetime
+        out = out.localCheckpoint(eager=True)
+        e.unpersist()
+        nodes.unpersist()
     return out
 
 

@@ -84,14 +84,28 @@ def histogram(
     histogram of 100 TB costs one scan plus a bins-sized join.
     Degenerate groups (min == max, or a single row) collapse into one
     bin 0 spanning the point."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
     by = by or []
     v = F.col(col).cast("double")
+    # bounds carries RENAMED group keys (_gk_*): every join below is
+    # then name-disjoint, which both avoids Spark's ambiguous-self-join
+    # trap and lets the group joins be NULL-SAFE (a NULL group key is
+    # a legitimate group; plain equi-join would silently drop its rows)
     bounds = df.groupBy(*by).agg(
         F.min(v).alias("_lo"), F.max(v).alias("_hi")
+    ).select(
+        *[F.col(k).alias(f"_gk_{k}") for k in by], "_lo", "_hi"
     )
-    joined = df.join(F.broadcast(bounds), by) if by else df.crossJoin(
-        F.broadcast(bounds)
-    )
+    if by:
+        cond = F.lit(True)
+        for k in by:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"_gk_{k}"))
+        joined = df.join(F.broadcast(bounds), cond)
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
+    # ONE width expression shared by bin assignment and edge output,
+    # and the same association the oracle must use: bin * ((hi-lo)/n)
     width = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
     bin_id = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
         F.least(
@@ -102,23 +116,32 @@ def histogram(
     counts = (
         joined.filter(v.isNotNull())
         .withColumn("_bin", bin_id)
-        .groupBy(*by, "_bin")
+        .groupBy(*[F.col(f"_gk_{k}") for k in by], F.col("_bin"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            *[F.col(f"_gk_{k}").alias(f"_ck_{k}") for k in by],
+            F.col("_bin").alias("_cbin"),
+            "n_rows",
+        )
     )
     grid = bounds.select(
-        *by,
+        *[f"_gk_{k}" for k in by],
         "_lo",
         "_hi",
         F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("_bin"),
     )
-    w = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    gcond = F.col("_bin").eqNullSafe(F.col("_cbin"))
+    for k in by:
+        gcond = gcond & F.col(f"_gk_{k}").eqNullSafe(F.col(f"_ck_{k}"))
     return (
-        grid.join(counts, [*by, "_bin"], "left")
+        grid.join(counts, gcond, "left")
         .select(
-            *by,
+            *[F.col(f"_gk_{k}").alias(k) for k in by],
             F.col("_bin").alias("bin_id"),
-            F.round(F.col("_lo") + F.col("_bin") * w, 6).alias("bin_lo"),
-            F.round(F.col("_lo") + (F.col("_bin") + 1) * w, 6).alias("bin_hi"),
+            F.round(F.col("_lo") + F.col("_bin") * width, 6).alias("bin_lo"),
+            F.round(
+                F.col("_lo") + (F.col("_bin") + 1) * width, 6
+            ).alias("bin_hi"),
             F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
         )
     )

@@ -53,18 +53,22 @@ def scd2_apply(
     """
     # a NULL effective-from timestamp is unanswerable (as_of could
     # never match the row) — reject loudly rather than silently
-    # dropping the change, and use an EXPLICIT presence flag below
-    # (not _uts null-ness) so presence and data stay independent
-    null_ts = updates.filter(F.col(ts_col).isNull()).count()
-    if null_ts:
-        raise ValueError(
-            f"scd2_apply: {null_ts} update row(s) have NULL {ts_col}; "
-            "an effective-from instant is required"
-        )
+    # dropping the change. The guard is an in-job assert_true (raises
+    # DURING the write job), not a separate count() action that would
+    # re-execute an expensive updates plan twice per apply. Presence
+    # below is an EXPLICIT flag, independent of _uts null-ness.
+    ts_guarded = F.when(
+        F.assert_true(
+            F.col(ts_col).isNotNull(),
+            f"scd2_apply: NULL {ts_col} in updates; "
+            "an effective-from instant is required",
+        ).isNull(),
+        F.col(ts_col),
+    )
     u = updates.select(
         *[F.col(k).alias(f"_uk_{k}") for k in keys],
         *[F.col(c).alias(f"_uv_{c}") for c in tracked],
-        F.col(ts_col).alias("_uts"),
+        ts_guarded.alias("_uts"),
         F.lit(True).alias("_u_present"),
     )
     if not table.exists():

@@ -816,8 +816,8 @@ grid AS (
   SELECT o_orderstatus, lo, hi, unnest(generate_series(0, 11)) AS bin FROM b
 )
 SELECT g.o_orderstatus, g.bin AS bin_id,
-       ROUND(g.lo + g.bin * (g.hi - g.lo) / 12.0, 6) AS bin_lo,
-       ROUND(g.lo + (g.bin + 1) * (g.hi - g.lo) / 12.0, 6) AS bin_hi,
+       ROUND(g.lo + g.bin * ((g.hi - g.lo) / 12.0), 6) AS bin_lo,
+       ROUND(g.lo + (g.bin + 1) * ((g.hi - g.lo) / 12.0), 6) AS bin_hi,
        COALESCE(c.n, 0) AS n_rows
 FROM grid g LEFT JOIN counts c
   ON c.o_orderstatus = g.o_orderstatus AND c.bin = g.bin

@@ -412,3 +412,18 @@ def test_histogram_grid_and_degenerate_group(spark):
     assert sorted((r["bin_id"], r["n_rows"]) for r in b) == [
         (0, 2), (1, 0), (2, 0), (3, 0), (4, 0)]
     assert sum(r["n_rows"] for r in out) == 5  # null v excluded
+
+
+def test_histogram_null_group_counted_and_bins_validated(spark):
+    from ai_fabric_etl_spark.operators.profile import histogram
+
+    df = spark.createDataFrame(
+        [(None, 5.0), (None, 7.0), ("a", 1.0)], "g string, v double"
+    )
+    out = histogram(df, "v", bins=2, by=["g"]).collect()
+    null_rows = sum(r["n_rows"] for r in out if r["g"] is None)
+    assert null_rows == 2  # NULL group key rows must be counted
+    import pytest
+
+    with pytest.raises(ValueError):
+        histogram(df, "v", bins=0)
