@@ -400,3 +400,141 @@ def event_transition_matrix(spark, sf_dir):
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+_RFM_ORACLE = """
+WITH maxd AS (SELECT MAX(o_orderdate) AS d0 FROM orders),
+rfm AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(o_orderdate), (SELECT d0 FROM maxd)) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+       ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+       ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+FROM rfm
+"""
+
+
+@register("rfm_customer_segments", oracle=_RFM_ORACLE)
+def rfm_customer_segments(spark, sf_dir):
+    """RFM segmentation: per customer recency (days before the
+    corpus's last order date), order frequency, and monetary total,
+    each ntile(5)-scored (higher = better, ties broken by key for
+    determinism). One aggregate + three global ntile windows over the
+    customer-grain table — small by construction regardless of order
+    volume. The exact-decimal monetary sum keeps the oracle
+    bit-equal."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    maxd = orders.agg(F.max("o_orderdate").alias("d0"))
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .join(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("d0"), F.col("last_order")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").desc(), F.col("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency"), F.col("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary"), F.col("o_custkey")))
+        .alias("m_score"),
+    )
+
+
+_WINSOR_ORACLE = """
+WITH q AS (
+  SELECT o_orderstatus,
+         quantile_disc(o_totalprice, 0.05) AS p5,
+         quantile_disc(o_totalprice, 0.95) AS p95
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o.o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN o.o_totalprice < q.p5 THEN 1
+                     WHEN o.o_totalprice > q.p95 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped,
+       CAST(SUM(CAST(LEAST(GREATEST(o.o_totalprice, q.p5), q.p95)
+                AS DECIMAL(18,2))) AS DOUBLE) AS winsorized_total
+FROM orders o JOIN q USING (o_orderstatus)
+GROUP BY o.o_orderstatus
+"""
+
+
+@register("winsorize_prices", oracle=_WINSOR_ORACLE)
+def winsorize_prices(spark, sf_dir):
+    """Winsorization (outlier clamping to the per-group [p5, p95]
+    discrete quantiles — the robust-statistics preprocessing step):
+    quantile bounds from one small aggregate broadcast back onto the
+    scan, clamp + clipped-count in the same pass. The discrete
+    quantile (rank = max(1, ceil(q·n)), an actual data value) is the
+    cross-engine-safe convention this repo's sketches already pin."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    # discrete quantiles per group, exactly DuckDB's quantile_disc:
+    # sort inside the group via window rank over value
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    ranked = orders.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("o_orderstatus"))
+    )
+    q = ranked.groupBy("o_orderstatus").agg(
+        F.min(
+            F.when(
+                F.col("_rn")
+                >= F.greatest(F.lit(1), F.ceil(0.05 * F.col("_n"))),
+                F.col("o_totalprice"),
+            )
+        ).alias("p5"),
+        F.min(
+            F.when(
+                F.col("_rn")
+                >= F.greatest(F.lit(1), F.ceil(0.95 * F.col("_n"))),
+                F.col("o_totalprice"),
+            )
+        ).alias("p95"),
+    )
+    clamped = orders.join(F.broadcast(q), "o_orderstatus").select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.least(
+            F.greatest(F.col("o_totalprice"), F.col("p5")), F.col("p95")
+        ).alias("_wins"),
+        (
+            (F.col("o_totalprice") < F.col("p5"))
+            | (F.col("o_totalprice") > F.col("p95"))
+        ).cast("int").alias("_clip"),
+    )
+    return clamped.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("_clip").cast("long").alias("n_clipped"),
+        F.sum(F.col("_wins").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("winsorized_total"),
+    )

@@ -85,6 +85,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "anomaly_zscore_daily",
         "affinity_brand_pairs",
         "event_transition_matrix",
+        "rfm_customer_segments",
+        "winsorize_prices",
         "topk_docs_per_source",
         "graph_pagerank_suppliers",
         "graph_hierarchy_roots",
