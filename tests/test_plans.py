@@ -271,3 +271,52 @@ def test_ivf_index_scan_is_dynamically_pruned(spark, sf_dir, tmp_path):
         for r in ivf_topk(corpus, queries, k=3, n_centroids=8, n_probe=3, seed=13).collect()
     }
     assert got == want
+
+
+def test_new_analytics_plans_broadcast_small_sides(spark, sf_dir):
+    """Round-4 operators: the small side (corpus stats, quantile
+    bounds, part dim, cohort sizes) must broadcast — never shuffle the
+    fact side for a dimension-sized frame."""
+    from ai_fabric_etl_spark.plans.inspect import plan_string
+    from ai_fabric_etl_spark.queries.behavior_queries import (
+        affinity_brand_pairs,
+        cohort_retention_weekly,
+        winsorize_prices,
+    )
+    from ai_fabric_etl_spark.queries.text_queries import q_search_bm25_topk
+
+    for fn, label in [
+        (q_search_bm25_topk, "bm25"),
+        (winsorize_prices, "winsorize"),
+        (affinity_brand_pairs, "affinity"),
+        (cohort_retention_weekly, "cohort"),
+    ]:
+        plan = plan_string(fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, label
+        assert "CartesianProduct" not in plan, label
+        assert "BroadcastNestedLoopJoin" not in plan or label == "bm25", label
+        # bm25's scalar corpus-stats join is a 1-row broadcast nested
+        # loop by construction (no join key) — acceptable; everything
+        # else must be hash joins only
+
+
+def test_histogram_and_chunker_stay_codegen(spark, sf_dir):
+    """chunk_documents must be a single whole-stage-codegen projection
+    chain (explode included, no exchanges before the output);
+    histogram's only exchanges are the bounds aggregate + count."""
+    from ai_fabric_etl_spark.operators.profile import histogram
+    from ai_fabric_etl_spark.operators.text import chunk_documents
+    from ai_fabric_etl_spark.plans.inspect import plan_string
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunk_plan = plan_string(chunk_documents(docs))
+    assert "Exchange" not in chunk_plan  # map-only: no shuffle at all
+    hist_plan = plan_string(
+        histogram(
+            spark.read.parquet(f"{sf_dir}/orders.parquet"),
+            "o_totalprice",
+            bins=8,
+            by=["o_orderstatus"],
+        )
+    )
+    assert "BroadcastHashJoin" in hist_plan
