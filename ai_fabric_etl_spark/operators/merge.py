@@ -634,3 +634,53 @@ class ParquetMergeTable:
             *[F.col(f"_sv_{c}").alias(c) for c in new_cols],
         )
         self.overwrite(merged, epoch=epoch, expected_version=base, op="MERGE", app_id=app_id)
+
+
+def schema_changes(
+    table: "ParquetMergeTable", from_version: int, to_version: int | None = None
+) -> list[dict]:
+    """SCHEMA DRIFT between two retained versions (the Delta history
+    question "what did that MERGE's mergeSchema add?"): a list of
+    {column, change, from_type, to_type} with change ∈ {added,
+    removed, type_changed}. Reads only the two schemas (footer
+    metadata), never data."""
+    old = {f.name: f.dataType.simpleString()
+           for f in table.read(version=from_version).schema.fields}
+    new_v = table._version() if to_version is None else to_version
+    new = {f.name: f.dataType.simpleString()
+           for f in table.read(version=new_v).schema.fields}
+    out: list[dict] = []
+    for c in sorted(set(new) - set(old)):
+        out.append({"column": c, "change": "added",
+                    "from_type": None, "to_type": new[c]})
+    for c in sorted(set(old) - set(new)):
+        out.append({"column": c, "change": "removed",
+                    "from_type": old[c], "to_type": None})
+    for c in sorted(set(old) & set(new)):
+        if old[c] != new[c]:
+            out.append({"column": c, "change": "type_changed",
+                        "from_type": old[c], "to_type": new[c]})
+    return out
+
+
+def small_files_report(
+    table: "ParquetMergeTable",
+    min_rows: int = 10_000,
+    version: int | None = None,
+) -> dict:
+    """The OPTIMIZE trigger signal: from footer stats alone (no data
+    read), how fragmented is the current version? Returns
+    {n_files, n_small, total_rows, rows_per_file_avg} — when n_small
+    dominates, compact(). At 100 TB the small-file problem IS the
+    read-performance problem (per-file open/footer cost and
+    scheduler pressure scale with file count, not bytes)."""
+    stats = table.file_stats(version)
+    rows = [s["rows"] for s in stats.values()]
+    n = len(rows)
+    total = sum(rows)
+    return {
+        "n_files": n,
+        "n_small": sum(1 for r in rows if r < min_rows),
+        "total_rows": total,
+        "rows_per_file_avg": round(total / n, 1) if n else 0.0,
+    }

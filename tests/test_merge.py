@@ -413,3 +413,36 @@ def test_read_where_after_zorder_prunes_on_both_columns(spark, tmp_path):
     got = _rows(t.read_where({"y": (0, 8)}))
     want = _rows(t.read().filter((F.col("y") >= 0) & (F.col("y") <= 8)))
     assert got == want
+
+
+def test_schema_changes_and_small_files_report(spark, tmp_path):
+    from ai_fabric_etl_spark.operators.merge import (
+        schema_changes,
+        small_files_report,
+    )
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_drift"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k int, s string"))
+    v0 = t._version()
+    # evolve: add a column via merge, then rewrite with a type change
+    t.merge(spark.createDataFrame([(2, "b", 7)], "k int, s string, extra int"),
+            keys=["k"])
+    t.overwrite(
+        t.read().select("k", F.col("s").cast("binary").alias("s"), "extra")
+    )
+    got = schema_changes(t, from_version=v0)
+    assert got == [
+        {"column": "extra", "change": "added", "from_type": None,
+         "to_type": "int"},
+        {"column": "s", "change": "type_changed", "from_type": "string",
+         "to_type": "binary"},
+    ]
+
+    frag = ParquetMergeTable(spark, str(tmp_path / "tbl_frag"))
+    frag.overwrite(spark.range(0, 1000).repartition(10))
+    rep = small_files_report(frag, min_rows=500)
+    assert rep["n_files"] == 10 and rep["n_small"] == 10
+    assert rep["total_rows"] == 1000
+    frag.compact(target_files=1)
+    rep2 = small_files_report(frag, min_rows=500)
+    assert rep2["n_files"] == 1 and rep2["n_small"] == 0
