@@ -104,6 +104,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "emb_neardup_exact",
         "emb_kmeans_invariant",
         "text_decontaminate",
+        "emb_cross_decontaminate",
         "text_repetition",
         "text_quality_filter",
         "search_bm25_topk",

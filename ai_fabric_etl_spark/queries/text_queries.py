@@ -1071,3 +1071,84 @@ def q_search_posting_lists(spark, sf_dir):
         .filter((F.col("df") >= 5) & (F.col("df") <= 0.9 * F.col("n_docs")))
         .select("term", "df", "postings")
     )
+
+
+_XDECON_ORACLE = """
+WITH bench AS (
+  SELECT vec_id, embedding FROM embeddings WHERE label = 0
+),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE label <> 0
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings
+  WHERE label = 0 AND vec_id % 3 = 0
+),
+scored AS (
+  SELECT c.vec_id,
+         MAX(
+           list_sum(list_transform(list_zip(c.embedding, b.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / NULLIF(
+               sqrt(list_sum(list_transform(c.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(b.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0)
+         ) AS max_sim
+  FROM corpus c CROSS JOIN bench b
+  GROUP BY c.vec_id
+)
+SELECT vec_id, ROUND(max_sim, 6) AS max_benchmark_sim
+FROM scored WHERE max_sim >= 0.98
+"""
+
+
+@register("emb_cross_decontaminate", oracle=_XDECON_ORACLE)
+def q_emb_cross_decontaminate(spark, sf_dir):
+    """SEMANTIC decontamination: corpus vectors whose cosine to any
+    benchmark vector (label 0 plays the held-out benchmark) reaches
+    0.98 — the embedding-space sibling of the n-gram
+    text_decontaminate. The benchmark side BROADCASTS (benchmarks are
+    always small next to a corpus), so the engine is one map-side
+    pass over the corpus — no shuffle, no pair materialization; the
+    oracle brute-forces the same cross product, which is exactly what
+    a 100 TB engine must never do (the LSH-bucketed variant in
+    operators/similarity.py is the scale path when the benchmark side
+    grows)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec")
+    )
+    # plant leaked benchmark rows in the corpus: every one of them
+    # MUST surface at cosine 1.0 (structural recall gate), and the
+    # clean corpus must surface nothing at this threshold
+    corpus = (
+        emb.filter(F.col("label") != 0)
+        .select("vec_id", "embedding")
+        .unionByName(
+            emb.filter((F.col("label") == 0) & (F.col("vec_id") % 3 == 0))
+            .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("b_vec"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    sim = dot / F.nullif(norm(F.col("embedding")) * norm(F.col("b_vec")), F.lit(0.0))
+    return (
+        corpus.join(F.broadcast(bench))
+        .select("vec_id", sim.alias("_sim"))
+        .groupBy("vec_id")
+        .agg(F.max("_sim").alias("max_sim"))
+        .filter(F.col("max_sim") >= 0.98)
+        .select("vec_id", F.round("max_sim", 6).alias("max_benchmark_sim"))
+    )
