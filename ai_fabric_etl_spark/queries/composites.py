@@ -113,6 +113,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "text_top_bigrams",
         "user_event_sequences",
         "text_chunk_windows",
+        "text_token_ids",
         "emb_quantize_int8",
         "curate_chunks_pipeline",
         "text_clean_redact",

@@ -1152,3 +1152,77 @@ def q_emb_cross_decontaminate(spark, sf_dir):
         .filter(F.col("max_sim") >= 0.98)
         .select("vec_id", F.round("max_sim", 6).alias("max_benchmark_sim"))
     )
+
+
+_TOKEN_IDS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM (
+    SELECT DISTINCT doc_id, unnest(t) AS term FROM toks
+  ) GROUP BY term
+),
+vocab AS (SELECT list(term ORDER BY df DESC, term) AS vt FROM df)
+SELECT doc_id,
+       list_transform(t[1:64], tok -> list_position(v.vt, tok)) AS token_ids,
+       len(t) AS n_tokens
+FROM toks CROSS JOIN vocab v
+"""
+
+
+@register("text_token_ids", oracle=_TOKEN_IDS_ORACLE)
+def q_text_token_ids(spark, sf_dir):
+    """Token-to-id encoding — the train-ready integer export: vocab
+    ids ranked by document frequency (ties by term), each document's
+    first 64 tokens mapped in position order, out-of-vocabulary → 0.
+    Fully distributed: posexplode positions → broadcast vocab join →
+    sort-inside-aggregation reassembly; no driver-side vocab
+    round-trip, no UDF. The oracle replays the identical ranking via
+    an ordered list + list_position."""
+    from ai_fabric_etl_spark.operators.search import tokenize
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokenize(F.col("text")).alias("t")
+    )
+    doc_terms = docs.select(
+        "doc_id", F.explode(F.array_distinct("t")).alias("term")
+    )
+    vocab = (
+        doc_terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "id",
+            F.row_number().over(
+                Window.orderBy(F.col("df").desc(), F.col("term"))
+            ),
+        )
+        .select("term", "id")
+    )
+    pos = docs.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.posexplode(F.slice("t", 1, 64)).alias("pos", "term"),
+    )
+    return (
+        pos.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos").alias("pos"),
+                            F.coalesce(F.col("id"), F.lit(0)).alias("id"),
+                        )
+                    )
+                ),
+                lambda s: s["id"],
+            ).alias("token_ids"),
+            F.first("n_tokens").alias("n_tokens"),
+        )
+    )
