@@ -99,6 +99,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "sample_global_shuffle",
         "sample_priority_bottomk",
         "sample_weighted_priority",
+        "sample_kfold",
+        "sample_group_split",
         "dedup_ngram_jaccard",
         "dedup_editdistance",
         "emb_neardup_exact",

@@ -417,3 +417,82 @@ def q_sample_weighted_priority(spark, sf_dir):
         docs, key="doc_id", weight_col="n_chars", k=_WPRIO_K, by=["lang"],
         salt="wprio",
     )
+
+
+_KFOLD_ORACLE = """
+SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-kfold'), 1, 8))::BIGINT
+         % 5 AS fold,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@register("sample_kfold", oracle=_KFOLD_ORACLE)
+def q_sample_kfold(spark, sf_dir):
+    """Deterministic 5-fold cross-validation assignment: fold =
+    md5-derived uniform mod k — every document keeps its fold across
+    runs, engines, and corpus growth (the same stability contract as
+    hash_split). Pure projection, no shuffle beyond the audit
+    aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("-kfold")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    return (
+        docs.withColumn("fold", fold)
+        .groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+    )
+
+
+_GROUP_SPLIT_ORACLE = f"""
+WITH assigned AS (
+  SELECT user_id, event_type,
+         {split_case_sql('user_id', salt='gsplit')} AS split
+  FROM events
+)
+SELECT split, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+@register("sample_group_split", oracle=_GROUP_SPLIT_ORACLE)
+def q_sample_group_split(spark, sf_dir):
+    """LEAKAGE-SAFE splitting: the split key is the GROUP (user), not
+    the row — every event of a user lands in the same split, so
+    train/test never share a user's behavior (the contamination mode
+    row-level splitting silently causes). Same md5 thresholds as
+    hash_split, keyed on user_id; the invariant 'no user spans
+    splits' is pytest-asserted, the distribution here is
+    value-oracled."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return (
+        hash_split(ev, key="user_id", salt="gsplit")
+        .groupBy("split", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -712,3 +712,17 @@ def test_chunk_documents_coverage_and_overlap(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=32, overlap=32)
+
+
+def test_group_split_no_user_spans_splits(spark, sf_dir):
+    from ai_fabric_etl_spark.operators.sampling import hash_split
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    assigned = hash_split(ev, key="user_id", salt="gsplit")
+    spans = (
+        assigned.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spans == 0
