@@ -424,12 +424,15 @@ def rfm_customer_segments(spark, sf_dir):
     """RFM segmentation: per customer recency (days before the
     corpus's last order date), order frequency, and monetary total,
     each ntile(5)-scored (higher = better, ties broken by key for
-    determinism). One aggregate + three global ntile windows over the
-    customer-grain table — small by construction regardless of order
-    volume. The exact-decimal monetary sum keeps the oracle
-    bit-equal."""
+    determinism). One aggregate + three DISTRIBUTED ntile passes
+    (operators/ranking.global_ntile: range shuffle + per-partition
+    rank + offset cumsum) — the customer grain is "small" relative to
+    orders but still runs to hundreds of millions at 100 TB, so no
+    pass may collapse into a one-task global window. The
+    exact-decimal monetary sum keeps the oracle bit-equal."""
+    from ai_fabric_etl_spark.operators.ranking import global_ntile
+
     orders = _t(spark, sf_dir, "orders")
-    from pyspark.sql.window import Window
 
     maxd = orders.agg(F.max("o_orderdate").alias("d0"))
     rfm = (
@@ -449,20 +452,21 @@ def rfm_customer_segments(spark, sf_dir):
             "monetary",
         )
     )
-    return rfm.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days").desc(), F.col("o_custkey")))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency"), F.col("o_custkey")))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary"), F.col("o_custkey")))
-        .alias("m_score"),
+    scored = global_ntile(
+        rfm,
+        5,
+        [F.col("recency_days").desc(), F.col("o_custkey")],
+        out_col="r_score",
+    )
+    scored = global_ntile(
+        scored, 5, [F.col("frequency"), F.col("o_custkey")], out_col="f_score"
+    )
+    scored = global_ntile(
+        scored, 5, [F.col("monetary"), F.col("o_custkey")], out_col="m_score"
+    )
+    return scored.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
     )
 
 

@@ -1182,9 +1182,16 @@ def q_text_token_ids(spark, sf_dir):
     Fully distributed: posexplode positions → broadcast vocab join →
     sort-inside-aggregation reassembly; no driver-side vocab
     round-trip, no UDF. The oracle replays the identical ranking via
-    an ordered list + list_position."""
+    an ordered list + list_position.
+
+    Vocabulary ids come from ranking.global_row_number (range shuffle
+    + offsets), not a one-task global window: a web-scale corpus's
+    term vocabulary runs to tens of millions of rows. The broadcast
+    of the finished vocab is the test-scale convenience; at 100 TB
+    cap the vocabulary (df floor) or drop the hint and let AQE pick
+    the join."""
+    from ai_fabric_etl_spark.operators.ranking import global_row_number
     from ai_fabric_etl_spark.operators.search import tokenize
-    from pyspark.sql.window import Window
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", tokenize(F.col("text")).alias("t")
@@ -1192,17 +1199,11 @@ def q_text_token_ids(spark, sf_dir):
     doc_terms = docs.select(
         "doc_id", F.explode(F.array_distinct("t")).alias("term")
     )
-    vocab = (
-        doc_terms.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn(
-            "id",
-            F.row_number().over(
-                Window.orderBy(F.col("df").desc(), F.col("term"))
-            ),
-        )
-        .select("term", "id")
-    )
+    vocab = global_row_number(
+        doc_terms.groupBy("term").agg(F.count(F.lit(1)).alias("df")),
+        [F.col("df").desc(), F.col("term")],
+        out_col="id",
+    ).select("term", "id")
     pos = docs.select(
         "doc_id",
         F.size("t").alias("n_tokens"),
