@@ -145,3 +145,61 @@ def histogram(
             F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
         )
     )
+
+
+def histogram_equidepth(
+    df: DataFrame,
+    col: str,
+    tiebreak: str,
+    bins: int = 10,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Equi-depth (quantile) histogram: per group, ``bins`` buckets of
+    near-equal population with their actual value ranges — the
+    distribution summary that stays informative under the skew that
+    flattens an equi-width histogram into one hot bin. This is also
+    exactly the bucket layout an optimizer's equi-height column stats
+    use. Output: (by…, bin_id 1..bins, lo, hi, n_rows).
+
+    Buckets are SQL-standard NTILE over (col, tiebreak) — rank
+    semantics, no floating-point edge arithmetic at all: lo/hi are
+    genuine data values (min/max inside the bucket), so the result is
+    bit-stable across engines with no rounding convention needed.
+    ``tiebreak`` (a unique key) pins runs of duplicate values to a
+    deterministic bucket split.
+
+    Scale plan: one window shuffle keyed by the group columns + one
+    aggregate that reuses the same partitioning (zero extra
+    exchanges). Groups are category-grain (statuses, sources, langs) —
+    bounded; for an UNGROUPED equi-depth histogram of a 100 TB column
+    use ranking.global_ntile, which this mirrors.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    from pyspark.sql.window import Window
+
+    by = by or []
+    if by:
+        w = Window.partitionBy(*by).orderBy(F.col(col), F.col(tiebreak))
+    else:
+        from ai_fabric_etl_spark.operators.ranking import global_ntile
+
+        return (
+            global_ntile(df, bins, [F.col(col), F.col(tiebreak)], "bin_id")
+            .groupBy("bin_id")
+            .agg(
+                F.min(col).alias("lo"),
+                F.max(col).alias("hi"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .withColumn("bin_id", F.ntile(bins).over(w))
+        .groupBy(*by, "bin_id")
+        .agg(
+            F.min(col).alias("lo"),
+            F.max(col).alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

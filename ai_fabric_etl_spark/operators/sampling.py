@@ -464,3 +464,65 @@ def weighted_priority_sample_sql(
         f"row_number() OVER (PARTITION BY {', '.join(by)} "
         f"ORDER BY -ln({u}) / ({weight_expr}), {key}) <= {k}"
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    by: str,
+    key: str,
+    target: int,
+    salt: str = "mix",
+    keep_quota: bool = False,
+) -> DataFrame:
+    """Temperature-flattened source mixture — the multilingual /
+    multi-source LLM pretraining recipe (XLM-R's p_s ∝ n_s^alpha):
+    big sources are downweighted so small sources keep representation.
+
+    Exact-arithmetic variant, alpha = 0.5: each source's weight is the
+    INTEGER ceil(sqrt(n_s)) and its quota is
+    ``k_s = min(n_s, (target * w_s) div sum(w))`` — all BIGINT math,
+    so Spark and any ANSI oracle agree bit-for-bit (a float p_s^alpha
+    share puts a round() boundary at the mercy of libm ulps, the
+    round-1 hash-failure class; sqrt is IEEE-correctly-rounded and
+    ceil pins it to an integer before anything accumulates). Within a
+    source the k_s winners are the smallest md5 priorities — the same
+    growth-stable bottom-k as :func:`priority_sample`, so adding new
+    documents never evicts survivors except by genuine priority.
+
+    Scale plan: quotas come from one tiny per-source aggregate
+    (broadcast back); selection is rank-within-source. The window
+    shuffles the corpus once on the source key; for skewed web-scale
+    sources compose with the mapInPandas bottom-k prereduce exactly
+    as priority_sample does (quota ≤ target bounds held rows).
+
+    ``keep_quota=True`` retains the per-source quota/weight columns
+    (for mixture audits); default drops them.
+    """
+    counts = df.groupBy(by).agg(F.count(F.lit(1)).alias("_n"))
+    w = F.ceil(F.sqrt(F.col("_n"))).cast("long")
+    weights = counts.withColumn("_w", w)
+    tot = weights.agg(F.sum("_w").alias("_tw"))
+    quota = (
+        weights.join(F.broadcast(tot))
+        .withColumn("_num", F.lit(int(target)) * F.col("_w"))
+        # `div`: exact BIGINT division (a double floor would wobble
+        # past 2^53 when target * weight gets large)
+        .withColumn(
+            "_quota", F.least(F.col("_n"), F.expr("_num div _tw"))
+        )
+        .select(by, "_n", "_w", "_quota")
+    )
+    prio = _priority(key, salt)
+    win = Window.partitionBy(by).orderBy(F.col("_prio"), F.col(key))
+    out = (
+        df.join(F.broadcast(quota), by)
+        .withColumn("_prio", prio)
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_prio", "_rn")
+    )
+    if keep_quota:
+        return out.withColumnsRenamed(
+            {"_n": "source_rows", "_w": "source_weight", "_quota": "source_quota"}
+        )
+    return out.drop("_n", "_w", "_quota")

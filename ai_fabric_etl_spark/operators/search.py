@@ -219,3 +219,105 @@ def term_stats(
 
 # math import kept for callers computing reference scores in tests
 _ = math
+
+
+def tfidf_topk_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-document top-``k`` keywords by tf-idf — the classic sparse
+    document vector / keyword-extraction export (the retrieval-side
+    twin of :func:`bm25_topk`, which scores docs for one query; this
+    scores every term for every doc).
+
+    Returns (id, term, tf, df, score, rank): tf = in-document count,
+    idf = the same always-positive ln(1 + (N - df + 0.5)/(df + 0.5))
+    as BM25, score = round(tf * idf, 6), rank 1..k by (score desc,
+    term) — ranking on the ROUNDED score so cross-engine ulp noise
+    cannot flip an ordering the oracle hashes.
+
+    Scale plan: one explode + (doc, term) count; document frequency
+    reuses that same aggregate grouped by term (exchange-reusable) and
+    joins back on term — a vocabulary-sized join, NOT broadcast
+    (vocabularies run to tens of millions of terms at corpus scale;
+    ``min_df`` and a stopword cap bound the skewed head). The final
+    ranking is a per-document window: groups are single documents, so
+    no partition can exceed a document's distinct-term count — the
+    mapInPandas prereduce that pays off for few-large-groups top-k
+    (topk_per_group) would only add Python overhead here.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    df_t = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        tf.join(df_t, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )
+
+
+def tfidf_topk_terms_sql(
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    min_df: int = 1,
+) -> str:
+    """ANSI/DuckDB oracle replaying :func:`tfidf_topk_terms`."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         unnest(list_filter(string_split_regex(lower({text_col}),
+              '{_TOKEN_SPLIT}'), x -> x <> '')) AS term
+  FROM {table}
+),
+tf AS (
+  SELECT {id_col}, term, COUNT(*) AS tf FROM toks GROUP BY {id_col}, term
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term HAVING COUNT(*) >= {min_df}
+),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM {table}),
+scored AS (
+  SELECT tf.{id_col}, tf.term, tf.tf, d.df,
+         ROUND(tf.tf * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)), 6)
+           AS score
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+)
+SELECT {id_col}, term, tf, df, score,
+       CAST(row_number() OVER (PARTITION BY {id_col}
+                               ORDER BY score DESC, term) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""

@@ -90,6 +90,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "topk_docs_per_source",
         "graph_pagerank_suppliers",
         "graph_hierarchy_roots",
+        "profile_histogram_equidepth",
     ],
     "fp_training_sources": [
         "scalar_datetime",
@@ -101,6 +102,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "sample_weighted_priority",
         "sample_kfold",
         "sample_group_split",
+        "sample_temperature_mixture",
+        "text_tfidf_topk",
         "dedup_ngram_jaccard",
         "dedup_editdistance",
         "emb_neardup_exact",

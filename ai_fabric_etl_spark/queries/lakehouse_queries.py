@@ -836,3 +836,38 @@ def profile_histogram_prices(spark, sf_dir):
         _t(spark, sf_dir, "orders"), "o_totalprice", bins=12,
         by=["o_orderstatus"],
     )
+
+
+_EQUIDEPTH_ORACLE = """
+WITH b AS (
+  SELECT o_orderstatus, o_totalprice, o_orderkey,
+         ntile(8) OVER (PARTITION BY o_orderstatus
+                        ORDER BY o_totalprice, o_orderkey) AS bin_id
+  FROM orders
+)
+SELECT o_orderstatus, CAST(bin_id AS INT) AS bin_id,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+       COUNT(*) AS n_rows
+FROM b GROUP BY 1, 2
+"""
+
+
+@register("profile_histogram_equidepth", oracle=_EQUIDEPTH_ORACLE)
+def profile_histogram_equidepth(spark, sf_dir):
+    """Equi-depth (quantile) histogram of order totals per status —
+    8 near-equal-population buckets with their genuine value ranges
+    (optimizer-style equi-height column stats; informative under the
+    skew that collapses an equi-width histogram into one hot bin).
+    Pure rank semantics: no float edge arithmetic anywhere, so no
+    rounding convention is even needed."""
+    from ai_fabric_etl_spark.operators.profile import histogram_equidepth
+
+    return histogram_equidepth(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderstatus", "o_totalprice", "o_orderkey"
+        ),
+        col="o_totalprice",
+        tiebreak="o_orderkey",
+        bins=8,
+        by=["o_orderstatus"],
+    )

@@ -1227,3 +1227,21 @@ def q_text_token_ids(spark, sf_dir):
             F.first("n_tokens").alias("n_tokens"),
         )
     )
+
+
+from ai_fabric_etl_spark.operators.search import (  # noqa: E402
+    tfidf_topk_terms,
+    tfidf_topk_terms_sql,
+)
+
+
+@register("text_tfidf_topk", oracle=tfidf_topk_terms_sql(k=5, min_df=2))
+def q_text_tfidf_topk(spark, sf_dir):
+    """Per-document top-5 keywords by tf-idf (min_df=2): the sparse
+    document-vector / keyword-extraction export completing the IR
+    family (bm25 scores docs per query; this scores terms per doc).
+    Ranked on the ROUNDED score so the driver hash can't flip on libm
+    ulps; the vocabulary join is deliberately NOT broadcast (see
+    operators/search.tfidf_topk_terms scale notes)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_topk_terms(docs, k=5, min_df=2)

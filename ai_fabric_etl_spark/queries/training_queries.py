@@ -496,3 +496,41 @@ def q_sample_group_split(spark, sf_dir):
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+_MIX_TARGET = 60
+_MIX_ORACLE = f"""
+WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+wts AS (SELECT source, n, CAST(CEIL(SQRT(n)) AS BIGINT) AS w FROM counts),
+tot AS (SELECT SUM(w) AS tw FROM wts),
+quota AS (
+  SELECT source, n, w, LEAST(n, (CAST({_MIX_TARGET} AS BIGINT) * w) // tw) AS q
+  FROM wts CROSS JOIN tot
+)
+SELECT d.doc_id, d.source, d.lang, d.n_chars
+FROM documents d JOIN quota USING (source)
+QUALIFY row_number() OVER (
+    PARTITION BY d.source
+    ORDER BY md5(COALESCE(CAST(doc_id AS VARCHAR), '__NULL__') || '-mix'),
+             doc_id) <= q
+"""
+
+
+@register("sample_temperature_mixture", oracle=_MIX_ORACLE)
+def q_sample_temperature_mixture(spark, sf_dir):
+    """Temperature-flattened source mixture (the multilingual-LLM
+    pretraining recipe, p_s ∝ n_s^0.5): per-source quotas from
+    EXACT integer arithmetic (w = ceil(sqrt(n)), quota = target*w div
+    Σw — no float share crosses a rounding boundary), winners by
+    growth-stable md5 bottom-k within each source. The oracle replays
+    quota computation and priorities relationally."""
+    from ai_fabric_etl_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    return temperature_mixture_sample(
+        docs, by="source", key="doc_id", target=_MIX_TARGET, salt="mix"
+    ).select("doc_id", "source", "lang", "n_chars")

@@ -1,0 +1,153 @@
+"""Temperature mixture sampling, tf-idf keyword export, and the
+equi-depth histogram: semantic invariants beyond the oracle hashes."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_temperature_mixture_quotas_and_flattening(spark, sf_dir):
+    """Quotas follow the integer-sqrt recipe exactly; the mixture is
+    flatter than the corpus (max source share shrinks) and never
+    upsamples; selection is deterministic and growth-stable."""
+    from ai_fabric_etl_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    target = 60
+    out = temperature_mixture_sample(
+        docs, by="source", key="doc_id", target=target, salt="mix"
+    )
+    got = out.groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in docs.groupBy("source").count().collect()}
+    w = {s: math.ceil(math.sqrt(n)) for s, n in counts.items()}
+    tw = sum(w.values())
+    expect = {s: min(counts[s], target * w[s] // tw) for s in counts}
+    assert {r.source: r["count"] for r in got} == {
+        s: k for s, k in expect.items() if k > 0
+    }
+    # flattening: the dominant source's share of the SAMPLE is <= its
+    # corpus share (alpha=0.5 compresses the head)
+    n_total = sum(counts.values())
+    k_total = sum(expect.values())
+    top = max(counts, key=lambda s: counts[s])
+    assert expect[top] / k_total <= counts[top] / n_total + 1e-9
+    # determinism
+    again = {
+        r.source: r["count"]
+        for r in temperature_mixture_sample(
+            docs, by="source", key="doc_id", target=target, salt="mix"
+        ).groupBy("source").count().collect()
+    }
+    assert again == {r.source: r["count"] for r in got}
+
+
+def test_temperature_mixture_growth_stability(spark, sf_dir):
+    """A surviving doc is evicted only by priority competition: with
+    the same quotas, the winner set within each source is the bottom-k
+    of md5 priorities — verified against a pandas replay."""
+    import hashlib
+
+    from ai_fabric_etl_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    out = temperature_mixture_sample(
+        docs, by="source", key="doc_id", target=40, salt="mix"
+    )
+    got = {(r.source, r.doc_id) for r in out.collect()}
+    rows = [(r.source, r.doc_id) for r in docs.collect()]
+    bysrc: dict[str, list] = {}
+    for s, d in rows:
+        prio = hashlib.md5(f"{d}-mix".encode()).hexdigest()
+        bysrc.setdefault(s, []).append((prio, d))
+    quotas = {}
+    counts = {s: len(v) for s, v in bysrc.items()}
+    w = {s: math.ceil(math.sqrt(n)) for s, n in counts.items()}
+    tw = sum(w.values())
+    for s, n in counts.items():
+        quotas[s] = min(n, 40 * w[s] // tw)
+    want = {
+        (s, d)
+        for s, lst in bysrc.items()
+        for _, d in sorted(lst)[: quotas[s]]
+    }
+    assert got == want
+
+
+def test_tfidf_topk_ranks_and_bounds(spark, sf_dir):
+    """Per doc: at most k rows, ranks 1..m contiguous, scores
+    non-increasing, and every score == round(tf * ln-idf, 6)."""
+    from ai_fabric_etl_spark.operators.search import tfidf_topk_terms
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    n_docs = docs.count()
+    out = tfidf_topk_terms(docs, k=4, min_df=2).collect()
+    per_doc: dict[int, list] = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert per_doc, "no output"
+    for rows in per_doc.values():
+        rows.sort(key=lambda r: r.rank)
+        assert len(rows) <= 4
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        for r in rows:
+            idf = math.log(1.0 + (n_docs - r.df + 0.5) / (r.df + 0.5))
+            assert abs(r.score - round(r.tf * idf, 6)) < 1e-9
+            assert r.df >= 2
+
+
+def test_equidepth_histogram_depth_and_ranges(spark, sf_dir):
+    """Bucket populations differ by at most 1 inside a group, ranges
+    are non-overlapping and ordered, and totals are preserved."""
+    from ai_fabric_etl_spark.operators.profile import histogram_equidepth
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderstatus", "o_totalprice", "o_orderkey"
+    )
+    out = histogram_equidepth(
+        orders, col="o_totalprice", tiebreak="o_orderkey", bins=8,
+        by=["o_orderstatus"],
+    ).collect()
+    want_totals = {
+        r.o_orderstatus: r["count"]
+        for r in orders.groupBy("o_orderstatus").count().collect()
+    }
+    by_grp: dict[str, list] = {}
+    for r in out:
+        by_grp.setdefault(r.o_orderstatus, []).append(r)
+    for grp, rows in by_grp.items():
+        rows.sort(key=lambda r: r.bin_id)
+        ns = [r.n_rows for r in rows]
+        assert max(ns) - min(ns) <= 1, f"not equi-depth in {grp}"
+        assert sum(ns) == want_totals[grp]
+        for a, b in zip(rows, rows[1:]):
+            assert a.hi <= b.lo  # ranges ordered (ties split by key)
+
+
+def test_equidepth_global_uses_distributed_ntile(spark, sf_dir):
+    """Ungrouped equi-depth goes through ranking.global_ntile — same
+    depth invariant, no single-task window over the data."""
+    from ai_fabric_etl_spark.operators.profile import histogram_equidepth
+    from ai_fabric_etl_spark.plans.inspect import plan_string
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_totalprice", "o_orderkey"
+    )
+    out = histogram_equidepth(
+        orders, col="o_totalprice", tiebreak="o_orderkey", bins=10
+    )
+    assert "ntile" not in plan_string(out, "simple").lower()
+    rows = out.collect()
+    ns = [r.n_rows for r in rows]
+    assert len(rows) == 10 and max(ns) - min(ns) <= 1
