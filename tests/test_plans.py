@@ -320,3 +320,42 @@ def test_histogram_and_chunker_stay_codegen(spark, sf_dir):
         )
     )
     assert "BroadcastHashJoin" in hist_plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """session.get_spark turns on runtime bloom-filter join pruning —
+    the 100 TB lever that filters fact rows BEFORE the shuffle when
+    the dim side carries a selective predicate. Prove the rule
+    actually fires: with the application-side size floor lowered to
+    test scale, a selective dim -> fact shuffle join must inject
+    might_contain onto the probe side."""
+    from ai_fabric_etl_spark.plans.inspect import plan_string
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # force a shuffle join (no broadcast) and admit small scans
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = plan_string(joined, "simple").lower()
+        assert "might_contain" in plan or "bloomfilter" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
