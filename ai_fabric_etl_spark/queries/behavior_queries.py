@@ -542,3 +542,99 @@ def winsorize_prices(spark, sf_dir):
         .cast("double")
         .alias("winsorized_total"),
     )
+
+
+_ATTRIB_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_id AS touch_id, ts AS t_ts, event_type AS touch_type
+  FROM events WHERE event_type IN ('view', 'click')
+),
+j AS (
+  SELECT p.purchase_id, p.value, t.touch_id, t.touch_type
+  FROM p LEFT JOIN t
+    ON p.user_id = t.user_id
+   AND t.t_ts BETWEEN p.p_ts - INTERVAL 3600 SECOND AND p.p_ts
+),
+c AS (
+  SELECT purchase_id, value, touch_id, touch_type,
+         COUNT(touch_id) OVER (PARTITION BY purchase_id) AS n
+  FROM j
+)
+SELECT CASE WHEN touch_id IS NULL THEN 'direct' ELSE touch_type END AS channel,
+       COUNT(*) AS n_credits,
+       COUNT(DISTINCT purchase_id) AS n_purchases,
+       CAST(ROUND(SUM(CAST(ROUND(
+           CASE WHEN touch_id IS NULL THEN value ELSE value / n END, 6)
+         AS DECIMAL(18,6))), 4) AS DOUBLE) AS attributed_value
+FROM c
+GROUP BY 1
+"""
+
+
+@register("attribution_linear_touch", oracle=_ATTRIB_ORACLE)
+def attribution_linear_touch(spark, sf_dir):
+    """Multi-touch linear attribution: each purchase's value is split
+    equally across the user's view/click touchpoints in the hour up
+    to the purchase (inclusive); purchases with no touchpoint credit
+    'direct'. The marketing-analytics workload the funnel/cohort
+    entries don't cover: a windowed range join feeding a per-purchase
+    credit split.
+
+    Plan: temporal.range_join's bucketed equi-join (no interval
+    cross-product — touches hash-join on (user, hour-bucket) then
+    filter exactly), how="left" keeps direct purchases via the
+    row-id recovery path; the credit divisor is one window over
+    purchase_id (single-purchase groups, never skewed). Each credit
+    term rounds to 6 dp BEFORE the exact-decimal sum so engine ulps
+    in value/n cannot reach the driver hash."""
+    from ai_fabric_etl_spark.operators.temporal import range_join
+    from ai_fabric_etl_spark.queries.catalog import load_events
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    j = range_join(
+        purchases,
+        touches,
+        by=["user_id"],
+        left_ts="p_ts",
+        right_ts="t_ts",
+        before_seconds=3600.0,
+        after_seconds=0.0,
+        how="left",
+    )
+    n = F.count("touch_id").over(Window.partitionBy("purchase_id"))
+    credited = j.select(
+        "purchase_id",
+        F.when(F.col("touch_id").isNull(), F.lit("direct"))
+        .otherwise(F.col("touch_type"))
+        .alias("channel"),
+        F.round(
+            F.when(F.col("touch_id").isNull(), F.col("value")).otherwise(
+                F.col("value") / n
+            ),
+            6,
+        ).alias("credit"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.countDistinct("purchase_id").alias("n_purchases"),
+        F.round(F.sum(F.col("credit").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("attributed_value"),
+    )

@@ -91,6 +91,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "graph_pagerank_suppliers",
         "graph_hierarchy_roots",
         "profile_histogram_equidepth",
+        "attribution_linear_touch",
     ],
     "fp_training_sources": [
         "scalar_datetime",
