@@ -107,6 +107,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "text_tfidf_topk",
         "dedup_ngram_jaccard",
         "dedup_editdistance",
+        "er_resolve_entities",
         "emb_neardup_exact",
         "emb_kmeans_invariant",
         "text_decontaminate",

@@ -1245,3 +1245,93 @@ def q_text_tfidf_topk(spark, sf_dir):
     operators/search.tfidf_topk_terms scale notes)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return tfidf_topk_terms(docs, k=5, min_df=2)
+
+
+_ER_ORACLE = """
+WITH RECURSIVE names AS (
+  SELECT MIN(p_partkey) AS doc_id, p_name AS text FROM part GROUP BY p_name
+),
+recs AS (
+  SELECT doc_id, text FROM names
+  UNION ALL
+  SELECT doc_id + 10000000,
+         substring(text, 1, 4) || substring(text, 6)
+  FROM names WHERE doc_id % 3 <> 2
+  UNION ALL
+  SELECT doc_id + 20000000,
+         substring(text, 1, 1) || substring(text, 3)
+  FROM names WHERE doc_id % 3 = 0
+),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM recs a JOIN recs b
+    ON a.doc_id < b.doc_id
+   AND abs(length(a.text) - length(b.text)) <= 1
+  WHERE levenshtein(a.text, b.text) <= 1
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+walk(u, comp) AS (
+  SELECT doc_id, doc_id FROM recs
+  UNION
+  SELECT e.u, w.comp FROM edges e JOIN walk w ON e.v = w.u
+),
+lab AS (SELECT u AS doc_id, MIN(comp) AS entity_id FROM walk GROUP BY u)
+SELECT l.entity_id,
+       COUNT(*) AS n_records,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_duplicates,
+       arg_min(r.text, r.doc_id) AS canonical_text
+FROM lab l JOIN recs r USING (doc_id)
+GROUP BY l.entity_id
+"""
+
+
+@register("er_resolve_entities", oracle=_ER_ORACLE)
+def q_er_resolve_entities(spark, sf_dir):
+    """Entity resolution end to end: blocking → match → cluster →
+    survivorship. Two deterministic typo classes are planted per part
+    name (single deletions at different positions — so the variants
+    sit at distance 2 from each other and unify only TRANSITIVELY
+    through their original, exercising real cluster formation, not
+    just pair matching). The pipeline: SymSpell deletion-neighborhood
+    blocking + exact Levenshtein-≤1 verification
+    (dedup.edit_distance_pairs — never the O(n²) pair space the
+    oracle brute-forces), large-star/small-star connected components
+    (O(log n) rounds), then one aggregate electing the golden record
+    (min-id survivorship via min_by). Singleton records keep their
+    own id as entity_id through the left-join recovery."""
+    from ai_fabric_etl_spark.operators import dedup as _dedup
+
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("text"))
+        .agg(F.min("p_partkey").alias("doc_id"))
+    )
+    t1 = names.filter(F.col("doc_id") % 3 != 2).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 4), F.expr("substring(text, 6)")
+        ).alias("text"),
+    )
+    t2 = names.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 1), F.expr("substring(text, 3)")
+        ).alias("text"),
+    )
+    recs = names.select("doc_id", "text").unionByName(t1).unionByName(t2)
+    pairs = _dedup.edit_distance_pairs(
+        recs, id_col="doc_id", text_col="text", max_dist=1
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    comp = _dedup.neardup_components(pairs, algorithm="star").select(
+        F.col("doc_id").alias("_cid"), F.col("component")
+    )
+    labeled = recs.join(comp, recs.doc_id == F.col("_cid"), "left").select(
+        "doc_id",
+        "text",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("entity_id"),
+    )
+    return labeled.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_duplicates"),
+        F.min_by("text", "doc_id").alias("canonical_text"),
+    )
