@@ -69,6 +69,12 @@ HEADLINE = [
     "funnel_view_click_purchase",  # sequential funnel (chained aggs)
     "text_chunk_windows",          # token-window chunking (codegen)
     "emb_quantize_int8",           # int8 embedding quantization
+    "sample_temperature_mixture",  # source-flattened mixture quotas
+    "text_tfidf_topk",             # per-doc keyword vectors
+    "attribution_linear_touch",    # range join + credit split
+    "profile_histogram_equidepth", # quantile histogram (rank semantics)
+    "er_resolve_entities",         # block->match->cluster->survivor
+    "rfm_customer_segments",       # distributed ntile scoring
     "x12_silver_transactions",     # distributed X12 parse
 ]
 
