@@ -179,27 +179,21 @@ def histogram_equidepth(
     from pyspark.sql.window import Window
 
     by = by or []
+    # both paths bin the SAME frame (NULL values excluded — SQL
+    # aggregate semantics) and share one summary tail, so the grouped
+    # and ungrouped branches cannot drift apart
+    work = df.filter(F.col(col).isNotNull())
     if by:
         w = Window.partitionBy(*by).orderBy(F.col(col), F.col(tiebreak))
+        binned = work.withColumn("bin_id", F.ntile(bins).over(w))
     else:
         from ai_fabric_etl_spark.operators.ranking import global_ntile
 
-        return (
-            global_ntile(df, bins, [F.col(col), F.col(tiebreak)], "bin_id")
-            .groupBy("bin_id")
-            .agg(
-                F.min(col).alias("lo"),
-                F.max(col).alias("hi"),
-                F.count(F.lit(1)).alias("n_rows"),
-            )
+        binned = global_ntile(
+            work, bins, [F.col(col), F.col(tiebreak)], "bin_id"
         )
-    return (
-        df.filter(F.col(col).isNotNull())
-        .withColumn("bin_id", F.ntile(bins).over(w))
-        .groupBy(*by, "bin_id")
-        .agg(
-            F.min(col).alias("lo"),
-            F.max(col).alias("hi"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
+    return binned.groupBy(*by, "bin_id").agg(
+        F.min(col).alias("lo"),
+        F.max(col).alias("hi"),
+        F.count(F.lit(1)).alias("n_rows"),
     )

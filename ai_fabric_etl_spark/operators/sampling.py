@@ -497,6 +497,13 @@ def temperature_mixture_sample(
 
     ``keep_quota=True`` retains the per-source quota/weight columns
     (for mixture audits); default drops them.
+
+    A NULL ``by`` value is a first-class source (the module-wide
+    convention — see :func:`hash_bucket`): it earns a weight and a
+    quota like any other, and the quota join is NULL-SAFE so its rows
+    are actually selectable (a plain equi-join would count the NULL
+    group into the weight denominator while never emitting its rows,
+    deflating every real source's quota).
     """
     counts = df.groupBy(by).agg(F.count(F.lit(1)).alias("_n"))
     w = F.ceil(F.sqrt(F.col("_n"))).cast("long")
@@ -510,12 +517,13 @@ def temperature_mixture_sample(
         .withColumn(
             "_quota", F.least(F.col("_n"), F.expr("_num div _tw"))
         )
-        .select(by, "_n", "_w", "_quota")
+        .select(F.col(by).alias("_gk"), "_n", "_w", "_quota")
     )
     prio = _priority(key, salt)
     win = Window.partitionBy(by).orderBy(F.col("_prio"), F.col(key))
     out = (
-        df.join(F.broadcast(quota), by)
+        df.join(F.broadcast(quota), F.col(by).eqNullSafe(F.col("_gk")))
+        .drop("_gk")
         .withColumn("_prio", prio)
         .withColumn("_rn", F.row_number().over(win))
         .filter(F.col("_rn") <= F.col("_quota"))

@@ -772,12 +772,13 @@ _EDITDIST_ORACLE = """
 WITH names AS (
   SELECT MIN(p_partkey) AS doc_id, p_name AS text FROM part GROUP BY p_name
 ),
+off AS (SELECT MAX(doc_id) + 1 AS o FROM names),
 corpus AS (
   SELECT doc_id, text FROM names
   UNION ALL
-  SELECT doc_id + 10000000,
+  SELECT doc_id + o,
          substring(text, 1, 4) || substring(text, 6)
-  FROM names WHERE doc_id % 3 <> 2
+  FROM names CROSS JOIN off WHERE doc_id % 3 <> 2
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(levenshtein(a.text, b.text) AS INT) AS dist
@@ -808,11 +809,18 @@ def q_dedup_editdistance(spark, sf_dir):
         .groupBy(F.col("p_name").alias("text"))
         .agg(F.min("p_partkey").alias("doc_id"))
     )
-    typos = names.filter(F.col("doc_id") % 3 != 2).select(
-        (F.col("doc_id") + 10000000).alias("doc_id"),
-        F.concat(
-            F.substring("text", 1, 4), F.expr("substring(text, 6)")
-        ).alias("text"),
+    # offset derived from the data — a fixed literal collides with
+    # base ids once p_partkey outgrows it (TPC-H SF > 50)
+    off = names.agg((F.max("doc_id") + 1).alias("_off"))
+    typos = (
+        names.crossJoin(F.broadcast(off))
+        .filter(F.col("doc_id") % 3 != 2)
+        .select(
+            (F.col("doc_id") + F.col("_off")).alias("doc_id"),
+            F.concat(
+                F.substring("text", 1, 4), F.expr("substring(text, 6)")
+            ).alias("text"),
+        )
     )
     return dedup.edit_distance_pairs(
         names.select("doc_id", "text").unionByName(typos),
@@ -1251,16 +1259,17 @@ _ER_ORACLE = """
 WITH RECURSIVE names AS (
   SELECT MIN(p_partkey) AS doc_id, p_name AS text FROM part GROUP BY p_name
 ),
+off AS (SELECT MAX(doc_id) + 1 AS o FROM names),
 recs AS (
   SELECT doc_id, text FROM names
   UNION ALL
-  SELECT doc_id + 10000000,
+  SELECT doc_id + o,
          substring(text, 1, 4) || substring(text, 6)
-  FROM names WHERE doc_id % 3 <> 2
+  FROM names CROSS JOIN off WHERE doc_id % 3 <> 2
   UNION ALL
-  SELECT doc_id + 20000000,
+  SELECT doc_id + 2 * o,
          substring(text, 1, 1) || substring(text, 3)
-  FROM names WHERE doc_id % 3 = 0
+  FROM names CROSS JOIN off WHERE doc_id % 3 = 0
 ),
 pairs AS (
   SELECT a.doc_id AS u, b.doc_id AS v
@@ -1306,17 +1315,30 @@ def q_er_resolve_entities(spark, sf_dir):
         .groupBy(F.col("p_name").alias("text"))
         .agg(F.min("p_partkey").alias("doc_id"))
     )
-    t1 = names.filter(F.col("doc_id") % 3 != 2).select(
-        (F.col("doc_id") + 10000000).alias("doc_id"),
-        F.concat(
-            F.substring("text", 1, 4), F.expr("substring(text, 6)")
-        ).alias("text"),
+    # variant-id offset DERIVED from the data (max key + 1): fixed
+    # literal offsets collide with base ids once keys outgrow them
+    # (p_partkey passes 1e7 at TPC-H SF 50), silently merging
+    # unrelated records
+    off = names.agg((F.max("doc_id") + 1).alias("_off"))
+    t1 = (
+        names.crossJoin(F.broadcast(off))
+        .filter(F.col("doc_id") % 3 != 2)
+        .select(
+            (F.col("doc_id") + F.col("_off")).alias("doc_id"),
+            F.concat(
+                F.substring("text", 1, 4), F.expr("substring(text, 6)")
+            ).alias("text"),
+        )
     )
-    t2 = names.filter(F.col("doc_id") % 3 == 0).select(
-        (F.col("doc_id") + 20000000).alias("doc_id"),
-        F.concat(
-            F.substring("text", 1, 1), F.expr("substring(text, 3)")
-        ).alias("text"),
+    t2 = (
+        names.crossJoin(F.broadcast(off))
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(
+            (F.col("doc_id") + 2 * F.col("_off")).alias("doc_id"),
+            F.concat(
+                F.substring("text", 1, 1), F.expr("substring(text, 3)")
+            ).alias("text"),
+        )
     )
     recs = names.select("doc_id", "text").unionByName(t1).unionByName(t2)
     pairs = _dedup.edit_distance_pairs(

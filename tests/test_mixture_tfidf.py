@@ -151,3 +151,74 @@ def test_equidepth_global_uses_distributed_ntile(spark, sf_dir):
     rows = out.collect()
     ns = [r.n_rows for r in rows]
     assert len(rows) == 10 and max(ns) - min(ns) <= 1
+
+
+def test_temperature_mixture_null_source_is_first_class(spark):
+    """A NULL source earns a quota and emits rows (null-safe quota
+    join); its presence must not deflate other sources' quotas beyond
+    its fair weight share."""
+    from ai_fabric_etl_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = (
+        [(i, "a") for i in range(100)]
+        + [(i + 100, "b") for i in range(100)]
+        + [(i + 200, None) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_mixture_sample(
+        df, by="source", key="doc_id", target=30, salt="mix"
+    )
+    got = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    # three equal sources, w=10 each, tw=30 -> quota 10 each
+    assert got == {"a": 10, "b": 10, None: 10}
+
+
+def test_equidepth_histogram_ignores_null_values_both_paths(spark):
+    """NULL values are excluded from binning on BOTH the grouped and
+    ungrouped paths (they used to be silently counted into bucket 1
+    ungrouped)."""
+    from ai_fabric_etl_spark.operators.profile import histogram_equidepth
+
+    rows = [(i, float(i % 4) if i % 5 else None, "g") for i in range(20)]
+    df = spark.createDataFrame(rows, ["k", "v", "g"])
+    n_valid = sum(1 for _, v, _ in rows if v is not None)
+    for by in ([], ["g"]):
+        out = histogram_equidepth(
+            df, col="v", tiebreak="k", bins=4, by=by
+        ).collect()
+        assert sum(r.n_rows for r in out) == n_valid, f"by={by}"
+        ns = [r.n_rows for r in out]
+        assert max(ns) - min(ns) <= 1
+
+
+def test_editdistance_ids_survive_large_keys(spark):
+    """The ER/editdistance variant-id offsets derive from max(key)+1,
+    so synthetic ids can never collide with base ids even when keys
+    exceed any fixed literal."""
+    from ai_fabric_etl_spark.queries.text_queries import (
+        q_er_resolve_entities,
+    )
+    import tempfile
+
+    names = [
+        "crimson anchor plate",
+        "turquoise widget drum",
+        "olive sprocket vane",
+        "magenta flywheel rod",
+        "cobalt gasket frame",
+        "amber piston shell",
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(10_000_000 + i, n) for i, n in enumerate(names)],
+            ["p_partkey", "p_name"],
+        ).write.parquet(f"{d}/part.parquet")
+        out = q_er_resolve_entities(spark, d).collect()
+        # every base name resolves to its own entity (names mutually
+        # far apart); planted typos attach to their original, which
+        # only holds if variant ids never collide with base ids
+        assert len(out) == 6
+        assert {r.canonical_text for r in out} == set(names)
+        assert sum(r.n_records for r in out) > 6  # typos joined in
