@@ -118,6 +118,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "search_term_stats",
         "search_posting_lists",
         "text_top_bigrams",
+        "text_zipf_slope",
+        "corpus_overlap_matrix",
         "user_event_sequences",
         "text_chunk_windows",
         "text_token_ids",

@@ -1357,3 +1357,171 @@ def q_er_resolve_entities(spark, sf_dir):
         (F.count(F.lit(1)) - 1).cast("long").alias("n_duplicates"),
         F.min_by("text", "doc_id").alias("canonical_text"),
     )
+
+
+_ZIPF_TOP = 80
+_ZIPF_ORACLE = f"""
+WITH toks AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS term
+  FROM documents
+),
+freq AS (
+  SELECT lang, term, COUNT(*) AS f FROM toks GROUP BY lang, term
+),
+ranked AS (
+  SELECT lang, term, f,
+         row_number() OVER (PARTITION BY lang ORDER BY f DESC, term) AS r
+  FROM freq
+),
+pts AS (
+  SELECT lang,
+         CAST(ROUND(ln(r) * 1000000) AS BIGINT) AS x,
+         CAST(ROUND(ln(f) * 1000000) AS BIGINT) AS y
+  FROM ranked WHERE r <= {_ZIPF_TOP}
+),
+s AS (
+  SELECT lang, COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+         SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx
+  FROM pts GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n_terms,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+FROM s WHERE n >= 2
+"""
+
+
+@register("text_zipf_slope", oracle=_ZIPF_ORACLE)
+def q_text_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit per language: least-squares slope of
+    ln(frequency) against ln(rank) over each language's top terms —
+    the corpus-health diagnostic (natural text sits near −1; template
+    or spam-heavy sources drift off it).
+
+    Cross-engine determinism without decimal-exact logs: each point's
+    ln() is quantized to integer micro-units FIRST
+    (round(ln·1e6) as BIGINT), then the regression moments are EXACT
+    DECIMAL(38,0) sums — the only float op left is one final division,
+    rounded to 6 dp on both sides. Order-dependent double summation
+    (the usual covar_pop hazard) never occurs.
+
+    Scale: one explode + per-lang frequency aggregate; ranking is a
+    per-language window over language vocabularies; the moment
+    aggregate collapses to one row per language."""
+    from pyspark.sql.window import Window
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    freq = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("f"))
+    r = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("f").desc(), F.col("term"))
+    )
+    pts = (
+        freq.withColumn("r", r)
+        .filter(F.col("r") <= _ZIPF_TOP)
+        .select(
+            "lang",
+            F.round(F.log(F.col("r")) * 1_000_000)
+            .cast("long")
+            .alias("x"),
+            F.round(F.log(F.col("f")) * 1_000_000)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+    )
+    return s.filter(F.col("n") >= 2).select(
+        "lang",
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+_OVERLAP_ORACLE = f"""
+WITH corpus AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'zmirror' AS source, text FROM documents WHERE doc_id % 7 = 0
+),
+fp AS (
+  SELECT DISTINCT source, md5(array_to_string({_TOK}, ' ')) AS fingerprint
+  FROM corpus
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS shared_docs
+FROM fp a JOIN fp b
+  ON a.fingerprint = b.fingerprint AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+@register("corpus_overlap_matrix", oracle=_OVERLAP_ORACLE)
+def q_corpus_overlap_matrix(spark, sf_dir):
+    """Cross-source duplication matrix: for every source pair, how
+    many exact-content fingerprints they share — the corpus-forensics
+    view that tells you which crawls/dumps are re-scrapes of each
+    other BEFORE global dedup destroys the evidence. A 'zmirror'
+    source re-publishing every 7th document is planted so the matrix
+    provably surfaces each real source's leak into it (the synthetic
+    corpus has no natural cross-source dups — an empty result would
+    verify nothing). One distinct aggregate + a self-join keyed on
+    the fingerprint (pair space bounded by per-fingerprint source
+    counts, never |corpus|²)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select("source", "text").unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.lit("zmirror").alias("source"), "text"
+        )
+    )
+    fp = corpus.select(
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ", F.split(F.trim(F.col("text")), r"\s+")
+            )
+        ).alias("fingerprint"),
+    ).distinct()
+    a = fp.select(
+        F.col("source").alias("source_a"),
+        F.col("fingerprint").alias("_fp_a"),
+    )
+    b = fp.select(
+        F.col("source").alias("source_b"),
+        F.col("fingerprint").alias("_fp_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("_fp_a") == F.col("_fp_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_docs"))
+    )
