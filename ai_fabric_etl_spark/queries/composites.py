@@ -135,6 +135,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "source_jsonl_roundtrip",
         "source_orc_roundtrip",
         "source_fixedwidth_roundtrip",
+        "source_xml_roundtrip",
         "x12_datasource_scan",
         "lakehouse_incremental_mart",
         "sketch_distinct_rollup",

@@ -871,3 +871,43 @@ def profile_histogram_equidepth(spark, sf_dir):
         bins=8,
         by=["o_orderstatus"],
     )
+
+
+_XML_ORACLE = """
+SELECT n_name, r.r_name AS region_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+"""
+
+
+@register("source_xml_roundtrip", oracle=_XML_ORACLE)
+def source_xml_roundtrip(spark, sf_dir):
+    """XML connector round trip (Spark 4's NATIVE xml data source —
+    no external spark-xml package): write the nation⋈region dim as
+    row-tagged XML, read it back with an explicit schema (inference
+    is an extra full pass — never at 100 TB), and aggregate. XML is
+    the interchange format healthcare/EDI partners actually mandate
+    alongside X12, so format breadth here mirrors the reference's
+    partner-integration surface (SURVEY §2.1)."""
+    out = os.path.join(tempfile.mkdtemp(prefix="xml_rt_"), "nations_xml")
+    dims = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            _t(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_name", F.col("r_name").alias("region_name"))
+    )
+    dims.write.format("xml").mode("overwrite").option(
+        "rootTag", "nations"
+    ).option("rowTag", "nation").save(out)
+    back = (
+        spark.read.format("xml")
+        .schema("n_name string, region_name string")
+        .option("rowTag", "nation")
+        .load(out)
+    )
+    return back.groupBy("n_name", "region_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
