@@ -169,3 +169,58 @@ def resolve_roots(
         f"resolve_roots did not converge in {max_rounds} rounds "
         "(depth > 2^rounds)"
     )
+
+
+def triangle_counts(edges: "DataFrame") -> "DataFrame":
+    """Per-node triangle counts over an undirected edge list
+    (u, v with u < v, no self-loops) — the clustering/community
+    signal. Returns (node, n_triangles) for nodes in ≥ 1 triangle.
+
+    Algorithm: DEGREE ORIENTATION (Chiba–Nishizeki / the standard
+    MapReduce triangle scheme): orient every edge from the
+    (degree, id)-smaller endpoint to the larger, enumerate wedges at
+    each edge's source, and close them against the undirected edge
+    set keyed on the (min, max) id pair. Each triangle is produced
+    exactly once (its orientation-minimum vertex owns it, wedge
+    endpoints deduped by id order). The wedge join is bounded by the
+    sum of squared OUT-degrees, and orientation caps every
+    out-degree at O(sqrt(|E|)) — the difference between a feasible
+    join and a star-node blow-up when a hub has 10^7 neighbors at
+    corpus scale. Every step is a hash join/aggregate on the edge
+    list; no per-node state, no driver loop.
+    """
+    e0 = edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    with_deg = e0.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    dir_e = with_deg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    w1 = dir_e.select(F.col("src"), F.col("dst").alias("y"))
+    w2 = dir_e.select(F.col("src"), F.col("dst").alias("z"))
+    wedges = (
+        w1.join(w2, "src")
+        .filter(F.col("y") < F.col("z"))  # dedupe the unordered pair
+        .select(
+            F.col("src").alias("a"),
+            F.col("y").alias("p"),
+            F.col("z").alias("q"),
+        )
+    )
+    closing = e0.select(F.col("u").alias("p"), F.col("v").alias("q"))
+    tris = wedges.join(closing, ["p", "q"])
+    return (
+        tris.select(F.explode(F.array("a", "p", "q")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

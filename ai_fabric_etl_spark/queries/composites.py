@@ -90,6 +90,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "topk_docs_per_source",
         "graph_pagerank_suppliers",
         "graph_hierarchy_roots",
+        "graph_triangle_counts",
         "profile_histogram_equidepth",
         "attribution_linear_touch",
     ],

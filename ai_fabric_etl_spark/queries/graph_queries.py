@@ -107,3 +107,71 @@ def graph_hierarchy_roots(spark, sf_dir):
         .alias("parent"),
     )
     return resolve_roots(cust, id_col="id", parent_col="parent")
+
+
+_TRI_MIN_COMMON = 2
+_TRI_ORACLE = f"""
+WITH pur AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e0 AS (
+  SELECT a.s AS u, b.s AS v
+  FROM pur a JOIN pur b ON a.c = b.c AND a.s < b.s
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_MIN_COMMON}
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+  ) GROUP BY node
+),
+dir AS (
+  SELECT CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.u ELSE e0.v END AS src,
+         CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.v ELSE e0.u END AS dst
+  FROM e0 JOIN deg du ON du.node = e0.u JOIN deg dv ON dv.node = e0.v
+),
+wedges AS (
+  SELECT w1.src AS a, w1.dst AS p, w2.dst AS q
+  FROM dir w1 JOIN dir w2 ON w1.src = w2.src AND w1.dst < w2.dst
+),
+tris AS (
+  SELECT a, p, q FROM wedges JOIN e0 ON e0.u = wedges.p AND e0.v = wedges.q
+)
+SELECT node, COUNT(*) AS n_triangles
+FROM (SELECT a AS node FROM tris UNION ALL SELECT p FROM tris
+      UNION ALL SELECT q FROM tris)
+GROUP BY node
+"""
+
+
+@register("graph_triangle_counts", oracle=_TRI_ORACLE)
+def graph_triangle_counts(spark, sf_dir):
+    """Per-supplier triangle counts over the co-purchase graph
+    (suppliers linked when ≥ 2 customers bought from both) — the
+    clustering-coefficient numerator. Degree orientation caps every
+    wedge fan-out at O(sqrt(E)) so a hub supplier cannot explode the
+    join (operators/graph.triangle_counts); the oracle replays edge
+    building, orientation, and wedge closure relationally. Exact
+    integer output — no rounding convention needed."""
+    from ai_fabric_etl_spark.operators.graph import triangle_counts
+
+    pur = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = pur.select(F.col("c"), F.col("s").alias("u"))
+    b = pur.select(F.col("c"), F.col("s").alias("v"))
+    edges = (
+        a.join(b, "c")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_common"))
+        .filter(F.col("_common") >= _TRI_MIN_COMMON)
+        .select("u", "v")
+    )
+    return triangle_counts(edges)

@@ -222,3 +222,32 @@ def test_editdistance_ids_survive_large_keys(spark):
         assert len(out) == 6
         assert {r.canonical_text for r in out} == set(names)
         assert sum(r.n_records for r in out) > 6  # typos joined in
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 plus a pendant vertex: K4 has 4 triangles, each K4 vertex
+    sits in 3 of them, the pendant in none."""
+    from ai_fabric_etl_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(4, 9)], ["u", "v"])
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_orientation_handles_hub(spark):
+    """A star (hub + 50 leaves) has no triangles at all — the oriented
+    wedge join must return empty rather than enumerating the hub's
+    quadratic wedge space into spurious output; adding one leaf-leaf
+    edge creates exactly one triangle."""
+    from ai_fabric_etl_spark.operators.graph import triangle_counts
+
+    star = [(0, i) for i in range(1, 51)]
+    assert triangle_counts(spark.createDataFrame(star, ["u", "v"])).count() == 0
+    got = {
+        r.node: r.n_triangles
+        for r in triangle_counts(
+            spark.createDataFrame(star + [(1, 2)], ["u", "v"])
+        ).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1}
