@@ -450,3 +450,212 @@ def quantize_int8(
     return df.withColumn(out_col, q).withColumn(
         f"{out_col}_scale", scale.cast("float")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the embedding-compression ANN scheme
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    seed: int = 29,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train PQ codebooks (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI'11): the vector space is split
+    into ``m`` contiguous subspaces and each gets its own k-means
+    codebook of ``k`` centroids — storage per vector drops from
+    dim×4 bytes to m bytes (m=4, k≤256 here: 16 bytes of floats
+    become 4 code bytes).
+
+    Returns (subspace, centroid_id, centroid array<double>) —
+    m·k rows, always broadcastable. Training runs one Spark ML
+    k-means per subspace over the corpus; at 100 TB train on a
+    deterministic sample (priority_sample) exactly as FAISS trains
+    on a corpus slice — codebook quality needs thousands of points
+    per centroid, not the whole corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    spark = corpus.sparkSession
+    rows = []
+    for j in range(m):
+        feats = corpus.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), j * sub + 1, sub).cast("array<double>")
+            ).alias("features")
+        )
+        model = KMeans(
+            k=k, seed=seed + j, distanceMeasure="euclidean",
+            featuresCol="features",
+        ).fit(feats)
+        rows += [
+            (j, i, [float(x) for x in ctr])
+            for i, ctr in enumerate(model.clusterCenters())
+        ]
+    return spark.createDataFrame(
+        rows, "subspace int, centroid_id int, centroid array<double>"
+    )
+
+
+def _codebook_array(codebooks: DataFrame):
+    """Collect the (tiny, m·k-row) codebook table into a numpy array
+    [m, k, sub] for broadcast into Arrow-batched encode/score UDFs."""
+    import numpy as np
+
+    rows = codebooks.collect()
+    m = 1 + max(r.subspace for r in rows)
+    k = 1 + max(r.centroid_id for r in rows)
+    sub = len(rows[0].centroid)
+    books = np.zeros((m, k, sub))
+    for r in rows:
+        books[r.subspace, r.centroid_id] = r.centroid
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its per-subspace nearest-centroid codes:
+    (id, codes array<int>). One Arrow-batched mapInPandas pass, all
+    distances as ONE numpy matmul-shaped broadcast op per subspace —
+    the compressed corpus this emits is what a 100 TB ANN deployment
+    scans instead of raw floats."""
+    import numpy as np
+    import pandas as pd
+
+    books = _codebook_array(codebooks)
+    m, _, sub = books.shape
+
+    def encode(batches):
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy())
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+                d = (
+                    -2.0 * xs @ books[j].T
+                    + (books[j] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes its m×k lookup table of exact subspace distances, and
+    every corpus vector's approximate distance is m table lookups —
+    no float vector is ever read at query time. Returns
+    (query_id, neighbor_id, rank, approx_dist), rank 1..k by
+    ascending distance (ties by id). On L2-normalized vectors,
+    squared-L2 ranking == cosine ranking, so recall is measured
+    against the cosine brute force.
+
+    Scale: the scan reads only the m-byte codes column; the final
+    per-query top-k is a window over (query, candidate) scores —
+    compose with the bottom-k prereduce for huge query batches."""
+    import numpy as np
+    import pandas as pd
+
+    books = _codebook_array(codebooks)
+    m, kk, sub = books.shape
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    qids = np.array([r.query_id for r in qrows])
+    qvecs = np.stack([np.asarray(r.q_vec, dtype=float) for r in qrows])
+    # distance tables: tables[qi, j, c] = ||q_sub - c||^2
+    tables = np.empty((len(qids), m, kk))
+    for j in range(m):
+        qs = qvecs[:, j * sub : (j + 1) * sub]
+        tables[:, j, :] = (
+            (qs**2).sum(axis=1)[:, None]
+            - 2.0 * qs @ books[j].T
+            + (books[j] ** 2).sum(axis=1)[None, :]
+        )
+
+    def score(batches):
+        for pdf in batches:
+            c = np.stack(pdf["codes"].to_numpy())  # [n, m]
+            n = len(pdf)
+            # dist[qi, row] = sum_j tables[qi, j, c[row, j]]
+            d = np.zeros((len(qids), n))
+            for j in range(m):
+                d += tables[:, j, :][:, c[:, j]]
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n),
+                    "neighbor_id": np.tile(pdf[id_col].to_numpy(), len(qids)),
+                    "approx_dist": d.reshape(-1),
+                }
+            )
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = codes.mapInPandas(
+        score, schema="query_id long, neighbor_id long, approx_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    shortlist_n = max(k, rerank)
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist_n)
+    )
+    if rerank <= k:
+        return shortlist.filter(F.col("rank") <= k).select(
+            "query_id", "neighbor_id", "rank", "approx_dist"
+        )
+    # refine stage (FAISS-style): exact-rescore ONLY the R-row ADC
+    # shortlist against the raw vectors — full floats are read for
+    # R x |queries| rows total, never the corpus; recall approaches
+    # exact as R grows while the scan stays codes-only
+    if corpus is None:
+        raise ValueError("rerank > k requires the raw corpus DataFrame")
+    qside = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q_vec")
+    )
+    cside = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_c_vec")
+    )
+    exact = (
+        shortlist.select("query_id", "neighbor_id")
+        .join(cside, "neighbor_id")
+        .join(F.broadcast(qside), "query_id")
+        .withColumn("cosine_sim", cosine(F.col("_q_vec"), F.col("_c_vec")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )

@@ -125,6 +125,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "text_chunk_windows",
         "text_token_ids",
         "emb_quantize_int8",
+        "emb_knn_pq_recall",
         "curate_chunks_pipeline",
         "text_clean_redact",
         "p11_text_predicates",

@@ -1525,3 +1525,50 @@ def q_corpus_overlap_matrix(spark, sf_dir):
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("shared_docs"))
     )
+
+
+def _pq_topk(spark, sf_dir, k=5):
+    """Shared PQ pipeline: L2-normalize (squared-L2 ranking == cosine
+    ranking), train m=8/k=16 codebooks, encode, ADC shortlist of 50,
+    exact rerank."""
+    emb = similarity.normalize_l2(_t(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 8)
+    books = similarity.pq_train(emb, m=8, k=16)
+    codes = similarity.pq_encode(emb, books)
+    return similarity.pq_topk(
+        codes, books, q, k=k, rerank=50, corpus=emb
+    )
+
+
+@register("emb_knn_pq")
+def q_emb_knn_pq(spark, sf_dir):
+    """Approximate top-5 via PRODUCT QUANTIZATION + exact rerank
+    (Jégou et al. TPAMI'11; the FAISS IVFPQ-with-refine shape): the
+    corpus scan reads 8 code bytes per vector instead of 256 float
+    bytes, the query's m×k ADC lookup table scores candidates with
+    table adds, and only the 50-row shortlist per query touches raw
+    floats. Rows-only (k-means codebooks are not SQL-replayable);
+    recall gated by emb_knn_pq_recall."""
+    out = _pq_topk(spark, sf_dir)
+    return out.withColumnRenamed("rank", "knn_rank").orderBy(
+        "query_id", "knn_rank"
+    )
+
+
+@register(
+    "emb_knn_pq_recall",
+    oracle="SELECT 8 AS n_queries, TRUE AS recall_floor_met",
+)
+def q_emb_knn_pq_recall(spark, sf_dir):
+    """Driver-visible PQ recall gate: pooled recall@5 of the
+    ADC-shortlist + exact-rerank pipeline vs cosine brute force must
+    hold ≥ 0.5 (measured ~0.72-0.78 at both gate SFs; the pytest
+    floor is 0.6). A codebook/encode/ADC regression flips the
+    driver's value hash."""
+    rec = _knn_hits(
+        spark, sf_dir, lambda e, q, k: _pq_topk(spark, sf_dir, k=k)
+    )
+    return rec.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.avg("recall") >= 0.5).alias("recall_floor_met"),
+    )

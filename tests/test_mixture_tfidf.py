@@ -251,3 +251,47 @@ def test_triangle_counts_orientation_handles_hub(spark):
         ).collect()
     }
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_pq_recall_and_compression(spark, sf_dir):
+    """PQ + exact rerank: pooled recall@5 >= 0.6 vs cosine brute
+    force; codes are m=8 ints in [0, 16); encode is deterministic."""
+    from ai_fabric_etl_spark.operators import similarity
+
+    emb = similarity.normalize_l2(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+    q = emb.filter(F.col("vec_id") < 8)
+    books = similarity.pq_train(emb, m=8, k=16)
+    codes = similarity.pq_encode(emb, books)
+    rows = codes.collect()
+    assert all(len(r.codes) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r.codes)
+    again = {r.vec_id: list(r.codes) for r in similarity.pq_encode(emb, books).collect()}
+    assert again == {r.vec_id: list(r.codes) for r in rows}
+
+    ap = similarity.pq_topk(codes, books, q, k=5, rerank=50, corpus=emb)
+    bf = similarity.brute_force_topk(emb, q, k=5)
+    a = {(r.query_id, r.neighbor_id) for r in ap.collect()}
+    b = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    assert len(a & b) / len(b) >= 0.6
+
+    # no-rerank path returns the raw ADC ranking with approx_dist
+    adc = similarity.pq_topk(codes, books, q, k=5)
+    assert "approx_dist" in adc.columns and adc.count() == 40
+
+
+def test_pq_rerank_requires_corpus(spark, sf_dir):
+    import pytest
+
+    from ai_fabric_etl_spark.operators import similarity
+
+    emb = similarity.normalize_l2(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+    books = similarity.pq_train(emb, m=8, k=16)
+    codes = similarity.pq_encode(emb, books)
+    with pytest.raises(ValueError):
+        similarity.pq_topk(
+            codes, books, emb.filter(F.col("vec_id") < 2), k=5, rerank=20
+        ).collect()
