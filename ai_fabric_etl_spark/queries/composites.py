@@ -140,6 +140,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "source_xml_roundtrip",
         "x12_datasource_scan",
         "lakehouse_incremental_mart",
+        "lakehouse_incremental_join_view",
         "sketch_distinct_rollup",
         "quantile_sketch_prices",
         "zorder_curve_keys",

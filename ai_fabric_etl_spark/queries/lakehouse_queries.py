@@ -911,3 +911,121 @@ def source_xml_roundtrip(spark, sf_dir):
     return back.groupBy("n_name", "region_name").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows")
     )
+
+
+_IJV_ORACLE = """
+WITH off AS (SELECT MAX(o_orderkey) + 1 AS o FROM orders),
+base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+-- replay: UPDATE %5=0 doubles price; DELETE %11=3; INSERT mirrors of
+-- %13=1 rows at key+off with price 100.00
+updated AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN CAST(price * 2 AS DECIMAL(18,2)) ELSE price END AS price
+  FROM base WHERE o_orderkey % 11 <> 3
+),
+final AS (
+  SELECT * FROM updated
+  UNION ALL
+  SELECT b.o_orderkey + off.o, b.o_custkey, b.o_orderstatus,
+         CAST(100.00 AS DECIMAL(18,2))
+  FROM base b CROSS JOIN off WHERE b.o_orderkey % 13 = 1
+)
+SELECT c.c_nationkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(f.price) AS DOUBLE) AS total_price
+FROM final f JOIN customer c ON f.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
+@register("lakehouse_incremental_join_view", oracle=_IJV_ORACLE)
+def lakehouse_incremental_join_view(spark, sf_dir):
+    """Incremental maintenance of a JOIN view from the change feed:
+    the materialized per-nation order rollup joins the fact to the
+    customer dim, and after UPDATE + DELETE + MERGE-INSERT hit the
+    fact table, the view folds forward from Δfact ⋈ dim alone —
+    Δ(A⋈B) = ΔA⋈B when only A changes. The delta (feed rows only)
+    joins the dim and applies signed: +insert +postimage −preimage
+    −delete; the fact table is NEVER rescanned, and the dim join runs
+    on feed-sized input (broadcastable at any fact scale). Equality
+    with the final-state relational recompute (the oracle) proves the
+    fold exact through all three DML classes."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    t = ParquetMergeTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="lakehouse_ijv_"), "t")
+    )
+    t.overwrite(orders)
+    v0 = t._version()
+    view0 = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").alias("total_price"),
+        )
+    )
+    # three DML classes against the fact
+    t.update(
+        F.col("o_orderkey") % 5 == 0,
+        {"price": (F.col("price") * 2).cast("decimal(18,2)")},
+    )
+    t.delete(F.col("o_orderkey") % 11 == 3)
+    off = orders.agg((F.max("o_orderkey") + 1).alias("_off"))
+    inserts = (
+        orders.crossJoin(F.broadcast(off))
+        .filter(F.col("o_orderkey") % 13 == 1)
+        .select(
+            (F.col("o_orderkey") + F.col("_off")).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            F.lit("100.00").cast("decimal(18,2)").alias("price"),
+        )
+    )
+    t.merge(inserts, keys=["o_orderkey"])
+    # the fold: feed ⋈ dim, signed — never the fact table
+    feed = t.changes(keys=["o_orderkey"], from_version=v0)
+    deltas = (
+        feed.join(F.broadcast(cust), feed.o_custkey == cust.c_custkey)
+        .select(
+            "c_nationkey",
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"), 1
+            )
+            .otherwise(-1)
+            .alias("_sign"),
+            "price",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("_sign").alias("d_n"),
+            F.sum(F.col("_sign") * F.col("price")).alias("d_price"),
+        )
+    )
+    return (
+        view0.join(deltas, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            (
+                F.coalesce(F.col("n_orders"), F.lit(0))
+                + F.coalesce(F.col("d_n"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("total_price"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("d_price"), F.lit(0).cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("total_price"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
