@@ -39,13 +39,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each queries() entry.
 
-    The six entries absent here are genuinely hash-defined or
-    sequential ops (xxhash-keyed LSH / SimHash variants, the greedy
-    packer, fake-decode plumbing) — each has a companion ★ entry that
-    value-verifies its invariant (planted-duplicate recall, recall
-    floors, packing feasibility, real-codec round trips), so every
-    operator family is driver-gated. The X12 parse itself is fully
-    value-oracled (spec-derived expected silver) through BOTH access
-    paths (mapInPandas pipeline and the x12 data source).
+    The seven entries absent here are genuinely hash-defined,
+    model-fitted, or sequential ops (xxhash-keyed LSH / SimHash
+    variants, k-means-codebook PQ, the greedy packer, fake-decode
+    plumbing) — each has a companion ★ entry that value-verifies its
+    invariant (planted-duplicate recall, recall floors, packing
+    feasibility, real-codec round trips), so every operator family is
+    driver-gated. The X12 parse itself is fully value-oracled
+    (spec-derived expected silver) through BOTH access paths
+    (mapInPandas pipeline and the x12 data source).
     """
     return catalog.oracle_sql()

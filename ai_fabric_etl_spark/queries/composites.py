@@ -119,6 +119,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "search_term_stats",
         "search_posting_lists",
         "text_top_bigrams",
+        "text_pmi_collocations",
         "text_zipf_slope",
         "corpus_overlap_matrix",
         "user_event_sequences",

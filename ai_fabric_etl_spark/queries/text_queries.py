@@ -1572,3 +1572,97 @@ def q_emb_knn_pq_recall(spark, sf_dir):
         F.count(F.lit(1)).alias("n_queries"),
         (F.avg("recall") >= 0.5).alias("recall_floor_met"),
     )
+
+
+_PMI_MIN = 20
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT term, COUNT(*) AS cu FROM (
+    SELECT unnest(t) AS term FROM toks
+  ) GROUP BY term
+),
+nu AS (SELECT SUM(cu) AS n_uni FROM uni),
+bi AS (
+  SELECT w[1] AS w1, w[2] AS w2, COUNT(*) AS cb FROM (
+    SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS w FROM toks
+  ) GROUP BY 1, 2 HAVING COUNT(*) >= {_PMI_MIN}
+),
+nb AS (
+  SELECT COUNT(*) AS n_bi FROM (
+    SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS w FROM toks
+  )
+)
+SELECT b.w1 || ' ' || b.w2 AS bigram, b.cb AS n_occurrences,
+       ROUND(ln(
+         CAST(CAST(b.cb AS DECIMAL(38,0)) * nu.n_uni * nu.n_uni AS DOUBLE)
+         / CAST(CAST(nb.n_bi AS DECIMAL(38,0)) * a.cu * c.cu AS DOUBLE)
+       ), 6) AS pmi
+FROM bi b
+JOIN uni a ON a.term = b.w1
+JOIN uni c ON c.term = b.w2
+CROSS JOIN nu CROSS JOIN nb
+"""
+
+
+@register("text_pmi_collocations", oracle=_PMI_ORACLE)
+def q_text_pmi_collocations(spark, sf_dir):
+    """Pointwise mutual information for frequent bigrams — the
+    collocation detector (Church & Hanks '90) that separates genuine
+    phrases from chance adjacency; LM tokenizer/vocab work reads
+    exactly this table to decide merges. The PMI argument
+    c_ab·N_uni² / (N_bi·c_a·c_b) is built from EXACT decimal integer
+    products; one double division + one ln + ROUND(6) are the only
+    float ops on either engine. Unigram joins are vocabulary-sized
+    hash joins (not broadcast — same scale note as tf-idf)."""
+    from ai_fabric_etl_spark.operators.search import tokenize
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokenize(F.col("text")).alias("t")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    n_uni = uni.agg(F.sum("cu").alias("n_uni"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(arrays_zip(slice(t, 1, greatest(size(t)-1, 0)), "
+                "slice(t, 2, greatest(size(t)-1, 0))), "
+                "p -> struct(p['0'] AS w1, p['1'] AS w2))"
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    n_bi = pairs.agg(F.count(F.lit(1)).alias("n_bi"))
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .filter(F.col("cb") >= _PMI_MIN)
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    ua = uni.select(F.col("term").alias("w1"), F.col("cu").alias("cua"))
+    uc = uni.select(F.col("term").alias("w2"), F.col("cu").alias("cuc"))
+    return (
+        bi.join(ua, "w1")
+        .join(uc, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("cb").alias("n_occurrences"),
+            F.round(
+                F.log(
+                    (dec("cb") * dec("n_uni") * dec("n_uni")).cast("double")
+                    / (dec("n_bi") * dec("cua") * dec("cuc")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
