@@ -189,7 +189,12 @@ def triangle_counts(edges: "DataFrame") -> "DataFrame":
     corpus scale. Every step is a hash join/aggregate on the edge
     list; no per-node state, no driver loop.
     """
-    e0 = edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
+    # e0 feeds four subtrees (two degree legs, the closing join, and —
+    # through dir_e — both wedge legs); without pinning, Spark
+    # re-derives the whole edge-construction lineage once per use.
+    e0 = edges.select(
+        F.col("u").cast("long"), F.col("v").cast("long")
+    ).localCheckpoint(eager=False)
     deg = (
         e0.select(F.col("u").alias("node"))
         .unionByName(e0.select(F.col("v").alias("node")))
@@ -202,6 +207,9 @@ def triangle_counts(edges: "DataFrame") -> "DataFrame":
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # dir_e is NOT pinned: past the pinned e0 it is one broadcast-join
+    # projection, cheaper to recompute for the second wedge leg than
+    # to materialize
     dir_e = with_deg.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),

@@ -109,16 +109,14 @@ def graph_hierarchy_roots(spark, sf_dir):
     return resolve_roots(cust, id_col="id", parent_col="parent")
 
 
-_TRI_MIN_COMMON = 2
-_TRI_ORACLE = f"""
-WITH pur AS (
-  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+_TRI_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
 ),
 e0 AS (
-  SELECT a.s AS u, b.s AS v
-  FROM pur a JOIN pur b ON a.c = b.c AND a.s < b.s
-  GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_MIN_COMMON}
+  SELECT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
 ),
 deg AS (
   SELECT node, COUNT(*) AS d FROM (
@@ -146,32 +144,31 @@ GROUP BY node
 
 @register("graph_triangle_counts", oracle=_TRI_ORACLE)
 def graph_triangle_counts(spark, sf_dir):
-    """Per-supplier triangle counts over the co-purchase graph
-    (suppliers linked when ≥ 2 customers bought from both) — the
-    clustering-coefficient numerator. Degree orientation caps every
-    wedge fan-out at O(sqrt(E)) so a hub supplier cannot explode the
-    join (operators/graph.triangle_counts); the oracle replays edge
-    building, orientation, and wedge closure relationally. Exact
-    integer output — no rounding convention needed."""
+    """Per-part triangle counts over the co-occurrence graph (parts
+    linked when they appear in the same order) — the
+    clustering-coefficient numerator for product-affinity analysis.
+
+    The EDGE construction is itself scale-bounded: pairs are keyed on
+    the order, so the candidate space is Σ (lines-per-order choose 2)
+    — linear in lineitem, never customers × suppliers² (the earlier
+    supplier co-purchase demo densified into a near-complete graph
+    at sf0.1, exactly the blow-up this graph shape avoids; max degree
+    here stays ~220 from sf0.001 to sf0.1 while nodes grow 100×).
+    Degree orientation then caps wedge fan-out at O(sqrt(E)) per node
+    (operators/graph.triangle_counts); the oracle replays edges,
+    orientation, and wedge closure relationally. Exact integer
+    output — no rounding convention needed."""
     from ai_fabric_etl_spark.operators.graph import triangle_counts
 
-    pur = (
-        _t(spark, sf_dir, "orders")
-        .join(
-            _t(spark, sf_dir, "lineitem"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
-    a = pur.select(F.col("c"), F.col("s").alias("u"))
-    b = pur.select(F.col("c"), F.col("s").alias("v"))
+    a = li.select(F.col("o"), F.col("p").alias("u"))
+    b = li.select(F.col("o"), F.col("p").alias("v"))
     edges = (
-        a.join(b, "c")
+        a.join(b, "o")
         .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("_common"))
-        .filter(F.col("_common") >= _TRI_MIN_COMMON)
         .select("u", "v")
+        .distinct()
     )
     return triangle_counts(edges)

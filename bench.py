@@ -75,6 +75,9 @@ HEADLINE = [
     "profile_histogram_equidepth", # quantile histogram (rank semantics)
     "er_resolve_entities",         # block->match->cluster->survivor
     "rfm_customer_segments",       # distributed ntile scoring
+    "graph_triangle_counts",       # degree-oriented wedge closure
+    "text_pmi_collocations",       # exact-integer PMI collocations
+    "lakehouse_incremental_join_view",  # feed-driven join-view fold
     "x12_silver_transactions",     # distributed X12 parse
 ]
 
