@@ -486,21 +486,30 @@ def pq_train(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
     spark = corpus.sparkSession
-    rows = []
-    for j in range(m):
-        feats = corpus.select(
-            array_to_vector(
-                F.slice(F.col(vec_col), j * sub + 1, sub).cast("array<double>")
-            ).alias("features")
-        )
-        model = KMeans(
-            k=k, seed=seed + j, distanceMeasure="euclidean",
-            featuresCol="features",
-        ).fit(feats)
-        rows += [
-            (j, i, [float(x) for x in ctr])
-            for i, ctr in enumerate(model.clusterCenters())
-        ]
+    # one materialization feeds all m fits (each KMeans iterates its
+    # input several times; without the persist the corpus projection
+    # is re-scanned m x iterations times)
+    vecs = corpus.select(F.col(vec_col).alias("_v")).persist()
+    try:
+        rows = []
+        for j in range(m):
+            feats = vecs.select(
+                array_to_vector(
+                    F.slice(F.col("_v"), j * sub + 1, sub).cast(
+                        "array<double>"
+                    )
+                ).alias("features")
+            )
+            model = KMeans(
+                k=k, seed=seed + j, distanceMeasure="euclidean",
+                featuresCol="features",
+            ).fit(feats)
+            rows += [
+                (j, i, [float(x) for x in ctr])
+                for i, ctr in enumerate(model.clusterCenters())
+            ]
+    finally:
+        vecs.unpersist()
     return spark.createDataFrame(
         rows, "subspace int, centroid_id int, centroid array<double>"
     )
@@ -584,6 +593,9 @@ def pq_topk(
     import numpy as np
     import pandas as pd
 
+    # fail fast BEFORE the query collect / table build below
+    if rerank > k and corpus is None:
+        raise ValueError("rerank > k requires the raw corpus DataFrame")
     books = _codebook_array(codebooks)
     m, kk, sub = books.shape
     qrows = queries.select(
@@ -637,8 +649,7 @@ def pq_topk(
     # shortlist against the raw vectors — full floats are read for
     # R x |queries| rows total, never the corpus; recall approaches
     # exact as R grows while the scan stays codes-only
-    if corpus is None:
-        raise ValueError("rerank > k requires the raw corpus DataFrame")
+    assert corpus is not None  # validated at entry
     qside = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q_vec")
     )

@@ -1413,16 +1413,11 @@ def q_text_zipf_slope(spark, sf_dir):
     Scale: one explode + per-lang frequency aggregate; ranking is a
     per-language window over language vocabularies; the moment
     aggregate collapses to one row per language."""
+    from ai_fabric_etl_spark.operators.search import tokenize
     from pyspark.sql.window import Window
 
     toks = _t(spark, sf_dir, "documents").select(
-        "lang",
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
-                lambda t: t != F.lit(""),
-            )
-        ).alias("term"),
+        "lang", F.explode(tokenize(F.col("text"))).alias("term")
     )
     freq = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("f"))
     r = F.row_number().over(
@@ -1527,16 +1522,18 @@ def q_corpus_overlap_matrix(spark, sf_dir):
     )
 
 
-def _pq_topk(spark, sf_dir, k=5):
-    """Shared PQ pipeline: L2-normalize (squared-L2 ranking == cosine
-    ranking), train m=8/k=16 codebooks, encode, ADC shortlist of 50,
-    exact rerank."""
-    emb = similarity.normalize_l2(_t(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") < 8)
-    books = similarity.pq_train(emb, m=8, k=16)
-    codes = similarity.pq_encode(emb, books)
+def _pq_approx(emb, q, k=5):
+    """Shared PQ pipeline, same (corpus, queries, k) shape as the
+    lsh/ivf topk functions so _knn_hits can drive it directly:
+    L2-normalize both sides (squared-L2 ranking == cosine ranking),
+    train m=8/k=16 codebooks, encode, ADC shortlist of 50, exact
+    rerank."""
+    nemb = similarity.normalize_l2(emb)
+    nq = similarity.normalize_l2(q)
+    books = similarity.pq_train(nemb, m=8, k=16)
+    codes = similarity.pq_encode(nemb, books)
     return similarity.pq_topk(
-        codes, books, q, k=k, rerank=50, corpus=emb
+        codes, books, nq, k=k, rerank=50, corpus=nemb
     )
 
 
@@ -1549,7 +1546,8 @@ def q_emb_knn_pq(spark, sf_dir):
     table adds, and only the 50-row shortlist per query touches raw
     floats. Rows-only (k-means codebooks are not SQL-replayable);
     recall gated by emb_knn_pq_recall."""
-    out = _pq_topk(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    out = _pq_approx(emb, emb.filter(F.col("vec_id") < 8))
     return out.withColumnRenamed("rank", "knn_rank").orderBy(
         "query_id", "knn_rank"
     )
@@ -1565,9 +1563,7 @@ def q_emb_knn_pq_recall(spark, sf_dir):
     hold ≥ 0.5 (measured ~0.72-0.78 at both gate SFs; the pytest
     floor is 0.6). A codebook/encode/ADC regression flips the
     driver's value hash."""
-    rec = _knn_hits(
-        spark, sf_dir, lambda e, q, k: _pq_topk(spark, sf_dir, k=k)
-    )
+    rec = _knn_hits(spark, sf_dir, _pq_approx)
     return rec.agg(
         F.count(F.lit(1)).alias("n_queries"),
         (F.avg("recall") >= 0.5).alias("recall_floor_met"),
@@ -1619,12 +1615,18 @@ def q_text_pmi_collocations(spark, sf_dir):
     c_ab·N_uni² / (N_bi·c_a·c_b) is built from EXACT decimal integer
     products; one double division + one ln + ROUND(6) are the only
     float ops on either engine. Unigram joins are vocabulary-sized
-    hash joins (not broadcast — same scale note as tf-idf)."""
+    hash joins (not broadcast — same scale note as tf-idf).
+
+    One corpus scan: the tokenized frame is pinned (four consumers —
+    unigram counts, their total, bigram counts, their total — would
+    otherwise each re-run tokenize+explode over the corpus, and the
+    totals derive from the two count aggregates, never a fresh
+    scan)."""
     from ai_fabric_etl_spark.operators.search import tokenize
 
     toks = _t(spark, sf_dir, "documents").select(
         "doc_id", tokenize(F.col("text")).alias("t")
-    )
+    ).localCheckpoint(eager=False)
     uni = (
         toks.select(F.explode("t").alias("term"))
         .groupBy("term")
@@ -1640,12 +1642,9 @@ def q_text_pmi_collocations(spark, sf_dir):
             )
         ).alias("p")
     ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    n_bi = pairs.agg(F.count(F.lit(1)).alias("n_bi"))
-    bi = (
-        pairs.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("cb"))
-        .filter(F.col("cb") >= _PMI_MIN)
-    )
+    bi_all = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    n_bi = bi_all.agg(F.sum("cb").alias("n_bi"))
+    bi = bi_all.filter(F.col("cb") >= _PMI_MIN)
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     ua = uni.select(F.col("term").alias("w1"), F.col("cu").alias("cua"))
     uc = uni.select(F.col("term").alias("w2"), F.col("cu").alias("cuc"))
