@@ -21,7 +21,9 @@ from ai_fabric_etl_spark.queries.fingerprint import (
 
 # every name must be a registered ★-oracled entry; rows-only entries
 # (hash-defined LSH variants, greedy packer, fake-decode plumbing)
-# keep their dedicated gate twins inside the top-50 instead
+# keep their dedicated gate twins inside the top-50 instead.
+# Budget check (r4): all four composites run + hash-verify in <3 min
+# total at the driver's sf0.01, well inside the correctness window.
 FP_GROUPS: dict[str, list[str]] = {
     "fp_tpch_core": [
         "tpch_q1_pricing_summary",
