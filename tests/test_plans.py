@@ -359,3 +359,41 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_session_entries_have_no_cartesian_blowups(spark, sf_dir):
+    """Eighth-pass entries: no CartesianProduct anywhere; nested-loop
+    joins only where they are 1-row scalar broadcasts by construction
+    (PMI/zipf/mixture totals, attribution's credit divisor carrier).
+    The pair-producing entries (overlap, triangles, ER) must pair
+    through hash joins on their blocking keys, never the cross
+    space."""
+    from ai_fabric_etl_spark.plans.inspect import plan_string
+    from ai_fabric_etl_spark.queries import catalog
+
+    qs = catalog.queries()
+    scalar_bnl_ok = {
+        # these cross-join a single aggregate row (broadcast) into the
+        # projection — BroadcastNestedLoopJoin over 1 row is the plan
+        "text_pmi_collocations",
+        "text_zipf_slope",
+        "sample_temperature_mixture",
+        "er_resolve_entities",
+        "lakehouse_incremental_join_view",
+        "text_tfidf_topk",  # 1-row n_docs corpus-stat join
+    }
+    for name in [
+        "sample_temperature_mixture",
+        "text_tfidf_topk",
+        "text_pmi_collocations",
+        "text_zipf_slope",
+        "corpus_overlap_matrix",
+        "attribution_linear_touch",
+        "profile_histogram_equidepth",
+        "graph_triangle_counts",
+        "rfm_customer_segments",
+    ]:
+        plan = plan_string(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        if name not in scalar_bnl_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, name
