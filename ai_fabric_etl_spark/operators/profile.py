@@ -197,3 +197,138 @@ def histogram_equidepth(
         F.max(col).alias("hi"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def skew_gini(
+    df: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Key-skew diagnostic: the Gini coefficient of the key-frequency
+    distribution plus the heavy-hitter share — the number that tells
+    you whether a planned groupBy/join on ``key`` will straggle
+    before you run it (0 = uniform keys, →1 = one hot key owns the
+    table).
+
+    Exact and cross-engine deterministic: with per-key counts x
+    ranked ascending (ties by key), Gini = (2·Σ i·x_i) / (n·Σx)
+    − (n+1)/n; both Σ terms are exact DECIMAL(38,0) integer sums, so
+    the only float ops are two divisions and a subtraction, rounded
+    to 6 dp. The rank comes from ranking.global_row_number — a range
+    shuffle over the KEY-grain aggregate, no one-task window even
+    when the key cardinality is huge.
+
+    Returns one row: (n_keys, n_rows, max_key_share, gini).
+    """
+    from ai_fabric_etl_spark.operators.ranking import global_row_number
+
+    counts = df.groupBy(F.col(key).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_x")
+    )
+    ranked = global_row_number(
+        counts, [F.col("_x"), F.col("_k")], out_col="_i"
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("_x").cast("long").alias("n_rows"),
+        F.round(
+            F.max("_x").cast("double") / F.sum("_x").cast("double"), 6
+        ).alias("max_key_share"),
+        F.round(
+            (F.lit(2) * F.sum(dec("_i") * dec("_x"))).cast("double")
+            / (F.count(F.lit(1)) * F.sum(dec("_x"))).cast("double")
+            - (F.count(F.lit(1)) + F.lit(1)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+def drift_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    tiebreak: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Population stability index between a reference and a current
+    sample of ``col`` — the standard ML-ops drift gate
+    (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 retrain).
+
+    Bin edges are the REFERENCE sample's equi-depth bucket
+    boundaries (discrete quantiles from :func:`histogram_equidepth`,
+    actual data values — no float edge arithmetic), so the reference
+    lands ~uniformly in every bin by construction and drift shows as
+    current-sample mass moving between bins. Both samples are bucketed
+    by the same broadcast edge list; per-bin shares use Laplace
+    smoothing (+1 count per side) so empty bins cannot produce
+    ±infinity. Each bin's PSI term quantizes its ln() ratio to
+    integer micro-units before the final sum (the zipf-slope
+    convention), keeping the driver hash independent of float
+    summation order.
+
+    Returns (bin_id, ref_n, cur_n, psi_term_micro) per bin plus exact
+    integer counts — total PSI = Σ psi_term_micro / 1e6.
+    """
+    edges = (
+        histogram_equidepth(ref, col=col, tiebreak=tiebreak, bins=bins)
+        .select("bin_id", "hi")
+        .filter(F.col("bin_id") < bins)  # top bin is open-ended
+    )
+
+    # count per value first, then per bin: the edge theta-join (bin =
+    # 1 + number of edges strictly below the value) runs on the
+    # DISTINCT value grain, not the row grain
+    def bin_counts(df, alias):
+        vals = (
+            df.select(F.col(col).alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .groupBy("_v")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        e = edges.select(F.col("hi").alias("_hi"))
+        binned = (
+            vals.join(F.broadcast(e), F.col("_v") > F.col("_hi"), "left")
+            .groupBy("_v", "_n")
+            .agg((F.lit(1) + F.count("_hi")).alias("bin_id"))
+        )
+        return binned.groupBy("bin_id").agg(F.sum("_n").alias(alias))
+
+    grid = ref.sparkSession.range(1, bins + 1).select(
+        F.col("id").cast("int").alias("bin_id")
+    )
+    r = bin_counts(ref, "ref_n")
+    c = bin_counts(cur, "cur_n")
+    both = (
+        grid.join(r, "bin_id", "left")
+        .join(c, "bin_id", "left")
+        .select(
+            "bin_id",
+            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        )
+    )
+    tot = both.agg(
+        F.sum("ref_n").alias("_tr"), F.sum("cur_n").alias("_tc")
+    )
+    smoothed_p = (F.col("ref_n") + 1).cast("double") / (
+        F.col("_tr") + F.lit(bins)
+    ).cast("double")
+    smoothed_q = (F.col("cur_n") + 1).cast("double") / (
+        F.col("_tc") + F.lit(bins)
+    ).cast("double")
+    return (
+        both.crossJoin(F.broadcast(tot))
+        .select(
+            "bin_id",
+            "ref_n",
+            "cur_n",
+            F.round(
+                (smoothed_q - smoothed_p)
+                * F.log(smoothed_q / smoothed_p)
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("psi_term_micro"),
+        )
+    )

@@ -95,6 +95,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "graph_triangle_counts",
         "profile_histogram_equidepth",
         "attribution_linear_touch",
+        "profile_skew_gini",
+        "drift_psi_prices",
     ],
     "fp_training_sources": [
         "scalar_datetime",

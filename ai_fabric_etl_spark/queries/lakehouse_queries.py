@@ -1029,3 +1029,103 @@ def lakehouse_incremental_join_view(spark, sf_dir):
         )
         .filter(F.col("n_orders") > 0)
     )
+
+
+_GINI_ORACLE = """
+WITH counts AS (
+  SELECT o_custkey AS k, COUNT(*) AS x FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, k) AS i FROM counts
+)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(x) AS BIGINT) AS n_rows,
+       ROUND(CAST(MAX(x) AS DOUBLE) / CAST(SUM(x) AS DOUBLE), 6)
+         AS max_key_share,
+       ROUND(CAST(2 * SUM(CAST(i AS DECIMAL(38,0)) * x) AS DOUBLE)
+             / CAST(COUNT(*) * SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE)
+             - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS gini
+FROM ranked
+"""
+
+
+@register("profile_skew_gini", oracle=_GINI_ORACLE)
+def profile_skew_gini(spark, sf_dir):
+    """Key-skew diagnostic on the orders fact: Gini coefficient of
+    per-customer order counts + the heaviest key's share — the
+    pre-flight number that predicts whether a groupBy/join on this
+    key straggles. Exact integer Σ i·x / n·Σx arithmetic; ranking via
+    the distributed range shuffle (no one-task window even at
+    customer-grain cardinality)."""
+    from ai_fabric_etl_spark.operators.profile import skew_gini
+
+    return skew_gini(_t(spark, sf_dir, "orders"), key="o_custkey")
+
+
+_PSI_BINS = 10
+_PSI_ORACLE = f"""
+WITH ref AS (
+  SELECT o_totalprice AS v, o_orderkey AS tb FROM orders
+  WHERE o_orderdate < DATE '1997-01-01'
+),
+cur AS (
+  SELECT o_totalprice AS v FROM orders
+  WHERE o_orderdate >= DATE '1997-01-01'
+),
+ranked AS (
+  SELECT v, ntile({_PSI_BINS}) OVER (ORDER BY v, tb) AS b FROM ref
+),
+edges AS (
+  SELECT b AS bin_id, MAX(v) AS hi FROM ranked GROUP BY b
+  HAVING b < {_PSI_BINS}
+),
+rv AS (SELECT v, COUNT(*) AS n FROM ref GROUP BY v),
+cv AS (SELECT v, COUNT(*) AS n FROM cur GROUP BY v),
+rb AS (
+  SELECT r.v, r.n, 1 + COUNT(e.hi) AS bin_id
+  FROM rv r LEFT JOIN edges e ON r.v > e.hi GROUP BY r.v, r.n
+),
+cb AS (
+  SELECT c.v, c.n, 1 + COUNT(e.hi) AS bin_id
+  FROM cv c LEFT JOIN edges e ON c.v > e.hi GROUP BY c.v, c.n
+),
+rbin AS (SELECT bin_id, CAST(SUM(n) AS BIGINT) AS ref_n FROM rb GROUP BY bin_id),
+cbin AS (SELECT bin_id, CAST(SUM(n) AS BIGINT) AS cur_n FROM cb GROUP BY bin_id),
+grid AS (SELECT unnest(generate_series(1, {_PSI_BINS})) AS bin_id),
+bt AS (
+  SELECT g.bin_id,
+         COALESCE(rbin.ref_n, 0) AS ref_n,
+         COALESCE(cbin.cur_n, 0) AS cur_n
+  FROM grid g LEFT JOIN rbin USING (bin_id) LEFT JOIN cbin USING (bin_id)
+),
+tot AS (SELECT SUM(ref_n) AS tr, SUM(cur_n) AS tc FROM bt)
+SELECT CAST(bin_id AS INT) AS bin_id, ref_n, cur_n,
+       CAST(ROUND(
+         ((cur_n + 1.0) / (tc + {_PSI_BINS})
+          - (ref_n + 1.0) / (tr + {_PSI_BINS}))
+         * ln(((cur_n + 1.0) / (tc + {_PSI_BINS}))
+              / ((ref_n + 1.0) / (tr + {_PSI_BINS})))
+         * 1000000) AS BIGINT) AS psi_term_micro
+FROM bt CROSS JOIN tot
+"""
+
+
+@register("drift_psi_prices", oracle=_PSI_ORACLE)
+def drift_psi_prices(spark, sf_dir):
+    """Population stability index of order prices, pre-1997 reference
+    vs 1997+ current — the standard ML-ops drift gate (PSI < 0.1
+    stable). Bin edges are the reference sample's equi-depth
+    boundaries (actual data values, distributed ntile), both samples
+    bucket against the broadcast edge list on the DISTINCT value
+    grain, Laplace smoothing keeps empty bins finite, and each bin's
+    term is integer-quantized before any summation (zipf-slope
+    convention)."""
+    from ai_fabric_etl_spark.operators.profile import drift_psi
+
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.filter(F.col("o_orderdate") < F.lit("1997-01-01"))
+    cur = orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01"))
+    return drift_psi(
+        ref, cur, col="o_totalprice", tiebreak="o_orderkey", bins=_PSI_BINS
+    )

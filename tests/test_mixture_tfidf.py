@@ -295,3 +295,50 @@ def test_pq_rerank_requires_corpus(spark, sf_dir):
         similarity.pq_topk(
             codes, books, emb.filter(F.col("vec_id") < 2), k=5, rerank=20
         ).collect()
+
+
+def test_drift_psi_detects_shift_not_noise(spark, sf_dir):
+    """Identical-distribution split (even/odd keys) yields near-zero
+    total PSI; a deterministic price shift yields a clearly larger
+    one. Per-bin counts conserve each sample."""
+    from ai_fabric_etl_spark.operators.profile import drift_psi
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ref = orders.filter(F.col("o_orderkey") % 2 == 0)
+    same = orders.filter(F.col("o_orderkey") % 2 == 1)
+    shifted = same.withColumn("o_totalprice", F.col("o_totalprice") * 1.5)
+
+    def total_psi(cur):
+        rows = drift_psi(
+            ref, cur, col="o_totalprice", tiebreak="o_orderkey", bins=8
+        ).collect()
+        assert len(rows) == 8
+        return sum(r.psi_term_micro for r in rows) / 1e6, rows
+
+    psi_same, rows_same = total_psi(same)
+    psi_shift, _ = total_psi(shifted)
+    assert psi_same < 0.1  # stable regime
+    assert psi_shift > psi_same * 3  # drift clearly separates
+    assert sum(r.ref_n for r in rows_same) == ref.count()
+    assert sum(r.cur_n for r in rows_same) == same.count()
+
+
+def test_skew_gini_bounds_and_uniform_case(spark):
+    """Uniform keys give Gini ~0; one dominant key pushes it up and
+    max_key_share tracks the hot key exactly."""
+    from ai_fabric_etl_spark.operators.profile import skew_gini
+
+    uniform = spark.createDataFrame(
+        [(i % 50,) for i in range(500)], ["k"]
+    )
+    r = skew_gini(uniform, key="k").collect()[0]
+    assert r.n_keys == 50 and r.n_rows == 500
+    assert abs(r.gini) < 1e-6 and abs(r.max_key_share - 0.02) < 1e-6
+
+    skewed = spark.createDataFrame(
+        [(0,)] * 451 + [(i,) for i in range(1, 50)], ["k"]
+    )
+    s = skew_gini(skewed, key="k").collect()[0]
+    assert s.max_key_share > 0.9 and s.gini > 0.85
