@@ -109,6 +109,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "sample_kfold",
         "sample_group_split",
         "sample_temperature_mixture",
+        "sample_purged_time_split",
+        "contrastive_negatives",
         "text_tfidf_topk",
         "dedup_ngram_jaccard",
         "dedup_editdistance",

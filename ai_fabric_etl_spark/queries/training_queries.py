@@ -534,3 +534,144 @@ def q_sample_temperature_mixture(spark, sf_dir):
     return temperature_mixture_sample(
         docs, by="source", key="doc_id", target=_MIX_TARGET, salt="mix"
     ).select("doc_id", "source", "lang", "n_chars")
+
+
+_PURGE_DAYS = 30
+_PURGED_ORACLE = f"""
+WITH folds AS (
+  SELECT o_orderkey, o_orderdate,
+         CASE WHEN o_orderdate < DATE '1997-01-01' THEN 0
+              WHEN o_orderdate < DATE '1999-01-01' THEN 1
+              ELSE 2 END AS fold
+  FROM orders
+),
+purged AS (
+  SELECT *,
+         (ABS(date_diff('day', o_orderdate, DATE '1997-01-01'))
+            < {_PURGE_DAYS}
+          OR ABS(date_diff('day', o_orderdate, DATE '1999-01-01'))
+            < {_PURGE_DAYS}) AS embargoed
+  FROM folds
+)
+SELECT fold,
+       CAST(SUM(CASE WHEN embargoed THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN embargoed THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+       MIN(CASE WHEN NOT embargoed THEN o_orderdate END) AS first_kept,
+       MAX(CASE WHEN NOT embargoed THEN o_orderdate END) AS last_kept
+FROM purged
+GROUP BY fold
+"""
+
+
+@register("sample_purged_time_split", oracle=_PURGED_ORACLE)
+def q_sample_purged_time_split(spark, sf_dir):
+    """Purged (embargoed) time-series split — the leakage-safe
+    temporal CV scheme from financial ML (López de Prado): folds cut
+    at fixed dates, and every row within ±30 days of a boundary is
+    PURGED so nearby-in-time rows can never sit in both a train and a
+    validation fold (label/feature windows straddling the cut are the
+    classic temporal leak that hash/group splits don't protect
+    against). Pure date arithmetic on the scan — no shuffle beyond
+    the audit aggregate."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    b1, b2 = F.lit("1997-01-01").cast("date"), F.lit("1999-01-01").cast("date")
+    fold = (
+        F.when(F.col("o_orderdate") < b1, 0)
+        .when(F.col("o_orderdate") < b2, 1)
+        .otherwise(2)
+    )
+    embargoed = (
+        F.abs(F.datediff(F.col("o_orderdate"), b1)) < _PURGE_DAYS
+    ) | (F.abs(F.datediff(F.col("o_orderdate"), b2)) < _PURGE_DAYS)
+    return (
+        orders.withColumn("fold", fold)
+        .withColumn("embargoed", embargoed)
+        .groupBy("fold")
+        .agg(
+            F.sum(F.when(F.col("embargoed"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("embargoed"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_purged"),
+            F.min(F.when(~F.col("embargoed"), F.col("o_orderdate"))).alias(
+                "first_kept"
+            ),
+            F.max(F.when(~F.col("embargoed"), F.col("o_orderdate"))).alias(
+                "last_kept"
+            ),
+        )
+    )
+
+
+_NEG_K = 3
+_NEG_ORACLE = f"""
+WITH ring AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '-ring'), doc_id
+         ) AS pos,
+         COUNT(*) OVER () AS n
+  FROM documents
+),
+anchors AS (
+  SELECT r.doc_id AS anchor_id, r.pos, r.n, j.j
+  FROM ring r CROSS JOIN (
+    SELECT unnest(generate_series(1, {_NEG_K})) AS j
+  ) j
+)
+SELECT a.anchor_id, CAST(a.j AS INT) AS neg_rank, t.doc_id AS negative_id
+FROM anchors a
+JOIN ring t
+  ON t.pos = 1 + ((a.pos - 1 + a.j * (a.n // ({_NEG_K} + 1))) % a.n)
+WHERE t.doc_id <> a.anchor_id
+"""
+
+
+@register("contrastive_negatives", oracle=_NEG_ORACLE)
+def q_contrastive_negatives(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: every
+    document is placed on a hash ring (md5 order — a reproducible
+    pseudo-random permutation), and each anchor's k negatives are the
+    documents at fixed strides around the ring. Uniform-ish, collision
+    -free by construction, and growth-stable in distribution — with
+    ZERO per-pair randomness to store. The plan is the distributed
+    ring ranking (ranking.global_row_number, no one-task window) plus
+    k equi-joins on ring position — never an n×n candidate space.
+    Self-pairs (possible only when n <= k·stride wraps) are filtered
+    identically on both sides."""
+    from ai_fabric_etl_spark.operators.ranking import global_row_number
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-ring")))
+    ring = global_row_number(
+        docs.withColumn("_h", h), [F.col("_h"), F.col("doc_id")], "pos"
+    ).drop("_h")
+    n = ring.agg(F.count(F.lit(1)).alias("n"))
+    anchors = (
+        ring.crossJoin(F.broadcast(n))
+        .withColumn(
+            "j", F.explode(F.sequence(F.lit(1), F.lit(_NEG_K)))
+        )
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            F.col("j").cast("int").alias("neg_rank"),
+            (
+                F.lit(1)
+                + F.pmod(
+                    F.col("pos")
+                    - 1
+                    + F.col("j") * F.expr(f"n div ({_NEG_K} + 1)"),
+                    F.col("n"),
+                )
+            ).alias("_tpos"),
+        )
+    )
+    targets = ring.select(
+        F.col("pos").alias("_tpos"), F.col("doc_id").alias("negative_id")
+    )
+    return (
+        anchors.join(targets, "_tpos")
+        .filter(F.col("negative_id") != F.col("anchor_id"))
+        .select("anchor_id", "neg_rank", "negative_id")
+    )
