@@ -111,6 +111,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "sample_temperature_mixture",
         "sample_purged_time_split",
         "contrastive_negatives",
+        "feature_target_encoding",
         "text_tfidf_topk",
         "dedup_ngram_jaccard",
         "dedup_editdistance",

@@ -675,3 +675,98 @@ def q_contrastive_negatives(spark, sf_dir):
         .filter(F.col("negative_id") != F.col("anchor_id"))
         .select("anchor_id", "neg_rank", "negative_id")
     )
+
+
+_TENC_M = 10  # smoothing pseudo-count
+_TENC_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderpriority AS cat,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '-kfold'), 1, 8))
+           ::BIGINT % 5 AS fold,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS y
+  FROM orders
+),
+cell AS (
+  SELECT cat, fold, COUNT(*) AS n_cf, SUM(y) AS s_cf
+  FROM base GROUP BY cat, fold
+),
+cat_tot AS (
+  SELECT cat, SUM(n_cf) AS n_c, SUM(s_cf) AS s_c FROM cell GROUP BY cat
+),
+prior AS (
+  SELECT ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS p FROM base
+)
+SELECT c.cat AS category, CAST(c.fold AS INT) AS fold,
+       CAST(c.n_cf AS BIGINT) AS n_in_fold,
+       CAST(t.n_c - c.n_cf AS BIGINT) AS n_out_of_fold,
+       ROUND((CAST(t.s_c - c.s_cf AS DOUBLE) + {_TENC_M} * pr.p)
+             / (t.n_c - c.n_cf + {_TENC_M}), 6) AS encoding
+FROM cell c JOIN cat_tot t USING (cat) CROSS JOIN prior pr
+"""
+
+
+@register("feature_target_encoding", oracle=_TENC_ORACLE)
+def q_feature_target_encoding(spark, sf_dir):
+    """Leakage-safe K-fold target encoding — the categorical feature
+    trick (mean of the target per category) done WITHOUT letting a
+    row see its own fold's labels: each (category, fold) cell's
+    encoding averages only OUT-of-fold rows, smoothed toward the
+    global prior with m=10 pseudo-counts so rare categories
+    shrink to the prior instead of memorizing noise.
+
+    Determinism: fold = the kfold md5 assignment; per-cell sums are
+    exact DECIMAL(18,2); the prior is pinned to 6 dp BEFORE entering
+    the smoothing formula, whose remaining ops are one multiply, two
+    adds, one division — identical IEEE sequences on both engines,
+    rounded at 6 dp. Scale: two aggregates (cell grain = categories ×
+    folds — tiny); the per-row application is a broadcast join of
+    this output against the scan."""
+    orders = _t(spark, sf_dir, "orders")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"), F.lit("-kfold")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    base = orders.select(
+        F.col("o_orderpriority").alias("cat"),
+        fold.alias("fold"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    cell = base.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).alias("n_cf"), F.sum("y").alias("s_cf")
+    )
+    cat_tot = cell.groupBy("cat").agg(
+        F.sum("n_cf").alias("n_c"), F.sum("s_cf").alias("s_c")
+    )
+    prior = base.agg(
+        F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias("p")
+    )
+    return (
+        cell.join(cat_tot, "cat")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            F.col("cat").alias("category"),
+            F.col("fold").cast("int").alias("fold"),
+            F.col("n_cf").cast("long").alias("n_in_fold"),
+            (F.col("n_c") - F.col("n_cf")).cast("long").alias("n_out_of_fold"),
+            F.round(
+                (
+                    (F.col("s_c") - F.col("s_cf")).cast("double")
+                    + F.lit(_TENC_M) * F.col("p")
+                )
+                / (F.col("n_c") - F.col("n_cf") + F.lit(_TENC_M)),
+                6,
+            ).alias("encoding"),
+        )
+    )
