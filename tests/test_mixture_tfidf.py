@@ -342,3 +342,53 @@ def test_skew_gini_bounds_and_uniform_case(spark):
     )
     s = skew_gini(skewed, key="k").collect()[0]
     assert s.max_key_share > 0.9 and s.gini > 0.85
+
+
+def test_target_encoding_excludes_own_fold(spark, sf_dir):
+    """Leakage check: each (category, fold) encoding equals the
+    smoothed mean computed over OUT-of-fold rows only — replayed in
+    pandas from the raw table."""
+    import hashlib
+
+    from ai_fabric_etl_spark.queries.training_queries import (
+        q_feature_target_encoding,
+    )
+
+    got = {
+        (r.category, r.fold): (r.n_in_fold, r.n_out_of_fold, r.encoding)
+        for r in q_feature_target_encoding(spark, sf_dir).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    from collections import defaultdict
+    from decimal import Decimal
+
+    cell_n = defaultdict(int)
+    cell_s = defaultdict(Decimal)
+    total_s, total_n = Decimal(0), 0
+    for r in rows:
+        f = (
+            int(
+                hashlib.md5(f"{r.o_orderkey}-kfold".encode()).hexdigest()[:8],
+                16,
+            )
+            % 5
+        )
+        y = Decimal(str(round(r.o_totalprice, 2)))
+        cell_n[(r.o_orderpriority, f)] += 1
+        cell_s[(r.o_orderpriority, f)] += y
+        total_s += y
+        total_n += 1
+    prior = round(float(total_s) / total_n, 6)
+    for (cat, f), (n_in, n_out, enc) in got.items():
+        assert n_in == cell_n[(cat, f)]
+        s_c = sum(v for (c, _), v in cell_s.items() if c == cat)
+        n_c = sum(v for (c, _), v in cell_n.items() if c == cat)
+        assert n_out == n_c - n_in
+        want = round(
+            (float(s_c - cell_s[(cat, f)]) + 10 * prior) / (n_out + 10), 6
+        )
+        assert abs(enc - want) < 1e-6, (cat, f)
