@@ -308,6 +308,15 @@ def drift_psi(
             F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
         )
     )
+    return psi_from_counts(both, bins)
+
+
+def psi_from_counts(both: DataFrame, bins: int) -> DataFrame:
+    """PSI terms from a (bin_id, ref_n, cur_n) frame — the shared
+    formula tail of :func:`drift_psi`, also driven per micro-batch by
+    streaming/sketch_state.read_drift_psi so the batch and streaming
+    monitors cannot diverge. Laplace smoothing, integer-quantized
+    terms (see drift_psi)."""
     tot = both.agg(
         F.sum("ref_n").alias("_tr"), F.sum("cur_n").alias("_tc")
     )
@@ -332,3 +341,15 @@ def drift_psi(
             .alias("psi_term_micro"),
         )
     )
+
+
+def assign_bin(col_expr: "F.Column", edges: list[float]) -> "F.Column":
+    """Codegen bin assignment against a LITERAL ascending edge list:
+    bin = 1 + number of edges strictly below the value — identical
+    semantics to drift_psi's edge theta-join, as a pure expression
+    for streaming micro-batches (no join, no state beyond the
+    literals)."""
+    b = F.lit(1)
+    for e in edges:
+        b = b + F.when(col_expr > F.lit(float(e)), 1).otherwise(0)
+    return b.cast("int")

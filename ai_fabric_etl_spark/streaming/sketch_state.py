@@ -102,6 +102,10 @@ __all__ = [
     "start_quantile_state",
     "merge_heavy_hitters_state",
     "read_heavy_hitters",
+    "drift_reference",
+    "merge_drift_state",
+    "read_drift_psi",
+    "start_drift_monitor",
 ]
 
 
@@ -154,4 +158,140 @@ def read_heavy_hitters(
     t = ParquetMergeTable(spark, state_dir).read()
     return t.filter(F.col("mg_count") >= min_count).orderBy(
         F.col("mg_count").desc(), t.columns[0]
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming drift monitor: PSI against a frozen reference
+# ---------------------------------------------------------------------------
+
+
+def drift_reference(
+    ref: DataFrame, col: str, tiebreak: str, bins: int = 10
+) -> tuple[list[float], dict[int, int]]:
+    """Freeze the reference side of the drift monitor: the equi-depth
+    bin edges (bins−1 actual data values) and the reference's own
+    per-bin counts BUCKETED BY THOSE EDGES (not the equi-depth row
+    counts — edge-tie rows must land exactly where the streaming
+    bucketing puts them, or stream and batch PSI disagree on tied
+    values). One batch job at monitor setup; both outputs are
+    driver-side literals of size O(bins)."""
+    from ai_fabric_etl_spark.operators.profile import (
+        assign_bin,
+        histogram_equidepth,
+    )
+
+    edge_rows = (
+        histogram_equidepth(ref, col=col, tiebreak=tiebreak, bins=bins)
+        .filter(F.col("bin_id") < bins)
+        .select("bin_id", "hi")
+        .collect()
+    )
+    edges = [float(r.hi) for r in sorted(edge_rows, key=lambda r: r.bin_id)]
+    counts = (
+        ref.filter(F.col(col).isNotNull())
+        .select(assign_bin(F.col(col), edges).alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    ref_counts = {int(r.bin_id): int(r.n) for r in counts}
+    return edges, ref_counts
+
+
+def merge_drift_state(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    epoch_id: int,
+    col: str,
+    edges: list[float],
+    app_id: str | None = None,
+) -> None:
+    """Fold one micro-batch's bin counts into the drift state table
+    (≤ bins rows forever): pure codegen bin assignment + one tiny
+    aggregate, additive fold, epoch-guarded exactly-once (replayed
+    foreachBatch epochs are skipped — same discipline as the
+    quantile/heavy-hitter states)."""
+    from ai_fabric_etl_spark.operators.profile import assign_bin
+
+    table = ParquetMergeTable(spark, state_dir)
+    last = table.last_epoch(app_id)
+    if last is not None and epoch_id <= last:
+        return
+    counts = (
+        batch.filter(F.col(col).isNotNull())
+        .select(assign_bin(F.col(col), edges).alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("cur_n"))
+    )
+    if table.exists():
+        prev = table.read()
+        counts = (
+            prev.select("bin_id", F.col("cur_n").alias("_prev"))
+            .join(counts, "bin_id", "full_outer")
+            .select(
+                "bin_id",
+                (
+                    F.coalesce(F.col("_prev"), F.lit(0))
+                    + F.coalesce(F.col("cur_n"), F.lit(0))
+                ).alias("cur_n"),
+            )
+        )
+    table.overwrite(counts, epoch=epoch_id, app_id=app_id)
+
+
+def read_drift_psi(
+    spark: SparkSession,
+    state_dir: str,
+    ref_counts: dict[int, int],
+    bins: int = 10,
+) -> DataFrame:
+    """Current PSI terms from the persisted bin counts vs the frozen
+    reference — (bin_id, ref_n, cur_n, psi_term_micro), identical
+    formula (profile.psi_from_counts) to the batch drift_psi, so
+    stream == batch is exact. Total PSI = Σ psi_term_micro / 1e6."""
+    from ai_fabric_etl_spark.operators.profile import psi_from_counts
+
+    state = ParquetMergeTable(spark, state_dir).read()
+    refs = spark.createDataFrame(
+        [(int(b), int(n)) for b, n in sorted(ref_counts.items())],
+        "bin_id int, ref_n long",
+    )
+    grid = spark.range(1, bins + 1).select(
+        F.col("id").cast("int").alias("bin_id")
+    )
+    both = (
+        grid.join(refs, "bin_id", "left")
+        .join(state, "bin_id", "left")
+        .select(
+            "bin_id",
+            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        )
+    )
+    return psi_from_counts(both, bins)
+
+
+def start_drift_monitor(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    col: str,
+    edges: list[float],
+) -> StreamingQuery:
+    """Wire the drift fold into foreachBatch (availableNow)."""
+    spark = stream_df.sparkSession
+    app_id = f"drift_state:{checkpoint_dir}"
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_drift_state(
+            spark, batch_df, state_dir, epoch_id, col, edges, app_id=app_id
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -831,3 +831,84 @@ def test_heavy_hitter_state_compression_keeps_heavies(spark, tmp_path):
     got = {r["lang"]: r["mg_count"] for r in out}
     # hot survives with a lower-bound count within the MG error band
     assert "hot" in got and 200 - 1200 / 17 <= got["hot"] <= 200
+
+
+def test_drift_monitor_stream_equals_batch_exactly(spark, tmp_path):
+    """Micro-batch-folded drift state must produce BIT-identical PSI
+    rows to the batch drift_psi over the same reference and the union
+    of all streamed batches; a replayed epoch must not change it."""
+    from ai_fabric_etl_spark.operators.profile import drift_psi
+    from ai_fabric_etl_spark.streaming.sketch_state import (
+        drift_reference,
+        merge_drift_state,
+        read_drift_psi,
+    )
+    from pyspark.sql import functions as F
+
+    bins = 6
+    ref_rows = [(i, float((i * 53) % 997)) for i in range(600)]
+    cur_rows = [(i + 10_000, float(((i * 91) % 997) * 1.3)) for i in range(450)]
+    ref = spark.createDataFrame(ref_rows, "k long, x double")
+    cur = spark.createDataFrame(cur_rows, "k long, x double")
+
+    edges, ref_counts = drift_reference(ref, col="x", tiebreak="k", bins=bins)
+    assert len(edges) == bins - 1 and sum(ref_counts.values()) == 600
+
+    state = str(tmp_path / "drift_state")
+    for epoch in range(3):
+        lo, hi = epoch * 150, (epoch + 1) * 150
+        batch = spark.createDataFrame(cur_rows[lo:hi], "k long, x double")
+        merge_drift_state(
+            spark, batch, state, epoch, "x", edges, app_id="drift-t"
+        )
+    # replayed epoch with junk data must be skipped
+    merge_drift_state(
+        spark,
+        spark.createDataFrame([(1, 1e12)], "k long, x double"),
+        state, 1, "x", edges, app_id="drift-t",
+    )
+    got = {
+        r.bin_id: (r.ref_n, r.cur_n, r.psi_term_micro)
+        for r in read_drift_psi(spark, state, ref_counts, bins=bins).collect()
+    }
+    want = {
+        r.bin_id: (r.ref_n, r.cur_n, r.psi_term_micro)
+        for r in drift_psi(
+            ref, cur, col="x", tiebreak="k", bins=bins
+        ).collect()
+    }
+    assert got == want
+    total_psi = sum(v[2] for v in got.values()) / 1e6
+    assert total_psi > 0.05  # the 1.3x scale shift is visible
+
+
+def test_drift_monitor_streaming_wiring(spark, tmp_path):
+    """availableNow file stream through start_drift_monitor: state
+    answers PSI without rescanning the source; identical sample ->
+    near-zero PSI."""
+    from ai_fabric_etl_spark.streaming.sketch_state import (
+        drift_reference,
+        read_drift_psi,
+        start_drift_monitor,
+    )
+
+    rows = [(i, float((i * 29) % 503)) for i in range(800)]
+    ref = spark.createDataFrame(rows[:400], "k long, x double")
+    edges, ref_counts = drift_reference(ref, col="x", tiebreak="k", bins=5)
+
+    src = str(tmp_path / "drift_src")
+    spark.createDataFrame(rows[400:], "k long, x double").write.parquet(src)
+    stream = spark.readStream.schema("k long, x double").parquet(src)
+    q = start_drift_monitor(
+        stream,
+        str(tmp_path / "drift_state2"),
+        str(tmp_path / "drift_ckpt"),
+        "x",
+        edges,
+    )
+    q.awaitTermination(120)
+    out = read_drift_psi(
+        spark, str(tmp_path / "drift_state2"), ref_counts, bins=5
+    ).collect()
+    assert sum(r.cur_n for r in out) == 400
+    assert abs(sum(r.psi_term_micro for r in out)) / 1e6 < 0.1
