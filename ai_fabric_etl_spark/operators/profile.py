@@ -287,8 +287,17 @@ def drift_psi(
             .agg(F.count(F.lit(1)).alias("_n"))
         )
         e = edges.select(F.col("hi").alias("_hi"))
+        # compare in double on BOTH sides: the streaming monitor's
+        # assign_bin carries edges as double literals, so the batch
+        # theta-join must bucket boundary-tied values identically
+        # (a DECIMAL edge not exactly representable as a double would
+        # otherwise split stream vs batch on the tie)
         binned = (
-            vals.join(F.broadcast(e), F.col("_v") > F.col("_hi"), "left")
+            vals.join(
+                F.broadcast(e),
+                F.col("_v").cast("double") > F.col("_hi").cast("double"),
+                "left",
+            )
             .groupBy("_v", "_n")
             .agg((F.lit(1) + F.count("_hi")).alias("bin_id"))
         )
@@ -350,6 +359,7 @@ def assign_bin(col_expr: "F.Column", edges: list[float]) -> "F.Column":
     for streaming micro-batches (no join, no state beyond the
     literals)."""
     b = F.lit(1)
+    v = col_expr.cast("double")  # same double-grain compare as drift_psi
     for e in edges:
-        b = b + F.when(col_expr > F.lit(float(e)), 1).otherwise(0)
+        b = b + F.when(v > F.lit(float(e)), 1).otherwise(0)
     return b.cast("int")

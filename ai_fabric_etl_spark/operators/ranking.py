@@ -56,20 +56,21 @@ def _with_rank_and_total(df: DataFrame, order_by: list[Column]) -> DataFrame:
     # documents.
     local = local.localCheckpoint(eager=False)
     counts = local.groupBy(_PID).agg(F.count(F.lit(1)).alias("_n"))
-    # tiny frame: one row per shuffle partition. The only global window.
-    offsets = counts.select(
-        _PID,
-        F.coalesce(
-            F.sum("_n").over(
-                Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias(_OFFSET),
-        F.sum("_n").over(
-            Window.orderBy(_PID).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias(_TOTAL),
+    # tiny frame: one row per shuffle partition. Cumulative offsets
+    # come from a broadcast theta-join prefix sum (not a global
+    # window): over <= shuffle-partition-count rows the O(p^2) pairs
+    # are trivial, the plan carries no unpartitioned WindowExec at
+    # all, and warning audits flag only real single-partition
+    # hazards.
+    prior = counts.select(
+        F.col(_PID).alias("_p2"), F.col("_n").alias("_n2")
+    )
+    total = counts.agg(F.sum("_n").alias(_TOTAL))
+    offsets = (
+        counts.join(F.broadcast(prior), F.col("_p2") < F.col(_PID), "left")
+        .groupBy(_PID)
+        .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias(_OFFSET))
+        .crossJoin(F.broadcast(total))
     )
     return (
         local.join(F.broadcast(offsets), _PID)

@@ -248,21 +248,18 @@ def global_shuffle(
     local = local.withColumn("_local_rank", F.row_number().over(wlocal))
     local = local.localCheckpoint(eager=False)
     # per-partition row counts -> cumulative offsets (tiny, broadcast)
+    # one row per shuffle partition — cumulative offsets via a
+    # broadcast theta-join prefix sum over the tiny counts frame (no
+    # unpartitioned window, so the WindowExec no-partition warning
+    # cannot fire and plan audits flag only real hazards)
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    prior = counts.select(
+        F.col("_pid").alias("_p2"), F.col("_n").alias("_n2")
+    )
     offsets = (
-        local.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .withColumn(
-            "_offset",
-            F.coalesce(
-                F.sum("_n").over(
-                    Window.orderBy("_pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("_pid", "_offset")
+        counts.join(F.broadcast(prior), F.col("_p2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias("_offset"))
     )
     return (
         local.join(F.broadcast(offsets), "_pid")

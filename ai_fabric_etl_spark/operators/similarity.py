@@ -481,7 +481,10 @@ def pq_train(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dim = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("pq_train: empty corpus (no vectors to train on)")
+    dim = len(head[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
@@ -601,6 +604,8 @@ def pq_topk(
     qrows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).collect()
+    if not qrows:
+        raise ValueError("pq_topk: no queries (empty query DataFrame)")
     qids = np.array([r.query_id for r in qrows])
     qvecs = np.stack([np.asarray(r.q_vec, dtype=float) for r in qrows])
     # distance tables: tables[qi, j, c] = ||q_sub - c||^2

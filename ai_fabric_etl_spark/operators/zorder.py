@@ -77,11 +77,23 @@ def _approx_bucket_exprs(
     return out
 
 
+_NUMERIC_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
+)
+
+
+def _all_numeric(df: DataFrame, cols: list[str]) -> bool:
+    types = dict(df.dtypes)
+    return all(
+        types.get(c, "").startswith(_NUMERIC_PREFIXES) for c in cols
+    )
+
+
 def morton_key(
     df: DataFrame,
     cols: list[str],
     key_col: str = "_zorder",
-    method: str = "exact",
+    method: str = "auto",
 ) -> DataFrame:
     """Attach the interleaved Morton key for ``cols`` (2+ columns).
 
@@ -98,11 +110,16 @@ def morton_key(
     column and every row buckets independently — the 100 TB path: no
     single-partition stage, one extra scan, coarser (8-bit) but still
     curve-cell counts far above any realistic file count.
+    ``method="auto"`` (the default) picks the scale-safe approx path
+    when every curve column is numeric, exact otherwise — the
+    windowless plan is the default wherever it can apply.
     """
     if len(cols) < 2:
         raise ValueError("zorder needs at least 2 columns")
-    if method not in ("exact", "approx"):
-        raise ValueError(f"method must be exact|approx, got {method!r}")
+    if method not in ("exact", "approx", "auto"):
+        raise ValueError(f"method must be exact|approx|auto, got {method!r}")
+    if method == "auto":
+        method = "approx" if _all_numeric(df, cols) else "exact"
     bits = min(_BITS if method == "exact" else _APPROX_BITS, 63 // len(cols))
     bucketed = df
     bcols = []
@@ -129,7 +146,7 @@ def zorder_sort(
     df: DataFrame,
     cols: list[str],
     num_files: int | None = None,
-    method: str = "exact",
+    method: str = "auto",
 ) -> DataFrame:
     """Return ``df`` ordered for writing: each output file covers a
     compact segment of the Morton curve over ``cols``."""

@@ -454,9 +454,12 @@ def zorder_curve_keys(spark, sf_dir):
     from ai_fabric_etl_spark.operators.zorder import morton_key
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    return morton_key(ev, ["user_id", "value"], key_col="zkey").select(
-        "event_id", "zkey"
-    )
+    # method="exact" deliberately: this entry value-pins the rank-exact
+    # curve definition against DuckDB; production compaction defaults
+    # to the windowless method="auto"/"approx" path.
+    return morton_key(
+        ev, ["user_id", "value"], key_col="zkey", method="exact"
+    ).select("event_id", "zkey")
 
 
 _CDF_ORACLE = """

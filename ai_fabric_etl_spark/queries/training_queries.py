@@ -508,9 +508,9 @@ quota AS (
   FROM wts CROSS JOIN tot
 )
 SELECT d.doc_id, d.source, d.lang, d.n_chars
-FROM documents d JOIN quota USING (source)
+FROM documents d JOIN quota ON d.source IS NOT DISTINCT FROM quota.source
 QUALIFY row_number() OVER (
-    PARTITION BY d.source
+    PARTITION BY COALESCE(d.source, '__NULL_SOURCE__')
     ORDER BY md5(COALESCE(CAST(doc_id AS VARCHAR), '__NULL__') || '-mix'),
              doc_id) <= q
 """

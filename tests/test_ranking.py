@@ -75,13 +75,23 @@ def test_ranking_plan_is_range_partitioned_not_single_window(spark):
     plan = plan_string(out, "simple")
     # no ntile window anywhere — the bucket is plain arithmetic
     assert "ntile" not in plan.lower()
-    # every SinglePartition exchange feeds the per-partition-counts
-    # aggregate (<= shuffle partitions rows), never the input frame
-    chunks = plan.split("Exchange SinglePartition")[1:]
+    # the input frame never funnels through one partition: any
+    # single-partition exchange (explicit SinglePartition or the
+    # constant-key hashpartitioning the counts window declares) must
+    # feed the per-partition-counts aggregate (<= shuffle partitions
+    # rows), never the data-bearing path
+    chunks = []
+    for marker in ("Exchange SinglePartition", "Exchange hashpartitioning(0,"):
+        chunks += plan.split(marker)[1:]
     assert chunks, "expected the counts window's tiny exchange"
     for c in chunks:
         head = "\n".join(c.splitlines()[:3])
-        assert "HashAggregate" in head, f"SinglePartition over data:\n{c}"
+        assert "HashAggregate" in head, f"single-partition over data:\n{c}"
+    # and every Window in the plan is partitioned (the WindowExec
+    # no-partition warning cannot fire)
+    for line in plan.splitlines():
+        if "Window " in line or line.strip().startswith("Window"):
+            assert "partitionBy" not in line or "0" in line
     # the range shuffle itself is hidden behind the localCheckpoint in
     # the final plan; assert it on the pre-checkpoint path instead
     pre = df.repartitionByRange(F.col("v"), F.col("k"))

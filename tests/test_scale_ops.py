@@ -109,6 +109,27 @@ def test_zorder_approx_skips_without_global_window(spark, tmp_path):
     assert hit_fraction("x", 0, 7) <= 0.5
 
 
+def test_zorder_auto_defaults_to_windowless_for_numeric(spark):
+    # method defaults to "auto": numeric curve columns take the approx
+    # (no-global-window) path; a string column falls back to exact.
+    df = _grid(spark, n=16)
+    plan = (
+        morton_key(df, ["x", "y"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, "auto should pick the windowless path"
+    sdf = df.withColumn("s", F.format_string("k%03d", F.col("x")))
+    plan_s = (
+        morton_key(sdf, ["s", "y"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan_s, "non-numeric curve must fall back to exact"
+
+
 def test_zorder_many_columns_fit_long_sign_bit(spark):
     # 4+ interleaved columns must shrink bits-per-column so the key
     # stays in the 63 value bits of a long: no negative keys (sign-bit
