@@ -82,6 +82,45 @@ HEADLINE = [
 ]
 
 
+def _previous_round_timings() -> tuple[str, dict[str, float]]:
+    """Per-query timings from the newest driver-recorded BENCH_r*.json
+    (the driver wraps bench.py's JSON line under 'parsed'/'tail').
+    Returns (round_file, {query: seconds}); ('', {}) when no prior
+    round exists."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    for path in reversed(paths):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            inner = doc.get("parsed")
+            if not isinstance(inner, dict) or "queries" not in inner:
+                m = re.search(r"\{.*\}", doc.get("tail", ""), re.S)
+                inner = json.loads(m.group(0)) if m else {}
+            qs = inner.get("queries", {})
+            if qs:
+                return os.path.basename(path), {
+                    k: float(v) for k, v in qs.items()
+                }
+        except Exception:  # noqa: BLE001 - a corrupt record never gates
+            continue
+    return "", {}
+
+
+# regression gate (VERDICT r4 item 4): a query is flagged when it runs
+# >1.3x slower than the previous recorded round AND loses >0.15s
+# absolute (sub-second entries jitter ~±0.1s in a shared local JVM;
+# a pure ratio gate on a 0.2s query would cry wolf every round).
+REGRESSION_RATIO = 1.3
+REGRESSION_MIN_DELTA_S = 0.15
+
+
 def main() -> None:
     from ai_fabric_etl_spark.queries import catalog, queries  # noqa: F401
     from ai_fabric_etl_spark.session import get_spark
@@ -162,6 +201,24 @@ def main() -> None:
         "x12_parse_seconds": round(parse_s, 3) if parse_s == parse_s else None,
         "x12_parse_tx_per_sec": round(n_tx / parse_s, 1) if parse_s == parse_s and parse_s > 0 else None,
     }
+    prev_file, prev = _previous_round_timings()
+    regressions = [
+        {
+            "query": q,
+            "prev": prev[q],
+            "cur": t,
+            "ratio": round(t / prev[q], 2),
+        }
+        for q, t in timings.items()
+        if q in prev
+        and prev[q] > 0
+        and t / prev[q] > REGRESSION_RATIO
+        and t - prev[q] > REGRESSION_MIN_DELTA_S
+    ]
+    out["regressions"] = sorted(
+        regressions, key=lambda r: -r["ratio"]
+    )
+    out["regressions_vs"] = prev_file
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
