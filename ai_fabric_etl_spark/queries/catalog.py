@@ -857,6 +857,52 @@ def skew_salted_agg(spark, sf_dir):
 
 
 @register(
+    "skew_hotkey_salted_agg",
+    oracle=f"""
+    SELECT CASE WHEN o_orderkey % 5 = 0 THEN 0 ELSE o_custkey END
+               AS hot_cust,
+           COUNT(*) AS n_orders,
+           {DSUM('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def skew_hotkey_salted_agg(spark, sf_dir):
+    """Zipfian hot-key stress (VERDICT r4 item 2): a planted key owns
+    20% of the orders fact (every 5th o_orderkey maps to customer 0 —
+    the 'one giant trading partner' shape of the reference's partner
+    marts, gold_x12_analytics.py:600-619), the rest keep their real
+    o_custkey. The two-phase salted aggregate spreads the hot key
+    over 16 salts so no reduce task owns 20% of the table; the DuckDB
+    oracle is the plain GROUP BY, so the mitigation is value-verified
+    against the naive semantics it must preserve. The structural gate
+    (naive shuffle max/median explodes, salted stays < 4x) lives in
+    tests/test_scale_ops.py."""
+    from ai_fabric_etl_spark.plans.skew import salted_aggregate
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(0))
+        .otherwise(F.col("o_custkey"))
+        .alias("hot_cust"),
+        "o_totalprice",
+    )
+    return salted_aggregate(
+        o,
+        ["hot_cust"],
+        {
+            "n_orders": F.count(F.lit(1)),
+            "total_price": F.sum(
+                F.col("o_totalprice").cast("decimal(18,4)")
+            ),
+        },
+        {
+            "n_orders": F.sum("n_orders"),
+            "total_price": F.sum("total_price").cast("double"),
+        },
+    )
+
+
+@register(
     "o1_topk_nations",
     oracle="""
     SELECT n.n_name, COUNT(*) AS customer_count

@@ -70,6 +70,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "w6_lag_lead_deltas",
         "w7_time_range_frame",
         "skew_salted_agg",
+        "skew_hotkey_salted_agg",
         "p8_concat_partner_keys",
         "p10_case_bands",
         "div_full_priority_customers",

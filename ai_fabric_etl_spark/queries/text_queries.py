@@ -1526,14 +1526,18 @@ def _pq_approx(emb, q, k=5):
     """Shared PQ pipeline, same (corpus, queries, k) shape as the
     lsh/ivf topk functions so _knn_hits can drive it directly:
     L2-normalize both sides (squared-L2 ranking == cosine ranking),
-    train m=8/k=16 codebooks, encode, ADC shortlist of 50, exact
-    rerank."""
-    nemb = similarity.normalize_l2(emb)
-    nq = similarity.normalize_l2(q)
-    books = similarity.pq_train(nemb, m=8, k=16)
+    OPQ-balance the coordinate layout, train m=8/k=64 codebooks,
+    encode, ADC shortlist of 200, exact rerank. Parameters sized for
+    the sf0.1 corpus (20k vectors): k=16/rerank=50 measured pooled
+    recall 0.45 there, k=64/rerank=200 measures 1.0 — shortlist depth
+    must track corpus size, exactly as FAISS's nprobe/efSearch do."""
+    perm = similarity.opq_permutation(emb, m=8)
+    nemb = similarity.apply_permutation(similarity.normalize_l2(emb), perm)
+    nq = similarity.apply_permutation(similarity.normalize_l2(q), perm)
+    books = similarity.pq_train(nemb, m=8, k=64)
     codes = similarity.pq_encode(nemb, books)
     return similarity.pq_topk(
-        codes, books, nq, k=k, rerank=50, corpus=nemb
+        codes, books, nq, k=k, rerank=200, corpus=nemb
     )
 
 
@@ -1559,14 +1563,15 @@ def q_emb_knn_pq(spark, sf_dir):
 )
 def q_emb_knn_pq_recall(spark, sf_dir):
     """Driver-visible PQ recall gate: pooled recall@5 of the
-    ADC-shortlist + exact-rerank pipeline vs cosine brute force must
-    hold ≥ 0.5 (measured ~0.72-0.78 at both gate SFs; the pytest
-    floor is 0.6). A codebook/encode/ADC regression flips the
-    driver's value hash."""
+    OPQ-permuted ADC-shortlist + exact-rerank pipeline vs cosine
+    brute force must hold ≥ 0.6 (measured 1.0 at sf0.01 AND sf0.1
+    with m=8/k=64/rerank=200; the pytest floor is 0.7). A
+    codebook/encode/ADC/permutation regression flips the driver's
+    value hash."""
     rec = _knn_hits(spark, sf_dir, _pq_approx)
     return rec.agg(
         F.count(F.lit(1)).alias("n_queries"),
-        (F.avg("recall") >= 0.5).alias("recall_floor_met"),
+        (F.avg("recall") >= 0.6).alias("recall_floor_met"),
     )
 
 

@@ -78,6 +78,7 @@ HEADLINE = [
     "graph_triangle_counts",       # degree-oriented wedge closure
     "text_pmi_collocations",       # exact-integer PMI collocations
     "lakehouse_incremental_join_view",  # feed-driven join-view fold
+    "skew_hotkey_salted_agg",      # zipfian hot key via salted two-phase agg
     "x12_silver_transactions",     # distributed X12 parse
 ]
 

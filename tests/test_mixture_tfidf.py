@@ -254,27 +254,31 @@ def test_triangle_counts_orientation_handles_hub(spark):
 
 
 def test_pq_recall_and_compression(spark, sf_dir):
-    """PQ + exact rerank: pooled recall@5 >= 0.6 vs cosine brute
-    force; codes are m=8 ints in [0, 16); encode is deterministic."""
+    """The production PQ pipeline (OPQ balanced permutation +
+    m=8/k=64 codebooks + ADC shortlist 200 + exact rerank): pooled
+    recall@5 >= 0.7 vs cosine brute force (VERDICT r4 item 8 floor;
+    measured 1.0 at sf0.01 and sf0.1); codes are m=8 ints in [0, 64);
+    encode is deterministic; the permutation is a true permutation."""
     from ai_fabric_etl_spark.operators import similarity
 
-    emb = similarity.normalize_l2(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    )
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    perm = similarity.opq_permutation(raw, m=8)
+    assert sorted(perm) == list(range(64))
+    emb = similarity.apply_permutation(similarity.normalize_l2(raw), perm)
     q = emb.filter(F.col("vec_id") < 8)
-    books = similarity.pq_train(emb, m=8, k=16)
+    books = similarity.pq_train(emb, m=8, k=64)
     codes = similarity.pq_encode(emb, books)
     rows = codes.collect()
     assert all(len(r.codes) == 8 for r in rows)
-    assert all(0 <= c < 16 for r in rows for c in r.codes)
+    assert all(0 <= c < 64 for r in rows for c in r.codes)
     again = {r.vec_id: list(r.codes) for r in similarity.pq_encode(emb, books).collect()}
     assert again == {r.vec_id: list(r.codes) for r in rows}
 
-    ap = similarity.pq_topk(codes, books, q, k=5, rerank=50, corpus=emb)
+    ap = similarity.pq_topk(codes, books, q, k=5, rerank=200, corpus=emb)
     bf = similarity.brute_force_topk(emb, q, k=5)
     a = {(r.query_id, r.neighbor_id) for r in ap.collect()}
     b = {(r.query_id, r.neighbor_id) for r in bf.collect()}
-    assert len(a & b) / len(b) >= 0.6
+    assert len(a & b) / len(b) >= 0.7
 
     # no-rerank path returns the raw ADC ranking with approx_dist
     adc = similarity.pq_topk(codes, books, q, k=5)
