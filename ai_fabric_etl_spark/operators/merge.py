@@ -388,6 +388,122 @@ class ParquetMergeTable:
                 f"(current v{self._version()})"
             )
         self._swap(v, epoch, op=op, app_id=app_id)
+        # interop mirror: emitted AFTER the authoritative pointer swap
+        # (a crash between swap and emit loses only the mirror entry;
+        # the next commit's catch-up re-derives it from the retained
+        # version directory)
+        self._emit_delta_log(v, df.schema.json(), op)
+
+    # -- Delta-protocol interop mirror (VERDICT r4 item 7) ------------
+    #
+    # Every commit additionally appends a minimal Delta transaction log
+    # entry under ``_delta_log/{version:020d}.json`` following the
+    # PUBLIC Delta Lake protocol spec (github.com/delta-io/delta
+    # PROTOCOL.md; protocol 1/2, add/remove actions, no deletion
+    # vectors): first commit carries protocol + metaData, every commit
+    # adds the new version's files and removes the previous version's.
+    # Paths are table-root-relative into the retained ``v={n}/``
+    # directories, which the spec allows (partitioned tables rely on
+    # it), so a delta-spark reader — absent from this sandbox — would
+    # resolve the current snapshot natively. The ``_LATEST`` pointer
+    # stays authoritative for THIS engine; the log is a write-through
+    # mirror, format-conformance-tested in tests/test_merge.py.
+
+    _DELTA_DIR = "_delta_log"
+
+    def _delta_last_logged(self) -> int:
+        try:
+            names = os.listdir(os.path.join(self.path, self._DELTA_DIR))
+        except FileNotFoundError:
+            return -1
+        vs = [int(n[:-5]) for n in names if n.endswith(".json") and n[:-5].isdigit()]
+        return max(vs) if vs else -1
+
+    def _delta_table_id(self) -> str:
+        """Stable table uuid, minted once at first commit."""
+        import uuid
+
+        marker = os.path.join(self.path, self._DELTA_DIR, ".table_id")
+        try:
+            with open(marker, encoding="utf-8") as fh:
+                return fh.read().strip()
+        except FileNotFoundError:
+            tid = str(uuid.uuid4())
+            tmp = marker + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(tid)
+            os.replace(tmp, marker)
+            return tid
+
+    def _version_files(self, v: int) -> list[tuple[str, int, int]]:
+        """(relative_path, size, mtime_ms) of a retained version's data
+        files; [] when the directory was vacuumed."""
+        import glob as _glob
+
+        out = []
+        for f in sorted(_glob.glob(os.path.join(self.path, f"v={v}", "*.parquet"))):
+            st = os.stat(f)
+            out.append((f"v={v}/{os.path.basename(f)}", st.st_size, int(st.st_mtime * 1000)))
+        return out
+
+    def _emit_delta_log(self, v: int, schema_json: str, op: str) -> None:
+        import json
+        import time
+
+        log_dir = os.path.join(self.path, self._DELTA_DIR)
+        os.makedirs(log_dir, exist_ok=True)
+        now_ms = int(time.time() * 1000)
+        # catch-up: a crash after _swap but before emit leaves a gap;
+        # re-derive the missing commits from their retained dirs
+        # (vacuumed gaps become empty commits — contiguity preserved,
+        # matching their already-unreadable time-travel state)
+        for missing in range(self._delta_last_logged() + 1, v + 1):
+            lines: list[str] = []
+            if missing == 0:
+                lines.append(json.dumps({
+                    "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}
+                }))
+                lines.append(json.dumps({
+                    "metaData": {
+                        "id": self._delta_table_id(),
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_json,
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": now_ms,
+                    }
+                }))
+            lines.append(json.dumps({
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": op if missing == v else "WRITE",
+                    "operationParameters": {},
+                    "engineInfo": "ai_fabric_etl_spark ParquetMergeTable",
+                }
+            }))
+            for path, size, mtime in self._version_files(missing):
+                lines.append(json.dumps({
+                    "add": {
+                        "path": path,
+                        "partitionValues": {},
+                        "size": size,
+                        "modificationTime": mtime,
+                        "dataChange": True,
+                    }
+                }))
+            if missing > 0:
+                for path, _size, _mtime in self._version_files(missing - 1):
+                    lines.append(json.dumps({
+                        "remove": {
+                            "path": path,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }))
+            tmp = os.path.join(log_dir, f".{missing:020d}.json.tmp")
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write("\n".join(lines) + "\n")
+            os.replace(tmp, os.path.join(log_dir, f"{missing:020d}.json"))
 
     def changes(
         self,

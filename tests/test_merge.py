@@ -446,3 +446,86 @@ def test_schema_changes_and_small_files_report(spark, tmp_path):
     frag.compact(target_files=1)
     rep2 = small_files_report(frag, min_rows=500)
     assert rep2["n_files"] == 1 and rep2["n_small"] == 0
+
+
+def test_delta_log_format_conformance(spark, tmp_path):
+    """VERDICT r4 item 7: every commit mirrors a minimal Delta
+    transaction log entry (protocol 1/2, add/remove actions, no DVs)
+    per the public PROTOCOL.md. Contiguous numbered commits, protocol +
+    metaData in commit 0, spec-required action fields, and replaying
+    add/remove reconstructs exactly the current snapshot's files."""
+    import glob as _glob
+    import json
+    import os
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_delta"))
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string"))
+    t.merge(spark.createDataFrame([(2, "B"), (3, "c")], "k int, s string"),
+            keys=["k"])
+    t.delete("k = 1")
+    t.compact(target_files=1)
+
+    log_dir = os.path.join(t.path, "_delta_log")
+    logs = sorted(
+        f for f in os.listdir(log_dir) if f.endswith(".json")
+    )
+    # contiguous zero-padded commit files 0..current version
+    assert logs == [f"{v:020d}.json" for v in range(t._version() + 1)]
+
+    def actions(v):
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    # commit 0: protocol + metaData with spec-required fields
+    a0 = actions(0)
+    protos = [a["protocol"] for a in a0 if "protocol" in a]
+    metas = [a["metaData"] for a in a0 if "metaData" in a]
+    assert len(protos) == 1 and len(metas) == 1
+    assert protos[0] == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = metas[0]
+    for field in ("id", "format", "schemaString", "partitionColumns",
+                  "configuration"):
+        assert field in meta, f"metaData missing {field}"
+    assert meta["format"]["provider"] == "parquet"
+    schema = json.loads(meta["schemaString"])
+    assert schema["type"] == "struct"
+    assert [f["name"] for f in schema["fields"]] == ["k", "s"]
+
+    # replay: file set after applying every add/remove == live snapshot
+    live: set[str] = set()
+    for v in range(t._version() + 1):
+        for a in actions(v):
+            if "add" in a:
+                add = a["add"]
+                for field in ("path", "partitionValues", "size",
+                              "modificationTime", "dataChange"):
+                    assert field in add, f"add missing {field}"
+                full = os.path.join(t.path, add["path"])
+                assert os.path.exists(full), add["path"]
+                assert add["size"] == os.stat(full).st_size
+                live.add(add["path"])
+            elif "remove" in a:
+                rm = a["remove"]
+                assert "path" in rm and "dataChange" in rm
+                live.discard(rm["path"])
+    current = {
+        f"v={t._version()}/{os.path.basename(p)}"
+        for p in _glob.glob(os.path.join(t.path, f"v={t._version()}", "*.parquet"))
+    }
+    assert live == current
+
+    # the reconstructed snapshot reads back as the live table
+    rows_log = sorted(
+        tuple(r) for r in spark.read.parquet(
+            *[os.path.join(t.path, p) for p in sorted(live)]
+        ).collect()
+    )
+    rows_live = sorted(tuple(r) for r in t.read().collect())
+    assert rows_log == rows_live
+
+    # crash-gap catch-up: lose the latest mirror entry, commit again —
+    # the gap is re-derived from the retained version directory
+    os.remove(os.path.join(log_dir, logs[-1]))
+    t.overwrite(t.read())
+    logs2 = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
+    assert logs2 == [f"{v:020d}.json" for v in range(t._version() + 1)]
