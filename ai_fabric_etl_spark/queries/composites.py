@@ -150,6 +150,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "x12_datasource_scan",
         "lakehouse_incremental_mart",
         "lakehouse_incremental_join_view",
+        "lakehouse_delta_native_read",
         "sketch_distinct_rollup",
         "quantile_sketch_prices",
         "zorder_curve_keys",
