@@ -83,9 +83,10 @@ HEADLINE = [
 ]
 
 # the linear-scaling evidence subset (tools/gen_scale.py corpora):
-# 20 sf-table-bound queries whose work is linear in the multiplier by
-# construction — replica-local joins, fixed dims, no pair-output
-# operator whose result grows with cross-replica similarity
+# sf-table-bound queries whose work is linear in the multiplier by
+# construction — replica-local joins, fixed dims, and (for the
+# dedup/ANN/text family) replica-distinct content so pair outputs
+# grow linearly, not quadratically, with the multiplier
 SCALE_HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -107,6 +108,14 @@ SCALE_HEADLINE = [
     "text_profile",
     "emb_quantize_int8",
     "topk_docs_per_source",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "emb_knn_bruteforce",
+    "emb_neardup",
+    "text_tfidf_topk",
+    "curate_corpus_pipeline",
+    "sample_temperature_mixture",
+    "search_bm25_topk",
 ]
 
 

@@ -124,14 +124,23 @@ def generate(src: str, dest: str, m: int = 10) -> None:
            FROM '{p['documents']}' CROSS JOIN {rep}""",
         "documents",
     )
-    # one coordinate gets a per-replica offset: cross-replica cosine
-    # drops below any near-dup threshold while intra-replica geometry
-    # (planted neighbors, cluster structure) shifts rigidly
+    # circular-rotate each replica's vectors by r positions: a rigid
+    # orthogonal transform, so EVERY intra-replica pairwise cosine
+    # (planted neighbors, cluster structure) is preserved exactly,
+    # while cross-replica similarity collapses to the vectors'
+    # autocorrelation at lag r (~0 for these embeddings). A scalar
+    # coordinate offset is NOT enough: against a 64-dim vector it
+    # leaves replicas at cosine ~0.99, manufacturing cross-replica
+    # near-dup cliques that turn pair operators quadratic in the
+    # multiplier (measured: emb_neardup x28 at m=10 before this fix).
+    dim = con.sql(
+        f"SELECT MAX(len(embedding)) FROM '{p['embeddings']}'"
+    ).fetchone()[0]
     copy(
         f"""SELECT vec_id + r * {off['vec']} AS vec_id,
                   CASE WHEN r = 0 THEN embedding ELSE
-                      list_prepend(CAST(embedding[1] + 0.61803 * r AS FLOAT),
-                                   embedding[2:]) END AS embedding,
+                      embedding[(r % {dim}) + 1:{dim}]
+                      || embedding[1:(r % {dim})] END AS embedding,
                   label
            FROM '{p['embeddings']}' CROSS JOIN {rep}""",
         "embeddings",
