@@ -56,21 +56,50 @@ def _with_rank_and_total(df: DataFrame, order_by: list[Column]) -> DataFrame:
     # documents.
     local = local.localCheckpoint(eager=False)
     counts = local.groupBy(_PID).agg(F.count(F.lit(1)).alias("_n"))
-    # tiny frame: one row per shuffle partition. Cumulative offsets
-    # come from a broadcast theta-join prefix sum (not a global
-    # window): over <= shuffle-partition-count rows the O(p^2) pairs
-    # are trivial, the plan carries no unpartitioned WindowExec at
-    # all, and warning audits flag only real single-partition
-    # hazards.
-    prior = counts.select(
-        F.col(_PID).alias("_p2"), F.col("_n").alias("_n2")
+    # tiny frame: one row per shuffle partition. The cumulative
+    # offsets come from ONE global aggregate — collect the (pid, n)
+    # pairs into a sorted array, scan it with the JVM `aggregate`
+    # higher-order function, explode back. The plan is a standard
+    # Exchange SinglePartition -> HashAggregate over <= shuffle-
+    # partition-count rows (the shape the plan tests whitelist), with
+    # NO WindowExec: nothing can emit the no-partition warning, so
+    # log audits flag only real single-partition hazards. (An
+    # unpartitioned window warns regardless of input size; a constant
+    # partition key gets optimizer-folded back to empty; a theta-join
+    # prefix sum plans as BroadcastNestedLoopJoin — all rejected, r5.)
+    # The O(p^2) array-append scan is trivial at any realistic
+    # shuffle-partition count (p=10^4 -> 10^8 long copies, <1s once).
+    packed = counts.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(_PID).alias("p"), F.col("_n").alias("n"))
+            )
+        ).alias("arr")
     )
-    total = counts.agg(F.sum("_n").alias(_TOTAL))
-    offsets = (
-        counts.join(F.broadcast(prior), F.col("_p2") < F.col(_PID), "left")
-        .groupBy(_PID)
-        .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias(_OFFSET))
-        .crossJoin(F.broadcast(total))
+    scanned = packed.select(
+        F.aggregate(
+            F.col("arr"),
+            F.struct(
+                F.lit(0).cast("long").alias("acc"),
+                F.expr(
+                    "cast(array() as array<struct<p:int,o:bigint>>)"
+                ).alias("out"),
+            ),
+            lambda s, x: F.struct(
+                (s.acc + x.n).alias("acc"),
+                F.concat(
+                    s.out,
+                    F.array(F.struct(x.p.alias("p"), s.acc.alias("o"))),
+                ).alias("out"),
+            ),
+        ).alias("st")
+    )
+    offsets = scanned.select(
+        F.explode("st.out").alias("po"), F.col("st.acc").alias(_TOTAL)
+    ).select(
+        F.col("po.p").alias(_PID),
+        F.col("po.o").alias(_OFFSET),
+        F.col(_TOTAL),
     )
     return (
         local.join(F.broadcast(offsets), _PID)

@@ -248,18 +248,43 @@ def global_shuffle(
     local = local.withColumn("_local_rank", F.row_number().over(wlocal))
     local = local.localCheckpoint(eager=False)
     # per-partition row counts -> cumulative offsets (tiny, broadcast)
-    # one row per shuffle partition — cumulative offsets via a
-    # broadcast theta-join prefix sum over the tiny counts frame (no
-    # unpartitioned window, so the WindowExec no-partition warning
-    # cannot fire and plan audits flag only real hazards)
-    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    prior = counts.select(
-        F.col("_pid").alias("_p2"), F.col("_n").alias("_n2")
+    # one row per shuffle partition — cumulative offsets via one
+    # global aggregate: collect the (pid, n) pairs into a sorted
+    # array, scan with the JVM `aggregate` higher-order function,
+    # explode back. Standard SinglePartition HashAggregate plan, no
+    # WindowExec — the no-partition warning cannot fire (see
+    # ranking._with_rank_and_total, r5 self-review).
+    packed = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("_pid").alias("p"), F.col("_n").alias("n"))
+                )
+            ).alias("arr")
+        )
     )
-    offsets = (
-        counts.join(F.broadcast(prior), F.col("_p2") < F.col("_pid"), "left")
-        .groupBy("_pid")
-        .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias("_offset"))
+    scanned = packed.select(
+        F.aggregate(
+            F.col("arr"),
+            F.struct(
+                F.lit(0).cast("long").alias("acc"),
+                F.expr(
+                    "cast(array() as array<struct<p:int,o:bigint>>)"
+                ).alias("out"),
+            ),
+            lambda s, x: F.struct(
+                (s.acc + x.n).alias("acc"),
+                F.concat(
+                    s.out,
+                    F.array(F.struct(x.p.alias("p"), s.acc.alias("o"))),
+                ).alias("out"),
+            ),
+        ).alias("st")
+    )
+    offsets = scanned.select(F.explode("st.out").alias("po")).select(
+        F.col("po.p").alias("_pid"), F.col("po.o").alias("_offset")
     )
     return (
         local.join(F.broadcast(offsets), "_pid")

@@ -75,23 +75,21 @@ def test_ranking_plan_is_range_partitioned_not_single_window(spark):
     plan = plan_string(out, "simple")
     # no ntile window anywhere — the bucket is plain arithmetic
     assert "ntile" not in plan.lower()
-    # the input frame never funnels through one partition: any
-    # single-partition exchange (explicit SinglePartition or the
-    # constant-key hashpartitioning the counts window declares) must
-    # feed the per-partition-counts aggregate (<= shuffle partitions
-    # rows), never the data-bearing path
-    chunks = []
-    for marker in ("Exchange SinglePartition", "Exchange hashpartitioning(0,"):
-        chunks += plan.split(marker)[1:]
-    assert chunks, "expected the counts window's tiny exchange"
+    # the input frame never funnels through one partition: every
+    # SinglePartition exchange feeds the global prefix-sum aggregate
+    # (collect_list over <= shuffle-partition-count count rows), never
+    # the data-bearing path
+    chunks = plan.split("Exchange SinglePartition")[1:]
+    assert chunks, "expected the prefix-sum aggregate's tiny exchange"
     for c in chunks:
-        head = "\n".join(c.splitlines()[:3])
-        assert "HashAggregate" in head, f"single-partition over data:\n{c}"
-    # and every Window in the plan is partitioned (the WindowExec
-    # no-partition warning cannot fire)
-    for line in plan.splitlines():
-        if "Window " in line or line.strip().startswith("Window"):
-            assert "partitionBy" not in line or "0" in line
+        head = "\n".join(c.splitlines()[:4])
+        assert "Aggregate" in head, f"single-partition over data:\n{c}"
+    # the offsets path has NO window at all (the WindowExec
+    # no-partition warning cannot fire) and no nested-loop/cartesian
+    # shapes; the only Window is the per-partition local rank, which
+    # is partitioned by pid
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
     # the range shuffle itself is hidden behind the localCheckpoint in
     # the final plan; assert it on the pre-checkpoint path instead
     pre = df.repartitionByRange(F.col("v"), F.col("k"))
