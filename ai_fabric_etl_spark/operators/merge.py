@@ -400,8 +400,9 @@ class ParquetMergeTable:
     # entry under ``_delta_log/{version:020d}.json`` following the
     # PUBLIC Delta Lake protocol spec (github.com/delta-io/delta
     # PROTOCOL.md; protocol 1/2, add/remove actions, no deletion
-    # vectors): first commit carries protocol + metaData, every commit
-    # adds the new version's files and removes the previous version's.
+    # vectors): first commit carries protocol + metaData (re-emitted on
+    # schema change, as real writers do), every commit adds the new
+    # version's files and removes whatever the log held live.
     # Paths are table-root-relative into the retained ``v={n}/``
     # directories, which the spec allows (partitioned tables rely on
     # it), so a delta-spark reader — absent from this sandbox — would
@@ -446,33 +447,123 @@ class ParquetMergeTable:
             out.append((f"v={v}/{os.path.basename(f)}", st.st_size, int(st.st_mtime * 1000)))
         return out
 
+    def _delta_replay_state(self) -> tuple[set[str], str | None]:
+        """Replay the existing log: (live decoded file paths, last
+        emitted metaData schemaString). Drives both the remove set —
+        each commit fully replaces the snapshot, so it must remove
+        exactly what the LOG currently holds live (re-deriving from the
+        ``v={n-1}`` directory re-derives [] after a vacuum, leaving
+        stale adds live forever) — and schema-change detection."""
+        import json
+        from urllib.parse import unquote
+
+        log_dir = os.path.join(self.path, self._DELTA_DIR)
+        live: set[str] = set()
+        schema: str | None = None
+        try:
+            names = sorted(
+                n for n in os.listdir(log_dir)
+                if n.endswith(".json") and n[:-5].isdigit()
+            )
+        except FileNotFoundError:
+            return live, schema
+        for name in names:
+            with open(os.path.join(log_dir, name), encoding="utf-8") as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "metaData" in action:
+                        schema = action["metaData"]["schemaString"]
+                    elif "add" in action:
+                        live.add(unquote(action["add"]["path"]))
+                    elif "remove" in action:
+                        live.discard(unquote(action["remove"]["path"]))
+        return live, schema
+
+    @staticmethod
+    def _schema_key(schema_json: str | None) -> str | None:
+        """Nullability-insensitive schema identity: parquet footers
+        read back all-nullable, so comparing raw schemaStrings would
+        emit a spurious metaData action on every catch-up commit."""
+        if schema_json is None:
+            return None
+        import json
+
+        from pyspark.sql.types import StructType
+
+        try:
+            return StructType.fromJson(json.loads(schema_json)).simpleString()
+        except Exception:  # noqa: BLE001 - foreign schemaString, compare raw
+            return schema_json
+
+    def _schema_of_version(self, v: int) -> str | None:
+        """schemaString of a retained version from its parquet footers;
+        None when the directory was vacuumed."""
+        if not self._version_files(v):
+            return None
+        return self.spark.read.parquet(
+            os.path.join(self.path, f"v={v}")
+        ).schema.json()
+
     def _emit_delta_log(self, v: int, schema_json: str, op: str) -> None:
         import json
         import time
+        from urllib.parse import quote
 
         log_dir = os.path.join(self.path, self._DELTA_DIR)
         os.makedirs(log_dir, exist_ok=True)
         now_ms = int(time.time() * 1000)
+        first_missing = self._delta_last_logged() + 1
+        if first_missing > v:
+            return
         # catch-up: a crash after _swap but before emit leaves a gap;
         # re-derive the missing commits from their retained dirs
         # (vacuumed gaps become empty commits — contiguity preserved,
         # matching their already-unreadable time-travel state)
-        for missing in range(self._delta_last_logged() + 1, v + 1):
+        live, last_schema = self._delta_replay_state()
+        last_key = self._schema_key(last_schema)
+
+        def enc(path: str) -> str:
+            # PROTOCOL.md: paths are percent-encoded relative URIs
+            # ('/' and the partition-style '=' stay literal, matching
+            # real Delta writers)
+            return quote(path, safe="/=")
+
+        for missing in range(first_missing, v + 1):
+            # the commit's OWN schema: the passed one for the live
+            # commit, the retained footers for crash-gap catch-up —
+            # stamping the current df's schema onto evolved history
+            # would make native reads of old versions drop/invent
+            # columns vs t.read(version=...)
+            sj = (
+                schema_json
+                if missing == v
+                else (self._schema_of_version(missing) or last_schema
+                      or schema_json)
+            )
             lines: list[str] = []
             if missing == 0:
                 lines.append(json.dumps({
                     "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}
                 }))
+            key = self._schema_key(sj)
+            if missing == 0 or key != last_key:
+                # real Delta writers emit a fresh metaData action on
+                # every schema change, not only at table creation —
+                # without it a native read of an evolved table applies
+                # the stale v0 schema and silently drops new columns
                 lines.append(json.dumps({
                     "metaData": {
                         "id": self._delta_table_id(),
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": schema_json,
+                        "schemaString": sj,
                         "partitionColumns": [],
                         "configuration": {},
                         "createdTime": now_ms,
                     }
                 }))
+                last_key = key
             lines.append(json.dumps({
                 "commitInfo": {
                     "timestamp": now_ms,
@@ -481,25 +572,26 @@ class ParquetMergeTable:
                     "engineInfo": "ai_fabric_etl_spark ParquetMergeTable",
                 }
             }))
-            for path, size, mtime in self._version_files(missing):
+            adds = self._version_files(missing)
+            for path, size, mtime in adds:
                 lines.append(json.dumps({
                     "add": {
-                        "path": path,
+                        "path": enc(path),
                         "partitionValues": {},
                         "size": size,
                         "modificationTime": mtime,
                         "dataChange": True,
                     }
                 }))
-            if missing > 0:
-                for path, _size, _mtime in self._version_files(missing - 1):
-                    lines.append(json.dumps({
-                        "remove": {
-                            "path": path,
-                            "deletionTimestamp": now_ms,
-                            "dataChange": True,
-                        }
-                    }))
+            for path in sorted(live):
+                lines.append(json.dumps({
+                    "remove": {
+                        "path": enc(path),
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }))
+            live = {path for path, _size, _mtime in adds}
             tmp = os.path.join(log_dir, f".{missing:020d}.json.tmp")
             with open(tmp, "w", encoding="utf-8") as fh:
                 fh.write("\n".join(lines) + "\n")

@@ -77,15 +77,19 @@ def _approx_bucket_exprs(
     return out
 
 
-_NUMERIC_PREFIXES = (
+_NUMERIC_BASE_TYPES = {
     "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
-)
+}
 
 
 def _all_numeric(df: DataFrame, cols: list[str]) -> bool:
+    # exact base-type match: a startswith("int") prefix test would also
+    # match "interval ..." dtypes, routing them to the approx path
+    # where cast("double") fails analysis
     types = dict(df.dtypes)
     return all(
-        types.get(c, "").startswith(_NUMERIC_PREFIXES) for c in cols
+        types.get(c, "").split("(")[0].strip() in _NUMERIC_BASE_TYPES
+        for c in cols
     )
 
 

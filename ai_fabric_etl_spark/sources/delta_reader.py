@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -92,10 +93,14 @@ def _replay(
                 meta = d["metaData"]
             add = d.get("add")
             if add and add.get("path"):
-                live[add["path"]] = add
+                # PROTOCOL.md: add/remove paths are percent-encoded
+                # relative URIs — decode before keying/joining, or
+                # names with spaces/special chars resolve to
+                # nonexistent files and removes never match their adds
+                live[unquote(add["path"])] = add
             rm = d.get("remove")
             if rm and rm.get("path"):
-                live.pop(rm["path"], None)
+                live.pop(unquote(rm["path"]), None)
         start = cv + 1
 
     if version is None:
@@ -113,9 +118,9 @@ def _replay(
                 elif "metaData" in action:
                     meta = action["metaData"]
                 elif "add" in action:
-                    live[action["add"]["path"]] = action["add"]
+                    live[unquote(action["add"]["path"])] = action["add"]
                 elif "remove" in action:
-                    live.pop(action["remove"]["path"], None)
+                    live.pop(unquote(action["remove"]["path"]), None)
     if not meta:
         raise DeltaProtocolError(f"{table_path}: no metaData action found")
     return live, meta

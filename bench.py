@@ -128,10 +128,12 @@ def _previous_round_timings() -> tuple[str, dict[str, float]]:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
-    )
+    numbered = [
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]  # non-numeric suffixes (e.g. BENCH_rfinal.json) are not rounds
+    paths = [p for _, p in sorted(numbered)]
     for path in reversed(paths):
         try:
             with open(path) as f:
@@ -277,7 +279,18 @@ def main() -> None:
     out["regressions_vs"] = prev_file
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # stop the JVM BEFORE printing: Spark 4 emits structured-JSON log
+    # lines that can land on stdout after our result line, and the
+    # driver's parse of "the last JSON line" then reads a log record
+    # instead (this is what nulled round 5's parsed bench). With the
+    # session stopped, the result line is guaranteed to be the final
+    # stdout content.
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001 - never lose the numbers to teardown
+        pass
+    sys.stdout.flush()
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

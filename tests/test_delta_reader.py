@@ -169,3 +169,140 @@ def test_protocol_gate(spark, tmp_path):
         }}) + "\n")
     with pytest.raises(DeltaProtocolError):
         read_delta_snapshot(spark, root)
+
+
+def test_mirror_schema_evolution_emits_new_metadata(spark, tmp_path):
+    """ADVICE r5 (medium): a schema-evolving merge must append a fresh
+    metaData action — real Delta writers do — so native reads see the
+    evolved columns instead of applying the stale v0 schema."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_evo_log"))
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")],
+                                      "id long, name string"))
+    t.merge(
+        spark.createDataFrame([(2, "b2", 99), (3, "c", 42)],
+                              "id long, name string, score long"),
+        keys=["id"],
+    )
+
+    log_dir = os.path.join(t.path, "_delta_log")
+    metas = []
+    for name in sorted(os.listdir(log_dir)):
+        if not (name.endswith(".json") and name[:-5].isdigit()):
+            continue
+        with open(os.path.join(log_dir, name)) as fh:
+            for line in fh:
+                if line.strip():
+                    a = json.loads(line)
+                    if "metaData" in a:
+                        metas.append((int(name[:-5]), a["metaData"]))
+    assert len(metas) == 2, "schema change must re-emit metaData"
+    assert metas[0][0] == 0 and metas[1][0] == t._version()
+    fields_v1 = [f["name"]
+                 for f in json.loads(metas[1][1]["schemaString"])["fields"]]
+    assert "score" in fields_v1
+    # same table uuid across metaData generations
+    assert metas[0][1]["id"] == metas[1][1]["id"]
+
+    # native read sees the evolved column, and matches the engine read
+    got = read_delta_snapshot(spark, t.path)
+    assert "score" in got.columns
+    assert _rowset(got) == _rowset(t.read())
+    # VERSION AS OF 0 applies the ORIGINAL schema
+    got_v0 = read_delta_snapshot(spark, t.path, version=0)
+    assert "score" not in got_v0.columns
+    assert _rowset(got_v0) == _rowset(t.read(version=0))
+
+    # a non-evolving follow-up commit must NOT emit another metaData
+    t.merge(spark.createDataFrame([(4, "d")], "id long, name string"),
+            keys=["id"])
+    n_meta = 0
+    for name in sorted(os.listdir(log_dir)):
+        if name.endswith(".json") and name[:-5].isdigit():
+            with open(os.path.join(log_dir, name)) as fh:
+                n_meta += sum(1 for line in fh
+                              if line.strip() and "metaData" in json.loads(line))
+    assert n_meta == 2
+    assert _rowset(read_delta_snapshot(spark, t.path)) == _rowset(t.read())
+
+
+def test_mirror_catchup_after_vacuum_derives_removes_from_log(spark, tmp_path):
+    """ADVICE r5: crash-gap catch-up must derive its remove set from
+    the log's live files, not the vacuumed ``v={n-1}`` directory —
+    otherwise stale adds stay live forever and the snapshot references
+    deleted files."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_gap"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k int, s string"))
+    t.overwrite(spark.createDataFrame([(2, "b")], "k int, s string"))
+    log_dir = os.path.join(t.path, "_delta_log")
+    # crash between pointer swap and mirror emit: v1's entry is lost
+    os.remove(os.path.join(log_dir, f"{1:020d}.json"))
+    # vacuum then deletes the v=0 directory before the next commit
+    assert t.vacuum(keep_last=1) == [0]
+    assert not os.path.isdir(os.path.join(t.path, "v=0"))
+
+    # next commit: catch-up re-derives v1 (removing v0's files purely
+    # from the log) then emits v2
+    t.overwrite(spark.createDataFrame([(3, "c")], "k int, s string"))
+
+    got = read_delta_snapshot(spark, t.path)
+    assert _rowset(got) == _rowset(t.read())
+    # every live path in the log must exist on disk
+    live: set[str] = set()
+    for name in sorted(os.listdir(log_dir)):
+        if not (name.endswith(".json") and name[:-5].isdigit()):
+            continue
+        with open(os.path.join(log_dir, name)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "add" in a:
+                    live.add(a["add"]["path"])
+                elif "remove" in a:
+                    live.discard(a["remove"]["path"])
+    assert live, "snapshot must not be empty"
+    for p in live:
+        assert os.path.exists(os.path.join(t.path, p)), p
+
+
+def test_percent_encoded_paths_roundtrip(spark, tmp_path):
+    """ADVICE r5: PROTOCOL.md paths are percent-encoded relative URIs;
+    the replayer must decode them before resolving (and so removes
+    match their adds). Foreign table with a space in a file name."""
+    root = str(tmp_path / "enc")
+    os.makedirs(f"{root}/_delta_log")
+    d = f"{root}/build"
+    spark.createDataFrame([(1, "x"), (2, "y")], "k int, s string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(d)
+    src = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+    fancy = "part 00 (copy).parquet"
+    os.replace(f"{d}/{src}", f"{root}/{fancy}")
+    from urllib.parse import quote
+
+    enc = quote(fancy, safe="/=")
+    assert "%20" in enc
+    meta = {"metaData": {
+        "id": "t", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+            {"name": "s", "type": "string", "nullable": True, "metadata": {}},
+        ]}),
+        "partitionColumns": [], "configuration": {},
+    }}
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 1,
+                                          "minWriterVersion": 2}}) + "\n")
+        fh.write(json.dumps(meta) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": enc, "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+    got = read_delta_snapshot(spark, root)
+    assert {r.k for r in got.collect()} == {1, 2}
+
+    # a remove (encoded the same way) retires the add
+    with open(f"{root}/_delta_log/{1:020d}.json", "w") as fh:
+        fh.write(json.dumps({"remove": {
+            "path": enc, "deletionTimestamp": 0,
+            "dataChange": True}}) + "\n")
+    assert read_delta_snapshot(spark, root).count() == 0

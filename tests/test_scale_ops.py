@@ -128,6 +128,20 @@ def test_zorder_auto_defaults_to_windowless_for_numeric(spark):
         .toString()
     )
     assert "Window" in plan_s, "non-numeric curve must fall back to exact"
+    # ADVICE r5: an interval dtype must NOT be treated as numeric (the
+    # old startswith("int") prefix test matched it, routing to the
+    # approx path where cast("double") fails analysis)
+    idf = df.withColumn(
+        "iv", F.expr("make_dt_interval(0, 0, 0, x)")
+    )
+    assert dict(idf.dtypes)["iv"].startswith("interval")
+    plan_iv = (
+        morton_key(idf, ["iv", "y"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan_iv, "interval curve must fall back to exact"
 
 
 def test_zorder_many_columns_fit_long_sign_bit(spark):
