@@ -596,6 +596,83 @@ class ParquetMergeTable:
             with open(tmp, "w", encoding="utf-8") as fh:
                 fh.write("\n".join(lines) + "\n")
             os.replace(tmp, os.path.join(log_dir, f"{missing:020d}.json"))
+            if missing > 0 and missing % self._CHECKPOINT_INTERVAL == 0:
+                self._delta_write_checkpoint(missing, adds, sj)
+
+    _CHECKPOINT_INTERVAL = 10
+
+    def _delta_write_checkpoint(
+        self, v: int, adds: list[tuple[str, int, int]], schema_json: str
+    ) -> None:
+        """Parquet checkpoint + ``_last_checkpoint`` pointer every
+        ``_CHECKPOINT_INTERVAL`` commits (PROTOCOL.md checkpoints):
+        readers seed their replay from the newest checkpoint at-or-
+        before the target version and apply only later JSON commits,
+        bounding replay length exactly as real Delta does. Minimal
+        single-part checkpoint: one protocol row, one metaData row, one
+        row per live add (each commit fully replaces the snapshot, so
+        the live set IS this version's adds; no tombstones needed).
+        Best-effort — a failure here never blocks the commit, the JSON
+        log remains complete."""
+        import json
+        from urllib.parse import quote
+
+        log_dir = os.path.join(self.path, self._DELTA_DIR)
+        ck_schema = (
+            "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
+            "metaData struct<id:string,format:struct<provider:string>,"
+            "schemaString:string,partitionColumns:array<string>,"
+            "configuration:map<string,string>>, "
+            "add struct<path:string,partitionValues:map<string,string>,"
+            "size:bigint,modificationTime:bigint,dataChange:boolean>, "
+            "remove struct<path:string,deletionTimestamp:bigint,"
+            "dataChange:boolean>"
+        )
+        rows = [
+            ((1, 2), None, None, None),
+            (
+                None,
+                (
+                    self._delta_table_id(),
+                    ("parquet",),
+                    schema_json,
+                    [],
+                    {},
+                ),
+                None,
+                None,
+            ),
+            *[
+                (
+                    None,
+                    None,
+                    (quote(path, safe="/="), {}, size, mtime, True),
+                    None,
+                )
+                for path, size, mtime in adds
+            ],
+        ]
+        try:
+            tmp_dir = os.path.join(log_dir, f".ckpt_build_{v}")
+            self.spark.createDataFrame(rows, ck_schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp_dir)
+            import glob as _glob
+            import shutil
+
+            src = next(
+                iter(_glob.glob(os.path.join(tmp_dir, "*.parquet")))
+            )
+            os.replace(
+                src, os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
+            )
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            ptr_tmp = os.path.join(log_dir, "._last_checkpoint.tmp")
+            with open(ptr_tmp, "w", encoding="utf-8") as fh:
+                json.dump({"version": v, "size": len(rows)}, fh)
+            os.replace(ptr_tmp, os.path.join(log_dir, "_last_checkpoint"))
+        except Exception:  # noqa: BLE001 - mirror extra, JSON log is complete
+            pass
 
     def changes(
         self,

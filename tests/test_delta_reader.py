@@ -306,3 +306,33 @@ def test_percent_encoded_paths_roundtrip(spark, tmp_path):
             "path": enc, "deletionTimestamp": 0,
             "dataChange": True}}) + "\n")
     assert read_delta_snapshot(spark, root).count() == 0
+
+
+def test_mirror_writes_checkpoints_and_reader_seeds_from_them(spark, tmp_path):
+    """Every _CHECKPOINT_INTERVAL commits the mirror writes a parquet
+    checkpoint + _last_checkpoint; a reader can then reconstruct the
+    snapshot even when all earlier JSON commits are gone (bounded
+    replay, as real Delta intends)."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_ckpt"))
+    interval = ParquetMergeTable._CHECKPOINT_INTERVAL
+    for i in range(interval + 2):  # versions 0 .. interval+1
+        t.overwrite(spark.createDataFrame([(i, f"s{i}")], "k int, s string"))
+    log_dir = os.path.join(t.path, "_delta_log")
+    ck = os.path.join(log_dir, f"{interval:020d}.checkpoint.parquet")
+    assert os.path.exists(ck)
+    with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+        assert json.load(fh)["version"] == interval
+
+    # native read agrees with the engine before any pruning
+    assert _rowset(read_delta_snapshot(spark, t.path)) == _rowset(t.read())
+
+    # drop every JSON commit the checkpoint covers: replay must seed
+    # from the checkpoint and apply only the later commits
+    for v in range(interval + 1):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+    got = read_delta_snapshot(spark, t.path)
+    assert _rowset(got) == _rowset(t.read())
+    assert {r.k for r in got.collect()} == {interval + 1}
+    # VERSION AS OF the checkpoint version itself still resolves
+    got_ck = read_delta_snapshot(spark, t.path, version=interval)
+    assert {r.k for r in got_ck.collect()} == {interval}
