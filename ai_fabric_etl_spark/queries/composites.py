@@ -147,6 +147,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "source_orc_roundtrip",
         "source_fixedwidth_roundtrip",
         "source_xml_roundtrip",
+        "source_sqlite_roundtrip",
         "x12_datasource_scan",
         "lakehouse_incremental_mart",
         "lakehouse_incremental_join_view",

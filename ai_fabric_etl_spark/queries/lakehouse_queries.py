@@ -276,6 +276,62 @@ def source_orc_roundtrip(spark, sf_dir):
     )
 
 
+_SQLITE_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_order_date
+FROM orders
+WHERE o_totalprice > 50000
+GROUP BY o_orderstatus
+"""
+
+
+@register("source_sqlite_roundtrip", oracle=_SQLITE_ORACLE)
+def source_sqlite_roundtrip(spark, sf_dir):
+    """REAL-database connector round trip (SURVEY S13): bulk-write
+    orders into a SQLite database through the two-phase-commit sqlite
+    sink, read it back as a JDBC-style range-partitioned scan (4 rowid
+    partitions) with the o_totalprice predicate pushed down INTO the
+    database, and aggregate — values verified against DuckDB over the
+    original parquet. The reference runs this edge against Postgres
+    over JDBC (local-development/process_test_data.py:53-153); the
+    source semantics here (partition planning, predicate pushdown,
+    exact logical-type restoration for decimals/dates/timestamps) are
+    the same, only the DB-API driver differs because the sandbox ships
+    no JDBC jar (sources/sqlite_datasource.py)."""
+    from ai_fabric_etl_spark.sources import sqlite_datasource
+
+    sqlite_datasource.register(spark)
+    db = os.path.join(tempfile.mkdtemp(prefix="sqlite_rt_"), "edge.db")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate",
+    )
+    orders.write.format("sqlite").option("dbpath", db).option(
+        "dbtable", "orders"
+    ).mode("overwrite").save()
+    back = (
+        spark.read.format("sqlite")
+        .option("dbpath", db)
+        .option("dbtable", "orders")
+        .option("numpartitions", "4")
+        .load()
+        .filter(F.col("o_totalprice") > 50000.0)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias(
+            "first_order_date"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 100 TB read-path extensions: mergeable HLL sketch rollups and
 # Z-order (Morton) clustering

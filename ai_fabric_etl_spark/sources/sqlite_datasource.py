@@ -1,0 +1,506 @@
+"""``spark.read.format("sqlite")`` — a real-database source/sink over
+Python's stdlib ``sqlite3`` driver (Spark 4 Python Data Source API).
+
+Reference parity: S13 — the reference round-trips its test data
+through Postgres over JDBC (local-development/process_test_data.py:
+53-153: partitioned reads, bulk writes). This sandbox ships no JDBC
+driver jar, so ``sources/jdbc.py`` could only validate the option
+layer; THIS module executes the same source semantics against a real
+SQL database that IS present. The option surface deliberately mirrors
+Spark's JDBC source:
+
+- ``dbpath`` (file path of the database), ``dbtable``
+- ``partitioncolumn`` / ``lowerbound`` / ``upperbound`` /
+  ``numpartitions`` — classic JDBC range partitioning: stride
+  predicates, first/last partitions open-ended, NULLs routed to the
+  first partition. Defaults to SQLite's ``rowid`` with bounds from
+  one MIN/MAX query at plan time, so any table parallelizes without
+  caller tuning.
+- ``fetchsize`` — rows per cursor batch (default 10 000).
+- predicate pushdown: ``pushFilters`` compiles
+  EqualTo/In/(Not)Null/comparison/prefix-contains-suffix filters into
+  a parameterized SQL WHERE evaluated INSIDE the database, exactly
+  like the JDBC source's ``pushedFilters``; every filter is also
+  yielded back so Spark re-applies them (pruning is an optimization,
+  never a semantics change).
+
+Type fidelity: SQLite stores only INTEGER/REAL/TEXT/BLOB, so the sink
+records the full Spark schema in a ``_spark_schema`` side table
+(date/timestamp as ISO text, decimal as exact text, boolean as 0/1 —
+the same affinity tricks every SQLite ORM uses) and the source
+restores the exact logical types on read. Foreign databases without
+the side table fall back to declared-type affinity inference
+(INTEGER->long, REAL->double, TEXT->string, BLOB->binary).
+
+Write path is TWO-PHASE COMMIT like the x12 sink: each task bulk-
+inserts its rows into a private staging SQLite file (no cross-process
+writer contention — SQLite serializes writers, so N tasks hammering
+one file would serialize the job), and only the driver's ``commit``
+publishes: it builds the complete new database in a shadow file
+(copy-on-write of the existing one, preserving unrelated tables),
+merges every staged part via ATTACH + INSERT..SELECT, and atomically
+``os.replace``s it over the target — all-or-nothing visibility.
+
+Scale notes: the same partition-planning/pushdown code drives any
+DB-API database; against 100 TB the database side is the bottleneck
+by design (the reference uses the DB as a landing/export edge, not an
+analytics store) — reads stream by ``fetchsize`` in constant memory
+and writes are bulk per-task files merged once.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    ByteType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+META_TABLE = "_spark_schema"
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _q(ident: str) -> str:
+    """Quote an identifier after validating it — table/column names
+    come from options/schemas, never interpolate them raw."""
+    if not _IDENT.match(ident):
+        raise ValueError(f"invalid SQL identifier: {ident!r}")
+    return f'"{ident}"'
+
+
+def _storage_type(dt) -> str:
+    """Spark type -> SQLite declared type (storage affinity)."""
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType,
+                       BooleanType)):
+        return "INTEGER"
+    if isinstance(dt, (FloatType, DoubleType)):
+        return "REAL"
+    if isinstance(dt, BinaryType):
+        return "BLOB"
+    # strings, decimals (exact text), dates/timestamps (ISO text)
+    return "TEXT"
+
+
+def _to_storage(dt):
+    """Converter: Spark row value -> SQLite storage value."""
+    import datetime
+    import decimal
+
+    if isinstance(dt, BooleanType):
+        return lambda v: None if v is None else int(v)
+    if isinstance(dt, DecimalType):
+        return lambda v: None if v is None else str(v)
+    if isinstance(dt, DateType):
+        return lambda v: None if v is None else v.isoformat()
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return lambda v: None if v is None else v.isoformat(sep=" ")
+    if isinstance(dt, BinaryType):
+        return lambda v: None if v is None else bytes(v)
+    del datetime, decimal
+    return lambda v: v
+
+
+def _from_storage(dt):
+    """Converter: SQLite storage value -> Spark row value."""
+    import datetime
+    import decimal
+
+    if isinstance(dt, BooleanType):
+        return lambda v: None if v is None else bool(v)
+    if isinstance(dt, DecimalType):
+        return lambda v: None if v is None else decimal.Decimal(str(v))
+    if isinstance(dt, DateType):
+        return lambda v: None if v is None else datetime.date.fromisoformat(v)
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return (
+            lambda v: None
+            if v is None
+            else datetime.datetime.fromisoformat(v)
+        )
+    if isinstance(dt, (FloatType, DoubleType)):
+        return lambda v: None if v is None else float(v)
+    return lambda v: v
+
+
+def _affinity_schema(db_path: str, table: str) -> StructType:
+    """Schema for a FOREIGN database (no ``_spark_schema`` side
+    table): SQLite declared-type affinity -> Spark types."""
+    import sqlite3
+
+    from pyspark.sql.types import StructField
+
+    con = sqlite3.connect(db_path)
+    try:
+        cols = con.execute(f"PRAGMA table_info({_q(table)})").fetchall()
+    finally:
+        con.close()
+    if not cols:
+        raise ValueError(f"table {table!r} not found in {db_path}")
+    fields = []
+    for _cid, name, decl, _notnull, _dflt, _pk in cols:
+        d = (decl or "").upper()
+        if "INT" in d:
+            t = LongType()
+        elif any(k in d for k in ("REAL", "FLOA", "DOUB", "NUMERIC", "DEC")):
+            t = DoubleType()
+        elif "BLOB" in d or d == "":
+            t = BinaryType()
+        else:
+            t = StringType()
+        fields.append(StructField(name, t, True))
+    return StructType(fields)
+
+
+def _recorded_schema(db_path: str, table: str) -> StructType | None:
+    import json
+    import sqlite3
+
+    con = sqlite3.connect(db_path)
+    try:
+        row = con.execute(
+            f"SELECT schema_json FROM {_q(META_TABLE)} WHERE tbl = ?",
+            (table,),
+        ).fetchone()
+    except sqlite3.OperationalError:
+        return None
+    finally:
+        con.close()
+    return StructType.fromJson(json.loads(row[0])) if row else None
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, where: str, params: tuple):
+        self.where = where
+        self.params = params
+
+
+class SQLiteDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "sqlite"
+
+    def schema(self):
+        db = self.options.get("dbpath")
+        table = self.options.get("dbtable")
+        if not db or not table:
+            raise ValueError("sqlite source requires dbpath and dbtable")
+        if self.options.get("inferschema", "").lower() != "true":
+            rec = _recorded_schema(db, table)
+            if rec is not None:
+                return rec
+        return _affinity_schema(db, table)
+
+    def reader(self, schema) -> "SQLiteReader":
+        return SQLiteReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool) -> "SQLiteWriter":
+        return SQLiteWriter(self.options, schema, overwrite)
+
+
+class SQLiteReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType):
+        self.db = options.get("dbpath")
+        self.table = options.get("dbtable")
+        if not self.db or not self.table:
+            raise ValueError("sqlite source requires dbpath and dbtable")
+        _q(self.table)  # validate early
+        self.schema = schema
+        self.fetchsize = int(options.get("fetchsize", 10_000))
+        self.part_col = options.get("partitioncolumn", "rowid")
+        self.num_parts = int(options.get("numpartitions", 4))
+        self.lower = options.get("lowerbound")
+        self.upper = options.get("upperbound")
+        self._where: list[str] = []
+        self._params: list = []
+
+    # -- predicate pushdown ------------------------------------------
+    _COMPARES = (
+        (EqualTo, "="),
+        (GreaterThan, ">"),
+        (GreaterThanOrEqual, ">="),
+        (LessThan, "<"),
+        (LessThanOrEqual, "<="),
+    )
+
+    def _sql_of(self, f):
+        """(sql, params) for a supported filter, else None. Only
+        top-level single-column attributes; values pass as bind
+        parameters (never interpolated)."""
+        attr = getattr(f, "attribute", None)
+        if not attr or len(tuple(attr)) != 1:
+            return None
+        col = tuple(attr)[0]
+        if not _IDENT.match(col):
+            return None
+        field = next((x for x in self.schema.fields if x.name == col), None)
+        if field is None:
+            return None
+        conv = _to_storage(field.dataType)
+        for cls, op in self._COMPARES:
+            if isinstance(f, cls):
+                return f"{_q(col)} {op} ?", (conv(f.value),)
+        if isinstance(f, In):
+            vals = [conv(v) for v in f.value]
+            if not vals:
+                return "1 = 0", ()
+            return (
+                f"{_q(col)} IN ({', '.join('?' for _ in vals)})",
+                tuple(vals),
+            )
+        if isinstance(f, IsNull):
+            return f"{_q(col)} IS NULL", ()
+        if isinstance(f, IsNotNull):
+            return f"{_q(col)} IS NOT NULL", ()
+        # LIKE needs escaping of its wildcards inside the literal
+        if isinstance(f, (StringStartsWith, StringEndsWith, StringContains)):
+            esc = (
+                str(f.value).replace("\\", "\\\\")
+                .replace("%", "\\%")
+                .replace("_", "\\_")
+            )
+            pat = {
+                StringStartsWith: f"{esc}%",
+                StringEndsWith: f"%{esc}",
+                StringContains: f"%{esc}%",
+            }[type(f)]
+            return f"{_q(col)} LIKE ? ESCAPE '\\'", (pat,)
+        return None
+
+    def pushFilters(self, filters):
+        for f in filters:
+            compiled = None
+            try:
+                compiled = self._sql_of(f)
+            except Exception:  # noqa: BLE001 - unsupported shape: skip
+                compiled = None
+            if compiled is not None:
+                self._where.append(compiled[0])
+                self._params.extend(compiled[1])
+            yield f  # conservative: Spark re-applies everything
+
+    # -- range partition planning (JDBC semantics) -------------------
+    def partitions(self) -> list[_RangePartition]:
+        import sqlite3
+
+        pc = self.part_col
+        _q(pc) if pc != "rowid" else None
+        pq = _q(pc) if pc != "rowid" else "rowid"
+        lo, hi = self.lower, self.upper
+        if lo is None or hi is None:
+            con = sqlite3.connect(self.db)
+            try:
+                row = con.execute(
+                    f"SELECT MIN({pq}), MAX({pq}) FROM {_q(self.table)}"
+                ).fetchone()
+            finally:
+                con.close()
+            lo = row[0] if lo is None else lo
+            hi = row[1] if hi is None else hi
+        if lo is None or hi is None:  # empty table
+            return [_RangePartition("1 = 1", ())]
+        lo, hi = int(lo), int(hi)
+        n = max(1, min(self.num_parts, hi - lo + 1))
+        if n == 1:
+            return [_RangePartition("1 = 1", ())]
+        stride = (hi - lo + 1) / n
+        bounds = [lo + round(stride * i) for i in range(1, n)]
+        parts = []
+        for i in range(n):
+            if i == 0:
+                # NULL partition keys ride the first partition, like
+                # the JDBC source
+                parts.append(_RangePartition(
+                    f"({pq} < ? OR {pq} IS NULL)", (bounds[0],)
+                ))
+            elif i == n - 1:
+                parts.append(_RangePartition(f"{pq} >= ?", (bounds[-1],)))
+            else:
+                parts.append(_RangePartition(
+                    f"({pq} >= ? AND {pq} < ?)", (bounds[i - 1], bounds[i])
+                ))
+        return parts
+
+    def read(self, partition: _RangePartition):
+        import sqlite3
+
+        cols = ", ".join(_q(f.name) for f in self.schema.fields)
+        convs = [_from_storage(f.dataType) for f in self.schema.fields]
+        where = [partition.where, *self._where]
+        sql = (
+            f"SELECT {cols} FROM {_q(self.table)} "
+            f"WHERE {' AND '.join(where)}"
+        )
+        con = sqlite3.connect(self.db)
+        try:
+            cur = con.execute(sql, (*partition.params, *self._params))
+            while True:
+                rows = cur.fetchmany(self.fetchsize)
+                if not rows:
+                    break
+                for r in rows:
+                    yield tuple(c(v) for c, v in zip(convs, r))
+        finally:
+            con.close()
+
+
+class _Staged(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path = path
+        self.n = n
+
+
+class SQLiteWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        import uuid
+
+        self.db = options.get("dbpath")
+        self.table = options.get("dbtable")
+        if not self.db or not self.table:
+            raise ValueError("sqlite sink requires dbpath and dbtable")
+        _q(self.table)
+        self.schema = schema
+        self.overwrite = overwrite
+        self.staging = f"{self.db}.staging_{uuid.uuid4().hex}"
+
+    def _ddl_cols(self) -> str:
+        return ", ".join(
+            f"{_q(f.name)} {_storage_type(f.dataType)}"
+            for f in self.schema.fields
+        )
+
+    def write(self, rows) -> _Staged:
+        import sqlite3
+        import uuid
+
+        os.makedirs(self.staging, exist_ok=True)
+        path = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.db")
+        convs = [_to_storage(f.dataType) for f in self.schema.fields]
+        placeholders = ", ".join("?" for _ in self.schema.fields)
+        n = 0
+        # explicit close: "with connect(...)" only scopes the
+        # transaction — a reused worker process would otherwise hold
+        # the staged file's lock and fail the driver's ATTACH
+        con = sqlite3.connect(path)
+        try:
+            con.execute(f"CREATE TABLE data ({self._ddl_cols()})")
+            cur = con.cursor()
+            batch = []
+            for row in rows:
+                batch.append(tuple(c(v) for c, v in zip(convs, row)))
+                n += 1
+                if len(batch) >= 10_000:
+                    cur.executemany(
+                        f"INSERT INTO data VALUES ({placeholders})", batch
+                    )
+                    batch = []
+            if batch:
+                cur.executemany(
+                    f"INSERT INTO data VALUES ({placeholders})", batch
+                )
+            con.commit()
+        finally:
+            con.close()
+        return _Staged(path, n)
+
+    def commit(self, messages) -> None:
+        """Driver-side atomic publish. SQLite disallows ATTACH inside
+        a transaction (and caps attached databases at ~10), so instead
+        of one giant transaction the commit builds the COMPLETE new
+        database in a shadow file — copy-on-write of the existing one,
+        preserving unrelated tables — merges every staged part into it
+        sequentially, and ``os.replace``s it over the target: readers
+        see the old or the new database, never a partial merge (the
+        same pointer-swap atomicity ParquetMergeTable uses)."""
+        import json
+        import shutil
+        import sqlite3
+
+        tq = _q(self.table)
+        tmp = f"{self.db}.commit_{os.path.basename(self.staging)}"
+        try:
+            if os.path.exists(self.db):
+                shutil.copy2(self.db, tmp)
+            con = sqlite3.connect(tmp)
+            try:
+                if self.overwrite:
+                    con.execute(f"DROP TABLE IF EXISTS {tq}")
+                con.execute(
+                    f"CREATE TABLE IF NOT EXISTS {tq} ({self._ddl_cols()})"
+                )
+                con.execute(
+                    f"CREATE TABLE IF NOT EXISTS {_q(META_TABLE)} "
+                    "(tbl TEXT PRIMARY KEY, schema_json TEXT)"
+                )
+                con.execute(
+                    f"INSERT OR REPLACE INTO {_q(META_TABLE)} VALUES (?, ?)",
+                    (self.table, json.dumps(self.schema.jsonValue())),
+                )
+                cols = ", ".join(_q(f.name) for f in self.schema.fields)
+                for m in messages:
+                    if m is None or m.n == 0:
+                        continue
+                    con.execute("ATTACH DATABASE ? AS staged", (m.path,))
+                    con.execute(
+                        f"INSERT INTO {tq} ({cols}) "
+                        f"SELECT {cols} FROM staged.data"
+                    )
+                    # commit before DETACH: python-sqlite3's implicit
+                    # transaction still references staged, and DETACH
+                    # inside it fails "database staged is locked";
+                    # atomicity comes from the file swap, not this txn
+                    con.commit()
+                    con.execute("DETACH DATABASE staged")
+                con.commit()
+            finally:
+                con.close()
+            os.replace(tmp, self.db)
+        except Exception:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
+        finally:
+            shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+def register(spark) -> None:
+    """Idempotently register the format (and the pushFilters conf —
+    same requirement as the x12 source)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SQLiteDataSource)

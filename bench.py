@@ -79,6 +79,7 @@ HEADLINE = [
     "text_pmi_collocations",       # exact-integer PMI collocations
     "lakehouse_incremental_join_view",  # feed-driven join-view fold
     "skew_hotkey_salted_agg",      # zipfian hot key via salted two-phase agg
+    "source_sqlite_roundtrip",     # real-DB write+partitioned read+pushdown
     "x12_silver_transactions",     # distributed X12 parse
 ]
 
