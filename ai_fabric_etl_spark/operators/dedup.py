@@ -908,3 +908,94 @@ def edit_distance_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def duplicate_span_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level duplication signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — the
+    suffix-array span dedup, re-expressed relationally at word-k-gram
+    granularity): for each document, how much of it is covered by
+    ``k``-grams that also occur in ANOTHER document. Returns
+    ``(id_col, n_tokens, dup_grams, covered_tokens, dup_coverage)``.
+
+    Where MinHash/Jaccard score whole documents, this catches the
+    partial overlaps that survive document-level dedup — boilerplate
+    headers, quoted passages, mirrored paragraphs — and is the
+    decision input for span-level (rather than whole-doc) removal.
+
+    Plan (every stage linear in corpus token count):
+
+    1. one codegen projection builds each doc's positional k-gram
+       hashes (sequence + slice — no self-join), posexploded to
+       (doc, pos, gram): rows == token count;
+    2. ONE shuffle on gram derives the cross-doc flag per distinct
+       gram as ``min(doc) != max(doc)`` (no countDistinct state);
+    3. the flag set joins back on gram as a shuffle hash join — AQE
+       splits skewed boilerplate grams across tasks; deliberately NOT
+       a window over gram, which would pin a hot gram's millions of
+       occurrences at 100 TB onto one task;
+    4. covered tokens fold per doc with one co-partitioned window:
+       fixed-length intervals sorted by position union exactly as
+       ``k + sum(min(k, pos - prev_pos))`` — no island subquery.
+
+    Gram identity is xxhash64 of the space-joined token slice (64-bit;
+    collision odds ~n²/2⁶⁴ are irrelevant below trillions of DISTINCT
+    grams — the exact-string form is the oracle twin)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("_doc"), toks.alias("_t")
+    ).withColumn("_n", F.size("_t"))
+    grams = (
+        base.where(F.col("_n") >= k)
+        .select(
+            "_doc",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - (k - 1)),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice(F.col("_t"), i, k))
+                    ),
+                )
+            ).alias("_pos", "_g"),
+        )
+    )
+    dup_grams = (
+        grams.groupBy("_g")
+        .agg((F.min("_doc") != F.max("_doc")).alias("_dup"))
+        .where(F.col("_dup"))
+        .select("_g")
+    )
+    w = Window.partitionBy("_doc").orderBy("_pos")
+    cov = (
+        grams.join(dup_grams, "_g")
+        .withColumn("_prev", F.lag("_pos").over(w))
+        .groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).alias("dup_grams"),
+            F.sum(
+                F.when(F.col("_prev").isNull(), F.lit(k)).otherwise(
+                    F.least(F.lit(k), F.col("_pos") - F.col("_prev"))
+                )
+            ).alias("covered_tokens"),
+        )
+    )
+    return base.alias("b").join(cov.alias("c"), "_doc", "left").select(
+        F.col("_doc").alias(id_col),
+        F.col("_n").alias("n_tokens"),
+        F.coalesce(F.col("c.dup_grams"), F.lit(0)).alias("dup_grams"),
+        F.coalesce(F.col("c.covered_tokens"), F.lit(0)).cast("long").alias(
+            "covered_tokens"
+        ),
+        F.round(
+            F.coalesce(F.col("c.covered_tokens"), F.lit(0))
+            / F.col("_n"),
+            6,
+        ).alias("dup_coverage"),
+    )

@@ -157,6 +157,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "zorder_curve_keys",
         "heavy_hitters_langs",
         "dedup_incremental_planted",
+        "dedup_span_coverage",
     ],
 }
 

@@ -234,6 +234,48 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+@register(
+    "dedup_span_coverage",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    b2 AS (SELECT doc_id, t, len(t) AS n FROM base),
+    pos AS (SELECT doc_id, unnest(generate_series(0, n - 5)) AS pos, t
+            FROM b2 WHERE n >= 5),
+    grams AS (SELECT doc_id, pos,
+                     array_to_string(t[pos + 1 : pos + 5], ' ') AS gram
+              FROM pos),
+    dup AS (SELECT gram FROM grams
+            GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)),
+    hits AS (SELECT g.doc_id, g.pos,
+                    LAG(g.pos) OVER (PARTITION BY g.doc_id
+                                     ORDER BY g.pos) AS prev
+             FROM grams g JOIN dup USING (gram)),
+    cov AS (SELECT doc_id, COUNT(*) AS dup_grams,
+                   SUM(CASE WHEN prev IS NULL THEN 5
+                            ELSE LEAST(5, pos - prev) END) AS covered
+            FROM hits GROUP BY doc_id)
+    SELECT b2.doc_id,
+           b2.n AS n_tokens,
+           COALESCE(cov.dup_grams, 0) AS dup_grams,
+           CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens,
+           ROUND(CAST(COALESCE(cov.covered, 0) AS DOUBLE) / b2.n, 6)
+             AS dup_coverage
+    FROM b2 LEFT JOIN cov USING (doc_id)
+    """,
+)
+def q_dedup_span_coverage(spark, sf_dir):
+    """Substring-level duplication coverage (Lee et al. span dedup at
+    word-5-gram granularity): per document, the token fraction covered
+    by 5-grams occurring in at least one OTHER document — the signal
+    that catches boilerplate/quoted passages document-level dedup
+    misses. Engine hashes grams (xxhash64) where the oracle carries
+    the exact strings, so any recall loss from hashing would surface
+    as a value mismatch."""
+    return dedup.duplicate_span_coverage(
+        _t(spark, sf_dir, "documents"), k=5
+    )
+
+
 @register("dedup_simhash")
 def q_dedup_simhash(spark, sf_dir):
     """SimHash-64 near-dup pairs (hamming<=3) via 16-bit-chunk

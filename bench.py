@@ -59,6 +59,7 @@ HEADLINE = [
     "dedup_exact",                 # hash dedup
     "curate_corpus_pipeline",      # quality gate -> dedup -> split -> pack
     "dedup_ngram_jaccard",         # inverted-index near-dup
+    "dedup_span_coverage",         # substring-span dup coverage (Lee et al.)
     "dedup_minhash_lsh",           # MinHash LSH
     "emb_knn_bruteforce",          # similarity search
     "emb_neardup",                 # embedding near-dup (bucketed LSH path)
@@ -111,6 +112,7 @@ SCALE_HEADLINE = [
     "topk_docs_per_source",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_span_coverage",
     "emb_knn_bruteforce",
     "emb_neardup",
     "text_tfidf_topk",

@@ -1,0 +1,51 @@
+
+
+def test_duplicate_span_coverage_planted(spark):
+    """Exact covered-token math on planted partial overlaps: A and B
+    share a 6-token run (two overlapping 5-grams -> 6 covered tokens),
+    C is unique, D duplicates A entirely."""
+    from ai_fabric_etl_spark.operators.dedup import duplicate_span_coverage
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} one two three four"),      # 10 tokens
+            (2, f"x y {shared} z"),                   # 9 tokens
+            (3, "totally unique words only here now"),  # 6 tokens
+            (4, f"{shared} one two three four"),      # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_grams, r.covered_tokens,
+                   r.dup_coverage)
+        for r in duplicate_span_coverage(docs, k=5).collect()
+    }
+    # doc 1 == doc 4 token-for-token: every 5-gram is cross-doc
+    assert got[1] == (10, 6, 10, 1.0)
+    assert got[4] == (10, 6, 10, 1.0)
+    # doc 2 shares only the 6-token run: grams starting at the two
+    # positions inside the run -> union covers 6 tokens
+    assert got[2] == (9, 2, 6, round(6 / 9, 6))
+    # unique doc: zero coverage
+    assert got[3] == (6, 0, 0, 0.0)
+
+
+def test_duplicate_span_coverage_short_docs_and_validation(spark):
+    from ai_fabric_etl_spark.operators.dedup import duplicate_span_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    # below k: no grams, zero coverage, still present in the output
+    got = {r.doc_id: r.dup_coverage
+           for r in duplicate_span_coverage(docs, k=5).collect()}
+    assert got == {1: 0.0, 2: 0.0}
+    # k=3 on identical 3-token docs: full coverage
+    got3 = {r.doc_id: (r.covered_tokens, r.dup_coverage)
+            for r in duplicate_span_coverage(docs, k=3).collect()}
+    assert got3 == {1: (3, 1.0), 2: (3, 1.0)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        duplicate_span_coverage(docs, k=1)
