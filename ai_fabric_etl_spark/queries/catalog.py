@@ -2311,6 +2311,12 @@ def tpch_q11_important_stock(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sum(_rev(F.col("l_extendedprice"), F.col("l_discount")))
              .cast("double").alias("part_value"))
+        # pv feeds BOTH the threshold scalar and the output filter;
+        # without this the broadcast side replans from the fact scan
+        # (no ReusedExchange under AQE — observed, r5 bench regression)
+        # and lineitem is read twice. |parts| rows is the right thing
+        # to persist at any scale vs a second 100 TB fact pass.
+        .persist()
     )
     total = pv.agg(
         (F.sum(F.col("part_value").cast("decimal(18,4)")).cast("double")
