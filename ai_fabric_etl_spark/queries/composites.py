@@ -158,6 +158,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "heavy_hitters_langs",
         "dedup_incremental_planted",
         "dedup_span_coverage",
+        "text_bpe_roundtrip",
     ],
 }
 

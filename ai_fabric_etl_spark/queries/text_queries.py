@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ai_fabric_etl_spark.operators import dedup, multimodal, similarity
+from ai_fabric_etl_spark.operators import bpe, dedup, multimodal, similarity
 from ai_fabric_etl_spark.operators.text import text_profile
 from ai_fabric_etl_spark.queries.catalog import _t, register
 
@@ -273,6 +273,39 @@ def q_dedup_span_coverage(spark, sf_dir):
     as a value mismatch."""
     return dedup.duplicate_span_coverage(
         _t(spark, sf_dir, "documents"), k=5
+    )
+
+
+@register(
+    "text_bpe_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOK}) AS n_words,
+           length(array_to_string({_TOK}, ' ')) AS n_norm_chars,
+           TRUE AS roundtrip_ok
+    FROM documents
+    """,
+)
+def q_text_bpe_roundtrip(spark, sf_dir):
+    """BPE tokenizer train + encode + decode over the corpus
+    (operators/bpe.py, Sennrich et al. ACL 2016): merges are learned
+    from the corpus's own word-frequency table (top-4000 words, 60
+    merges — deterministic tie-breaks), every document is encoded with
+    the Arrow-batched greedy encoder, and ``roundtrip_ok`` asserts
+    decode(encode(text)) reproduces the whitespace-normalized source
+    EXACTLY — any encoder/decoder defect flips a row to FALSE and
+    fails the value hash. Merge-order correctness itself is pinned by
+    tests/test_bpe.py against an independent from-scratch
+    implementation (DuckDB cannot express the iterative merge loop)."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, num_merges=60, max_words=4000)
+    enc = bpe.bpe_encode(docs, merges)
+    norm = F.concat_ws(" ", F.split(F.trim(F.col("text")), r"\s+"))
+    return enc.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words"),
+        F.length(norm).alias("n_norm_chars"),
+        (bpe.bpe_decode(F.col("pieces")) == norm).alias("roundtrip_ok"),
     )
 
 

@@ -72,6 +72,7 @@ HEADLINE = [
     "emb_quantize_int8",           # int8 embedding quantization
     "sample_temperature_mixture",  # source-flattened mixture quotas
     "text_tfidf_topk",             # per-doc keyword vectors
+    "text_bpe_roundtrip",          # BPE train + encode + decode round trip
     "attribution_linear_touch",    # range join + credit split
     "profile_histogram_equidepth", # quantile histogram (rank semantics)
     "er_resolve_entities",         # block->match->cluster->survivor
