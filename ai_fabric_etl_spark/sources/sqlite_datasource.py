@@ -382,6 +382,22 @@ class _Staged(WriterCommitMessage):
 
 
 class SQLiteWriter(DataSourceWriter):
+    """Batch sink. Beyond plain append/overwrite it supports the
+    reference's Postgres running-aggregate pattern
+    (local-development/process_test_data.py:112-148):
+
+    - ``mergekeys`` (comma list): rows upsert via ``INSERT .. ON
+      CONFLICT(keys) DO UPDATE`` against a unique index the sink
+      maintains — MERGE-on-key semantics. The SOURCE must be unique
+      per key (the same contract ParquetMergeTable.merge enforces);
+      cross-task key collisions would otherwise apply in task order.
+    - ``txnappid`` + ``txnversion`` (int): exactly-once commit guard —
+      the applied version per app is recorded in ``_spark_txn`` inside
+      the same atomic publish, and a commit whose version is <= the
+      recorded one becomes a no-op (Delta txnAppId semantics). This is
+      what makes ``foreachBatch(epoch -> upsert)`` replay-idempotent
+      against a real database."""
+
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         import uuid
 
@@ -392,6 +408,22 @@ class SQLiteWriter(DataSourceWriter):
         _q(self.table)
         self.schema = schema
         self.overwrite = overwrite
+        self.merge_keys = [
+            k.strip() for k in options.get("mergekeys", "").split(",")
+            if k.strip()
+        ]
+        for k in self.merge_keys:
+            _q(k)
+            if k not in [f.name for f in schema.fields]:
+                raise ValueError(f"mergekeys column {k!r} not in schema")
+        if self.merge_keys and overwrite:
+            raise ValueError("mergekeys requires mode('append')")
+        self.txn_app = options.get("txnappid")
+        self.txn_version = (
+            int(options["txnversion"]) if "txnversion" in options else None
+        )
+        if (self.txn_app is None) != (self.txn_version is None):
+            raise ValueError("txnappid and txnversion must be set together")
         self.staging = f"{self.db}.staging_{uuid.uuid4().hex}"
 
     def _ddl_cols(self) -> str:
@@ -454,6 +486,21 @@ class SQLiteWriter(DataSourceWriter):
                 shutil.copy2(self.db, tmp)
             con = sqlite3.connect(tmp)
             try:
+                if self.txn_app is not None:
+                    con.execute(
+                        "CREATE TABLE IF NOT EXISTS _spark_txn "
+                        "(app TEXT PRIMARY KEY, version INTEGER)"
+                    )
+                    row = con.execute(
+                        "SELECT version FROM _spark_txn WHERE app = ?",
+                        (self.txn_app,),
+                    ).fetchone()
+                    if row is not None and row[0] >= self.txn_version:
+                        # replayed micro-batch: already applied — the
+                        # shadow file is discarded, target untouched
+                        con.close()
+                        os.remove(tmp)
+                        return
                 if self.overwrite:
                     con.execute(f"DROP TABLE IF EXISTS {tq}")
                 con.execute(
@@ -468,13 +515,34 @@ class SQLiteWriter(DataSourceWriter):
                     (self.table, json.dumps(self.schema.jsonValue())),
                 )
                 cols = ", ".join(_q(f.name) for f in self.schema.fields)
+                insert = f"INSERT INTO {tq} ({cols}) "
+                if self.merge_keys:
+                    keys = ", ".join(_q(k) for k in self.merge_keys)
+                    con.execute(
+                        f"CREATE UNIQUE INDEX IF NOT EXISTS "
+                        f"{_q('_uq_' + self.table)} ON {tq} ({keys})"
+                    )
+                    sets = ", ".join(
+                        f"{_q(f.name)} = excluded.{_q(f.name)}"
+                        for f in self.schema.fields
+                        if f.name not in self.merge_keys
+                    )
+                    conflict = (
+                        f" ON CONFLICT({keys}) DO UPDATE SET {sets}"
+                        if sets
+                        else f" ON CONFLICT({keys}) DO NOTHING"
+                    )
+                else:
+                    conflict = ""
                 for m in messages:
                     if m is None or m.n == 0:
                         continue
                     con.execute("ATTACH DATABASE ? AS staged", (m.path,))
                     con.execute(
-                        f"INSERT INTO {tq} ({cols}) "
-                        f"SELECT {cols} FROM staged.data"
+                        f"{insert}SELECT {cols} FROM staged.data"
+                        # ON CONFLICT needs a WHERE to disambiguate the
+                        # upsert clause from a join per SQLite docs
+                        + (" WHERE true" + conflict if conflict else "")
                     )
                     # commit before DETACH: python-sqlite3's implicit
                     # transaction still references staged, and DETACH
@@ -482,6 +550,11 @@ class SQLiteWriter(DataSourceWriter):
                     # atomicity comes from the file swap, not this txn
                     con.commit()
                     con.execute("DETACH DATABASE staged")
+                if self.txn_app is not None:
+                    con.execute(
+                        "INSERT OR REPLACE INTO _spark_txn VALUES (?, ?)",
+                        (self.txn_app, self.txn_version),
+                    )
                 con.commit()
             finally:
                 con.close()

@@ -229,3 +229,119 @@ def test_roundtrip_matches_parquet_aggregate(spark, tmp_path, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_upsert_merge_keys(spark, tmp_path):
+    """INSERT .. ON CONFLICT DO UPDATE semantics (the reference's
+    Postgres running-aggregate pattern, process_test_data.py:112-148):
+    matched keys update in place, new keys insert."""
+    db = _db(tmp_path)
+    b1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, s string, n long"
+    )
+    b1.write.format("sqlite").option("dbpath", db).option(
+        "dbtable", "agg"
+    ).option("mergekeys", "k").mode("append").save()
+    b2 = spark.createDataFrame(
+        [(2, "B", 25), (3, "c", 30)], "k long, s string, n long"
+    )
+    b2.write.format("sqlite").option("dbpath", db).option(
+        "dbtable", "agg"
+    ).option("mergekeys", "k").mode("append").save()
+    got = {r.k: (r.s, r.n) for r in _read(spark, db, "agg").collect()}
+    assert got == {1: ("a", 10), 2: ("B", 25), 3: ("c", 30)}
+    # mergekeys + overwrite is contradictory
+    with pytest.raises(Exception, match="append"):
+        b1.write.format("sqlite").option("dbpath", db).option(
+            "dbtable", "agg"
+        ).option("mergekeys", "k").mode("overwrite").save()
+    # unknown merge key column fails fast
+    with pytest.raises(Exception, match="not in schema"):
+        b1.write.format("sqlite").option("dbpath", db).option(
+            "dbtable", "agg"
+        ).option("mergekeys", "zz").mode("append").save()
+
+
+def test_txn_guard_exactly_once(spark, tmp_path):
+    """txnappid/txnversion: a replayed commit (same or older version)
+    is a no-op — Delta txnAppId semantics against a real database."""
+    db = _db(tmp_path)
+    df = spark.createDataFrame([(1, 100)], "k long, n long")
+
+    def put(version, n):
+        spark.createDataFrame([(1, n)], "k long, n long").write.format(
+            "sqlite"
+        ).option("dbpath", db).option("dbtable", "state").option(
+            "mergekeys", "k"
+        ).option("txnappid", "stream-A").option(
+            "txnversion", str(version)
+        ).mode("append").save()
+
+    put(0, 100)
+    put(1, 200)
+    put(1, 999)   # replay of epoch 1: ignored
+    put(0, 555)   # stale epoch: ignored
+    assert [(r.k, r.n) for r in _read(spark, db, "state").collect()] == [
+        (1, 200)
+    ]
+    # a DIFFERENT app's counter is independent
+    spark.createDataFrame([(2, 1)], "k long, n long").write.format(
+        "sqlite"
+    ).option("dbpath", db).option("dbtable", "state").option(
+        "mergekeys", "k"
+    ).option("txnappid", "stream-B").option("txnversion", "0").mode(
+        "append"
+    ).save()
+    assert _read(spark, db, "state").count() == 2
+    del df
+
+
+def test_streaming_foreachbatch_running_aggregate(spark, tmp_path):
+    """Stream -> real-DB running aggregates: foreachBatch folds each
+    micro-batch's per-key counts into sqlite via the upsert sink with
+    the epoch guard — the reference's Postgres ON CONFLICT streaming
+    edge (SURVEY A7) end-to-end, replay-idempotent."""
+    import os as _os
+
+    db = _db(tmp_path, "stream.db")
+    src_dir = str(tmp_path / "in")
+    _os.makedirs(src_dir)
+    ckpt = str(tmp_path / "ckpt")
+    with open(_os.path.join(src_dir, "f1.txt"), "w") as fh:
+        fh.write("a\nb\na\n")
+    with open(_os.path.join(src_dir, "f2.txt"), "w") as fh:
+        fh.write("b\nc\n")
+
+    def fold(batch, epoch):
+        agg = batch.groupBy(F.col("value").alias("k")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        # read-modify-write against the CURRENT table: add existing
+        existing = (
+            batch.sparkSession.read.format("sqlite")
+            .option("dbpath", db).option("dbtable", "counts").load()
+            if _os.path.exists(db)
+            else None
+        )
+        if existing is not None:
+            agg = (
+                agg.join(existing.withColumnRenamed("n", "prev"), "k", "left")
+                .select("k", (F.col("n") + F.coalesce("prev", F.lit(0)))
+                        .alias("n"))
+            )
+        agg.write.format("sqlite").option("dbpath", db).option(
+            "dbtable", "counts"
+        ).option("mergekeys", "k").option("txnappid", "counts-stream").option(
+            "txnversion", str(epoch)
+        ).mode("append").save()
+
+    q = (
+        spark.readStream.format("text").load(src_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.k: r.n for r in _read(spark, db, "counts").collect()}
+    assert got == {"a": 2, "b": 2, "c": 1}
