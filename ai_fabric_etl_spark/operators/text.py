@@ -388,3 +388,82 @@ def chunk_documents(
             F.array_join("_chunk", " ").alias("chunk_text"),
         )
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the CCNet-style
+    LM-perplexity quality signal (Wenzek et al., "CCNet: Extracting
+    High Quality Monolingual Datasets", LREC 2020 use a KenLM; the
+    bigram model here is the same signal at the complexity SQL can
+    verify): documents whose token transitions are improbable under
+    the corpus's own statistics (gibberish, boilerplate soup, wrong
+    language) score high and get filtered.
+
+    Model: add-half smoothing, P(w2|w1) = (c(w1,w2) + 0.5) /
+    (c(w1) + 0.5·V) with V = distinct vocab size. Output per doc:
+    ``(id, n_bigrams, avg_nll)`` where avg_nll is the mean negative
+    natural log-probability of the doc's bigrams (perplexity =
+    exp(avg_nll), left to the caller — no second float op).
+
+    Float discipline (the repo's PMI pattern): each probability is the
+    EXACT integer ratio (2c+1)/(2u+V) — numerator and denominator are
+    integers, so the division is one IEEE op on both engines — the
+    single ln result rounds to 6 decimals, the per-doc total sums as
+    DECIMAL(38,6) (exact, order-free), and the final mean is one
+    division + round.
+
+    Scale: two count aggregations (bigram, unigram — one corpus pass
+    each), V collapses to a driver scalar, then the doc's bigram
+    stream joins the count tables on their natural keys (shuffle hash
+    joins; hot boilerplate bigrams split under AQE) and folds per doc.
+    Everything stays JVM-side codegen; no UDFs."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("_doc"), toks.alias("_t")
+    ).withColumn("_n", F.size("_t"))
+    pairs = base.where(F.col("_n") >= 2).select(
+        "_doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_n") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("_t"), i).alias("w1"),
+                    F.element_at(F.col("_t"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("_bg"),
+    ).select("_doc", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    uni = (
+        base.select(F.explode("_t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("_u"))
+    )
+    vocab_v = uni.count()  # driver scalar (bounded: |vocab| << corpus)
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c"))
+    term = F.round(
+        F.log(
+            (2 * F.col("_c") + 1).cast("double")
+            / (2 * F.col("_u") + F.lit(int(vocab_v))).cast("double")
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        pairs.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(term).cast("decimal(38,6)").alias("_s"),
+        )
+    )
+    return base.join(scored, "_doc", "left").select(
+        F.col("_doc").alias(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.round(-F.col("_s").cast("double") / F.col("n_bigrams"), 6).alias(
+            "avg_nll"
+        ),
+    )

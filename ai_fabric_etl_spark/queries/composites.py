@@ -159,6 +159,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "dedup_incremental_planted",
         "dedup_span_coverage",
         "text_bpe_roundtrip",
+        "text_bigram_lm_nll",
     ],
 }
 

@@ -309,6 +309,51 @@ def q_text_bpe_roundtrip(spark, sf_dir):
     )
 
 
+@register(
+    "text_bigram_lm_nll",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    b AS (SELECT doc_id, t, len(t) AS n FROM tok),
+    ex AS (SELECT unnest(t) AS w1 FROM b),
+    uni AS (SELECT w1, COUNT(*) AS u FROM ex GROUP BY w1),
+    v AS (SELECT COUNT(*) AS v FROM uni),
+    idx AS (SELECT doc_id, unnest(generate_series(1, n - 1)) AS i, t
+            FROM b WHERE n >= 2),
+    pg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx),
+    big AS (SELECT w1, w2, COUNT(*) AS c FROM pg GROUP BY w1, w2),
+    terms AS (
+      SELECT pg.doc_id,
+             CAST(ROUND(ln(CAST(2 * big.c + 1 AS DOUBLE)
+                           / CAST(2 * uni.u + v.v AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS term
+      FROM pg
+      JOIN big USING (w1, w2)
+      JOIN uni USING (w1)
+      CROSS JOIN v
+    ),
+    agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                   CAST(SUM(term) AS DECIMAL(38,6)) AS s
+            FROM terms GROUP BY doc_id)
+    SELECT b.doc_id,
+           COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+           ROUND(-CAST(agg.s AS DOUBLE) / agg.n_bigrams, 6) AS avg_nll
+    FROM b LEFT JOIN agg USING (doc_id)
+    """,
+)
+def q_text_bigram_lm_nll(spark, sf_dir):
+    """Corpus-trained bigram LM scoring (text.bigram_lm_scores —
+    the CCNet LM-perplexity quality-filter signal at SQL-verifiable
+    complexity): per document, the mean negative log-probability of
+    its token transitions under the corpus's own add-half-smoothed
+    bigram statistics. Full per-doc value oracle: the integer-ratio
+    (2c+1)/(2u+V) construction makes the single ln input bit-identical
+    on both engines, terms round to 6 decimals and sum as exact
+    decimals."""
+    from ai_fabric_etl_spark.operators.text import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
 @register("dedup_simhash")
 def q_dedup_simhash(spark, sf_dir):
     """SimHash-64 near-dup pairs (hamming<=3) via 16-bit-chunk

@@ -396,3 +396,31 @@ def test_target_encoding_excludes_own_fold(spark, sf_dir):
             (float(s_c - cell_s[(cat, f)]) + 10 * prior) / (n_out + 10), 6
         )
         assert abs(enc - want) < 1e-6, (cat, f)
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Tiny corpus, hand-verifiable: add-half smoothing over V=3
+    vocab; terms follow round(ln((2c+1)/(2u+V)), 6) exactly."""
+    import math
+
+    from ai_fabric_etl_spark.operators.text import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "z")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_bigrams, r.avg_nll)
+           for r in bigram_lm_scores(docs).collect()}
+
+    def term(c, u, v=4):  # vocab: a, b, c, z
+        return round(math.log((2 * c + 1) / (2 * u + v)), 6)
+
+    # uni: a=3 b=3 c=1 z=1; big: (a,b)=3 (b,a)=1 (b,c)=1
+    t_ab, t_ba, t_bc = term(3, 3), term(1, 3), term(1, 3)
+    d1 = round(-(2 * t_ab + t_ba) / 3, 6)
+    d2 = round(-(t_ab + t_bc) / 2, 6)
+    assert got[1] == (3, d1)
+    assert got[2] == (2, d2)
+    assert got[3] == (0, None)  # single token: no bigrams
+    # the improbable-transition doc scores strictly higher
+    assert got[2][1] > got[1][1]
