@@ -345,3 +345,47 @@ def test_streaming_foreachbatch_running_aggregate(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.k: r.n for r in _read(spark, db, "counts").collect()}
     assert got == {"a": 2, "b": 2, "c": 1}
+
+
+def test_streaming_read_rowid_watermark(spark, tmp_path):
+    """readStream.format('sqlite'): append-only table ingested
+    incrementally by rowid offset — rows existing at start arrive in
+    batch 0, rows appended later arrive exactly once in a later batch."""
+    db = _db(tmp_path, "feed.db")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt_sq")
+
+    def append(rows):
+        spark.createDataFrame(rows, "k long, s string").write.format(
+            "sqlite"
+        ).option("dbpath", db).option("dbtable", "feed").mode("append").save()
+
+    append([(1, "a"), (2, "b")])
+
+    def run_available_now():
+        q = (
+            spark.readStream.format("sqlite")
+            .option("dbpath", db).option("dbtable", "feed")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_available_now()
+    got = spark.read.parquet(out_dir)
+    assert sorted((r.k, r.s) for r in got.collect()) == [(1, "a"), (2, "b")]
+
+    # new rows appended after the first run: ONLY they arrive next
+    append([(3, "c")])
+    run_available_now()
+    got2 = spark.read.parquet(out_dir)
+    assert sorted((r.k, r.s) for r in got2.collect()) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    # re-running with nothing new appends nothing (exactly-once)
+    run_available_now()
+    assert spark.read.parquet(out_dir).count() == 3
