@@ -405,9 +405,11 @@ def bigram_lm_scores(
 
     Model: add-half smoothing, P(w2|w1) = (c(w1,w2) + 0.5) /
     (c(w1) + 0.5·V) with V = distinct vocab size. Output per doc:
-    ``(id, n_bigrams, avg_nll)`` where avg_nll is the mean negative
-    natural log-probability of the doc's bigrams (perplexity =
-    exp(avg_nll), left to the caller — no second float op).
+    ``(id, n_bigrams, avg_nll_micro)`` — the mean negative natural
+    log-probability of the doc's bigrams in INTEGER micro-nats
+    (half-up; perplexity = exp(avg_nll_micro/1e6), left to the
+    caller). Integer output keeps the contract free of any float
+    rounding boundary.
 
     Float discipline (the repo's PMI pattern): each probability is the
     EXACT integer ratio (2c+1)/(2u+V) — numerator and denominator are
@@ -460,10 +462,21 @@ def bigram_lm_scores(
             F.sum(term).cast("decimal(38,6)").alias("_s"),
         )
     )
+    # final mean in INTEGER micro-nats with explicit half-up division:
+    # round(-s/n, 6) lands on exact .5 boundaries whenever n divides
+    # the 6-dp sum oddly (frequent), and Spark/DuckDB round doubles at
+    # the boundary differently (observed at sf0.1). S = -s*1e6 is an
+    # exact integer, (2S+n) div (2n) is the half-up quotient, and the
+    # double division (2S+n)/(2n) is floor-safe: the nearest
+    # non-integer rational is 1/(2n) from any integer, orders of
+    # magnitude above one ulp.
+    s_micro = (-F.col("_s") * 1_000_000).cast("long")
+    avg_micro = F.floor(
+        (2 * s_micro + F.col("n_bigrams"))
+        / (2 * F.col("n_bigrams"))
+    ).cast("long")
     return base.join(scored, "_doc", "left").select(
         F.col("_doc").alias(id_col),
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-        F.round(-F.col("_s").cast("double") / F.col("n_bigrams"), 6).alias(
-            "avg_nll"
-        ),
+        avg_micro.alias("avg_nll_micro"),
     )

@@ -332,11 +332,13 @@ def q_text_bpe_roundtrip(spark, sf_dir):
       CROSS JOIN v
     ),
     agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-                   CAST(SUM(term) AS DECIMAL(38,6)) AS s
+                   CAST(-CAST(SUM(term) AS DECIMAL(38,6)) * 1000000
+                        AS BIGINT) AS s_micro
             FROM terms GROUP BY doc_id)
     SELECT b.doc_id,
            COALESCE(agg.n_bigrams, 0) AS n_bigrams,
-           ROUND(-CAST(agg.s AS DOUBLE) / agg.n_bigrams, 6) AS avg_nll
+           CAST(FLOOR((2 * agg.s_micro + agg.n_bigrams)
+                      / (2.0 * agg.n_bigrams)) AS BIGINT) AS avg_nll_micro
     FROM b LEFT JOIN agg USING (doc_id)
     """,
 )
@@ -345,10 +347,13 @@ def q_text_bigram_lm_nll(spark, sf_dir):
     the CCNet LM-perplexity quality-filter signal at SQL-verifiable
     complexity): per document, the mean negative log-probability of
     its token transitions under the corpus's own add-half-smoothed
-    bigram statistics. Full per-doc value oracle: the integer-ratio
-    (2c+1)/(2u+V) construction makes the single ln input bit-identical
-    on both engines, terms round to 6 decimals and sum as exact
-    decimals."""
+    bigram statistics, in exact integer micro-nats. Full per-doc
+    value oracle: the integer-ratio (2c+1)/(2u+V) construction makes
+    the single ln input bit-identical on both engines, terms round to
+    6 decimals and sum as exact decimals, and the mean is a half-up
+    INTEGER division — no float rounding anywhere in the output (the
+    earlier ROUND(-s/n, 6) form hit a .5 boundary at sf0.1 where the
+    engines round doubles differently)."""
     from ai_fabric_etl_spark.operators.text import bigram_lm_scores
 
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))

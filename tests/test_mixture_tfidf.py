@@ -409,16 +409,21 @@ def test_bigram_lm_scores_hand_computed(spark):
         [(1, "a b a b"), (2, "a b c"), (3, "z")],
         "doc_id long, text string",
     )
-    got = {r.doc_id: (r.n_bigrams, r.avg_nll)
+    got = {r.doc_id: (r.n_bigrams, r.avg_nll_micro)
            for r in bigram_lm_scores(docs).collect()}
 
     def term(c, u, v=4):  # vocab: a, b, c, z
         return round(math.log((2 * c + 1) / (2 * u + v)), 6)
 
+    def micro(terms):
+        s = round(-sum(terms) * 1_000_000)  # exact: terms have 6 dp
+        n = len(terms)
+        return (2 * s + n) // (2 * n)       # half-up integer mean
+
     # uni: a=3 b=3 c=1 z=1; big: (a,b)=3 (b,a)=1 (b,c)=1
     t_ab, t_ba, t_bc = term(3, 3), term(1, 3), term(1, 3)
-    d1 = round(-(2 * t_ab + t_ba) / 3, 6)
-    d2 = round(-(t_ab + t_bc) / 2, 6)
+    d1 = micro([t_ab, t_ba, t_ab])
+    d2 = micro([t_ab, t_bc])
     assert got[1] == (3, d1)
     assert got[2] == (2, d2)
     assert got[3] == (0, None)  # single token: no bigrams
