@@ -233,3 +233,39 @@ def test_golden_silver_fixture_matches_fresh_parse(spark):
     g = sorted(map(tuple, golden.collect()))
     f = sorted(map(tuple, fresh.collect()))
     assert g == f
+
+
+def test_cli_end_to_end(spark, landing_dir, tmp_path_factory):
+    """python -m ai_fabric_etl_spark run: the four-notebook surface as
+    one command — bronze scan -> parse -> marts -> 997 files."""
+    import os
+
+    from ai_fabric_etl_spark.run import main
+
+    out = str(tmp_path_factory.mktemp("cli_wh"))
+    rc = main(["run", "--input", landing_dir, "--out", out,
+               "--batch-id", "cli-t"])
+    assert rc == 0
+    for sub in ("bronze", "silver", "gold", "acks"):
+        assert os.listdir(os.path.join(out, sub)), sub
+    silver = spark.read.parquet(os.path.join(out, "silver"))
+    assert silver.count() > 0
+    marts = os.listdir(os.path.join(out, "gold"))
+    assert len([m for m in marts if not m.startswith(("_", "."))]) == 11
+    # per-partner hive layout: acks/sender_id=X/receiver_id=Y/part-*
+    partner_dirs = [d for d in os.listdir(os.path.join(out, "acks"))
+                    if d.startswith("sender_id=")]
+    assert partner_dirs, "no per-partner 997 output"
+    assert spark.read.text(os.path.join(out, "acks")).count() > 0
+    # standalone gold stage re-reads the persisted silver
+    rc2 = main(["run", "--stage", "gold", "--input", landing_dir,
+                "--out", out])
+    assert rc2 == 0
+
+
+def test_cli_query_listing(capsys):
+    from ai_fabric_etl_spark.run import main
+
+    assert main(["queries"]) == 0
+    out = capsys.readouterr().out
+    assert "x12_silver_transactions" in out and "oracled" in out
