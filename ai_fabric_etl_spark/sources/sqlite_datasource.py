@@ -334,7 +334,14 @@ class SQLiteReader(DataSourceReader):
             hi = row[1] if hi is None else hi
         if lo is None or hi is None:  # empty table
             return [_RangePartition("1 = 1", ())]
-        lo, hi = int(lo), int(hi)
+        try:
+            lo, hi = int(lo), int(hi)
+        except (TypeError, ValueError) as exc:
+            raise ValueError(
+                f"partitioncolumn {pc!r} must be integral for range "
+                f"partitioning (got bounds {lo!r}..{hi!r}); use an "
+                "integer column or numPartitions=1"
+            ) from exc
         n = max(1, min(self.num_parts, hi - lo + 1))
         if n == 1:
             return [_RangePartition("1 = 1", ())]
@@ -630,11 +637,18 @@ class SQLiteSimpleStreamReader(SimpleDataSourceStreamReader):
         return out
 
     def read(self, start: dict):
+        import sqlite3
+
         lo = int(start.get("last", 0))
         try:
             rows = self._rows_between(lo, None)
-        except Exception:  # table not created yet: empty batch
-            return iter(()), {"last": lo}
+        except sqlite3.OperationalError as exc:
+            # ONLY "table/database not created yet" is an empty batch
+            # (producer hasn't written); anything else (corrupt file,
+            # bad schema, locked) must surface, not loop silently
+            if "no such table" in str(exc) or "unable to open" in str(exc):
+                return iter(()), {"last": lo}
+            raise
         hi = rows[-1][0] if rows else lo
         # an ITERATOR, not a list: when the offset does not advance the
         # runtime probes emptiness with next() on the returned value
