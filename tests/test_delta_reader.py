@@ -336,3 +336,43 @@ def test_mirror_writes_checkpoints_and_reader_seeds_from_them(spark, tmp_path):
     # VERSION AS OF the checkpoint version itself still resolves
     got_ck = read_delta_snapshot(spark, t.path, version=interval)
     assert {r.k for r in got_ck.collect()} == {interval}
+
+
+def test_catchup_commit_stamps_each_versions_own_schema(spark, tmp_path):
+    """A crash gap spanning a schema evolution must re-derive the
+    missing commit with THAT version's footer schema, not the current
+    df's — otherwise native VERSION AS OF reads of the evolved history
+    drop or invent columns vs t.read(version)."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_gap_evo"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, name string"))
+    t.merge(  # v1 evolves: adds score
+        spark.createDataFrame([(2, "b", 9)], "id long, name string, score long"),
+        keys=["id"],
+    )
+    log_dir = os.path.join(t.path, "_delta_log")
+    os.remove(os.path.join(log_dir, f"{1:020d}.json"))  # crash gap at v1
+    # v2: a further merge WITHOUT the evolved column in the source
+    t.merge(spark.createDataFrame([(3, "c")], "id long, name string"),
+            keys=["id"])
+
+    # catch-up re-emitted v1 with the evolved schema from v1's footers
+    metas = {}
+    for name in sorted(os.listdir(log_dir)):
+        if name.endswith(".json") and name[:-5].isdigit():
+            with open(os.path.join(log_dir, name)) as fh:
+                for line in fh:
+                    if line.strip():
+                        a = json.loads(line)
+                        if "metaData" in a:
+                            metas[int(name[:-5])] = [
+                                f["name"] for f in json.loads(
+                                    a["metaData"]["schemaString"])["fields"]
+                            ]
+    assert 0 in metas and "score" not in metas[0]
+    assert 1 in metas and "score" in metas[1], metas
+    # v2 keeps the evolved schema: no third metaData
+    assert 2 not in metas
+
+    for v in (0, 1, 2):
+        assert _rowset(read_delta_snapshot(spark, t.path, version=v)) == \
+            _rowset(t.read(version=v)), v
