@@ -480,3 +480,64 @@ def bigram_lm_scores(
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         avg_micro.alias("avg_nll_micro"),
     )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 1,
+) -> DataFrame:
+    """Line/paragraph-level corpus dedup (the CCNet/RefinedWeb
+    boilerplate pass): a line whose trimmed form appears in MORE THAN
+    ONE document is boilerplate (headers, footers, cookie banners,
+    nav text) and is removed from every document; remaining lines
+    keep their original order. Returns
+    ``(id, n_lines, n_removed, clean_text)``.
+
+    This is the between-documents complement of repetition_profile
+    (within-document) and duplicate_span_coverage (sub-line spans).
+
+    Scale plan: lines posexplode linearly; the cross-doc flag is ONE
+    groupBy on the trimmed line (min(doc) != max(doc) — no distinct
+    state); removal is a left-anti shuffle join on the line key (AQE
+    splits the hot boilerplate keys — precisely the skewed ones);
+    reassembly sorts each doc's surviving lines inside a
+    co-partitioned aggregation buffer (bounded by document size).
+    Lines shorter than ``min_len`` after trim are never candidates
+    (blank separators are structure, not boilerplate)."""
+    lines = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_norm", F.trim(F.col("_line")))
+    dup = (
+        lines.where(F.length("_norm") >= min_len)
+        .groupBy("_norm")
+        .agg((F.min("_doc") != F.max("_doc")).alias("_dup"))
+        .where(F.col("_dup"))
+        .select("_norm")
+    )
+    kept = lines.join(dup, "_norm", "left_anti")
+    rebuilt = kept.groupBy("_doc").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", "_line"))
+                ),
+                lambda s: s["_line"],
+            ),
+        ).alias("clean_text"),
+    )
+    totals = lines.groupBy("_doc").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0)))
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -160,6 +160,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "dedup_span_coverage",
         "text_bpe_roundtrip",
         "text_bigram_lm_nll",
+        "text_line_dedup",
     ],
 }
 

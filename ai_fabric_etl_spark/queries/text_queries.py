@@ -359,6 +359,76 @@ def q_text_bigram_lm_nll(spark, sf_dir):
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "text_line_dedup",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 3 = 0 THEN
+                 'NEWSLETTER HEADER subscribe today' || chr(10) || text
+                 || chr(10) || 'footer unsubscribe at example dot com'
+               WHEN doc_id % 7 = 0 THEN
+                 text || chr(10)
+                 || 'footer unsubscribe at example dot com'
+               ELSE text
+             END AS text
+      FROM documents
+    ),
+    ln AS (
+      SELECT doc_id, unnest(generate_series(1, len(l))) AS pos, l
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM src)
+    ),
+    lines AS (SELECT doc_id, pos, l[pos] AS line, trim(l[pos]) AS norm
+              FROM ln),
+    dup AS (SELECT norm FROM lines WHERE length(norm) >= 1
+            GROUP BY norm HAVING MIN(doc_id) <> MAX(doc_id)),
+    kept AS (SELECT * FROM lines WHERE norm NOT IN (SELECT norm FROM dup)),
+    rebuilt AS (SELECT doc_id, COUNT(*) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean_text
+                FROM kept GROUP BY doc_id),
+    totals AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+    SELECT t.doc_id, t.n_lines,
+           t.n_lines - COALESCE(r.n_kept, 0) AS n_removed,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_text_line_dedup(spark, sf_dir):
+    """CCNet/RefinedWeb line-level boilerplate removal
+    (text.remove_boilerplate_lines) on a corpus with DETERMINISTIC
+    planted boilerplate (the synthetic docs are single-line, so the
+    entry grafts a shared newsletter header onto every third doc and
+    a shared footer onto 3- and 7-multiples): the shared lines must
+    vanish from every document, unique lines survive in order, and
+    docs whose entire content is cross-doc duplicated (the corpus's
+    planted exact dups) collapse to empty. Full reconstructed-text
+    value oracle."""
+    from ai_fabric_etl_spark.operators.text import remove_boilerplate_lines
+
+    src = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("NEWSLETTER HEADER subscribe today\n"),
+                F.col("text"),
+                F.lit("\nfooter unsubscribe at example dot com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\nfooter unsubscribe at example dot com"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return remove_boilerplate_lines(src)
+
+
 @register("dedup_simhash")
 def q_dedup_simhash(spark, sf_dir):
     """SimHash-64 near-dup pairs (hamming<=3) via 16-bit-chunk

@@ -49,3 +49,24 @@ def test_duplicate_span_coverage_short_docs_and_validation(spark):
 
     with _pytest.raises(ValueError):
         duplicate_span_coverage(docs, k=1)
+
+
+def test_remove_boilerplate_lines_planted(spark):
+    from ai_fabric_etl_spark.operators.text import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HEADER\nalpha beta\nFOOTER"),
+            (2, "HEADER\ngamma delta\nFOOTER"),
+            (3, "unique only\n\nkeep me"),
+            (4, "HEADER"),                       # nothing survives
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_lines, r.n_removed, r.clean_text)
+           for r in remove_boilerplate_lines(docs).collect()}
+    assert got[1] == (3, 2, "alpha beta")
+    assert got[2] == (3, 2, "gamma delta")
+    # blank separator line is preserved (never a dedup candidate)
+    assert got[3] == (3, 0, "unique only\n\nkeep me")
+    assert got[4] == (1, 1, "")
