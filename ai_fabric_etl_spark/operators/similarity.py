@@ -337,6 +337,56 @@ def ivf_topk_indexed(
     )
 
 
+def ivf_insert(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental insertion into the on-disk IVF index — the ANN
+    counterpart of the incremental MinHash index (dedup.minhash_dedup_
+    incremental): the CENTROIDS STAY FROZEN, each new vector is
+    assigned to its argmax-cosine centroid against the broadcast
+    centroid table (one map-side pass over the batch — the existing
+    corpus is never re-clustered, re-read, or reshuffled), and the
+    batch appends into only the cell partitions it lands in (dynamic
+    partition append).
+
+    Freezing centroids is how FAISS/ScaNN-style serving indexes grow
+    between rebuilds; drift eventually skews cell sizes — watch
+    :func:`ivf_cell_stats` and rebuild (ivf_write_index) when the
+    hottest cell dwarfs the median, exactly like OPTIMIZE for small
+    files."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    nv = new_vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    w = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("sim"), F.asc("centroid_id")
+    )
+    assigned = (
+        nv.crossJoin(F.broadcast(centroids))
+        .withColumn("sim", cosine(F.col("c_vec"), F.col("centroid")))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("neighbor_id", "c_vec", "centroid_id")
+    )
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(
+        f"{path}/cells"
+    )
+
+
+def ivf_cell_stats(spark, path: str) -> DataFrame:
+    """Per-cell vector counts of the on-disk index — the rebuild
+    trigger signal (max/median imbalance after many inserts)."""
+    return (
+        spark.read.parquet(f"{path}/cells")
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
 def lsh_cosine_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

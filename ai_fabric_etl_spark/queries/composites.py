@@ -161,6 +161,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "text_bpe_roundtrip",
         "text_bigram_lm_nll",
         "text_line_dedup",
+        "emb_knn_ivf_incremental",
     ],
 }
 

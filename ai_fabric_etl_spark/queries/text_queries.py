@@ -605,6 +605,70 @@ def q_emb_knn_ivf_recall(spark, sf_dir):
 
 
 @register(
+    "emb_knn_ivf_incremental",
+    oracle="SELECT 8 AS n_queries, TRUE AS assignment_ok, "
+           "TRUE AS recall_floor_met",
+)
+def q_emb_knn_ivf_incremental(spark, sf_dir):
+    """Incremental IVF maintenance gate (similarity.ivf_insert): the
+    on-disk index is BUILT from the even vec_ids only, the odd half is
+    then INSERTED against the frozen centroids (no corpus re-cluster,
+    no reshuffle), and the gate asserts (a) every inserted vector
+    landed in its argmax-cosine cell and (b) querying the grown index
+    still clears the 0.5 pooled-recall floor vs exact brute force over
+    the FULL corpus — proving inserts are first-class index members,
+    not second-class stragglers."""
+    import os
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = os.path.join(tempfile.mkdtemp(prefix="ivf_incr_"), "index")
+    similarity.ivf_write_index(emb.filter(F.col("vec_id") % 2 == 0), idx)
+    similarity.ivf_insert(spark, idx, emb.filter(F.col("vec_id") % 2 == 1))
+
+    # (a) inserted rows sit in their argmax-cosine cell
+    cells = spark.read.parquet(f"{idx}/cells").filter(
+        F.col("neighbor_id") % 2 == 1
+    )
+    centroids = spark.read.parquet(f"{idx}/centroids")
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("neighbor_id").orderBy(
+        F.desc("sim"), F.asc("centroid_id")
+    )
+    best = (
+        cells.select("neighbor_id", "c_vec")
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("sim", similarity.cosine(F.col("c_vec"), F.col("centroid")))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("neighbor_id", F.col("centroid_id").alias("best_cell"))
+    )
+    mismatches = (
+        cells.select("neighbor_id", "centroid_id")
+        .join(best, "neighbor_id")
+        .filter(F.col("centroid_id") != F.col("best_cell"))
+        .count()
+    )
+
+    # (b) pooled recall of the grown index vs exact brute force
+    q = emb.filter(F.col("vec_id") < 8)
+    bf = similarity.brute_force_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ap = similarity.ivf_topk_indexed(spark, idx, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = bf.join(ap, ["query_id", "neighbor_id"]).count()
+    n_queries = bf.select("query_id").distinct().count()
+    pooled = hits / (5.0 * n_queries) if n_queries else 0.0
+    return spark.createDataFrame(
+        [(n_queries, mismatches == 0, pooled >= 0.5)],
+        "n_queries long, assignment_ok boolean, recall_floor_met boolean",
+    )
+
+
+@register(
     "emb_neardup",
     oracle="""
     SELECT vec_id AS id_a, vec_id + 10000 AS id_b,

@@ -626,3 +626,38 @@ def test_quantize_int8_bounds_and_roundtrip(spark):
     norm = {r["vec_id"]: r["embedding"] for r in normalize_l2(df).collect()}
     assert abs(sum(v * v for v in norm[3]) - 1.0) < 1e-6
     assert norm[2] == [0.0, 0.0, 0.0]  # zero vector unchanged
+
+
+def test_ivf_insert_parity_with_batch_assignment(spark, tmp_path, sf_dir):
+    """Incremental inserts against frozen centroids must land exactly
+    where a batch assignment with the same centroid table would put
+    them, and the grown index must serve queries identically to the
+    in-memory probe over the same cells."""
+    import pyspark.sql.functions as F
+
+    from ai_fabric_etl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_idx")
+    similarity.ivf_write_index(emb.filter(F.col("vec_id") % 2 == 0), idx,
+                               n_centroids=8)
+    before = spark.read.parquet(f"{idx}/cells").count()
+    similarity.ivf_insert(spark, idx, emb.filter(F.col("vec_id") % 2 == 1))
+    cells = spark.read.parquet(f"{idx}/cells")
+    assert cells.count() == emb.count()
+    assert before < cells.count()
+    # no duplicate ids, no dropped ids
+    assert cells.select("neighbor_id").distinct().count() == emb.count()
+    # stats see every cell's growth
+    stats = similarity.ivf_cell_stats(spark, idx)
+    assert stats.agg(F.sum("n_vectors")).collect()[0][0] == emb.count()
+    # queries over the grown index == direct probe over the same cells
+    q = emb.filter(F.col("vec_id") < 4)
+    centroids = spark.read.parquet(f"{idx}/centroids")
+    direct = similarity._ivf_probe_and_score(
+        cells, centroids, q, 5, 4, "vec_id", "embedding"
+    )
+    indexed = similarity.ivf_topk_indexed(spark, idx, q, k=5)
+    assert sorted(map(tuple, indexed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
