@@ -83,7 +83,9 @@ _PRIORITY = [
     "asof_click_before_purchase",
     "range_recent_activity",
     "sample_hash_split",
-    "sample_stratified",
+    # sample_stratified yields its slot to the REAL-database round trip
+    # (S13 closure, r6); it keeps driver signal inside fp_training_sources
+    "source_sqlite_roundtrip",
     "pack_token_bins",
     # pack_greedy_firstfit itself is rows-only; its ★ invariant twin
     # below carries the driver signal, freeing this slot for the
@@ -101,7 +103,9 @@ _PRIORITY = [
     # the x12 summary mart / running-aggs tests; ngram's exact pair
     # set is what the minhash and drop_neardups oracles verify)
     "scalar_strings",
-    "a5_approx_distinct",
+    # a5_approx_distinct -> fp_training_sources; slot to the BPE
+    # tokenizer round-trip gate (r6 flagship)
+    "text_bpe_roundtrip",
     "a10_hourly_rollup",
     "j1_left_join_activity",
     "w1_latest_event_per_user",
@@ -113,7 +117,9 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_drop_neardups",
     "dedup_minhash_lsh",
-    "dedup_simhash_planted",
+    # dedup_simhash_planted -> fp_training_sources; slot to the
+    # substring-span coverage entry (r6 flagship)
+    "dedup_span_coverage",
     "emb_knn_bruteforce",
     "emb_knn_lsh_recall",
     "emb_knn_ivf_recall",

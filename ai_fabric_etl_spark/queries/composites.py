@@ -147,7 +147,6 @@ FP_GROUPS: dict[str, list[str]] = {
         "source_orc_roundtrip",
         "source_fixedwidth_roundtrip",
         "source_xml_roundtrip",
-        "source_sqlite_roundtrip",
         "x12_datasource_scan",
         "lakehouse_incremental_mart",
         "lakehouse_incremental_join_view",
@@ -157,11 +156,12 @@ FP_GROUPS: dict[str, list[str]] = {
         "zorder_curve_keys",
         "heavy_hitters_langs",
         "dedup_incremental_planted",
-        "dedup_span_coverage",
-        "text_bpe_roundtrip",
         "text_bigram_lm_nll",
         "text_line_dedup",
         "emb_knn_ivf_incremental",
+        "sample_stratified",
+        "dedup_simhash_planted",
+        "a5_approx_distinct",
     ],
 }
 
