@@ -162,6 +162,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "sample_stratified",
         "dedup_simhash_planted",
         "a5_approx_distinct",
+        "text_unigram_roundtrip",
     ],
 }
 

@@ -429,6 +429,46 @@ def q_text_line_dedup(spark, sf_dir):
     return remove_boilerplate_lines(src)
 
 
+@register(
+    "text_unigram_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOK}) AS n_words,
+           length(array_to_string({_TOK}, ' ')) AS n_norm_chars,
+           TRUE AS roundtrip_ok
+    FROM documents
+    """,
+)
+def q_text_unigram_roundtrip(spark, sf_dir):
+    """Unigram-LM tokenizer train + Viterbi encode + decode
+    (operators/unigram.py, the SentencePiece model_type=unigram
+    algorithm; Kudo ACL 2018): pieces are learned by EM + pruning over
+    the corpus's own word-frequency table (top-2000 words, 256-piece
+    vocab), every document Viterbi-encodes under the final log-probs,
+    and ``roundtrip_ok`` value-verifies decode(encode(text)) against
+    the whitespace-normalized source per row. Lattice marginals and
+    Viterbi optimality are pinned against brute-force segmentation
+    enumeration in tests/test_unigram.py (the EM loop is not
+    SQL-expressible). With BPE (text_bpe_roundtrip) this completes
+    both mainstream subword-tokenizer families."""
+    from ai_fabric_etl_spark.operators import unigram
+
+    docs = _t(spark, sf_dir, "documents")
+    model = unigram.unigram_train(
+        docs, vocab_size=256, max_words=2000, seed_size=2048
+    )
+    enc = unigram.unigram_encode(docs, model)
+    norm = F.concat_ws(" ", F.split(F.trim(F.col("text")), r"\s+"))
+    return enc.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words"),
+        F.length(norm).alias("n_norm_chars"),
+        (unigram.unigram_decode(F.col("pieces")) == norm).alias(
+            "roundtrip_ok"
+        ),
+    )
+
+
 @register("dedup_simhash")
 def q_dedup_simhash(spark, sf_dir):
     """SimHash-64 near-dup pairs (hamming<=3) via 16-bit-chunk

@@ -74,6 +74,7 @@ HEADLINE = [
     "text_tfidf_topk",             # per-doc keyword vectors
     "text_bpe_roundtrip",          # BPE train + encode + decode round trip
     "text_bigram_lm_nll",          # corpus bigram-LM quality scoring
+    "text_unigram_roundtrip",      # unigram-LM tokenizer train+encode+decode
     "attribution_linear_touch",    # range join + credit split
     "profile_histogram_equidepth", # quantile histogram (rank semantics)
     "er_resolve_entities",         # block->match->cluster->survivor
