@@ -163,6 +163,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "dedup_simhash_planted",
         "a5_approx_distinct",
         "text_unigram_roundtrip",
+        "privacy_pseudonymize",
+        "privacy_k_anonymity",
     ],
 }
 

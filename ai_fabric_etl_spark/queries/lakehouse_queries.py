@@ -1247,3 +1247,68 @@ def drift_psi_prices(spark, sf_dir):
     return drift_psi(
         ref, cur, col="o_totalprice", tiebreak="o_orderkey", bins=_PSI_BINS
     )
+
+
+_PSEUDO_ORACLE = """
+SELECT c_nationkey,
+       COUNT(*) AS n_customers,
+       COUNT(DISTINCT sha256('cust-v1-' || CAST(c_custkey AS VARCHAR)))
+         AS n_tokens,
+       COUNT(DISTINCT sha256('cust-v1-' || CAST(c_custkey AS VARCHAR)))
+         = COUNT(DISTINCT c_custkey) AS tokens_injective,
+       MIN(sha256('cust-v1-' || CAST(c_custkey AS VARCHAR))) AS min_token
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@register("privacy_pseudonymize", oracle=_PSEUDO_ORACLE)
+def privacy_pseudonymize(spark, sf_dir):
+    """Governance: deterministic salted-SHA256 pseudonymization of a
+    key column — the standard GDPR-grade tokenization that keeps
+    referential JOINs working across tables (same input -> same token
+    everywhere) while removing the raw identifier. The contract
+    value-verifies the token bytes themselves (min per group) plus
+    injectivity (distinct tokens == distinct keys) against DuckDB's
+    sha256 — both engines emit identical lowercase hex. Pure codegen;
+    at 100 TB this is a map-only projection, no shuffle beyond the
+    audit aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    token = F.sha2(
+        F.concat(F.lit("cust-v1-"), F.col("c_custkey").cast("string")), 256
+    )
+    return (
+        c.select("c_nationkey", token.alias("_tok"), "c_custkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("_tok").alias("n_tokens"),
+            (F.countDistinct("_tok") == F.countDistinct("c_custkey")).alias(
+                "tokens_injective"
+            ),
+            F.min("_tok").alias("min_token"),
+        )
+    )
+
+
+_KANON_ORACLE = """
+SELECT c_nationkey, c_mktsegment,
+       COUNT(*) AS group_size,
+       COUNT(*) < 5 AS violates_k5
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+@register("privacy_k_anonymity", oracle=_KANON_ORACLE)
+def privacy_k_anonymity(spark, sf_dir):
+    """Governance: k-anonymity audit over a quasi-identifier tuple
+    (nation, market segment) — equivalence classes smaller than k are
+    re-identification risks and must be generalized or suppressed
+    before release. One hash aggregate; the flag column makes the
+    release gate a WHERE clause."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        (F.count(F.lit(1)) < 5).alias("violates_k5"),
+    )
