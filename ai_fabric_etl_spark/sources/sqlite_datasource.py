@@ -57,6 +57,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceWriter,
+    EqualNullSafe,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -66,6 +67,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    Not,
     SimpleDataSourceStreamReader,
     StringContains,
     StringEndsWith,
@@ -260,8 +262,16 @@ class SQLiteReader(DataSourceReader):
 
     def _sql_of(self, f):
         """(sql, params) for a supported filter, else None. Only
-        top-level single-column attributes; values pass as bind
-        parameters (never interpolated)."""
+        single-column attributes; values pass as bind parameters
+        (never interpolated). ``Not`` compiles recursively — SQL's
+        three-valued NOT matches Spark's Filter-on-Not semantics
+        (NULL input excluded either way), and the filter is re-applied
+        by Spark regardless."""
+        if isinstance(f, Not):
+            inner = self._sql_of(f.child)
+            if inner is None:
+                return None
+            return f"NOT ({inner[0]})", inner[1]
         attr = getattr(f, "attribute", None)
         if not attr or len(tuple(attr)) != 1:
             return None
@@ -275,6 +285,11 @@ class SQLiteReader(DataSourceReader):
         for cls, op in self._COMPARES:
             if isinstance(f, cls):
                 return f"{_q(col)} {op} ?", (conv(f.value),)
+        if isinstance(f, EqualNullSafe):
+            # SQLite IS is the null-safe equality (<=> elsewhere)
+            if f.value is None:
+                return f"{_q(col)} IS NULL", ()
+            return f"{_q(col)} IS ?", (conv(f.value),)
         if isinstance(f, In):
             vals = [conv(v) for v in f.value]
             if not vals:

@@ -389,3 +389,30 @@ def test_streaming_read_rowid_watermark(spark, tmp_path):
     # re-running with nothing new appends nothing (exactly-once)
     run_available_now()
     assert spark.read.parquet(out_dir).count() == 3
+
+
+def test_not_and_nullsafe_pushdown(spark, tmp_path):
+    from pyspark.sql.datasource import EqualNullSafe, EqualTo, Not
+
+    schema = StructType.fromDDL("k long, s string")
+    r = sq.SQLiteReader({"dbpath": "/x.db", "dbtable": "t"}, schema)
+    assert r._sql_of(Not(EqualTo(("k",), 5))) == ('NOT ("k" = ?)', (5,))
+    assert r._sql_of(EqualNullSafe(("s",), None)) == ('"s" IS NULL', ())
+    assert r._sql_of(EqualNullSafe(("s",), "x")) == ('"s" IS ?', ("x",))
+    # unsupported inner -> Not not compiled either
+    assert r._sql_of(Not(EqualTo(("zz",), 1))) is None
+
+    # end-to-end: results identical with the filters pushed
+    db = _db(tmp_path, "neg.db")
+    df = spark.createDataFrame(
+        [(i, None if i % 4 == 0 else f"s{i % 3}") for i in range(40)],
+        "k long, s string",
+    )
+    _write(df, db, "neg")
+    back = _read(spark, db, "neg", numpartitions=2)
+    for cond in [~(F.col("k") == 7), F.col("s").eqNullSafe("s1"),
+                 F.col("s").eqNullSafe(F.lit(None).cast("string")),
+                 ~F.col("s").startswith("s2")]:
+        got = sorted(r.k for r in back.filter(cond).collect())
+        want = sorted(r.k for r in df.filter(cond).collect())
+        assert got == want, str(cond)
