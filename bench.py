@@ -122,6 +122,13 @@ SCALE_HEADLINE = [
     "curate_corpus_pipeline",
     "sample_temperature_mixture",
     "search_bm25_topk",
+    # r6 additions, linear by construction: tokenizers cap their
+    # driver word dicts (max_words), LM/line-dedup shuffle volumes
+    # are linear in tokens/lines
+    "text_bpe_roundtrip",
+    "text_unigram_roundtrip",
+    "text_bigram_lm_nll",
+    "text_line_dedup",
 ]
 
 
