@@ -263,11 +263,31 @@ class SQLiteReader(DataSourceReader):
     def _sql_of(self, f):
         """(sql, params) for a supported filter, else None. Only
         single-column attributes; values pass as bind parameters
-        (never interpolated). ``Not`` compiles recursively — SQL's
-        three-valued NOT matches Spark's Filter-on-Not semantics
-        (NULL input excluded either way), and the filter is re-applied
-        by Spark regardless."""
+        (never interpolated).
+
+        EXACTNESS INVARIANT: every compiled predicate keeps exactly
+        the rows Spark's own Filter would keep (three-valued logic
+        included). Spark re-applies pushed filters, so an
+        over-INCLUSIVE compile would merely be wasted I/O — but
+        ``Not`` compiles recursively, and NOT of an over-inclusive
+        predicate is over-EXCLUSIVE: the source silently drops rows
+        Spark never gets to re-check. Hence:
+
+        - String patterns compile via substr/instr (byte-exact,
+          case-sensitive — matching Spark), NOT via LIKE, whose ASCII
+          case-insensitivity over-includes ('abc%' matches 'ABC').
+        - Decimals are stored as TEXT, where range comparisons are
+          lexicographic ('9.00' > '10.00'): <,>,<=,>= on DecimalType
+          are never pushed. Equality IS representation-stable per
+          column (fixed scale) EXCEPT at zero ('0.00' vs '-0.00' are
+          numerically equal, textually distinct), so zero-valued
+          decimal equality/IN literals are not pushed either.
+        - Dates/timestamps are fixed-format ISO text: lexicographic
+          order == chronological order, so ranges push fine.
+        """
         if isinstance(f, Not):
+            # safe ONLY because every branch below is exact (see
+            # invariant above); an inexact child must return None
             inner = self._sql_of(f.child)
             if inner is None:
                 return None
@@ -281,16 +301,25 @@ class SQLiteReader(DataSourceReader):
         field = next((x for x in self.schema.fields if x.name == col), None)
         if field is None:
             return None
+        decimal_col = isinstance(field.dataType, DecimalType)
         conv = _to_storage(field.dataType)
         for cls, op in self._COMPARES:
             if isinstance(f, cls):
+                if decimal_col and op != "=":
+                    return None  # TEXT range compare is lexicographic
+                if decimal_col and f.value is not None and f.value == 0:
+                    return None  # '0.00' vs '-0.00' text mismatch
                 return f"{_q(col)} {op} ?", (conv(f.value),)
         if isinstance(f, EqualNullSafe):
             # SQLite IS is the null-safe equality (<=> elsewhere)
             if f.value is None:
                 return f"{_q(col)} IS NULL", ()
+            if decimal_col and f.value == 0:
+                return None
             return f"{_q(col)} IS ?", (conv(f.value),)
         if isinstance(f, In):
+            if decimal_col and any(v is not None and v == 0 for v in f.value):
+                return None
             vals = [conv(v) for v in f.value]
             if not vals:
                 return "1 = 0", ()
@@ -302,19 +331,26 @@ class SQLiteReader(DataSourceReader):
             return f"{_q(col)} IS NULL", ()
         if isinstance(f, IsNotNull):
             return f"{_q(col)} IS NOT NULL", ()
-        # LIKE needs escaping of its wildcards inside the literal
+        # Byte-exact string matching (SQLite substr/instr count UTF-8
+        # characters, same as Python len on str):
+        #   startswith(p): substr(col, 1, len(p)) = p
+        #   endswith(p):   substr(col, -len(p))   = p   [whole string
+        #                  when len(col) < len(p) -> correctly false]
+        #   contains(p):   instr(col, p) > 0
+        # Empty needles: Spark keeps every non-null row; substr(col,-0)
+        # returns the whole string (wrong), so compile those as
+        # IS NOT NULL. instr(col,'') = 1 and substr(col,1,0) = '' are
+        # already exact but IS NOT NULL is cheaper and uniform.
         if isinstance(f, (StringStartsWith, StringEndsWith, StringContains)):
-            esc = (
-                str(f.value).replace("\\", "\\\\")
-                .replace("%", "\\%")
-                .replace("_", "\\_")
-            )
-            pat = {
-                StringStartsWith: f"{esc}%",
-                StringEndsWith: f"%{esc}",
-                StringContains: f"%{esc}%",
-            }[type(f)]
-            return f"{_q(col)} LIKE ? ESCAPE '\\'", (pat,)
+            needle = str(f.value)
+            n = len(needle)
+            if n == 0:
+                return f"{_q(col)} IS NOT NULL", ()
+            if isinstance(f, StringStartsWith):
+                return f"substr({_q(col)}, 1, {n}) = ?", (needle,)
+            if isinstance(f, StringEndsWith):
+                return f"substr({_q(col)}, -{n}) = ?", (needle,)
+            return f"instr({_q(col)}, ?) > 0", (needle,)
         return None
 
     def pushFilters(self, filters):
@@ -500,7 +536,22 @@ class SQLiteWriter(DataSourceWriter):
         preserving unrelated tables — merges every staged part into it
         sequentially, and ``os.replace``s it over the target: readers
         see the old or the new database, never a partial merge (the
-        same pointer-swap atomicity ParquetMergeTable uses)."""
+        same pointer-swap atomicity ParquetMergeTable uses).
+
+        DEPLOYMENT CONSTRAINTS (single-file databases are a
+        single-machine medium; these are inherent to the target, not
+        this writer): (1) the staged part files are written on
+        executor disks and ATTACHed here by path, so driver and
+        executors must share a filesystem — true in local mode and on
+        NFS/FUSE-mounted clusters; on share-nothing clusters point
+        ``stagingdir`` at a shared mount. (2) ONE writer per target
+        dbpath at a time: two concurrent commits race on
+        copy2+os.replace and the last replace wins, dropping the
+        other's rows. Serialize jobs that write the same database
+        (the streaming path already does — foreachBatch epochs are
+        sequential, and the txnappid guard makes replays no-ops).
+        For concurrent multi-writer output at scale, write parquet
+        (``ParquetMergeTable``) instead."""
         import json
         import shutil
         import sqlite3

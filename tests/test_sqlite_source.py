@@ -149,11 +149,114 @@ def test_sql_of_unit():
     sql, params = r._sql_of(In(("k",), (1, 2)))
     assert sql == '"k" IN (?, ?)' and set(params) == {1, 2}
     assert r._sql_of(IsNull(("s",))) == ('"s" IS NULL', ())
-    # LIKE wildcards inside the value are escaped, not interpreted
+    # string patterns compile byte-exact via substr (NOT LIKE: LIKE
+    # is ASCII case-insensitive, which over-includes — unsafe under
+    # Not); wildcards in the needle are plain bytes, nothing to escape
     sql, params = r._sql_of(StringStartsWith(("s",), "a%b_c"))
-    assert sql == '"s" LIKE ? ESCAPE \'\\\'' and params == ("a\\%b\\_c%",)
+    assert sql == 'substr("s", 1, 5) = ?' and params == ("a%b_c",)
     # unknown column -> not compiled
     assert r._sql_of(EqualTo(("nope",), 1)) is None
+
+
+def test_decimal_range_predicates_not_pushed_and_correct(spark, tmp_path):
+    """ADVICE r6 (high): decimals are stored as TEXT, where '9.00' >
+    '10.00' lexicographically — pushing range comparisons silently
+    dropped rows Spark never re-checked. Ranges must compile to None
+    (source returns the superset; Spark filters exactly)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    schema = StructType.fromDDL("k long, dec decimal(12,2)")
+    r = sq.SQLiteReader({"dbpath": "/x.db", "dbtable": "t"}, schema)
+    for f in [
+        LessThan(("dec",), Decimal("10.00")),
+        LessThanOrEqual(("dec",), Decimal("10.00")),
+        GreaterThan(("dec",), Decimal("2.00")),
+    ]:
+        assert r._sql_of(f) is None, f
+    # nonzero equality is representation-stable per fixed-scale column
+    assert r._sql_of(EqualTo(("dec",), Decimal("9.00"))) == (
+        '"dec" = ?',
+        ("9.00",),
+    )
+    # ... but zero is not: '0.00' vs '-0.00' are equal numbers with
+    # distinct texts, so zero-valued literals never push
+    assert r._sql_of(EqualTo(("dec",), Decimal("0.00"))) is None
+    assert r._sql_of(In(("dec",), (Decimal("0.00"), Decimal("1.00")))) is None
+
+    # end-to-end: the exact ADVICE repro — dec < 10.00 must keep 9.00
+    db = _db(tmp_path)
+    df = spark.createDataFrame(
+        [(1, Decimal("9.00")), (2, Decimal("10.00")), (3, Decimal("123.45")),
+         (4, Decimal("-0.00")), (5, None)],
+        "k long, dec decimal(12,2)",
+    )
+    _write(df, db, "decs")
+    back = _read(spark, db, "decs")
+    for cond in [
+        F.col("dec") < Decimal("10.00"),
+        F.col("dec") >= Decimal("9.50"),
+        F.col("dec") == Decimal("0.00"),  # must match the -0.00 row
+        F.col("dec").isin(Decimal("9.00"), Decimal("0.00")),
+    ]:
+        got = sorted(r.k for r in back.filter(cond).collect())
+        want = sorted(r.k for r in df.filter(cond).collect())
+        assert got == want, str(cond)
+
+
+def test_not_over_string_patterns_stays_case_sensitive(spark, tmp_path):
+    """ADVICE r6 (medium): the old LIKE compile was ASCII
+    case-insensitive (over-inclusive — harmless bare, row-dropping
+    under Not). substr/instr compiles are byte-exact, so NOT keeps
+    rows that differ only by case."""
+    from pyspark.sql.datasource import (
+        Not,
+        StringContains,
+        StringEndsWith,
+        StringStartsWith,
+    )
+
+    schema = StructType.fromDDL("k long, s string")
+    r = sq.SQLiteReader({"dbpath": "/x.db", "dbtable": "t"}, schema)
+    assert r._sql_of(Not(StringStartsWith(("s",), "abc"))) == (
+        'NOT (substr("s", 1, 3) = ?)',
+        ("abc",),
+    )
+    assert r._sql_of(StringEndsWith(("s",), "xy")) == (
+        'substr("s", -2) = ?',
+        ("xy",),
+    )
+    assert r._sql_of(StringContains(("s",), "mid")) == (
+        'instr("s", ?) > 0',
+        ("mid",),
+    )
+    # empty needle: Spark keeps every non-null row; substr(col,-0)
+    # would return the whole string, so these compile as IS NOT NULL
+    assert r._sql_of(StringEndsWith(("s",), "")) == ('"s" IS NOT NULL', ())
+
+    db = _db(tmp_path)
+    df = spark.createDataFrame(
+        [(1, "abcdef"), (2, "ABCdef"), (3, "zabc"), (4, "defABC"),
+         (5, None), (6, "aBc")],
+        "k long, s string",
+    )
+    _write(df, db, "cases")
+    back = _read(spark, db, "cases")
+    for cond in [
+        ~F.col("s").startswith("abc"),  # must keep 'ABCdef' and 'aBc'
+        ~F.col("s").contains("abc"),
+        ~F.col("s").endswith("ABC"),
+        F.col("s").startswith("abc"),
+        F.col("s").endswith(""),
+    ]:
+        got = sorted(r.k for r in back.filter(cond).collect())
+        want = sorted(r.k for r in df.filter(cond).collect())
+        assert got == want, str(cond)
 
 
 def test_append_and_overwrite_preserve_other_tables(spark, tmp_path):
