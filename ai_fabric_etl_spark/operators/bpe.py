@@ -44,7 +44,43 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-EOW = "</w>"  # end-of-word marker (Sennrich's convention)
+# End-of-word marker. Sennrich's paper uses the literal "</w>", but a
+# source document may CONTAIN that string, and decode would then turn
+# it into a space (ADVICE r6: roundtrip_ok flips false on such
+# corpora). A single private-use codepoint plus byte-stuffing makes
+# the marker truly non-collidable: source occurrences of EOW/_ESC are
+# escaped before tokenization and restored after decode, so the
+# marker in a piece stream ALWAYS means end-of-word.
+EOW = "\ue000"  # end-of-word marker (private-use codepoint)
+_ESC = "\ue001"  # escape prefix
+
+
+def escape_text(t: str) -> str:
+    """Byte-stuff EOW/_ESC occurrences in source text so they survive
+    tokenize->decode. Every _ESC in escaped text is followed by '1'
+    (a literal _ESC) or '2' (a literal EOW); the pairs cannot overlap
+    (_ESC differs from both suffixes), so the global replaces in
+    :func:`unescape_col` are unambiguous."""
+    return t.replace(_ESC, _ESC + "1").replace(EOW, _ESC + "2")
+
+
+def escape_col(col: Column) -> Column:
+    """SQL-side :func:`escape_text` (codegen, for the corpus pass)."""
+    return F.replace(
+        F.replace(col, F.lit(_ESC), F.lit(_ESC + "1")),
+        F.lit(EOW),
+        F.lit(_ESC + "2"),
+    )
+
+
+def unescape_col(col: Column) -> Column:
+    """SQL-side inverse of :func:`escape_text` (applied after the
+    marker->space replace in decode)."""
+    return F.replace(
+        F.replace(col, F.lit(_ESC + "2"), F.lit(EOW)),
+        F.lit(_ESC + "1"),
+        F.lit(_ESC),
+    )
 
 
 def word_counts(
@@ -55,7 +91,9 @@ def word_counts(
     — a deterministic truncation for adversarially huge vocabularies."""
     wc = (
         docs.select(
-            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+            F.explode(
+                F.split(F.trim(escape_col(F.col(text_col))), r"\s+")
+            ).alias("word")
         )
         .where(F.col("word") != "")
         .groupBy("word")
@@ -178,7 +216,9 @@ def bpe_encode(
             if t is None:
                 return None
             out: list[list[str]] = []
-            for w in t.strip().split():
+            # same escaping as word_counts, so encode symbols match
+            # the trained merge alphabet
+            for w in escape_text(t).strip().split():
                 got = memo.get(w)
                 if got is None:
                     got = _encode_word(w, ranks)
@@ -193,7 +233,12 @@ def bpe_encode(
 
 def bpe_decode(pieces: Column) -> Column:
     """Inverse of :func:`bpe_encode`, pure codegen: concatenate the
-    pieces and turn each end-of-word marker back into a single space —
-    yields the whitespace-NORMALIZED source text (tokenization is
+    pieces, turn each end-of-word marker back into a single space,
+    and restore escaped literal EOW/_ESC source characters — yields
+    the whitespace-NORMALIZED source text (tokenization is
     ``split(\\s+)``, so runs of whitespace are one space back)."""
-    return F.trim(F.replace(F.concat_ws("", pieces), F.lit(EOW), F.lit(" ")))
+    return F.trim(
+        unescape_col(
+            F.replace(F.concat_ws("", pieces), F.lit(EOW), F.lit(" "))
+        )
+    )

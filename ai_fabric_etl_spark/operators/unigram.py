@@ -33,7 +33,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ai_fabric_etl_spark.operators.bpe import EOW, word_counts
+from ai_fabric_etl_spark.operators.bpe import (
+    EOW,
+    escape_text,
+    unescape_col,
+    word_counts,
+)
 
 _SEED_MAX_PIECE_LEN = 6
 
@@ -244,7 +249,8 @@ def unigram_encode(
             if t is None:
                 return None
             out = []
-            for w in t.strip().split():
+            # same escaping as word_counts (the training corpus pass)
+            for w in escape_text(t).strip().split():
                 got = memo.get(w)
                 if got is None:
                     pieces = viterbi_segment(w, model, max_len)
@@ -260,7 +266,10 @@ def unigram_encode(
 
 def unigram_decode(pieces: Column) -> Column:
     """Inverse of :func:`unigram_encode` (same contract as
-    bpe.bpe_decode): concatenate, end-of-word markers become spaces."""
+    bpe.bpe_decode): concatenate, end-of-word markers become spaces,
+    escaped literal marker characters are restored."""
     return F.trim(
-        F.replace(F.concat_ws("", pieces), F.lit(EOW), F.lit(" "))
+        unescape_col(
+            F.replace(F.concat_ws("", pieces), F.lit(EOW), F.lit(" "))
+        )
     )

@@ -126,6 +126,63 @@ def test_encode_decode_roundtrip(spark):
     assert n[1] < len("low lower newest".replace(" ", "")) + 3
 
 
+def test_roundtrip_with_literal_marker_strings(spark):
+    """ADVICE r6: a document containing the LITERAL marker text must
+    still round-trip. The old marker was the string '</w>', which
+    decode turned into a space; the PUA-codepoint marker plus
+    byte-stuffing (escape_text/unescape_col) survives source text
+    containing '</w>', the marker codepoint itself, AND the escape
+    codepoint."""
+    adversarial = [
+        (1, "html </w> tag soup </w></w>"),
+        (2, f"embedded{bpe.EOW}marker and{bpe._ESC}escape"),
+        (3, f"{bpe._ESC}{bpe.EOW} {bpe._ESC}1 {bpe._ESC}2 edge pairs"),
+        (4, "plain control document"),
+    ]
+    docs = spark.createDataFrame(adversarial, "doc_id long, text string")
+    merges = bpe.bpe_train(docs, num_merges=6, min_pair_count=1)
+    out = (
+        bpe.bpe_encode(docs, merges)
+        .select(
+            "doc_id",
+            bpe.bpe_decode(F.col("pieces")).alias("back"),
+            F.concat_ws(
+                " ", F.split(F.trim(F.col("text")), r"\s+")
+            ).alias("norm"),
+        )
+        .collect()
+    )
+    for r in out:
+        assert r.back == r.norm, r.doc_id
+
+
+def test_escape_roundtrip_property():
+    """escape_text is injective and unescaping inverts it, including
+    ambiguity-bait sequences (escape char followed by literal '1'/'2')."""
+    cases = [
+        "",
+        "plain",
+        bpe.EOW,
+        bpe._ESC,
+        bpe._ESC + "1",
+        bpe._ESC + "2",
+        bpe._ESC + bpe._ESC + "2",
+        bpe.EOW + bpe._ESC + bpe.EOW,
+        "a" + bpe.EOW + "b" + bpe._ESC + "c",
+    ]
+    seen = {}
+    for c in cases:
+        e = bpe.escape_text(c)
+        assert bpe.EOW not in e  # marker never appears in escaped text
+        assert e not in seen, (c, seen[e])
+        seen[e] = c
+        # python-side inverse of the SQL unescape chain
+        back = e.replace(bpe._ESC + "2", bpe.EOW).replace(
+            bpe._ESC + "1", bpe._ESC
+        )
+        assert back == c
+
+
 def test_early_stop_and_validation(spark):
     docs = spark.createDataFrame(
         [(1, "abcdefg")], "doc_id long, text string"

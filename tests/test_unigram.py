@@ -95,3 +95,33 @@ def test_encode_decode_roundtrip(spark):
     ).collect()
     for r in out:
         assert r.back == r.norm, r.doc_id
+
+
+def test_roundtrip_with_literal_marker_strings(spark):
+    """ADVICE r6 parity with bpe: documents containing the literal
+    '</w>' string or the marker/escape codepoints round-trip exactly
+    (byte-stuffed before tokenization, restored after decode)."""
+    from ai_fabric_etl_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [
+            (1, "doc with </w> literal </w>marker"),
+            (2, f"pua{bpe.EOW}char and{bpe._ESC}escape inside"),
+            (3, "plain control words"),
+        ],
+        "doc_id long, text string",
+    )
+    model = unigram.unigram_train(docs, vocab_size=60, seed_size=128)
+    out = (
+        unigram.unigram_encode(docs, model)
+        .select(
+            "doc_id",
+            unigram.unigram_decode(F.col("pieces")).alias("back"),
+            F.concat_ws(
+                " ", F.split(F.trim(F.col("text")), r"\s+")
+            ).alias("norm"),
+        )
+        .collect()
+    )
+    for r in out:
+        assert r.back == r.norm, r.doc_id
