@@ -321,3 +321,138 @@ SELECT {id_col}, term, tf, df, score,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query: str,
+    query_vec_id: int,
+    k: int = 10,
+    k_each: int = 20,
+    rrf_c: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval via reciprocal-rank fusion
+    (Cormack et al., SIGIR'09): BM25 top-``k_each`` ranks and exact
+    cosine top-``k_each`` ranks fuse as
+    ``sum over lists of 1/(rrf_c + rank)``, a list missing the doc
+    contributing 0. Returns the fused top-``k``:
+    (id, rrf_score, lex_rank, sem_rank), rrf_score rounded to the
+    repo's 6-dp derived-double convention, ties broken by id.
+
+    Scale shape: the two candidate lists are each top-k reductions of
+    independently-optimized plans (BM25: pruned explode + broadcast
+    stats + TakeOrdered; ANN: broadcast query x corpus scan — swap in
+    ivf_topk/lsh_topk for the 100 TB path, the fusion is rank-only
+    and does not care how candidates were produced). The fusion
+    itself joins two <= k_each-row frames — driver-scale, executed as
+    a broadcast full-outer join; nothing here rescans the corpus.
+    """
+    from ai_fabric_etl_spark.operators.similarity import brute_force_topk
+
+    lex = bm25_topk(docs, query, k=k_each, id_col=id_col, text_col=text_col)
+    # rank within the <= k_each-row candidate list WITHOUT a global
+    # window (the fleet plans window-hazard-free): rank = 1 + count of
+    # strictly-better (score desc, id) rows — a broadcast theta-join
+    # over a bounded frame
+    a = lex.select(F.col(id_col).alias("id"), "score")
+    b = lex.select(
+        F.col(id_col).alias("id2"), F.col("score").alias("score2")
+    )
+    better = (F.col("score2") > F.col("score")) | (
+        (F.col("score2") == F.col("score")) & (F.col("id2") < F.col("id"))
+    )
+    lex_ranked = (
+        a.join(F.broadcast(b), better, "left")
+        .groupBy("id")
+        .agg((F.count("id2") + 1).cast("int").alias("lex_rank"))
+    )
+    sem = brute_force_topk(
+        embeddings,
+        embeddings.filter(F.col(vec_id_col) == query_vec_id),
+        k=k_each,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+    )
+    sem_ranked = sem.select(
+        F.col("neighbor_id").alias("id"), F.col("rank").alias("sem_rank")
+    )
+    fused = (
+        lex_ranked.join(sem_ranked, "id", "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(float(rrf_c)) + F.col("lex_rank")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(float(rrf_c)) + F.col("sem_rank")),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+        )
+        .select(
+            F.col("id").alias(id_col), "rrf_score", "lex_rank", "sem_rank"
+        )
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(k)
+
+
+def hybrid_rrf_topk_sql(
+    query: str,
+    query_vec_id: int,
+    k: int = 10,
+    k_each: int = 20,
+    rrf_c: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    doc_table: str = "documents",
+    emb_table: str = "embeddings",
+) -> str:
+    """ANSI/DuckDB oracle replaying :func:`hybrid_rrf_topk` exactly:
+    the BM25 CTE is the bm25_topk oracle, the cosine CTE the
+    emb_knn oracle shape, the fusion the same coalesced unit-fraction
+    sum at 6 dp."""
+    bm25 = bm25_topk_sql(
+        query, k=k_each, id_col=id_col, text_col=text_col, table=doc_table
+    )
+    return f"""
+WITH lex AS (
+  SELECT {id_col} AS id,
+         CAST(row_number() OVER (ORDER BY score DESC, {id_col}) AS INT)
+           AS lex_rank
+  FROM ({bm25})
+),
+qv AS (SELECT embedding AS v FROM {emb_table} WHERE vec_id = {query_vec_id}),
+cos AS (
+  SELECT c.vec_id AS id,
+         (SELECT SUM(x * y) FROM (SELECT unnest(q.v)::DOUBLE AS x,
+                                         unnest(c.embedding)::DOUBLE AS y))
+         / (sqrt((SELECT SUM(x * x) FROM (SELECT unnest(q.v)::DOUBLE AS x)))
+            * sqrt((SELECT SUM(y * y)
+                    FROM (SELECT unnest(c.embedding)::DOUBLE AS y))))
+           AS cosine_sim
+  FROM {emb_table} c CROSS JOIN qv q
+  WHERE c.vec_id <> {query_vec_id}
+),
+sem AS (
+  SELECT id,
+         CAST(row_number() OVER (ORDER BY cosine_sim DESC, id) AS INT)
+           AS sem_rank
+  FROM cos
+  QUALIFY sem_rank <= {k_each}
+)
+SELECT COALESCE(lex.id, sem.id) AS {id_col},
+       ROUND(COALESCE(1.0 / ({rrf_c} + lex_rank), 0.0)
+             + COALESCE(1.0 / ({rrf_c} + sem_rank), 0.0), 6) AS rrf_score,
+       lex_rank, sem_rank
+FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+ORDER BY rrf_score DESC, {id_col}
+LIMIT {k}
+"""

@@ -114,7 +114,9 @@ _PRIORITY = [
     "p6_projection_casts",
     # training-data suite with its verified gates
     "text_profile",
-    "dedup_exact",
+    # dedup_exact -> fp_training_sources; slot to the hybrid
+    # lexical+semantic retrieval gate (r7 flagship)
+    "search_hybrid_rrf",
     "dedup_drop_neardups",
     "dedup_minhash_lsh",
     # dedup_simhash_planted -> fp_training_sources; slot to the
@@ -122,7 +124,9 @@ _PRIORITY = [
     "dedup_span_coverage",
     "emb_knn_bruteforce",
     "emb_knn_lsh_recall",
-    "emb_knn_ivf_recall",
+    # emb_knn_ivf_recall -> fp_training_sources; slot to the
+    # SemDeDup cell-scoped semantic-dedup gate (r7 flagship)
+    "emb_semdedup_planted",
     "emb_neardup",
     "multimodal_decode_real",
 ]

@@ -126,6 +126,12 @@ FP_GROUPS: dict[str, list[str]] = {
         "search_bm25_topk",
         "search_term_stats",
         "search_posting_lists",
+        "search_hybrid_rrf",
+        "emb_semdedup_planted",
+        # displaced from the 50-slot driver window by the r7
+        # flagships above; their oracles stay fully verified here
+        "dedup_exact",
+        "emb_knn_ivf_recall",
         "text_top_bigrams",
         "text_pmi_collocations",
         "text_zipf_slope",

@@ -546,6 +546,43 @@ def q_dedup_incremental_planted(spark, sf_dir):
     )
 
 
+@register(
+    "emb_semdedup_planted",
+    oracle="""
+    SELECT vec_id + 30000 AS vec_id, vec_id AS dup_of
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def q_emb_semdedup_planted(spark, sf_dir):
+    """SemDeDup (similarity.semdedup_prune, Abbas et al. 2023):
+    k-means-cell-scoped semantic dedup — the quadratic cosine search
+    runs only WITHIN a cell, so pair work is bounded by the largest
+    cell, not the corpus (grow k with data; oversized cells raise).
+
+    Structural full-value oracle: 50 exact copies of corpus vectors
+    (ids +30000) are planted. Identical vectors share a centroid
+    argmax and centroid similarity, and the original's smaller id
+    wins the keep-priority tiebreak — so every planted copy MUST be
+    dropped (its match is the original when kept, else the kept
+    representative the original matched, whose cosine is identical),
+    and, because sf corpus vectors are mutually below the 0.99
+    threshold while copies sit at 1.0, each copy's dup_of IS its
+    original. A clustering, ordering, or greedy-scan regression
+    breaks the pair set. Kept/threshold invariants are pytest-gated
+    (test_dedup_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 30000).alias("vec_id"), "embedding"
+    )
+    out = similarity.semdedup_prune(
+        emb.unionByName(copies), k=8, threshold=0.99
+    )
+    return (
+        out.filter(~F.col("kept") & (F.col("vec_id") >= 30000))
+        .select("vec_id", "dup_of")
+    )
+
+
 _KNN_DOT = (
     "(SELECT SUM(x * y) FROM (SELECT unnest(q.qv)::DOUBLE AS x, unnest(c.cv)::DOUBLE AS y))"
 )
@@ -1037,6 +1074,37 @@ def q_search_bm25_topk(spark, sf_dir):
     hole in the reference's text surface (P11 is substring/regex
     only)."""
     return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_QUERY, k=20)
+
+
+from ai_fabric_etl_spark.operators.search import (  # noqa: E402
+    hybrid_rrf_topk,
+    hybrid_rrf_topk_sql,
+)
+
+_RRF_VEC_ID = 3
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=hybrid_rrf_topk_sql(_BM25_QUERY, _RRF_VEC_ID, k=15, k_each=20),
+)
+def q_search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval (operators/search.hybrid_rrf_topk): BM25
+    top-20 and exact-cosine top-20 candidate lists fused by
+    reciprocal rank (1/(60+rank), Cormack et al.) into one top-15 —
+    the standard two-tower corpus-curation/RAG retrieval shape. Both
+    candidate plans are independently optimized top-k reductions; the
+    fusion is a broadcast full-outer join of two <=20-row frames, so
+    swapping the ANN side to the IVF/LSH index path changes recall,
+    not the fusion plan."""
+    return hybrid_rrf_topk(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        _BM25_QUERY,
+        query_vec_id=_RRF_VEC_ID,
+        k=15,
+        k_each=20,
+    )
 
 
 _TERM_STATS_ORACLE = """

@@ -661,3 +661,70 @@ def test_ivf_insert_parity_with_batch_assignment(spark, tmp_path, sf_dir):
     assert sorted(map(tuple, indexed.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_semdedup_invariants(emb):
+    """SemDeDup (similarity.semdedup_prune): the greedy per-cell scan
+    must satisfy, for EVERY row, the defining invariants — dropped
+    rows exceed the threshold against a kept cell-mate, kept rows
+    don't, and dup_of always names a kept member of the same cell."""
+    thr = 0.8
+    out = similarity.semdedup_prune(
+        emb.select("vec_id", "embedding"), k=4, threshold=thr
+    ).cache()
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    by_id = {r.vec_id: r for r in rows}
+    for r in rows:
+        if r.kept:
+            assert r.dup_of is None
+            assert r.max_kept_sim is None or r.max_kept_sim <= thr, r
+        else:
+            assert r.dup_of is not None and r.max_kept_sim > thr, r
+            keeper = by_id[r.dup_of]
+            assert keeper.kept and keeper.cluster_id == r.cluster_id, r
+    # exact cosine check: each dropped row's recorded max_kept_sim is
+    # a real cosine to its keeper... >= means argmax picked the best
+    pairs = (
+        out.filter(~F.col("kept"))
+        .select("vec_id", "dup_of")
+        .join(emb.select(F.col("vec_id"), F.col("embedding").alias("va")), "vec_id")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("dup_of"),
+                F.col("embedding").alias("vb"),
+            ),
+            "dup_of",
+        )
+        .select(
+            similarity.cosine(F.col("va"), F.col("vb")).alias("cos")
+        )
+        .collect()
+    )
+    for p in pairs:
+        assert p.cos > thr - 1e-9
+    out.unpersist()
+
+
+def test_semdedup_planted_copies_always_drop(spark, emb):
+    """Planted exact copies must drop with dup_of = original (the
+    structural guarantee the emb_semdedup_planted oracle rides)."""
+    base = emb.select("vec_id", "embedding")
+    copies = base.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 30000).alias("vec_id"), "embedding"
+    )
+    out = similarity.semdedup_prune(
+        base.unionByName(copies), k=4, threshold=0.99
+    )
+    dropped = {
+        r.vec_id: r.dup_of
+        for r in out.filter(F.col("vec_id") >= 30000).collect()
+    }
+    assert dropped == {i + 30000: i for i in range(20)}
+
+
+def test_semdedup_cell_cap_raises(emb):
+    with pytest.raises(Exception, match="max_cell_rows"):
+        similarity.semdedup_prune(
+            emb.select("vec_id", "embedding"), k=2, max_cell_rows=3
+        ).count()

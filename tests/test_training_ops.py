@@ -726,3 +726,45 @@ def test_group_split_no_user_spans_splits(spark, sf_dir):
         .count()
     )
     assert spans == 0
+
+
+def test_hybrid_rrf_fuses_component_ranks(spark, sf_dir):
+    """hybrid_rrf_topk must equal the hand-computed fusion of its two
+    component top-k lists: rrf = 1/(60+lex_rank) + 1/(60+sem_rank),
+    absent list contributing 0, ties by id."""
+    from ai_fabric_etl_spark.operators.search import bm25_topk, hybrid_rrf_topk
+    from ai_fabric_etl_spark.operators.similarity import brute_force_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q, qv, k_each = "vector hash stream", 3, 12
+
+    lex_rows = bm25_topk(docs, q, k=k_each).collect()
+    lex_rank = {
+        r.doc_id: i + 1
+        for i, r in enumerate(
+            sorted(lex_rows, key=lambda r: (-r.score, r.doc_id))
+        )
+    }
+    sem_rank = {
+        r.neighbor_id: r.rank
+        for r in brute_force_topk(
+            emb, emb.filter(F.col("vec_id") == qv), k=k_each
+        ).collect()
+    }
+    expect = {}
+    for d in set(lex_rank) | set(sem_rank):
+        s = 0.0
+        if d in lex_rank:
+            s += 1.0 / (60 + lex_rank[d])
+        if d in sem_rank:
+            s += 1.0 / (60 + sem_rank[d])
+        expect[d] = round(s, 6)
+    want = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = hybrid_rrf_topk(docs, emb, q, qv, k=10, k_each=k_each).collect()
+    assert [(r.doc_id, r.rrf_score) for r in got] == want
+    # docs present in both lists carry both ranks
+    for r in got:
+        assert (r.lex_rank is not None) == (r.doc_id in lex_rank)
+        assert (r.sem_rank is not None) == (r.doc_id in sem_rank)
