@@ -64,6 +64,8 @@ HEADLINE = [
     "emb_knn_bruteforce",          # similarity search
     "emb_neardup",                 # embedding near-dup (bucketed LSH path)
     "search_bm25_topk",            # BM25 relevance top-k
+    "search_hybrid_rrf",           # BM25 + cosine reciprocal-rank fusion
+    "emb_semdedup_planted",        # SemDeDup cell-scoped semantic dedup
     "sample_priority_bottomk",     # mergeable bottom-k per-group sample
     "topk_docs_per_source",        # grouped top-k (prereduced window)
     "quantile_sketch_prices",      # mergeable quantile summaries
@@ -129,6 +131,10 @@ SCALE_HEADLINE = [
     "text_unigram_roundtrip",
     "text_bigram_lm_nll",
     "text_line_dedup",
+    # r7: fusion of two linear top-k reductions (bm25 + knn) — linear
+    # by construction; semdedup stays out (its within-cell pair work
+    # is quadratic at FIXED k; the operator's scale contract is grow-k)
+    "search_hybrid_rrf",
 ]
 
 
@@ -175,6 +181,70 @@ REGRESSION_MIN_DELTA_S = 0.15
 
 class _SkipX12(Exception):
     pass
+
+
+# The driver records only the LAST ~2000 chars of stdout; a result
+# line longer than that loses its opening brace and the driver's
+# parse fails (this is exactly what nulled rounds 5 and 6: the
+# queries dict grew past 2000 chars). Budget the printed line well
+# under the cap and park full detail in BENCH_FULL.json.
+LINE_BUDGET = 1900
+
+
+def compact_line(out: dict, budget: int = LINE_BUDGET) -> str:
+    """One-line JSON of `out` guaranteed <= budget chars.
+
+    Strategy, applied in order until the line fits:
+    1. compact separators + per-query seconds at 2dp,
+       regressions as [query, ratio] pairs (full detail lives in
+       BENCH_FULL.json, referenced by the "full" field);
+    2. fold the cheapest queries into an "other_queries" aggregate
+       ({"n": count, "sec": summed seconds}) — headline/expensive
+       rows always survive because folding starts from the bottom.
+    """
+    slim = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "queries": {k: round(v, 2) for k, v in out["queries"].items()},
+        "x12_parse_tx_per_sec": out.get("x12_parse_tx_per_sec"),
+        "full": "BENCH_FULL.json",
+    }
+    regs = out.get("regressions", [])
+    if regs:
+        slim["regressions"] = [[r["query"], r["ratio"]] for r in regs[:6]]
+        slim["regressions_n"] = len(regs)
+    if out.get("regressions_vs"):
+        slim["regressions_vs"] = out["regressions_vs"]
+    if out.get("errors"):
+        slim["errors_n"] = len(out["errors"])
+        slim["errors"] = {
+            k: v[:80] for k, v in list(out["errors"].items())[:3]
+        }
+    enc = lambda d: json.dumps(d, separators=(",", ":"))  # noqa: E731
+    s = enc(slim)
+    if len(s) <= budget:
+        return s
+    # fold cheapest-first until the line fits
+    ordered = sorted(slim["queries"].items(), key=lambda kv: (kv[1], kv[0]))
+    kept = dict(ordered)
+    folded_n, folded_sec = 0, 0.0
+    for name, sec in ordered:
+        if len(s) <= budget:
+            break
+        del kept[name]
+        folded_n += 1
+        folded_sec += sec
+        slim["queries"] = {
+            k: v for k, v in slim["queries"].items() if k in kept
+        }
+        slim["other_queries"] = {
+            "n": folded_n,
+            "sec": round(folded_sec, 2),
+        }
+        s = enc(slim)
+    return s
 
 
 def main() -> None:
@@ -292,18 +362,33 @@ def main() -> None:
     out["regressions_vs"] = prev_file
     if errors:
         out["errors"] = errors
+    # Full-precision record (3dp timings, complete regressions list,
+    # x12 corpus size, untruncated errors) — the printed line is a
+    # budgeted summary of this file.
+    # Only a full-headline run refreshes it — subset/scale iteration
+    # runs (SPARK_GRAFT_BENCH_QUERIES set) must not clobber the
+    # round's record.
+    here = os.path.dirname(os.path.abspath(__file__))
+    if headline is HEADLINE:
+        try:
+            with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+                json.dump(out, f, indent=1)
+                f.write("\n")
+        except OSError:
+            pass  # a read-only checkout never loses the printed numbers
     # stop the JVM BEFORE printing: Spark 4 emits structured-JSON log
     # lines that can land on stdout after our result line, and the
     # driver's parse of "the last JSON line" then reads a log record
     # instead (this is what nulled round 5's parsed bench). With the
     # session stopped, the result line is guaranteed to be the final
-    # stdout content.
+    # stdout content. The line itself is budgeted under the driver's
+    # 2000-char stdout-tail capture (see compact_line).
     try:
         spark.stop()
     except Exception:  # noqa: BLE001 - never lose the numbers to teardown
         pass
     sys.stdout.flush()
-    print(json.dumps(out), flush=True)
+    print(compact_line(out), flush=True)
 
 
 if __name__ == "__main__":
