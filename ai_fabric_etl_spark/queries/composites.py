@@ -132,6 +132,8 @@ FP_GROUPS: dict[str, list[str]] = {
         # flagships above; their oracles stay fully verified here
         "dedup_exact",
         "emb_knn_ivf_recall",
+        # r7: pure-stdlib Avro container source/sink round trip
+        "source_avro_roundtrip",
         "text_top_bigrams",
         "text_pmi_collocations",
         "text_zipf_slope",

@@ -1312,3 +1312,54 @@ def privacy_k_anonymity(spark, sf_dir):
         F.count(F.lit(1)).alias("group_size"),
         (F.count(F.lit(1)) < 5).alias("violates_k5"),
     )
+
+
+_AVRO_ORACLE = """
+WITH s AS (
+  SELECT label, vec_id,
+         ROUND((SELECT SUM(x::DOUBLE)
+                FROM (SELECT unnest(embedding) AS x)), 6) AS es
+  FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(es AS DECIMAL(18,6))) AS DOUBLE) AS sum_components,
+       MIN(vec_id) AS first_vec,
+       MAX(vec_id) AS last_vec
+FROM s GROUP BY label
+"""
+
+
+@register("source_avro_roundtrip", oracle=_AVRO_ORACLE)
+def source_avro_roundtrip(spark, sf_dir):
+    """Avro connector round trip (SURVEY §2.1 connector family): the
+    embeddings table — bigints, an array<float> column, ints — is
+    written as REAL Avro container files (pure-stdlib binary codec,
+    deflate blocks; sources/avro_datasource.py, byte-format pinned
+    against the Avro 1.11 spec in tests/test_avro_source.py), read
+    back through the per-file-partitioned scan, and aggregated per
+    label with the repo's decimal-sum discipline — values verified
+    against DuckDB over the original parquet. Neither the spark-avro
+    jar nor any avro library exists in this environment; the format
+    implementation itself is part of the surface."""
+    from ai_fabric_etl_spark.sources import avro_datasource
+
+    avro_datasource.register(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="avro_rt_"), "emb")
+    emb = _t(spark, sf_dir, "embeddings")
+    emb.repartition(4).write.format("pyavro").mode("overwrite").save(out)
+    back = spark.read.format("pyavro").load(out)
+    elem_sum = F.round(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda a, x: a + x.cast("double")
+        ),
+        6,
+    )
+    return back.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(elem_sum.cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_components"),
+        F.min("vec_id").alias("first_vec"),
+        F.max("vec_id").alias("last_vec"),
+    )

@@ -1,0 +1,647 @@
+"""Avro container-file source/sink as a Spark 4 Python data source —
+pure stdlib (zigzag varints + zlib deflate), no avro library or
+spark-avro jar required (the sandbox has neither; the format spec,
+https://avro.apache.org/docs/1.11.1/specification/, is small enough
+to implement directly, which keeps the bytes REAL instead of a stub).
+
+Closes the Avro edge of the reference's connector surface (SURVEY
+§2.1; the reference moves X12/JSON between systems — Avro is the
+interchange format its Azure peers speak natively) the same way
+``sqlite_datasource`` closed the JDBC edge: Spark's option surface on
+top of an engine the environment actually has.
+
+    spark.read.format("pyavro").load("/path/dir_or_file.avro")
+    df.write.format("pyavro").mode("overwrite").save("/path/out")
+
+Supported schema surface (both directions):
+- primitives: boolean, int (byte/short/int), long, float, double,
+  string, binary; any field nullable via the standard
+  ``["null", T]`` union
+- logical types: decimal(p,s) (bytes, big-endian two's-complement
+  unscaled), date (int days), timestamp-micros (utc) and
+  local-timestamp-micros (ntz)
+- nested: record (struct), array (including array<float>
+  embeddings); maps/enums/fixed are rejected with a clear error
+- codecs: null and deflate on read; deflate on write
+
+Scale design: one read partition PER FILE — the writer controls file
+count (one container per task, so upstream ``repartition(n)`` sets
+read parallelism), and each partition streams block-by-block
+(O(block) memory, never whole-file). Sub-file (sync-marker) splits —
+what spark-avro does for huge single files — are not implemented;
+write many files instead, which is how this sink lays data out
+anyway. Two-phase commit mirrors the repo's sink convention: tasks
+stage ``part-*.avro`` under a job-unique staging dir, the driver
+commit publishes with per-file atomic renames, abort removes the
+staging dir; a half-failed job never leaves partial files in the
+target listing.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    ByteType,
+    DataType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+MAGIC = b"Obj\x01"
+_EPOCH_ORDINAL = 719163  # date(1970,1,1).toordinal()
+
+
+# ---------------------------------------------------------------------------
+# binary primitives
+# ---------------------------------------------------------------------------
+
+def _zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _zigzag_decode(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _write_long(out: io.BytesIO, n: int) -> None:
+    z = _zigzag_encode(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.write(bytes((b | 0x80,)))
+        else:
+            out.write(bytes((b,)))
+            return
+
+
+class _Cursor:
+    """Byte cursor over one (decompressed) block."""
+
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def read_long(self) -> int:
+        shift, acc = 0, 0
+        buf, pos = self.buf, self.pos
+        while True:
+            b = buf[pos]
+            pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        self.pos = pos
+        return _zigzag_decode(acc)
+
+    def read_bytes(self) -> bytes:
+        n = self.read_long()
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def read_fixed(self, n: int) -> bytes:
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Spark schema <-> Avro schema JSON
+# ---------------------------------------------------------------------------
+
+def _avro_of(dt: DataType, name: str, counter: list[int]):
+    if isinstance(dt, BooleanType):
+        return "boolean"
+    if isinstance(dt, (ByteType, ShortType, IntegerType)):
+        return "int"
+    if isinstance(dt, LongType):
+        return "long"
+    if isinstance(dt, FloatType):
+        return "float"
+    if isinstance(dt, DoubleType):
+        return "double"
+    if isinstance(dt, StringType):
+        return "string"
+    if isinstance(dt, BinaryType):
+        return "bytes"
+    if isinstance(dt, DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
+    if isinstance(dt, DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, TimestampType):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, TimestampNTZType):
+        return {"type": "long", "logicalType": "local-timestamp-micros"}
+    if isinstance(dt, ArrayType):
+        item = _avro_of(dt.elementType, name, counter)
+        if dt.containsNull:
+            item = ["null", item]
+        return {"type": "array", "items": item}
+    if isinstance(dt, StructType):
+        counter[0] += 1
+        return {
+            "type": "record",
+            "name": f"{name}_r{counter[0]}",
+            "fields": [
+                {
+                    "name": f.name,
+                    "type": ["null", _avro_of(f.dataType, f.name, counter)]
+                    if f.nullable
+                    else _avro_of(f.dataType, f.name, counter),
+                }
+                for f in dt.fields
+            ],
+        }
+    raise ValueError(f"pyavro: unsupported Spark type {dt.simpleString()}")
+
+
+def _spark_of_nullable(schema) -> tuple[DataType, bool]:
+    """Avro schema (parsed JSON) -> (Spark DataType, nullable)."""
+    if isinstance(schema, list):  # union
+        branches = [b for b in schema if b != "null"]
+        if len(branches) != 1 or len(branches) == len(schema):
+            raise ValueError(
+                f"pyavro: only ['null', T] unions supported, got {schema}"
+            )
+        dt, _ = _spark_of_nullable(branches[0])
+        return dt, True
+    if isinstance(schema, dict):
+        lt = schema.get("logicalType")
+        t = schema["type"]
+        if lt == "decimal":
+            return DecimalType(schema["precision"], schema["scale"]), False
+        if lt == "date" and t == "int":
+            return DateType(), False
+        if lt == "timestamp-micros" and t == "long":
+            return TimestampType(), False
+        if lt == "local-timestamp-micros" and t == "long":
+            return TimestampNTZType(), False
+        if t == "array":
+            dt, _ = _spark_of_nullable(schema["items"])
+            return ArrayType(dt), False
+        if t == "record":
+            fields = []
+            for f in schema["fields"]:
+                fdt, fnull = _spark_of_nullable(f["type"])
+                fields.append(StructField(f["name"], fdt, fnull))
+            return StructType(fields), False
+        return _spark_of_nullable(t)
+    prim = {
+        "boolean": BooleanType(),
+        "int": IntegerType(),
+        "long": LongType(),
+        "float": FloatType(),
+        "double": DoubleType(),
+        "string": StringType(),
+        "bytes": BinaryType(),
+    }
+    if schema in prim:
+        return prim[schema], False
+    raise ValueError(f"pyavro: unsupported Avro type {schema!r}")
+
+
+# ---------------------------------------------------------------------------
+# per-type encoders / decoders (closures compiled once per schema)
+# ---------------------------------------------------------------------------
+
+def _encoder(dt: DataType, nullable: bool):
+    inner = _encoder_nn(dt)
+    if not nullable:
+        return inner
+
+    def enc(out, v):
+        if v is None:
+            out.write(b"\x00")  # union branch 0 = null (zigzag(0))
+        else:
+            out.write(b"\x02")  # union branch 1 (zigzag(1))
+            inner(out, v)
+
+    return enc
+
+
+def _encoder_nn(dt: DataType):
+    import datetime
+
+    if isinstance(dt, BooleanType):
+        return lambda out, v: out.write(b"\x01" if v else b"\x00")
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return _write_long
+    if isinstance(dt, FloatType):
+        return lambda out, v: out.write(struct.pack("<f", v))
+    if isinstance(dt, DoubleType):
+        return lambda out, v: out.write(struct.pack("<d", v))
+    if isinstance(dt, StringType):
+        def enc_str(out, v):
+            b = v.encode("utf-8")
+            _write_long(out, len(b))
+            out.write(b)
+        return enc_str
+    if isinstance(dt, BinaryType):
+        def enc_bin(out, v):
+            b = bytes(v)
+            _write_long(out, len(b))
+            out.write(b)
+        return enc_bin
+    if isinstance(dt, DecimalType):
+        def enc_dec(out, v):
+            unscaled = int(v.scaleb(dt.scale).to_integral_value())
+            n = max(1, (unscaled.bit_length() + 8) // 8)
+            b = unscaled.to_bytes(n, "big", signed=True)
+            _write_long(out, len(b))
+            out.write(b)
+        return enc_dec
+    if isinstance(dt, DateType):
+        return lambda out, v: _write_long(
+            out, v.toordinal() - _EPOCH_ORDINAL
+        )
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        epoch = datetime.datetime(1970, 1, 1)
+        def enc_ts(out, v):
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            delta = v - epoch
+            _write_long(
+                out,
+                (delta.days * 86_400 + delta.seconds) * 1_000_000
+                + delta.microseconds,
+            )
+        return enc_ts
+    if isinstance(dt, ArrayType):
+        item = _encoder(dt.elementType, dt.containsNull)
+        def enc_arr(out, v):
+            if len(v):
+                _write_long(out, len(v))
+                for x in v:
+                    item(out, x)
+            _write_long(out, 0)
+        return enc_arr
+    if isinstance(dt, StructType):
+        fields = [
+            (f.name, _encoder(f.dataType, f.nullable)) for f in dt.fields
+        ]
+        def enc_rec(out, v):
+            for name, fenc in fields:
+                fenc(out, v[name])
+        return enc_rec
+    raise ValueError(f"pyavro: unsupported Spark type {dt.simpleString()}")
+
+
+def _decoder(dt: DataType, nullable: bool):
+    inner = _decoder_nn(dt)
+    if not nullable:
+        return inner
+
+    def dec(cur: _Cursor):
+        return None if cur.read_long() == 0 else inner(cur)
+
+    return dec
+
+
+def _decoder_nn(dt: DataType):
+    import datetime
+    import decimal
+
+    if isinstance(dt, BooleanType):
+        return lambda cur: cur.read_fixed(1) == b"\x01"
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return lambda cur: cur.read_long()
+    if isinstance(dt, FloatType):
+        return lambda cur: struct.unpack("<f", cur.read_fixed(4))[0]
+    if isinstance(dt, DoubleType):
+        return lambda cur: struct.unpack("<d", cur.read_fixed(8))[0]
+    if isinstance(dt, StringType):
+        return lambda cur: cur.read_bytes().decode("utf-8")
+    if isinstance(dt, BinaryType):
+        return lambda cur: cur.read_bytes()
+    if isinstance(dt, DecimalType):
+        scale = dt.scale
+        def dec_dec(cur):
+            b = cur.read_bytes()
+            return decimal.Decimal(
+                int.from_bytes(b, "big", signed=True)
+            ).scaleb(-scale)
+        return dec_dec
+    if isinstance(dt, DateType):
+        return lambda cur: datetime.date.fromordinal(
+            cur.read_long() + _EPOCH_ORDINAL
+        )
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        epoch = datetime.datetime(1970, 1, 1)
+        return lambda cur: epoch + datetime.timedelta(
+            microseconds=cur.read_long()
+        )
+    if isinstance(dt, ArrayType):
+        item = _decoder(dt.elementType, dt.containsNull)
+        def dec_arr(cur):
+            out = []
+            while True:
+                n = cur.read_long()
+                if n == 0:
+                    return out
+                if n < 0:  # block with byte-size prefix
+                    n = -n
+                    cur.read_long()
+                for _ in range(n):
+                    out.append(item(cur))
+        return dec_arr
+    if isinstance(dt, StructType):
+        fields = [_decoder(f.dataType, f.nullable) for f in dt.fields]
+        def dec_rec(cur):
+            return tuple(fdec(cur) for fdec in fields)
+        return dec_rec
+    raise ValueError(f"pyavro: unsupported Spark type {dt.simpleString()}")
+
+
+# ---------------------------------------------------------------------------
+# container file read/write
+# ---------------------------------------------------------------------------
+
+def _read_header(f) -> tuple[dict, bytes]:
+    if f.read(4) != MAGIC:
+        raise ValueError(f"pyavro: {f.name!r} is not an Avro container file")
+    meta: dict[str, bytes] = {}
+    cur = _Cursor(b"")
+
+    def read_long_stream():
+        shift, acc = 0, 0
+        while True:
+            b = f.read(1)[0]
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return _zigzag_decode(acc)
+            shift += 7
+
+    while True:
+        n = read_long_stream()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            read_long_stream()  # byte size, unused
+        for _ in range(n):
+            klen = read_long_stream()
+            key = f.read(klen).decode("utf-8")
+            vlen = read_long_stream()
+            meta[key] = f.read(vlen)
+    sync = f.read(16)
+    del cur
+    return meta, sync
+
+
+def read_file_schema(path: str) -> StructType:
+    with open(path, "rb") as f:
+        meta, _ = _read_header(f)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        raise ValueError("pyavro: top-level Avro schema must be a record")
+    fields = []
+    for fld in schema["fields"]:
+        dt, nullable = _spark_of_nullable(fld["type"])
+        fields.append(StructField(fld["name"], dt, nullable))
+    return StructType(fields)
+
+
+def _iter_file_rows(path: str, schema: StructType):
+    with open(path, "rb") as f:
+        meta, sync = _read_header(f)
+        codec = meta.get("avro.codec", b"null").decode("utf-8")
+        if codec not in ("null", "deflate"):
+            raise ValueError(
+                f"pyavro: codec {codec!r} not supported (null/deflate only)"
+            )
+        decoders = [_decoder(x.dataType, x.nullable) for x in schema.fields]
+
+        def read_long_stream():
+            shift, acc = 0, 0
+            while True:
+                raw = f.read(1)
+                if not raw:
+                    return None
+                b = raw[0]
+                acc |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    return _zigzag_decode(acc)
+                shift += 7
+
+        while True:
+            n_rows = read_long_stream()
+            if n_rows is None:
+                return  # clean EOF
+            n_bytes = read_long_stream()
+            block = f.read(n_bytes)
+            if codec == "deflate":
+                block = zlib.decompress(block, -15)
+            cur = _Cursor(block)
+            for _ in range(n_rows):
+                yield tuple(d(cur) for d in decoders)
+            if f.read(16) != sync:
+                raise ValueError(f"pyavro: sync-marker mismatch in {path}")
+
+
+def _avro_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        os.path.join(path, n)
+        for n in os.listdir(path)
+        if n.endswith(".avro") and not n.startswith((".", "_"))
+    )
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class PyAvroReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyavro source requires a load path")
+        self.schema = schema
+
+    def partitions(self):
+        return [_FilePartition(p) for p in _avro_files(self.path)]
+
+    def read(self, partition: _FilePartition):
+        yield from _iter_file_rows(partition.path, self.schema)
+
+
+class _Staged(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path = path
+        self.n = n
+
+
+class PyAvroWriter(DataSourceWriter):
+    """Two-phase directory sink: tasks stage one container file each
+    under ``<target>/_staging_<uuid>/``; the driver commit publishes
+    them into the target with atomic per-file renames (overwrite
+    clears previously-committed part files first), abort removes the
+    staging dir. Readers listing the target never see a partial
+    file — the staging prefix is excluded by ``_avro_files``."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        import uuid
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyavro sink requires a save path")
+        self.schema = schema
+        self.overwrite = overwrite
+        self.codec = options.get("codec", "deflate")
+        if self.codec not in ("null", "deflate"):
+            raise ValueError("pyavro: write codec must be null or deflate")
+        self.block_rows = int(options.get("blockrows", 4096))
+        self.staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        counter = [0]
+        self.avro_schema = json.dumps(
+            {
+                "type": "record",
+                "name": "spark_row",
+                "fields": [
+                    {
+                        "name": f.name,
+                        "type": ["null", _avro_of(f.dataType, f.name, counter)]
+                        if f.nullable
+                        else _avro_of(f.dataType, f.name, counter),
+                    }
+                    for f in schema.fields
+                ],
+            }
+        )
+
+    def write(self, rows) -> _Staged:
+        import uuid
+
+        os.makedirs(self.staging, exist_ok=True)
+        path = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.avro")
+        sync = uuid.uuid4().bytes
+        encoders = [
+            _encoder(f.dataType, f.nullable) for f in self.schema.fields
+        ]
+        n = 0
+        with open(path, "wb") as f:
+            f.write(MAGIC)
+            head = io.BytesIO()
+            _write_long(head, 2)
+            for k, v in (
+                ("avro.schema", self.avro_schema.encode("utf-8")),
+                ("avro.codec", self.codec.encode("utf-8")),
+            ):
+                kb = k.encode("utf-8")
+                _write_long(head, len(kb))
+                head.write(kb)
+                _write_long(head, len(v))
+                head.write(v)
+            _write_long(head, 0)
+            f.write(head.getvalue())
+            f.write(sync)
+
+            buf, in_buf = io.BytesIO(), 0
+
+            def flush():
+                nonlocal buf, in_buf
+                if not in_buf:
+                    return
+                payload = buf.getvalue()
+                if self.codec == "deflate":
+                    c = zlib.compressobj(wbits=-15)
+                    payload = c.compress(payload) + c.flush()
+                blk = io.BytesIO()
+                _write_long(blk, in_buf)
+                _write_long(blk, len(payload))
+                f.write(blk.getvalue())
+                f.write(payload)
+                f.write(sync)
+                buf, in_buf = io.BytesIO(), 0
+
+            for row in rows:
+                for enc, v in zip(encoders, row):
+                    enc(buf, v)
+                n += 1
+                in_buf += 1
+                if in_buf >= self.block_rows:
+                    flush()
+            flush()
+        return _Staged(path, n)
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        os.makedirs(self.path, exist_ok=True)
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.endswith(".avro") and not name.startswith("_"):
+                    os.remove(os.path.join(self.path, name))
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(
+                m.path, os.path.join(self.path, os.path.basename(m.path))
+            )
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class PyAvroDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "pyavro"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("pyavro source requires a load path")
+        files = _avro_files(path)
+        if not files:
+            raise ValueError(f"pyavro: no .avro files under {path}")
+        return read_file_schema(files[0])
+
+    def reader(self, schema) -> PyAvroReader:
+        return PyAvroReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool) -> PyAvroWriter:
+        return PyAvroWriter(self.options, schema, overwrite)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(PyAvroDataSource)

@@ -86,6 +86,7 @@ HEADLINE = [
     "lakehouse_incremental_join_view",  # feed-driven join-view fold
     "skew_hotkey_salted_agg",      # zipfian hot key via salted two-phase agg
     "source_sqlite_roundtrip",     # real-DB write+partitioned read+pushdown
+    "source_avro_roundtrip",       # stdlib Avro container write+read
     "x12_silver_transactions",     # distributed X12 parse
 ]
 
