@@ -134,6 +134,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "emb_knn_ivf_recall",
         # r7: pure-stdlib Avro container source/sink round trip
         "source_avro_roundtrip",
+        # r7: WebDataset tar-shard export/import round trip
+        "export_wds_roundtrip",
         "text_top_bigrams",
         "text_pmi_collocations",
         "text_zipf_slope",

@@ -1363,3 +1363,50 @@ def source_avro_roundtrip(spark, sf_dir):
         F.min("vec_id").alias("first_vec"),
         F.max("vec_id").alias("last_vec"),
     )
+
+
+def _wds_oracle() -> str:
+    from ai_fabric_etl_spark.sources.webdataset import shard_of_sql
+
+    return f"""
+WITH s AS (
+  SELECT {shard_of_sql('doc_id', 8)} AS shard,
+         CAST(doc_id AS VARCHAR) AS k,
+         strlen(COALESCE(text, '')) AS nb
+  FROM documents
+)
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM(nb) AS BIGINT) AS txt_bytes,
+       MIN(k) AS first_key, MAX(k) AS last_key
+FROM s GROUP BY shard
+"""
+
+
+@register("export_wds_roundtrip", oracle=_wds_oracle())
+def export_wds_roundtrip(spark, sf_dir):
+    """WebDataset tar-shard export round trip (the standard
+    training-corpus layout PyTorch/NeMo loaders stream): documents
+    write as 8 deterministic tar shards (sample = {key}.txt payload +
+    {key}.json metadata; md5-mod shard assignment, byte-reproducible
+    tars), then the REAL tars are read back member-by-member and the
+    per-shard manifest (counts, utf-8 payload bytes, key range) is
+    recomputed from what is on disk — verified against DuckDB
+    computing the same manifest from the source parquet
+    (sources/webdataset.py)."""
+    from ai_fabric_etl_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    out = os.path.join(tempfile.mkdtemp(prefix="wds_rt_"), "shards")
+    docs = _t(spark, sf_dir, "documents")
+    write_webdataset(
+        docs, out, n_shards=8, meta_cols=["lang", "source"]
+    ).count()  # materialize the export
+    back = read_webdataset(spark, out)
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.octet_length("text")).alias("txt_bytes"),
+        F.min("key").alias("first_key"),
+        F.max("key").alias("last_key"),
+    )

@@ -87,6 +87,7 @@ HEADLINE = [
     "skew_hotkey_salted_agg",      # zipfian hot key via salted two-phase agg
     "source_sqlite_roundtrip",     # real-DB write+partitioned read+pushdown
     "source_avro_roundtrip",       # stdlib Avro container write+read
+    "export_wds_roundtrip",        # WebDataset tar-shard export+import
     "x12_silver_transactions",     # distributed X12 parse
 ]
 
