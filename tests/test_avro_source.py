@@ -220,3 +220,76 @@ def test_one_partition_per_file(spark, tmp_path):
     back = spark.read.format("pyavro").load(out)
     assert back.rdd.getNumPartitions() == 7
     assert back.count() == 100
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: the codec layer round-trips arbitrary values without
+# a Spark session (encoder -> block bytes -> decoder)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+from pyspark.sql.types import (  # noqa: E402
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+)
+
+
+def _codec_roundtrip(schema: StructType, rows: list[tuple]) -> list[tuple]:
+    encoders = [av._encoder(f.dataType, f.nullable) for f in schema.fields]
+    decoders = [av._decoder(f.dataType, f.nullable) for f in schema.fields]
+    out = io.BytesIO()
+    for row in rows:
+        for enc, v in zip(encoders, row):
+            enc(out, v)
+    cur = av._Cursor(out.getvalue())
+    back = [tuple(d(cur) for d in decoders) for _ in rows]
+    assert cur.pos == len(cur.buf)  # every byte consumed, no drift
+    return back
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.one_of(st.none(), st.text(max_size=40)),
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, width=64),
+            ),
+            st.one_of(
+                st.none(),
+                st.lists(
+                    st.integers(min_value=-(2**31), max_value=2**31 - 1),
+                    max_size=8,
+                ),
+            ),
+        ),
+        max_size=20,
+    )
+)
+def test_codec_property_roundtrip(rows):
+    schema = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("s", StringType(), True),
+            StructField("d", DoubleType(), True),
+            StructField("a", ArrayType(LongType(), containsNull=False), True),
+        ]
+    )
+    assert _codec_roundtrip(schema, rows) == rows
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_zigzag_varint_property(n):
+    out = io.BytesIO()
+    av._write_long(out, n)
+    b = out.getvalue()
+    assert 1 <= len(b) <= 10
+    cur = av._Cursor(b)
+    assert cur.read_long() == n and cur.pos == len(b)

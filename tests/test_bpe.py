@@ -196,3 +196,25 @@ def test_early_stop_and_validation(spark):
 
 def test_vocab_listing():
     assert bpe.bpe_vocab([("e", "s"), ("es", "t")]) == ["es", "est"]
+
+
+def test_escape_roundtrip_hypothesis():
+    """Property fuzz: escape/unescape invert for arbitrary text over
+    an alphabet dense in marker/escape codepoints and their suffix
+    digits."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from([bpe.EOW, bpe._ESC, "1", "2", "a", " "])
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(alphabet, max_size=30).map("".join))
+    def check(s):
+        e = bpe.escape_text(s)
+        assert bpe.EOW not in e
+        back = e.replace(bpe._ESC + "2", bpe.EOW).replace(
+            bpe._ESC + "1", bpe._ESC
+        )
+        assert back == s
+
+    check()
