@@ -498,6 +498,19 @@ class PyAvroReader(DataSourceReader):
         return [_FilePartition(p) for p in _avro_files(self.path)]
 
     def read(self, partition: _FilePartition):
+        # schema() infers from the FIRST file; a directory mixing
+        # writer schemas would otherwise decode later files as
+        # garbage (binary avro has no per-field tags to catch drift).
+        # Reject mismatched files loudly at the header, per file.
+        actual = read_file_schema(partition.path)
+        if actual != self.schema:
+            raise ValueError(
+                f"pyavro: {partition.path} schema "
+                f"{actual.simpleString()} does not match the "
+                f"directory's inferred schema "
+                f"{self.schema.simpleString()}; single-schema "
+                "directories only (schema evolution needs a rewrite)"
+            )
         yield from _iter_file_rows(partition.path, self.schema)
 
 

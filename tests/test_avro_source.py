@@ -293,3 +293,17 @@ def test_zigzag_varint_property(n):
     assert 1 <= len(b) <= 10
     cur = av._Cursor(b)
     assert cur.read_long() == n and cur.pos == len(b)
+
+
+def test_mixed_schema_directory_rejected(spark, tmp_path):
+    """A directory mixing writer schemas must fail loudly, not decode
+    the second file as garbage (binary Avro carries no field tags)."""
+    out = str(tmp_path / "mixed")
+    spark.range(3).select(F.col("id").alias("k")).write.format(
+        "pyavro"
+    ).mode("overwrite").save(out)
+    spark.range(3).select(
+        F.col("id").alias("k"), F.lit("x").alias("s")
+    ).write.format("pyavro").mode("append").save(out)
+    with pytest.raises(Exception, match="does not match"):
+        spark.read.format("pyavro").load(out).collect()
