@@ -93,7 +93,13 @@ def write_webdataset(
     (the ``meta_cols`` as a sorted-key JSON object). Returns the
     manifest DataFrame ``(shard, n_docs, txt_bytes, first_key,
     last_key)`` computed from what was ACTUALLY written (sizes taken
-    from the tar members, not the input)."""
+    from the tar members, not the input).
+
+    Deployment: shard files are written by executor tasks directly
+    under ``path`` — driver and executors need a shared filesystem
+    (local mode / NFS / FUSE-mounted object store), the same
+    constraint as the repo's other file sinks. Keys must not contain
+    '.' or '/' (member names split on the extension dot)."""
     meta_cols = meta_cols or []
     work = df.select(
         shard_of(F.col(key_col), n_shards).alias("shard"),
@@ -110,6 +116,15 @@ def write_webdataset(
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_key", kind="mergesort")
+        bad = pdf["_key"].str.contains(".", regex=False) | pdf[
+            "_key"
+        ].str.contains("/", regex=False)
+        if bad.any():
+            raise ValueError(
+                "webdataset: sample keys must not contain '.' or '/' "
+                f"(member names split on the extension dot): "
+                f"{pdf['_key'][bad].iloc[0]!r}"
+            )
         shard = int(pdf["shard"].iloc[0])
         final = os.path.join(path, f"shard-{shard:05d}.tar")
         tmp = final + f".tmp{os.getpid()}"

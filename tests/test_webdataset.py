@@ -108,3 +108,13 @@ def test_shard_assignment_matches_sql_twin(spark):
         .fetchall()
     )
     assert got == want
+
+
+def test_keys_with_dots_rejected(spark, tmp_path):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a.b", "x")], "doc_id string, text string"
+    )
+    with pytest.raises(Exception, match="must not contain"):
+        wds.write_webdataset(df, str(tmp_path / "bad"), n_shards=1).count()
