@@ -206,6 +206,93 @@ def relative_error_ok(
     )
 
 
+def _cms_bucket(value: Column, row: int, width: int) -> Column:
+    """Bucket of ``value`` in CMS row ``row``: the first 15 hex digits
+    of md5(f"{row}:{value}") mod width — deterministic, seedless, and
+    replayable in ANSI SQL (('0x' || substr(md5(..),1,15))::BIGINT %
+    width), which is what makes the whole sketch value-oracle-able."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{row}:"), value)), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
+def cms_table(
+    df: DataFrame, col: str, width: int = 256, depth: int = 4
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05) of ``col`` as a
+    ``(cms_row, cms_bucket, cms_count)`` table — at most depth·width
+    rows regardless of input size.
+
+    The frequency sibling that answers POINT queries where Misra–Gries
+    answers top-k: ``estimate(v) = min over rows of bucket count`` is
+    always ≥ the true count, and exceeds it by more than ε·n
+    (ε = e/width) with probability at most e^−depth. Everything is
+    JVM codegen: per-row bucket ids from md5 expressions, one
+    aggregation whose map-side partial combine means the shuffle
+    carries at most depth·width rows per input partition — the scan
+    dominates at 100 TB, exactly like the HLL/MG/MP partials above.
+    Mergeable by bucket-wise summation (``cms_merge``), so per-day
+    sketches roll up to any coarser grain without rescanning.
+
+    NULLs are ignored (SQL aggregate semantics). Values hash via their
+    canonical string form, so the oracle replays bit-for-bit.
+    """
+    v = F.col(col).cast("string")
+    buckets = F.array(*[_cms_bucket(v, i, width) for i in range(depth)])
+    return (
+        df.filter(v.isNotNull())
+        .select(F.posexplode(buckets).alias("cms_row", "cms_bucket"))
+        .groupBy("cms_row", "cms_bucket")
+        .agg(F.count(F.lit(1)).alias("cms_count"))
+    )
+
+
+def cms_merge(*tables: DataFrame) -> DataFrame:
+    """Merge CMS tables built with the same (width, depth) by
+    bucket-wise summation — the output is itself a valid sketch, so
+    rollups chain like ``sketch_merge``."""
+    it = iter(tables)
+    u = next(it)
+    for t in it:
+        u = u.unionByName(t)
+    return u.groupBy("cms_row", "cms_bucket").agg(
+        F.sum("cms_count").alias("cms_count")
+    )
+
+
+def cms_estimate(
+    table: DataFrame,
+    values: DataFrame,
+    col: str,
+    width: int = 256,
+    depth: int = 4,
+    estimate_col: str = "cms_estimate",
+) -> DataFrame:
+    """Point-query frequency estimates for every row of ``values``:
+    recompute the depth bucket ids, join the ≤ depth·width-row sketch
+    (broadcast — it is bytes, never a shuffle), take the min across
+    rows. A value whose buckets were never touched estimates 0."""
+    v = F.col(col).cast("string")
+    buckets = F.array(*[_cms_bucket(v, i, width) for i in range(depth)])
+    pos = values.select(
+        col, F.posexplode(buckets).alias("cms_row", "cms_bucket")
+    )
+    return (
+        pos.join(F.broadcast(table), ["cms_row", "cms_bucket"], "left")
+        .groupBy(col)
+        .agg(
+            F.min(F.coalesce(F.col("cms_count"), F.lit(0))).alias(
+                estimate_col
+            )
+        )
+    )
+
+
 def quantile_partials(
     df: DataFrame,
     col: str,

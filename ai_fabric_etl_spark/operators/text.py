@@ -541,3 +541,121 @@ def remove_boilerplate_lines(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def nb_classify(
+    docs: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    holdout_mod: int = 5,
+) -> DataFrame:
+    """Multinomial Naive Bayes document classifier trained ON the
+    corpus itself — the model-based quality/domain filtering staple
+    (GPT-3's "looks like WebText" and LLaMA's "looks like Wikipedia
+    references" filters are exactly this shape: a cheap linear
+    classifier over token counts scoring every document at corpus
+    scale; Joulin et al.'s fastText is the usual implementation).
+
+    Training IS aggregation, so the whole fit is two shuffles: token
+    counts per (class, token) and per class; the vocabulary size and
+    class priors collapse to a handful of rows. Scoring is relational
+    too: score(d, y) = ln P(y) + Σ_t m_td · ln P(t|y) with add-half
+    smoothing P(t|y) = (2·c_ty + 1) / (2·N_y + V), decomposed as
+
+        prior_y + Σ_{t: c_ty>0} m_td · ln(2·c_ty + 1) − T_d · ln(2·N_y + V)
+
+    so unseen-token terms need no join (ln 1 = 0): one equi-join of
+    the holdout's (doc, token, m) counts against the c>0 model table,
+    one broadcast of the per-class constants, one per-doc argmax.
+    Nothing leaves the JVM.
+
+    Float discipline (the bigram-LM pattern): every ln argument is an
+    exact integer, each ln rounds once to 6 decimals, all sums/
+    products run in DECIMAL — the published micro-nat score has zero
+    float-order sensitivity, which is what lets DuckDB replay the
+    model bit-for-bit. Holdout = id % holdout_mod == 0, the repo's
+    deterministic-split idiom; argmax ties break on ascending label.
+
+    Returns (id, pred_<label>, actual_<label>, is_correct,
+    score_micro) for every holdout document.
+    """
+    from pyspark.sql.window import Window
+
+    def qln(c: Column) -> Column:
+        return F.round(F.log(c.cast("double")), 6).cast("decimal(18,6)")
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.col(label_col).alias("_actual"),
+        toks.alias("_t"),
+    )
+    train = base.filter(
+        (F.col("_doc") % holdout_mod != 0) & F.col("_actual").isNotNull()
+    )
+    test = base.filter(F.col("_doc") % holdout_mod == 0).withColumn(
+        "_n", F.size("_t")
+    )
+
+    tok_train = train.select(
+        F.col("_actual").alias("_y"), F.explode("_t").alias("_w")
+    )
+    cc = tok_train.groupBy("_y", "_w").agg(F.count(F.lit(1)).alias("_c"))
+    ny = tok_train.groupBy("_y").agg(F.count(F.lit(1)).alias("_nt"))
+    vocab_v = tok_train.select("_w").distinct().count()  # driver scalar
+    d_total = train.count()  # driver scalar
+    cls = (
+        train.groupBy(F.col("_actual").alias("_y2"))
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .join(ny.withColumnRenamed("_y", "_y2"), "_y2")
+        .select(
+            F.col("_y2"),
+            qln(2 * F.col("_nt") + F.lit(int(vocab_v))).alias("_b"),
+            (qln(F.col("_d")) - qln(F.lit(int(d_total)))).alias("_prior"),
+        )
+    )
+
+    tm = (
+        test.select("_doc", F.explode("_t").alias("_w"))
+        .groupBy("_doc", "_w")
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    hits = (
+        tm.join(cc, "_w")
+        .groupBy("_doc", "_y")
+        .agg(
+            F.sum(F.col("_m") * qln(2 * F.col("_c") + 1))
+            .cast("decimal(38,6)")
+            .alias("_hs")
+        )
+    )
+    grid = test.select("_doc", "_actual", "_n").crossJoin(F.broadcast(cls))
+    scored = grid.join(
+        hits,
+        (grid["_doc"] == hits["_doc"]) & (grid["_y2"] == hits["_y"]),
+        "left",
+    ).select(
+        grid["_doc"],
+        "_actual",
+        F.col("_y2").alias("_pred"),
+        (
+            F.coalesce(F.col("_hs"), F.lit(0).cast("decimal(38,6)"))
+            - F.col("_n") * F.col("_b")
+            + F.col("_prior")
+        ).alias("_score"),
+    )
+    w = Window.partitionBy("_doc").orderBy(
+        F.col("_score").desc(), F.col("_pred").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_doc").alias(id_col),
+            F.col("_pred").alias(f"pred_{label_col}"),
+            F.col("_actual").alias(f"actual_{label_col}"),
+            (F.col("_pred") == F.col("_actual")).alias("is_correct"),
+            (F.col("_score") * 1_000_000).cast("long").alias("score_micro"),
+        )
+    )

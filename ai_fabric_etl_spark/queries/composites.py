@@ -165,8 +165,10 @@ FP_GROUPS: dict[str, list[str]] = {
         "quantile_sketch_prices",
         "zorder_curve_keys",
         "heavy_hitters_langs",
+        "sketch_cms_events",
         "dedup_incremental_planted",
         "text_bigram_lm_nll",
+        "text_nb_classifier",
         "text_line_dedup",
         "emb_knn_ivf_incremental",
         "sample_stratified",

@@ -535,6 +535,70 @@ def heavy_hitters_langs(spark, sf_dir):
     )
 
 
+_CMS_W, _CMS_D = 256, 4
+
+_CMS_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, CAST(user_id AS VARCHAR) AS s, COUNT(*) AS exact_count
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+),
+pos AS (
+  SELECT v.user_id, v.exact_count, t.i AS cms_row,
+         ('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' || v.s), 1, 15))::BIGINT
+             % {_CMS_W} AS cms_bucket
+  FROM v CROSS JOIN (SELECT i FROM range({_CMS_D}) t(i)) t
+),
+cms AS (
+  SELECT cms_row, cms_bucket, CAST(SUM(exact_count) AS BIGINT) AS cms_count
+  FROM pos GROUP BY 1, 2
+)
+SELECT p.user_id,
+       MIN(c.cms_count) AS cms_estimate,
+       p.exact_count
+FROM pos p JOIN cms c USING (cms_row, cms_bucket)
+GROUP BY 1, 3
+ORDER BY 1
+"""
+
+
+@register("sketch_cms_events", oracle=_CMS_ORACLE)
+def sketch_cms_events(spark, sf_dir):
+    """Count-min sketch point-frequency estimates
+    (operators/sketches.cms_table/cms_estimate): the whole sketch is
+    depth·width = 1024 counters built by one codegen aggregation whose
+    map-side combine bounds the shuffle at 1024 rows per partition —
+    the point-query sibling of the MG top-k sketch, for when even one
+    shuffled row per distinct value is too many (100 TB user-grain
+    frequency lookups).
+
+    FULL value oracle, not just an exact-regime gate: the bucket ids
+    are md5-derived (seedless), so DuckDB rebuilds the identical
+    counter table relationally — each value adds its exact count into
+    its four buckets, which equals counting colliding events directly
+    — and replays min-over-rows estimation. Collisions and their
+    overestimates must match bit-for-bit, pinning the hash layout, the
+    merge arithmetic, and the estimator; the ε·n/e^-depth error bound
+    and bucket-wise mergeability (day → week rollup without rescans)
+    are pytest-gated in test_scale_ops.py."""
+    from ai_fabric_etl_spark.operators.sketches import cms_estimate, cms_table
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .filter(F.col("user_id").isNotNull())
+    )
+    sk = cms_table(ev, "user_id", width=_CMS_W, depth=_CMS_D)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = cms_estimate(
+        sk, exact.select("user_id"), "user_id", width=_CMS_W, depth=_CMS_D
+    )
+    return (
+        est.join(exact, "user_id")
+        .select("user_id", "cms_estimate", "exact_count")
+        .orderBy("user_id")
+    )
+
+
 def _morton_sql_interleave(b0: str, b1: str, bits: int = 16) -> str:
     terms = [
         f"((({b0} >> {k}) & 1) << {2 * k}) | ((({b1} >> {k}) & 1) << {2 * k + 1})"

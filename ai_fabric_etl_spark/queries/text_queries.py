@@ -310,6 +310,65 @@ def q_text_bpe_roundtrip(spark, sf_dir):
 
 
 @register(
+    "text_nb_classifier",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, lang, {_TOK} AS t FROM documents),
+    train AS (SELECT * FROM base WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),
+    test AS (SELECT doc_id, lang, t, len(t) AS n FROM base WHERE doc_id % 5 = 0),
+    tok AS (SELECT lang AS y, unnest(t) AS w FROM train),
+    cc AS (SELECT y, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    ny AS (SELECT y, COUNT(*) AS nt FROM tok GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
+    dt AS (SELECT COUNT(*) AS dtot FROM train),
+    cls AS (
+      SELECT dy.y,
+             CAST(ROUND(ln(2 * ny.nt + v.v), 6) AS DECIMAL(18,6)) AS b,
+             CAST(ROUND(ln(dy.d), 6) AS DECIMAL(18,6))
+               - CAST(ROUND(ln(dt.dtot), 6) AS DECIMAL(18,6)) AS prior
+      FROM (SELECT lang AS y, COUNT(*) AS d FROM train GROUP BY 1) dy
+      JOIN ny USING (y) CROSS JOIN v CROSS JOIN dt
+    ),
+    tm AS (SELECT doc_id, w, COUNT(*) AS m
+           FROM (SELECT doc_id, unnest(t) AS w FROM test) GROUP BY 1, 2),
+    hits AS (
+      SELECT tm.doc_id, cc.y,
+             CAST(SUM(tm.m * CAST(ROUND(ln(2 * cc.c + 1), 6)
+                                  AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS hs
+      FROM tm JOIN cc USING (w) GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT g.doc_id, g.actual, g.y,
+             COALESCE(h.hs, CAST(0 AS DECIMAL(38,6))) - g.n * g.b + g.prior
+               AS score
+      FROM (SELECT test.doc_id, test.lang AS actual, test.n, cls.*
+            FROM test CROSS JOIN cls) g
+      LEFT JOIN hits h ON g.doc_id = h.doc_id AND g.y = h.y
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, y) AS rn
+          FROM scored)
+    SELECT doc_id, y AS pred_lang, actual AS actual_lang,
+           (y = actual) AS is_correct,
+           CAST(score * 1000000 AS BIGINT) AS score_micro
+    FROM r WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def q_text_nb_classifier(spark, sf_dir):
+    """Model-based quality/domain filtering (text.nb_classify): a
+    multinomial Naive Bayes classifier TRAINED as two aggregations and
+    scored as one equi-join + per-doc argmax — the fastText-shaped
+    linear filter GPT-3/LLaMA-style pipelines run over every document
+    at corpus scale. Here it predicts ``lang`` for the 20% holdout
+    from the 80% train split; the oracle refits the identical model
+    relationally, so smoothing, priors, tie-breaks, and the integer
+    micro-nat scores must all match bit-for-bit."""
+    from ai_fabric_etl_spark.operators.text import nb_classify
+
+    return nb_classify(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
     "text_bigram_lm_nll",
     oracle=f"""
     WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),

@@ -102,6 +102,9 @@ __all__ = [
     "start_quantile_state",
     "merge_heavy_hitters_state",
     "read_heavy_hitters",
+    "merge_cms_state",
+    "read_cms_estimates",
+    "start_cms_state",
     "drift_reference",
     "merge_drift_state",
     "read_drift_psi",
@@ -158,6 +161,91 @@ def read_heavy_hitters(
     t = ParquetMergeTable(spark, state_dir).read()
     return t.filter(F.col("mg_count") >= min_count).orderBy(
         F.col("mg_count").desc(), t.columns[0]
+    )
+
+
+def merge_cms_state(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    epoch_id: int,
+    col: str,
+    width: int = 256,
+    depth: int = 4,
+    app_id: str | None = None,
+) -> None:
+    """Fold one micro-batch into a count-min sketch state table: the
+    batch's own CMS (≤ depth·width rows, pure codegen) adds bucket-wise
+    into the stored sketch. CMS error bounds are additive under
+    summation (Cormode & Muthukrishnan '05 §4.2), so the streaming
+    state keeps the batch guarantees; state is ≤ depth·width rows
+    FOREVER regardless of stream cardinality. Epoch-guarded
+    exactly-once like the quantile/MG/PSI states — because the fold is
+    pure summation, a replayed epoch folding twice would silently
+    double-count, which is exactly what the guard + test pin."""
+    from ai_fabric_etl_spark.operators.sketches import cms_merge, cms_table
+
+    table = ParquetMergeTable(spark, state_dir)
+    last = table.last_epoch(app_id)
+    if last is not None and epoch_id <= last:
+        return
+    parts = cms_table(batch, col, width=width, depth=depth)
+    if table.exists():
+        parts = cms_merge(table.read(), parts)
+    table.overwrite(parts, epoch=epoch_id, app_id=app_id)
+
+
+def read_cms_estimates(
+    spark: SparkSession,
+    state_dir: str,
+    values: DataFrame,
+    col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query the persisted sketch for every row of ``values`` —
+    no base-data scan, identical estimator to the batch
+    ``cms_estimate`` so stream == batch is exact."""
+    from ai_fabric_etl_spark.operators.sketches import cms_estimate
+
+    return cms_estimate(
+        ParquetMergeTable(spark, state_dir).read(),
+        values,
+        col,
+        width=width,
+        depth=depth,
+    )
+
+
+def start_cms_state(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> StreamingQuery:
+    """Wire the CMS fold into foreachBatch (availableNow)."""
+    spark = stream_df.sparkSession
+    app_id = f"cms_state:{checkpoint_dir}"
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_cms_state(
+            spark,
+            batch_df,
+            state_dir,
+            epoch_id,
+            col,
+            width=width,
+            depth=depth,
+            app_id=app_id,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

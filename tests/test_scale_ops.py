@@ -384,6 +384,77 @@ def test_quantile_sketch_compressed_rank_bound(spark):
         assert abs(got_rank - true_rank) <= bound, (name, got_rank, true_rank)
 
 
+def test_cms_upper_bound_and_error_band(spark):
+    """Every CMS estimate is >= the true count (structural: min over
+    rows of sums that each include the value's own count), and with
+    width=64, depth=4 the overestimate stays within the Cormode-
+    Muthukrishnan e/width * n band for this deterministic corpus —
+    zipfian-ish counts over 500 distinct keys hashed into 64 buckets,
+    so collisions genuinely fire."""
+    import math
+
+    from ai_fabric_etl_spark.operators.sketches import (
+        cms_estimate,
+        cms_table,
+    )
+
+    n_keys, width, depth = 500, 64, 4
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % n_keys).alias("k")
+    ).filter((F.col("id") % (F.col("id") % n_keys + 1)) < 50)
+    truth = {
+        r["k"]: r["c"]
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n = sum(truth.values())
+    sk = cms_table(df, "k", width=width, depth=depth)
+    assert sk.count() <= width * depth
+    est = {
+        r["k"]: r["cms_estimate"]
+        for r in cms_estimate(
+            sk,
+            df.select("k").distinct(),
+            "k",
+            width=width,
+            depth=depth,
+        ).collect()
+    }
+    assert set(est) == set(truth)
+    band = math.e / width * n
+    over = [est[k] - truth[k] for k in truth]
+    assert all(o >= 0 for o in over), "CMS must never underestimate"
+    # e^-4 ~ 1.8% of keys may exceed the band; allow a small tail
+    assert sum(o > band for o in over) <= 0.05 * n_keys, max(over)
+
+
+def test_cms_merge_equals_single_pass(spark):
+    """Bucket-wise summation of two half-corpus sketches must equal
+    the one-pass sketch bit-for-bit (mergeable-summary contract), and
+    an unseen value estimates its collision floor, never NULL."""
+    from ai_fabric_etl_spark.operators.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_table,
+    )
+
+    df = spark.range(0, 3000).select((F.col("id") % 97).alias("k"))
+    a = df.filter(F.col("k") % 2 == 0)
+    b = df.filter(F.col("k") % 2 == 1)
+    merged = cms_merge(
+        cms_table(a, "k", width=128, depth=4),
+        cms_table(b, "k", width=128, depth=4),
+    )
+    single = cms_table(df, "k", width=128, depth=4)
+    sm = {(r["cms_row"], r["cms_bucket"]): r["cms_count"]
+          for r in merged.collect()}
+    ss = {(r["cms_row"], r["cms_bucket"]): r["cms_count"]
+          for r in single.collect()}
+    assert sm == ss
+    unseen = spark.createDataFrame([(999999,)], "k long")
+    got = cms_estimate(single, unseen, "k", width=128, depth=4).collect()
+    assert len(got) == 1 and got[0]["cms_estimate"] >= 0
+
+
 def test_pagerank_sink_collects_mass(spark):
     from ai_fabric_etl_spark.operators.graph import pagerank
 

@@ -833,6 +833,84 @@ def test_heavy_hitter_state_compression_keeps_heavies(spark, tmp_path):
     assert "hot" in got and 200 - 1200 / 17 <= got["hot"] <= 200
 
 
+def test_cms_state_stream_equals_batch_and_replay(spark, tmp_path):
+    """Micro-batch-folded CMS state must equal the one-pass batch
+    sketch BIT-for-bit on the union of all streamed batches (bucket
+    summation is exactly associative — no float, no compression), and
+    a replayed epoch must be skipped (a double-fold would silently
+    double-count, the failure mode the epoch guard exists for)."""
+    from ai_fabric_etl_spark.operators.sketches import cms_table
+    from ai_fabric_etl_spark.streaming.sketch_state import (
+        merge_cms_state,
+        read_cms_estimates,
+    )
+
+    state = str(tmp_path / "cmsstate")
+    rows = [(i % 37,) for i in range(900)]
+    for epoch in range(3):
+        batch = spark.createDataFrame(
+            rows[epoch * 300:(epoch + 1) * 300], "user_id long"
+        )
+        merge_cms_state(
+            spark, batch, state, epoch, "user_id",
+            width=64, depth=4, app_id="cms1",
+        )
+    # replay epoch 2 with junk rows: must be ignored
+    merge_cms_state(
+        spark, spark.createDataFrame([(1,)] * 500, "user_id long"),
+        state, 2, "user_id", width=64, depth=4, app_id="cms1",
+    )
+    full = spark.createDataFrame(rows, "user_id long")
+    batch_sk = cms_table(full, "user_id", width=64, depth=4)
+    from ai_fabric_etl_spark.operators.merge import ParquetMergeTable
+
+    stream_sk = ParquetMergeTable(spark, state).read()
+    key = ["cms_row", "cms_bucket", "cms_count"]
+    assert sorted(map(tuple, stream_sk.select(*key).collect())) == sorted(
+        map(tuple, batch_sk.select(*key).collect())
+    )
+    vals = full.select("user_id").distinct()
+    est = {
+        r["user_id"]: r["cms_estimate"]
+        for r in read_cms_estimates(
+            spark, state, vals, "user_id", width=64, depth=4
+        ).collect()
+    }
+    import collections
+
+    truth = collections.Counter(v for v, in rows)
+    assert all(est[k] >= c for k, c in truth.items())
+
+
+def test_cms_state_streaming_wiring(spark, tmp_path):
+    """availableNow file stream through start_cms_state: the persisted
+    sketch answers point queries without rescanning the source."""
+    from ai_fabric_etl_spark.streaming.sketch_state import (
+        read_cms_estimates,
+        start_cms_state,
+    )
+
+    src = str(tmp_path / "cms_src")
+    spark.range(0, 400).select((F.col("id") % 11).alias("user_id")).write.parquet(src)
+    stream = spark.readStream.schema("user_id long").parquet(src)
+    q = start_cms_state(
+        stream, str(tmp_path / "cms_state2"), str(tmp_path / "cms_ckpt"),
+        "user_id", width=64, depth=4,
+    )
+    q.awaitTermination(120)
+    vals = spark.range(0, 11).select(F.col("id").alias("user_id"))
+    est = {
+        r["user_id"]: r["cms_estimate"]
+        for r in read_cms_estimates(
+            spark, str(tmp_path / "cms_state2"), vals, "user_id",
+            width=64, depth=4,
+        ).collect()
+    }
+    # 400 rows over 11 keys: ids 0..3 get 37, rest 36 — CMS >= truth
+    for k in range(11):
+        assert est[k] >= (37 if k < 4 else 36)
+
+
 def test_drift_monitor_stream_equals_batch_exactly(spark, tmp_path):
     """Micro-batch-folded drift state must produce BIT-identical PSI
     rows to the batch drift_psi over the same reference and the union

@@ -768,3 +768,53 @@ def test_hybrid_rrf_fuses_component_ranks(spark, sf_dir):
     for r in got:
         assert (r.lex_rank is not None) == (r.doc_id in lex_rank)
         assert (r.sem_rank is not None) == (r.doc_id in sem_rank)
+
+
+def test_nb_classifier_separable_corpus(spark):
+    """Disjoint class vocabularies => every holdout doc classified
+    correctly; an all-unseen-token doc still gets a deterministic
+    prediction (prior + length terms only, tie-break by label)."""
+    from ai_fabric_etl_spark.operators.text import nb_classify
+
+    rows = []
+    vocab = {"aa": ["apple banana cherry", "banana cherry apple date"],
+             "bb": ["xylo zulu yankee", "zulu yankee xylo whisky"],
+             "cc": ["uno dos tres", "dos tres uno quatro"]}
+    i = 0
+    for lang, texts in vocab.items():
+        for _ in range(20):
+            rows.append((i, texts[i % 2], lang))
+            i += 1
+    # doc 300: holdout, tokens unseen in any class
+    rows.append((300, "qqq www eee", "aa"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = nb_classify(docs, holdout_mod=5).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert set(by_id) == {d for d, _, _ in rows if d % 5 == 0}
+    for r in out:
+        if r["doc_id"] == 300:
+            continue
+        assert r["is_correct"], (r["doc_id"], r["pred_lang"], r["actual_lang"])
+    # unseen-vocab doc: deterministic, from classes seen in training
+    assert by_id[300]["pred_lang"] in vocab
+    # rerun is bit-identical (no RNG anywhere)
+    out2 = nb_classify(docs, holdout_mod=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_nb_classifier_null_labels_excluded_from_training(spark):
+    """NULL-labelled rows must not contribute a NULL class: training
+    drops them; holdout rows with NULL actual still score."""
+    from ai_fabric_etl_spark.operators.text import nb_classify
+
+    rows = [(1, "apple banana", "aa"), (2, "apple cherry", "aa"),
+            (3, "zulu yankee", "bb"), (4, "zulu whisky", "bb"),
+            (6, "apple date", None),          # train id, null label
+            (5, "apple banana cherry", "aa"), # holdout
+            (10, "zulu yankee whisky", None)] # holdout, null actual
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in nb_classify(docs, holdout_mod=5).collect()}
+    assert set(out) == {5, 10}
+    assert out[5]["pred_lang"] == "aa" and out[5]["is_correct"]
+    assert out[10]["pred_lang"] in ("aa", "bb")
+    assert out[10]["is_correct"] is None  # NULL actual => NULL correctness
