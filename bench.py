@@ -308,6 +308,14 @@ def main() -> None:
             timings[name] = round(best, 3)
         except Exception as ex:  # noqa: BLE001 - keep the suite alive
             errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+        # several operators cache/persist intermediates internally and
+        # (correctly) leave them alive for their caller; in a 60-query
+        # suite those leftovers accumulate into executor-memory/GC
+        # pressure that bleeds into LATER rows' timings (observed:
+        # dedup_ngram_jaccard 1.9s isolated vs 2.8s late in the
+        # suite). Clear between rows so each query pays exactly its
+        # own cost — queries re-cache internally as designed.
+        spark.catalog.clearCache()
 
     # measured X12 parse throughput (VERDICT r1 item 8): parse a
     # 4096-file corpus through the real mapInPandas silver path and
