@@ -556,3 +556,144 @@ def temperature_mixture_sample(
             {"_n": "source_rows", "_w": "source_weight", "_quota": "source_quota"}
         )
     return out.drop("_n", "_w", "_quota")
+
+
+def dsir_logratios(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score
+    every RAW document by how much more likely its hashed-bigram bag
+    is under the TARGET distribution than under the raw distribution —
+    the principled version of "select web text that looks like the
+    curated domain", and the selection step modern pretraining
+    pipelines run over the whole crawl.
+
+    Features are word bigrams hashed into ``n_buckets`` (the paper's
+    hashed n-gram parametrization); both bag-of-words models use
+    add-one smoothing p(b) = (c_b + 1) / (N + B). The log importance
+    ratio decomposes exactly like the NB classifier's score:
+
+        log w_d = Σ_b m_db·(ln(c_t(b)+1) − ln(c_r(b)+1)) − T_d·(ln(N_t+B) − ln(N_r+B))
+
+    so only buckets observed in SOME model contribute join terms.
+
+    Scale shape: the model table is bounded at ``n_buckets`` rows BY
+    CONSTRUCTION (buckets, not n-grams, are the key), so after one
+    corpus count-aggregation the scoring join is a BROADCAST — the
+    100 TB raw corpus is scored map-side in a single pass with no
+    scoring shuffle beyond its own per-doc fold. md5 bucket ids and
+    6-dp-quantized lns (DECIMAL sums, integer micro-nat output) keep
+    the whole thing bit-replayable in SQL.
+
+    Returns (id, n_bigrams, logratio_micro) for every raw document.
+    """
+    def qln(c: Column) -> Column:
+        return F.round(F.log(c.cast("double")), 6).cast("decimal(18,6)")
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("_doc"),
+        is_target.alias("_tgt"),
+        toks.alias("_t"),
+    ).withColumn("_n", F.size("_t"))
+    grams = base.select(
+        "_doc",
+        "_tgt",
+        F.explode(
+            F.when(
+                F.col("_n") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - 1),
+                    lambda i: (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        " ",
+                                        F.element_at(F.col("_t"), i),
+                                        F.element_at(F.col("_t"), i + 1),
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("bigint")
+                        % n_buckets
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("_b"),
+    )
+    model = grams.groupBy("_b").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_ct"),
+        F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).alias("_cr"),
+    )
+    totals = grams.agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_nt"),
+        F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).alias("_nr"),
+    ).collect()[0]
+    n_t, n_r = int(totals["_nt"] or 0), int(totals["_nr"] or 0)
+    const = qln(F.lit(n_t + n_buckets)) - qln(F.lit(n_r + n_buckets))
+
+    raw_counts = (
+        grams.filter(~F.col("_tgt"))
+        .groupBy("_doc", "_b")
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    hit = (
+        raw_counts.join(F.broadcast(model), "_b")
+        .groupBy("_doc")
+        .agg(
+            F.sum(
+                F.col("_m") * (qln(F.col("_ct") + 1) - qln(F.col("_cr") + 1))
+            )
+            .cast("decimal(38,6)")
+            .alias("_hs")
+        )
+    )
+    return (
+        base.filter(~F.col("_tgt"))
+        .select("_doc", F.greatest(F.col("_n") - 1, F.lit(0)).alias("_nb"))
+        .join(hit, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            F.col("_nb").alias("n_bigrams"),
+            (
+                (
+                    F.coalesce(F.col("_hs"), F.lit(0).cast("decimal(38,6)"))
+                    - F.col("_nb") * const
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("logratio_micro"),
+        )
+    )
+
+
+def dsir_select_topk(
+    docs: DataFrame,
+    is_target: Column,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Deterministic DSIR selection: the k raw documents whose hashed
+    n-gram bags score most target-like (the paper's top-k variant;
+    ties break on ascending id). One TakeOrdered over the logratio
+    frame — no global sort materializes."""
+    lr = dsir_logratios(
+        docs, is_target, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets,
+    )
+    return lr.orderBy(
+        F.col("logratio_micro").desc(), F.col(id_col).asc()
+    ).limit(k)

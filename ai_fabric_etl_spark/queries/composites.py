@@ -172,6 +172,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "text_line_dedup",
         "emb_knn_ivf_incremental",
         "sample_stratified",
+        "sample_dsir_topk",
         "dedup_simhash_planted",
         "a5_approx_distinct",
         "text_unigram_roundtrip",

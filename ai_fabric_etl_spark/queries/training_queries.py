@@ -770,3 +770,79 @@ def q_feature_target_encoding(spark, sf_dir):
             ).alias("encoding"),
         )
     )
+
+
+_DSIR_B = 4096
+
+_DSIR_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, (source = 'src1') AS tgt,
+         string_split_regex(trim(text), '\\s+') AS t,
+         len(string_split_regex(trim(text), '\\s+')) AS n
+  FROM documents
+),
+idx AS (SELECT doc_id, tgt, unnest(generate_series(1, n - 1)) AS i, t
+        FROM base WHERE n >= 2),
+grams AS (
+  SELECT doc_id, tgt,
+         ('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 15))::BIGINT
+             % {_DSIR_B} AS b
+  FROM idx
+),
+model AS (
+  SELECT b,
+         SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+  FROM grams GROUP BY 1
+),
+tot AS (
+  SELECT SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt,
+         SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS nr
+  FROM grams
+),
+rawc AS (SELECT doc_id, b, COUNT(*) AS m
+         FROM grams WHERE NOT tgt GROUP BY 1, 2),
+hit AS (
+  SELECT rawc.doc_id,
+         CAST(SUM(rawc.m * (CAST(ROUND(ln(model.ct + 1), 6) AS DECIMAL(18,6))
+                            - CAST(ROUND(ln(model.cr + 1), 6) AS DECIMAL(18,6))))
+              AS DECIMAL(38,6)) AS hs
+  FROM rawc JOIN model USING (b) GROUP BY 1
+),
+sc AS (
+  SELECT base.doc_id,
+         GREATEST(n - 1, 0) AS n_bigrams,
+         CAST((COALESCE(hit.hs, CAST(0 AS DECIMAL(38,6)))
+               - GREATEST(n - 1, 0)
+                 * (CAST(ROUND(ln(tot.nt + {_DSIR_B}), 6) AS DECIMAL(18,6))
+                    - CAST(ROUND(ln(tot.nr + {_DSIR_B}), 6) AS DECIMAL(18,6))))
+              * 1000000 AS BIGINT) AS logratio_micro
+  FROM base CROSS JOIN tot LEFT JOIN hit USING (doc_id)
+  WHERE NOT tgt
+)
+SELECT * FROM sc ORDER BY logratio_micro DESC, doc_id LIMIT 100
+"""
+
+
+@register("sample_dsir_topk", oracle=_DSIR_ORACLE)
+def sample_dsir_topk(spark, sf_dir):
+    """DSIR data selection (sampling.dsir_select_topk, Xie et al.
+    NeurIPS 2023): the 100 non-src1 documents whose hashed-bigram bags
+    look most like the src1 "target domain" under the importance
+    ratio of two add-one-smoothed bag models — the domain-targeted
+    crawl-selection step of modern pretraining pipelines.
+
+    The model table is bounded at 4096 rows BY CONSTRUCTION (hash
+    buckets are the key), so scoring the raw corpus is one broadcast
+    join + per-doc fold: at 100 TB the selection is a single map-side
+    pass over the crawl. md5 buckets and quantized-ln DECIMAL
+    arithmetic make DuckDB replay the exact integer micro-nat scores;
+    ranking behavior is pinned by the planted-corpus pytest."""
+    from ai_fabric_etl_spark.operators.sampling import dsir_select_topk
+
+    return dsir_select_topk(
+        _t(spark, sf_dir, "documents"),
+        is_target=F.col("source") == "src1",
+        k=100,
+        n_buckets=_DSIR_B,
+    )

@@ -818,3 +818,38 @@ def test_nb_classifier_null_labels_excluded_from_training(spark):
     assert out[5]["pred_lang"] == "aa" and out[5]["is_correct"]
     assert out[10]["pred_lang"] in ("aa", "bb")
     assert out[10]["is_correct"] is None  # NULL actual => NULL correctness
+
+
+def test_dsir_ranks_targetlike_docs_first(spark):
+    """Planted corpus: target = docs in vocab A; raw pool mixes
+    A-vocab docs with B-vocab noise. DSIR's importance ratio must put
+    every A-like raw doc above every noise doc, and the top-k cut
+    must select exactly them. Longer A-like docs accumulate more
+    positive bigram terms => higher score than shorter A-like docs."""
+    from ai_fabric_etl_spark.operators.sampling import (
+        dsir_logratios,
+        dsir_select_topk,
+    )
+
+    a = "alpha beta gamma delta"
+    b = "omega psi chi phi"
+    rows = []
+    for i in range(20):  # target domain (A vocab)
+        rows.append((i, f"{a} {a}", "tgt"))
+    for i in range(20, 30):  # raw, looks like target
+        rows.append((i, a if i % 2 else f"{a} {a} {a}", "raw"))
+    for i in range(30, 50):  # raw noise
+        rows.append((i, b, "raw"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    lr = {
+        r["doc_id"]: r["logratio_micro"]
+        for r in dsir_logratios(docs, F.col("source") == "tgt").collect()
+    }
+    assert set(lr) == set(range(20, 50))
+    alike = [lr[i] for i in range(20, 30)]
+    noise = [lr[i] for i in range(30, 50)]
+    assert min(alike) > max(noise)
+    # longer target-like docs outscore shorter ones (more evidence)
+    assert lr[20] > lr[21]  # doc 20 is the tripled-A form
+    top = dsir_select_topk(docs, F.col("source") == "tgt", k=10).collect()
+    assert {r["doc_id"] for r in top} == set(range(20, 30))
