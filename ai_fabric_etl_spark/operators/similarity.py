@@ -902,3 +902,178 @@ def semdedup_prune(
         )
 
     return cells.groupBy("cluster_id").applyInPandas(prune_cell, out_schema)
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """Deterministic ±1 from md5 parity — seedless, and identically
+    computable in SQL, which is what makes the projection
+    value-oracle-able."""
+    import hashlib
+
+    return 1 if hashlib.md5(f"{i}:{j}".encode()).digest()[-1] % 2 == 0 else -1
+
+
+def jl_sign_matrix(dim: int, k: int) -> list[list[int]]:
+    """The dense ±1 Achlioptas projection matrix (dim × k), derived
+    from md5 — a driver-side literal of dim·k ints, never data."""
+    return [[_jl_sign(i, j) for j in range(k)] for i in range(dim)]
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    dim: int | None = None,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction by a dense ±1
+    sign matrix (Achlioptas, JCSS 2003): proj_j = Σ_i x_i · s_ij with
+    s_ij = ±1 from md5 parity. Distances are preserved within (1±ε)
+    with k = O(ln n / ε²) — the cheap pre-ANN compression when PCA's
+    data-dependent fit is overkill or must not drift between runs.
+
+    Scale shape: the matrix is a compile-time literal (dim·k ints),
+    the projection is pure per-row codegen — zero shuffles, zero
+    state, embarrassingly parallel at any corpus size. Each output
+    coordinate is built as an EXPLICIT left-associated sum of
+    x_i·(±1) terms: multiplication by ±1 and double addition in a
+    fixed order are bit-exact across engines, so the only rounding is
+    the final 6-dp quantization and a SQL oracle replays the result
+    bit-for-bit (no seeds, no RNG state, no float-order ambiguity).
+
+    Output: ``keep`` columns (default: all non-vector columns) plus
+    ``p0..p{k-1}`` DECIMAL(18,6) coordinate columns.
+    """
+    if dim is None:
+        row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+        if not row:
+            raise ValueError("cannot infer dim from an empty frame")
+        dim = int(row[0]["d"])
+    signs = jl_sign_matrix(dim, k)
+    cols = []
+    for j in range(k):
+        term = None
+        for i in range(dim):
+            x = F.element_at(F.col(vec_col), i + 1).cast("double")
+            t = x if signs[i][j] == 1 else -x
+            term = t if term is None else term + t
+        cols.append(F.round(term, 6).cast("decimal(18,6)").alias(f"p{j}"))
+    base = keep if keep is not None else [
+        c for c in df.columns if c != vec_col
+    ]
+    return df.select(*base, *cols)
+
+
+def jl_project_sql(
+    table: str,
+    vec: str,
+    dim: int,
+    k: int,
+    id_col: str = "vec_id",
+) -> str:
+    """The DuckDB replay of ``random_project`` for oracle use: the
+    same literal sign matrix, the same left-associated term order."""
+    signs = jl_sign_matrix(dim, k)
+    outs = []
+    for j in range(k):
+        terms = " + ".join(
+            f"{'' if signs[i][j] == 1 else '-'}{vec}[{i + 1}]::DOUBLE"
+            for i in range(dim)
+        )
+        outs.append(f"CAST(ROUND({terms}, 6) AS DECIMAL(18,6)) AS p{j}")
+    return f"SELECT {id_col}, {', '.join(outs)} FROM {table}"
+
+
+def pca_fit(
+    df: DataFrame, vec_col: str = "embedding", k: int = 8
+) -> dict:
+    """Distributed PCA fit via moment partials: each partition reduces
+    its vectors to (n, Σx, ΣxxT) — O(d²) floats — in ONE pass with a
+    numpy matmul per Arrow batch; the driver folds the partials IN
+    PARTITION ORDER (deterministic float summation) and runs the d×d
+    eigendecomposition locally. This is the textbook scale shape for
+    tall-skinny PCA: the 100 TB corpus is touched once, the shuffle
+    carries partitions × d² doubles, and the eigensolve is a
+    milliseconds-sized driver problem (d = embedding dim, not n).
+
+    Eigenvectors are sign-normalized (largest-magnitude component
+    positive) so the fit is deterministic run-to-run; numerical parity
+    with single-node numpy PCA is pytest-gated. Returns a dict with
+    ``mean`` (d), ``components`` (k×d, variance-descending),
+    ``explained_var`` (k), ``total_var``.
+    """
+    from pyspark import TaskContext
+
+    def partials(batches):
+        n, s, g = 0, None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += X.shape[0]
+            s = X.sum(0) if s is None else s + X.sum(0)
+            gg = X.T @ X
+            g = gg if g is None else g + gg
+        if n:
+            ctx = TaskContext.get()
+            yield pd.DataFrame(
+                {
+                    "pid": [ctx.partitionId() if ctx else 0],
+                    "n": [n],
+                    "s": [s.tolist()],
+                    "g": [g.reshape(-1).tolist()],
+                }
+            )
+
+    rows = sorted(
+        df.select(vec_col).mapInPandas(
+            partials, "pid int, n long, s array<double>, g array<double>"
+        ).collect(),
+        key=lambda r: r["pid"],
+    )
+    if not rows:
+        raise ValueError("pca_fit on an empty frame")
+    d = len(rows[0]["s"])
+    n_tot, s_tot, g_tot = 0, np.zeros(d), np.zeros((d, d))
+    for r in rows:
+        n_tot += r["n"]
+        s_tot += np.array(r["s"])
+        g_tot += np.array(r["g"]).reshape(d, d)
+    mean = s_tot / n_tot
+    cov = g_tot / n_tot - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1][:k]
+    comps = []
+    for i in order:
+        c = v[:, i]
+        if c[int(np.argmax(np.abs(c)))] < 0:
+            c = -c
+        comps.append(c.tolist())
+    return {
+        "mean": mean.tolist(),
+        "components": comps,
+        "explained_var": [max(float(w[i]), 0.0) for i in order],
+        "total_var": float(np.clip(w, 0, None).sum()),
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto the fitted components: (x − mean) · Wᵀ as
+    one Arrow-batched numpy matmul per batch — map-side only, the
+    model rides the closure (k·d doubles), no shuffle, no state."""
+    W = np.array(model["components"])  # k × d
+    mu = np.array(model["mean"])
+
+    @F.pandas_udf("array<double>")
+    def _proj(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        return pd.Series(list((X - mu) @ W.T))
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))

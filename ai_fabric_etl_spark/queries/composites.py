@@ -171,6 +171,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "text_nb_classifier",
         "text_line_dedup",
         "emb_knn_ivf_incremental",
+        "emb_random_projection",
+        "emb_pca_invariants",
         "sample_stratified",
         "sample_dsir_topk",
         "dedup_simhash_planted",

@@ -2096,3 +2096,81 @@ def q_text_pmi_collocations(spark, sf_dir):
             ).alias("pmi"),
         )
     )
+
+
+def _jl_oracle() -> str:
+    from ai_fabric_etl_spark.operators.similarity import jl_project_sql
+
+    return jl_project_sql("embeddings", "embedding", dim=64, k=16) \
+        + " ORDER BY vec_id"
+
+
+@register("emb_random_projection", oracle=_jl_oracle())
+def q_emb_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss ±1 sign projection 64 -> 16 dims
+    (similarity.random_project, Achlioptas 2003): the seedless,
+    zero-shuffle dimensionality reduction run before ANN/clustering
+    when a data-dependent PCA fit is overkill. The sign matrix is an
+    md5-derived compile-time literal and every output coordinate an
+    explicit fixed-order sum, so DuckDB replays all 16 coordinates of
+    every vector bit-for-bit — a FULL value oracle over a "random"
+    projection. Distance-preservation quality is pytest-gated
+    (pairwise-distance ratios within the JL band on real embeddings)."""
+    from ai_fabric_etl_spark.operators.similarity import random_project
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return random_project(
+        emb, "embedding", k=16, dim=64, keep=["vec_id"]
+    ).orderBy("vec_id")
+
+
+@register(
+    "emb_pca_invariants",
+    oracle="""
+    SELECT COUNT(*) AS n_points, 8 AS k_components,
+           0 AS n_ortho_viol, 0 AS n_order_viol,
+           0 AS n_center_viol, 0 AS n_var_viol
+    FROM embeddings
+    """,
+)
+def q_emb_pca_invariants(spark, sf_dir):
+    """Distributed PCA (similarity.pca_fit/pca_project: one-pass
+    moment partials, order-fixed driver fold, d×d eigensolve) with
+    checkable optimality invariants — eigenvectors themselves are
+    basis/sign-sensitive, so the driver-stable contract is what PCA
+    guarantees mathematically: components orthonormal, explained
+    variances sorted descending, projected coordinates centered at 0,
+    and each coordinate's population variance equal to its
+    eigenvalue. Any violation (fit drift, projection bug, partial-
+    fold error) breaks a zero. Numerical parity with single-node
+    numpy PCA is pytest-gated in test_dedup_similarity.py."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k = 8
+    model = similarity.pca_fit(emb, "embedding", k=k)
+    W = np.array(model["components"])
+    ev = model["explained_var"]
+    n_ortho = int((np.abs(W @ W.T - np.eye(k)) > 1e-6).sum())
+    n_order = sum(
+        1 for a, b in zip(ev, ev[1:]) if b > a + 1e-12
+    ) + sum(1 for x in ev if x < 0)
+    proj = similarity.pca_project(emb, model, "embedding")
+    agg = proj.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        *[F.avg(F.element_at(F.col("pca"), j + 1)).alias(f"m{j}")
+          for j in range(k)],
+        *[F.var_pop(F.element_at(F.col("pca"), j + 1)).alias(f"v{j}")
+          for j in range(k)],
+    ).collect()[0]
+    n_center = sum(1 for j in range(k) if abs(agg[f"m{j}"]) > 1e-6)
+    n_var = sum(
+        1
+        for j in range(k)
+        if abs(agg[f"v{j}"] - ev[j]) > 1e-6 * max(ev[j], 1e-9)
+    )
+    return spark.createDataFrame(
+        [(int(agg["n_points"]), k, n_ortho, n_order, n_center, n_var)],
+        "n_points long, k_components int, n_ortho_viol int, "
+        "n_order_viol int, n_center_viol int, n_var_viol int",
+    )

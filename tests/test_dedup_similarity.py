@@ -728,3 +728,93 @@ def test_semdedup_cell_cap_raises(emb):
         similarity.semdedup_prune(
             emb.select("vec_id", "embedding"), k=2, max_cell_rows=3
         ).count()
+
+
+def test_pca_matches_single_node_numpy(spark, sf_dir):
+    """Distributed moment-partial PCA must match numpy PCA computed on
+    the collected data: same eigenvalues, same subspace (components
+    equal after the shared sign convention), same projections."""
+    import numpy as np
+
+    from ai_fabric_etl_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pca_fit(emb.repartition(7), "embedding", k=6)
+    X = np.stack(
+        [np.array(r["embedding"], dtype=np.float64)
+         for r in emb.select("embedding").collect()]
+    )
+    mu = X.mean(0)
+    cov = (X - mu).T @ (X - mu) / len(X)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:6]
+    assert np.allclose(model["mean"], mu, atol=1e-9)
+    assert np.allclose(model["explained_var"], w[order], rtol=1e-8)
+    for j, i in enumerate(order):
+        c = v[:, i]
+        if c[int(np.argmax(np.abs(c)))] < 0:
+            c = -c
+        assert np.allclose(model["components"][j], c, atol=1e-7), j
+    got = {
+        r["vec_id"]: np.array(r["pca"])
+        for r in pca_project(emb, model, "embedding").select(
+            "vec_id", "pca"
+        ).collect()
+    }
+    W = np.array(model["components"])
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    want = (X - mu) @ W.T
+    for row, i in zip(want, ids):
+        assert np.allclose(got[i], row, atol=1e-9)
+
+
+def test_pca_partition_invariance(spark, sf_dir):
+    """The fit must not depend on partitioning beyond float round-off:
+    1 partition vs 13 partitions agree to 1e-8."""
+    import numpy as np
+
+    from ai_fabric_etl_spark.operators.similarity import pca_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    m1 = pca_fit(emb.coalesce(1), "embedding", k=4)
+    m13 = pca_fit(emb.repartition(13), "embedding", k=4)
+    assert np.allclose(m1["explained_var"], m13["explained_var"], rtol=1e-8)
+    assert np.allclose(m1["components"], m13["components"], atol=1e-7)
+
+
+def test_jl_projection_preserves_distances(spark, sf_dir):
+    """JL sign projection 64->16: each coordinate is p_j = Σ_i x_i·s_ij
+    with independent ±1 signs, so E[p_j²] = ||x||² and the unscaled
+    projection satisfies E||p||² = k·||x||². The empirical ratio of
+    pairwise squared distances (projected / k) over original must
+    concentrate near 1 — the JL property that makes the projection
+    usable for ANN pre-filtering."""
+    import numpy as np
+
+    from ai_fabric_etl_spark.operators.similarity import random_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(80)
+    X = np.stack(
+        [np.array(r["embedding"], dtype=np.float64)
+         for r in emb.select("embedding").collect()]
+    )
+    proj = random_project(emb, "embedding", k=16, dim=64, keep=["vec_id"])
+    pdf = proj.toPandas().sort_values("vec_id")
+    P = pdf[[f"p{j}" for j in range(16)]].to_numpy(dtype=np.float64)
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    X = X[np.argsort(ids)]
+    ratios = []
+    for a in range(0, 60, 7):
+        for b in range(a + 1, 60, 11):
+            d0 = ((X[a] - X[b]) ** 2).sum()
+            dp = ((P[a] - P[b]) ** 2).sum() / 16.0
+            if d0 > 1e-12:
+                ratios.append(dp / d0)
+    ratios = np.array(ratios)
+    # k=16 is coarse: individual ratios within a generous band, the
+    # mean tight around 1 (unbiasedness)
+    assert 0.3 < ratios.min() and ratios.max() < 3.0, (ratios.min(), ratios.max())
+    assert abs(ratios.mean() - 1.0) < 0.2, ratios.mean()
