@@ -393,6 +393,34 @@ class ParquetMergeTable:
         # the next commit's catch-up re-derives it from the retained
         # version directory)
         self._emit_delta_log(v, df.schema.json(), op)
+        self._emit_iceberg(v, df.schema, op)
+
+    def _emit_iceberg(self, v: int, schema, op: str) -> None:
+        """Iceberg-v2 metadata mirror (sources/iceberg_mirror.py):
+        metadata.json + Avro manifest list + manifest per commit, the
+        sibling of the Delta log below — both formats mirror the same
+        authoritative ``_LATEST`` pointer, so external readers of
+        either ecosystem resolve the same snapshots.
+
+        A schema outside the Iceberg type system (interval, variant)
+        skips the mirror with a warning instead of failing the
+        authoritative commit — the Delta mirror (whose schemaString
+        carries any Spark type) and ``_LATEST`` remain complete."""
+        from ai_fabric_etl_spark.sources.iceberg_mirror import (
+            emit_iceberg_metadata,
+        )
+
+        try:
+            emit_iceberg_metadata(self, v, schema, op)
+        except ValueError as ex:
+            if "unsupported" not in str(ex):
+                raise
+            import warnings
+
+            warnings.warn(
+                f"iceberg mirror skipped for {self.path} v{v}: {ex}",
+                stacklevel=2,
+            )
 
     # -- Delta-protocol interop mirror (VERDICT r4 item 7) ------------
     #

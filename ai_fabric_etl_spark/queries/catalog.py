@@ -81,7 +81,9 @@ _PRIORITY = [
     "fp_training_sources",
     # temporal / sampling / packing (round-1 gap)
     "asof_click_before_purchase",
-    "range_recent_activity",
+    # range_recent_activity -> fp_training_sources; slot to the DSIR
+    # domain-targeted selection gate (r7 flagship)
+    "sample_dsir_topk",
     "sample_hash_split",
     # sample_stratified yields its slot to the REAL-database round trip
     # (S13 closure, r6); it keeps driver signal inside fp_training_sources
@@ -91,12 +93,16 @@ _PRIORITY = [
     # below carries the driver signal, freeing this slot for the
     # ★ curation composite (filter→dedup→split→pack end to end)
     "curate_corpus_pipeline",
-    "pack_firstfit_invariants",
+    # pack_firstfit_invariants -> fp_training_sources; slot to the
+    # Iceberg-metadata native-read gate (r7 flagship)
+    "lakehouse_iceberg_native_read",
     # the six round-1 hash mismatches, fixed — must show green
     "a2_partner_matrix",
     "a3_quality_bands",
     "a4_business_kpis",
-    "a9_summarize_events",
+    # a9_summarize_events -> fp_relational_ops; slot to the NB
+    # quality/domain classifier gate (r7 flagship)
+    "text_nb_classifier",
     "u3_enrollment_metrics",
     "u7_action_buckets",
     # one representative per core family (a1/w3 signal is carried by

@@ -52,6 +52,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "tpch_q22_global_sales_opportunity",
     ],
     "fp_relational_ops": [
+        "a9_summarize_events",
         "a1_transaction_summary",
         "a6_collect_ack_lists",
         "a10_sliding_rollup",
@@ -100,6 +101,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "drift_psi_prices",
     ],
     "fp_training_sources": [
+        "range_recent_activity",
+        "pack_firstfit_invariants",
         "scalar_datetime",
         "scalar_json",
         "scalar_arrays",

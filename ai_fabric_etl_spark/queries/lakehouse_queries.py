@@ -1474,3 +1474,61 @@ def export_wds_roundtrip(spark, sf_dir):
         F.min("key").alias("first_key"),
         F.max("key").alias("last_key"),
     )
+
+
+_ICEBERG_NATIVE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 3 <> 1
+),
+cur AS (SELECT * FROM base WHERE o_orderkey % 5 <> 0)
+SELECT 'v0' AS snapshot, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM base GROUP BY o_orderstatus
+UNION ALL
+SELECT 'current', o_orderstatus,
+       COUNT(*),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+FROM cur GROUP BY o_orderstatus
+"""
+
+
+@register("lakehouse_iceberg_native_read", oracle=_ICEBERG_NATIVE_ORACLE)
+def lakehouse_iceberg_native_read(spark, sf_dir):
+    """Iceberg-v2 READ interop (sources/iceberg_mirror.py): commits
+    mirror full Iceberg metadata — metadata.json with field-id
+    schemas, Avro manifest lists and manifests written by the repo's
+    own codec — and this entry resolves BOTH the current snapshot and
+    a time-traveled snapshot 0 exclusively through that chain
+    (version-hint -> metadata.json -> manifest list -> manifests),
+    never the engine's _LATEST pointer. The oracle replays the
+    overwrite + DELETE relationally, so a manifest-emission or
+    resolution bug (stale file, missed delete, wrong snapshot schema)
+    flips the value hash. Together with lakehouse_delta_native_read
+    the same table is readable from both lakehouse ecosystems."""
+    from ai_fabric_etl_spark.sources.iceberg_mirror import (
+        read_iceberg_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 3 != 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = ParquetMergeTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="iceberg_native_"), "t")
+    )
+    t.overwrite(base)
+    t.delete("o_orderkey % 5 = 0")
+
+    def agg(df, tag):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        ).select(F.lit(tag).alias("snapshot"), "*")
+
+    v0 = read_iceberg_snapshot(spark, t.path, snapshot_id=0)
+    cur = read_iceberg_snapshot(spark, t.path)
+    return agg(v0, "v0").unionByName(agg(cur, "current"))

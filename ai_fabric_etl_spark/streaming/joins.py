@@ -70,9 +70,15 @@ def stream_interval_join(
     for k in by:
         c = lw[k] == rw[k]
         cond = c if cond is None else cond & c
+    # interval LITERALS, not make_dt_interval(...): Spark's stream-
+    # stream OUTER join derives the state watermark from the range
+    # condition, and its extractor only recognizes `ts ± INTERVAL`
+    # with foldable intervals — the function form analyzes fine for
+    # inner joins but fails the outer-join requirement with
+    # "not supported without ... an appropriate range condition"
     in_range = F.col(right_ts).between(
-        F.col(left_ts) - F.make_dt_interval(secs=F.lit(before_seconds)),
-        F.col(left_ts) + F.make_dt_interval(secs=F.lit(after_seconds)),
+        F.col(left_ts) - F.expr(f"INTERVAL '{before_seconds}' SECOND"),
+        F.col(left_ts) + F.expr(f"INTERVAL '{after_seconds}' SECOND"),
     )
     cond = cond & in_range
     joined = lw.join(rw, cond, how)

@@ -88,6 +88,11 @@ HEADLINE = [
     "source_sqlite_roundtrip",     # real-DB write+partitioned read+pushdown
     "source_avro_roundtrip",       # stdlib Avro container write+read
     "export_wds_roundtrip",        # WebDataset tar-shard export+import
+    "sketch_cms_events",           # count-min sketch build + point queries
+    "text_nb_classifier",          # NB quality classifier train + score
+    "sample_dsir_topk",            # DSIR hashed-bigram importance selection
+    "emb_random_projection",       # JL sign projection (pure codegen)
+    "lakehouse_iceberg_native_read",  # commit + iceberg-metadata read path
     "x12_silver_transactions",     # distributed X12 parse
 ]
 
@@ -137,6 +142,13 @@ SCALE_HEADLINE = [
     # by construction; semdedup stays out (its within-cell pair work
     # is quadratic at FIXED k; the operator's scale contract is grow-k)
     "search_hybrid_rrf",
+    # r7 second pass, linear by construction: CMS is one bounded
+    # aggregation; NB/DSIR scoring joins carry one row per (doc,
+    # token/bucket) hit; JL projection is per-row codegen
+    "sketch_cms_events",
+    "text_nb_classifier",
+    "sample_dsir_topk",
+    "emb_random_projection",
 ]
 
 

@@ -1096,3 +1096,69 @@ def test_gold_incremental_crash_recovery(spark, landing, tmp_path, monkeypatch):
     ]
     exp = transaction_summary(silver).select(*shared)
     assert rowset(got_df.select(*shared)) == rowset(exp)
+
+
+def test_stream_interval_join_left_outer_matches_batch(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: errors with no
+    time-adjacent activity must emit with NULL right columns once the
+    watermark proves no match can arrive. A sentinel row far past the
+    real data advances the final watermark beyond every real row, so
+    the streamed result must equal the batch left range join exactly
+    (sentinel excluded)."""
+    import datetime
+
+    from ai_fabric_etl_spark.operators.temporal import range_join
+    from ai_fabric_etl_spark.queries.catalog import load_events
+    from ai_fabric_etl_spark.streaming.joins import stream_interval_join
+
+    ev = load_events(spark, "/root/testdata/sf0.001").limit(600).cache()
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    activity = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("act_id"),
+        F.col("ts").alias("act_ts"),
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel_ts = max_ts + datetime.timedelta(seconds=2000)
+    sent_err = spark.createDataFrame(
+        [(-1, -1, sentinel_ts)], errors.schema
+    )
+    sent_act = spark.createDataFrame(
+        [(-1, -2, sentinel_ts)], activity.schema
+    )
+    err_dir, act_dir = str(tmp_path / "err_lo"), str(tmp_path / "act_lo")
+    errors.unionByName(sent_err).write.parquet(err_dir)
+    activity.unionByName(sent_act).write.parquet(act_dir)
+
+    s_err = spark.readStream.schema(errors.schema).parquet(err_dir)
+    s_act = spark.readStream.schema(activity.schema).parquet(act_dir)
+    joined = stream_interval_join(
+        s_err, s_act, by=["user_id"], left_ts="err_ts", right_ts="act_ts",
+        before_seconds=300.0, watermark_seconds=600.0, how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_lo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.err_id, r.act_id)
+        for r in spark.sql("SELECT * FROM ssj_lo").collect()
+        if r.err_id != -1
+    }
+    exp = {
+        (r.user_id, r.err_id, r.act_id)
+        for r in range_join(
+            errors, activity, by=["user_id"], left_ts="err_ts",
+            right_ts="act_ts", before_seconds=300.0, how="left",
+        ).collect()
+    }
+    assert got == exp and got
+    # the outer side genuinely fires: some errors have no nearby click
+    assert any(a is None for _, _, a in got)
