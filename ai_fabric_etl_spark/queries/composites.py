@@ -183,6 +183,7 @@ FP_GROUPS: dict[str, list[str]] = {
         "text_unigram_roundtrip",
         "privacy_pseudonymize",
         "privacy_k_anonymity",
+        "privacy_aes_roundtrip",
     ],
 }
 

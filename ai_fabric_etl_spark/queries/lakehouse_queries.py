@@ -1532,3 +1532,51 @@ def lakehouse_iceberg_native_read(spark, sf_dir):
     v0 = read_iceberg_snapshot(spark, t.path, snapshot_id=0)
     cur = read_iceberg_snapshot(spark, t.path)
     return agg(v0, "v0").unionByName(agg(cur, "current"))
+
+
+_AES_ORACLE = """
+SELECT c_custkey,
+       CAST(16 * (length(c_name) // 16) + 16 AS INTEGER) AS enc_len,
+       TRUE AS roundtrip_ok,
+       TRUE AS deterministic_ok
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+@register("privacy_aes_roundtrip", oracle=_AES_ORACLE)
+def privacy_aes_roundtrip(spark, sf_dir):
+    """Column-level encryption for governed columns: JVM-native
+    ``aes_encrypt``/``aes_decrypt`` in ECB mode — the DETERMINISTIC
+    variant used when pseudonymized values must stay joinable across
+    tables (GCM's random IV breaks equality; the salted-SHA256 entry
+    covers the non-reversible path). Everything stays inside
+    whole-stage codegen; no keys or plaintext leave the JVM.
+
+    DuckDB has no AES, so the oracle pins what IS independently
+    checkable about AES-128-ECB with PKCS7 padding: the ciphertext
+    length is exactly 16·⌊len/16⌋ + 16 bytes, the decrypt must invert
+    the encrypt byte-for-byte (roundtrip_ok computed BY the engine,
+    hashed by the driver), and encrypting twice yields identical
+    bytes (determinism — the joinability property this mode exists
+    for). A wrong mode (GCM default), wrong padding, or
+    non-determinism flips a column and fails the value hash."""
+    key = F.lit("0123456789abcdef")  # 16-byte demo key: AES-128
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    enc = c.select(
+        "c_custkey",
+        "c_name",
+        F.aes_encrypt(F.col("c_name").cast("binary"), key,
+                      F.lit("ECB")).alias("ct1"),
+        F.aes_encrypt(F.col("c_name").cast("binary"), key,
+                      F.lit("ECB")).alias("ct2"),
+    )
+    return enc.select(
+        "c_custkey",
+        F.length("ct1").cast("int").alias("enc_len"),
+        (
+            F.aes_decrypt(F.col("ct1"), key, F.lit("ECB")).cast("string")
+            == F.col("c_name")
+        ).alias("roundtrip_ok"),
+        (F.col("ct1") == F.col("ct2")).alias("deterministic_ok"),
+    ).orderBy("c_custkey")
