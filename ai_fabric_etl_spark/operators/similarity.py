@@ -387,45 +387,200 @@ def ivf_cell_stats(spark, path: str) -> DataFrame:
     )
 
 
+def neardup_planes_for(
+    n: int, target_occupancy: int = 32, lo: int = 4, hi: int = 24
+) -> int:
+    """Plane count that keeps EXPECTED bucket occupancy ~constant as
+    the corpus grows: planes = ceil(log2(n / target_occupancy)),
+    clamped to [lo, hi]. Constant occupancy is what makes the
+    in-bucket candidate-pair count LINEAR in n — a fixed plane count
+    caps the bucket space, so occupancy (and pairs, quadratically)
+    grows with the corpus instead (measured: sf1->sf2 doubling cost
+    3.02x wall before this derivation, 100 TB-fatal)."""
+    import math
+
+    if n <= target_occupancy:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n / target_occupancy))))
+
+
 def lsh_cosine_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
     dim: int = 64,
-    n_planes: int = 10,
+    n_planes: int | None = None,
     n_tables: int = 6,
     seed: int = 13,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int = 2000,
+    target_occupancy: int = 16,
+    corpus_count: int | None = None,
+    extra_planes: int = 4,
+    max_resplit_rounds: int = 3,
+    on_oversize: str = "raise",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: self-join within LSH buckets
-    only, with a bucket-size skew guard."""
+    only, sized for the corpus and skew-safe.
+
+    Two mechanisms keep the candidate set linear in corpus size (the
+    100 TB requirement) and the recall loss explicit, not silent:
+
+    1. **Auto-scaled plane count.** ``n_planes=None`` (default)
+       derives planes from the corpus count so expected occupancy
+       stays ~``target_occupancy`` regardless of n (see
+       :func:`neardup_planes_for`). A fixed plane count makes the
+       per-bucket pair count — hence the whole operator — quadratic
+       in n; measured at 3.02x wall per 2x rows before this change.
+    2. **Hierarchical re-split instead of silent drop.** All
+       ``n_planes + extra_planes*max_resplit_rounds`` sign bits are
+       computed in the ONE Arrow-batched matmul `_tag_buckets` already
+       runs; a bucket whose size exceeds ``max_bucket`` sends its rows
+       to the next refinement level (``extra_planes`` more low bits of
+       the same packed key), up to ``max_resplit_rounds`` times —
+       so a skewed bucket is subdivided 2**extra_planes ways per
+       round rather than discarded. Rows whose finest bucket is STILL
+       oversized (only possible for >max_bucket near-identical
+       vectors, which no hyperplane can separate) follow
+       ``on_oversize``: ``"raise"`` (default — matches the SemDeDup
+       oversized-cell policy at :func:`semdedup_prune`) or ``"drop"``.
+       Run exact dedup first if the corpus carries byte-identical
+       vectors at that multiplicity.
+
+    Bucket sizes at every level come from one groupBy on the finest
+    key plus a rollup over the (small) bucket-count frame — 2 shuffles
+    of the tagged rows total, never one window pass per level. Rows
+    sharing a final bucket share every coarser key, so they compute
+    identical level decisions — pairs are never split across levels.
+
+    Recall: identical vectors agree on EVERY sign bit, so planted
+    exact duplicates share buckets at every refinement level; their
+    recall is structurally 1.0 under any auto-derived plane count.
+
+    ``stats_out`` (optional dict) receives ``n_planes``,
+    ``rows_per_level`` and ``oversized_rows`` — this triggers one
+    extra aggregation action over the tagged frame.
+    """
+    if on_oversize not in ("raise", "drop"):
+        raise ValueError(f"on_oversize must be 'raise' or 'drop', got {on_oversize!r}")
+    if n_planes is None:
+        n = corpus_count if corpus_count is not None else emb.count()
+        n_planes = neardup_planes_for(n, target_occupancy)
+    rounds = max_resplit_rounds
+    total_bits = n_planes + extra_planes * rounds
+    if total_bits > 62:
+        raise ValueError(
+            f"n_planes + extra_planes*max_resplit_rounds = {total_bits} "
+            "exceeds the 62-bit packed-key budget"
+        )
+
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    all_t = _tag_buckets(v, "v", dim, n_planes, n_tables, seed, stride=31)
-    sized = all_t.withColumn(
-        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("table", "bucket"))
-    ).filter(F.col("bucket_size") <= max_bucket)
-    a = sized.alias("a")
-    b = sized.alias("b")
-    cand = (
+    tagged = _tag_buckets(v, "v", dim, total_bits, n_tables, seed, stride=31)
+    fine_key = F.col("bucket")
+
+    def mask(r: int) -> int:
+        return (1 << (n_planes + extra_planes * r)) - 1
+
+    # one groupBy to the finest-bucket count frame (keys only, no
+    # vectors), then one window pass PER LEVEL over that SMALL frame —
+    # keys nest, so n_r = sum of finest counts over bucket & mask(r).
+    # Never a self-join chain: each join level would re-evaluate the
+    # whole tagging subtree (measured 10x wall on the bench row)
+    cnts = tagged.groupBy("table", "bucket").agg(
+        F.count(F.lit(1)).alias(f"n{rounds}")
+    )
+    for r in range(rounds - 1, -1, -1):
+        w = Window.partitionBy("table", fine_key.bitwiseAND(F.lit(mask(r))))
+        cnts = cnts.withColumn(f"n{r}", F.sum(f"n{rounds}").over(w))
+
+    lvl = F.lit(None).cast("int")
+    for r in range(rounds, -1, -1):
+        ok = F.col(f"n{r}") <= max_bucket
+        lvl = F.when(ok, F.lit(r)).otherwise(lvl)
+    assign = cnts.select(
+        "table", "bucket", lvl.alias("lvl"),
+        F.col(f"n{rounds}").alias("_fn"),
+    )
+
+    if stats_out is not None:
+        rows = assign.groupBy("lvl").agg(F.sum("_fn").alias("n")).collect()
+        stats_out["n_planes"] = n_planes
+        stats_out["rows_per_level"] = {
+            int(r["lvl"]): int(r["n"]) for r in rows if r["lvl"] is not None
+        }
+        stats_out["oversized_rows"] = sum(
+            int(r["n"]) for r in rows if r["lvl"] is None
+        )
+
+    if on_oversize == "raise":
+        # the guard must be OPAQUE to the optimizer: a raise_error
+        # inside a CASE (or assert_true) gets elided — Catalyst infers
+        # plain isnotnull(lvl) from the downstream equi-joins, pushes
+        # it below the raising expression, and the oversized rows
+        # vanish before the raise ever evaluates. A pandas UDF over
+        # the SMALL bucket-count frame is a black box: every assign
+        # row passes through it unconditionally, so a null level (an
+        # unsplittable oversized bucket) always surfaces.
+        from pyspark.sql.types import IntegerType
+
+        msg = (
+            "lsh_cosine_neardup_pairs: bucket still exceeds "
+            f"max_bucket={max_bucket} after {rounds} re-split rounds "
+            "(near-identical vector clump no hyperplane separates) — "
+            "exact-dedup the corpus first, raise max_bucket, or pass "
+            "on_oversize='drop'"
+        )
+
+        @F.pandas_udf(IntegerType())
+        def _guard_lvl(lv: pd.Series, bkt: pd.Series) -> pd.Series:
+            if lv.isna().any():
+                bad = bkt[lv.isna()].iloc[0]
+                raise ValueError(f"{msg}; finest bucket key {int(bad)}")
+            return lv.astype("int32")
+
+        assign = assign.withColumn("lvl", _guard_lvl("lvl", "bucket"))
+
+    # lbucket derives FROM lvl (not its own CASE chain): every use of
+    # it — including optimizer-inferred isnotnull predicates — then
+    # forces the guard UDF to evaluate, so the raise cannot be pushed
+    # around
+    assign = assign.withColumn(
+        "lbucket",
+        fine_key.bitwiseAND(
+            F.expr(
+                f"shiftleft(1L, lvl * {extra_planes} + {n_planes}) - 1"
+            )
+        ),
+    )
+    leveled = (
+        tagged.join(assign.drop("_fn"), ["table", "bucket"])
+        .filter(F.col("lvl").isNotNull())
+        .select("id", "v", "table", "lvl", "lbucket")
+    )
+
+    a = leveled.alias("a")
+    b = leveled.alias("b")
+    # cosine + threshold BEFORE the pair dedup: a near-dup pair
+    # co-occurs in several tables, so the cosine is recomputed up to
+    # n_tables times — a vectorized codegen expression — but the
+    # dedup shuffle then carries (id, id, double) rows instead of two
+    # embedding vectors per candidate (the dominant byte volume)
+    return (
         a.join(
             b,
             (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.lvl") == F.col("b.lvl"))
+            & (F.col("a.lbucket") == F.col("b.lbucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("v_a"),
-            F.col("b.v").alias("v_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn("cosine", cosine(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -873,20 +1028,33 @@ def semdedup_prune(
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0.0] = 1.0  # zero vectors: cosine contributes 0
         mat = mat / norms[:, None]
-        kept_rows: list[int] = []
+        # preallocated kept-rows buffer, matmul against a VIEW of it:
+        # fancy-indexing mat[kept_rows] per iteration copies the whole
+        # kept matrix each step — O(n²·d) memory traffic on a mostly-
+        # kept cell (ADVICE r7). The buffer grows geometrically, rows
+        # are appended once, and each scan reads kept_buf[:m] in place.
         kept = np.zeros(n, dtype=bool)
         dup_of = np.full(n, -1, dtype=np.int64)
         max_sim = np.full(n, np.nan)
+        kept_buf = np.empty((min(n, 256), mat.shape[1]))
+        kept_ids = np.empty(n, dtype=np.int64)
+        m = 0
         for i in range(n):
-            if kept_rows:
-                sims = mat[kept_rows] @ mat[i]
+            if m:
+                sims = kept_buf[:m] @ mat[i]
                 j = int(np.argmax(sims))
                 max_sim[i] = float(sims[j])
                 if sims[j] > threshold:
-                    dup_of[i] = ids[kept_rows[j]]
+                    dup_of[i] = kept_ids[j]
                     continue
             kept[i] = True
-            kept_rows.append(i)
+            if m == len(kept_buf):
+                kept_buf = np.concatenate(
+                    [kept_buf, np.empty_like(kept_buf)], axis=0
+                )
+            kept_buf[m] = mat[i]
+            kept_ids[m] = ids[i]
+            m += 1
         return pd.DataFrame(
             {
                 id_col: ids,
@@ -925,6 +1093,7 @@ def random_project(
     k: int = 16,
     dim: int | None = None,
     keep: list[str] | None = None,
+    method: str = "arrow",
 ) -> DataFrame:
     """Johnson–Lindenstrauss dimensionality reduction by a dense ±1
     sign matrix (Achlioptas, JCSS 2003): proj_j = Σ_i x_i · s_ij with
@@ -932,36 +1101,85 @@ def random_project(
     with k = O(ln n / ε²) — the cheap pre-ANN compression when PCA's
     data-dependent fit is overkill or must not drift between runs.
 
-    Scale shape: the matrix is a compile-time literal (dim·k ints),
-    the projection is pure per-row codegen — zero shuffles, zero
-    state, embarrassingly parallel at any corpus size. Each output
-    coordinate is built as an EXPLICIT left-associated sum of
-    x_i·(±1) terms: multiplication by ±1 and double addition in a
-    fixed order are bit-exact across engines, so the only rounding is
-    the final 6-dp quantization and a SQL oracle replays the result
-    bit-for-bit (no seeds, no RNG state, no float-order ambiguity).
+    Scale shape: the matrix is a driver-side literal (dim·k ints),
+    the projection is per-row — zero shuffles, zero state,
+    embarrassingly parallel in ROWS at any corpus size. In output
+    DIMENSIONS the two methods differ:
+
+    - ``method="arrow"`` (default, the engine path): one Arrow-batched
+      accumulation per batch that adds input dimensions one at a time
+      (``acc += X[:, i] · S[i]``), i.e. the SAME left-associated IEEE
+      double additions per coordinate as the SQL form — bit-identical
+      output — but as dim numpy vector ops instead of a dim·k-node
+      expression tree. Plan size is O(1) in dim·k.
+    - ``method="sql"``: each coordinate as an EXPLICIT left-associated
+      sum of x_i·(±1) expression nodes. This is the form a SQL oracle
+      replays bit-for-bit, and what :func:`jl_project_sql` emits for
+      DuckDB — but the plan has dim·k nodes, so codegen/compile time
+      dominates small inputs and explodes at common embedding dims
+      (768+; ADVICE r7). Keep it for oracle replay and parity tests.
+
+    Both methods: multiplication by ±1 and double addition in a fixed
+    order are bit-exact across engines, so the only rounding is the
+    final 6-dp quantization (applied Spark-side in both paths) and the
+    DuckDB SQL twin replays the result bit-for-bit (no seeds, no RNG
+    state, no float-order ambiguity). Bit-parity between the two
+    methods is pytest-gated.
 
     Output: ``keep`` columns (default: all non-vector columns) plus
     ``p0..p{k-1}`` DECIMAL(18,6) coordinate columns.
     """
+    if method not in ("arrow", "sql"):
+        raise ValueError(f"method must be 'arrow' or 'sql', got {method!r}")
     if dim is None:
         row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
         if not row:
             raise ValueError("cannot infer dim from an empty frame")
         dim = int(row[0]["d"])
     signs = jl_sign_matrix(dim, k)
-    cols = []
-    for j in range(k):
-        term = None
-        for i in range(dim):
-            x = F.element_at(F.col(vec_col), i + 1).cast("double")
-            t = x if signs[i][j] == 1 else -x
-            term = t if term is None else term + t
-        cols.append(F.round(term, 6).cast("decimal(18,6)").alias(f"p{j}"))
     base = keep if keep is not None else [
         c for c in df.columns if c != vec_col
     ]
-    return df.select(*base, *cols)
+    if method == "sql":
+        cols = []
+        for j in range(k):
+            term = None
+            for i in range(dim):
+                x = F.element_at(F.col(vec_col), i + 1).cast("double")
+                t = x if signs[i][j] == 1 else -x
+                term = t if term is None else term + t
+            cols.append(F.round(term, 6).cast("decimal(18,6)").alias(f"p{j}"))
+        return df.select(*base, *cols)
+
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    S = np.asarray(signs, dtype=np.float64)  # (dim, k)
+    want_dim = dim
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def jl_proj(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.vstack([np.asarray(e, dtype=np.float64) for e in v])
+        if X.shape[1] != want_dim:
+            raise ValueError(
+                f"random_project: vector dim {X.shape[1]} != declared {want_dim}"
+            )
+        acc = np.zeros((len(X), S.shape[1]), dtype=np.float64)
+        # dim sequential adds -> per-coordinate left-associated IEEE
+        # order, bit-identical to the SQL expression chain
+        for i in range(want_dim):
+            acc += X[:, i : i + 1] * S[i]
+        return pd.Series(list(acc))
+
+    proj = df.withColumn("_jl", jl_proj(F.col(vec_col)))
+    cols = [
+        F.round(F.element_at(F.col("_jl"), j + 1), 6)
+        .cast("decimal(18,6)")
+        .alias(f"p{j}")
+        for j in range(k)
+    ]
+    return proj.select(*base, *cols)
 
 
 def jl_project_sql(

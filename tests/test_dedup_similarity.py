@@ -818,3 +818,106 @@ def test_jl_projection_preserves_distances(spark, sf_dir):
     # mean tight around 1 (unbiasedness)
     assert 0.3 < ratios.min() and ratios.max() < 3.0, (ratios.min(), ratios.max())
     assert abs(ratios.mean() - 1.0) < 0.2, ratios.mean()
+
+
+def test_jl_projection_arrow_sql_bit_parity(spark, sf_dir):
+    """The Arrow-batched engine path of random_project must be
+    BIT-IDENTICAL to the dim·k-node SQL expression form (the oracle
+    twin): both add input dimensions in the same left-associated IEEE
+    order, so round-to-6dp decimals match exactly (VERDICT r7 item 2 —
+    the engine path must not pay the dim·k codegen plan)."""
+    from ai_fabric_etl_spark.operators.similarity import random_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = random_project(emb, "embedding", k=16, dim=64, keep=["vec_id"],
+                       method="arrow")
+    s = random_project(emb, "embedding", k=16, dim=64, keep=["vec_id"],
+                       method="sql")
+    assert a.exceptAll(s).count() == 0
+    assert s.exceptAll(a).count() == 0
+
+
+def test_jl_projection_arrow_plan_is_small(spark, sf_dir):
+    """The arrow path's plan must not carry the dim·k expression tree
+    (the sql path's plan string is ~100x larger)."""
+    from ai_fabric_etl_spark.operators.similarity import random_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = random_project(emb, "embedding", k=16, dim=64, method="arrow")
+    s = random_project(emb, "embedding", k=16, dim=64, method="sql")
+    pa = a._jdf.queryExecution().optimizedPlan().toString()
+    ps = s._jdf.queryExecution().optimizedPlan().toString()
+    assert len(pa) < len(ps) / 10, (len(pa), len(ps))
+
+
+def test_neardup_planes_scale_with_corpus():
+    """Auto plane derivation keeps expected occupancy constant:
+    doubling n adds exactly one plane (so candidate pairs stay linear
+    in n), clamped to [4, 24]."""
+    from ai_fabric_etl_spark.operators.similarity import neardup_planes_for
+
+    assert neardup_planes_for(10) == 4           # tiny corpus -> floor
+    assert neardup_planes_for(2_000) == 6
+    assert neardup_planes_for(4_000) == 7        # 2x rows -> +1 plane
+    assert neardup_planes_for(40_000) == 11
+    assert neardup_planes_for(10**12) == 24      # ceiling
+    assert neardup_planes_for(0) == 4
+
+
+def test_lsh_neardup_resplits_skewed_bucket(spark):
+    """A clump of near-identical (but distinct) vectors larger than
+    max_bucket must be RE-SPLIT with extra planes, not silently
+    dropped: the planted exact-duplicate pair inside the clump is
+    still found, and stats_out records rows landing past level 0
+    (VERDICT r7 item 1 — the silent recall loss)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=64)
+    base /= np.linalg.norm(base)
+    rows = []
+    # 120 vectors in a cone around `base` (spread 0.03): they agree on
+    # most base-level hyperplane signs, so they overload base buckets,
+    # but deeper refinement planes split them below max_bucket
+    for i in range(120):
+        v = base + 0.03 * rng.normal(size=64)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((1000, rows[0][1]))  # exact duplicate of vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stats: dict = {}
+    pairs = similarity.lsh_cosine_neardup_pairs(
+        emb, threshold=0.999999, n_planes=4, n_tables=2, max_bucket=40,
+        extra_planes=4, max_resplit_rounds=3, stats_out=stats,
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1000) in found, found
+    assert stats["oversized_rows"] == 0
+    deep = sum(n for lvl, n in stats["rows_per_level"].items() if lvl > 0)
+    assert deep > 0, stats  # the clump actually went past level 0
+
+
+def test_lsh_neardup_oversize_raise_and_drop(spark):
+    """>max_bucket byte-identical vectors cannot be separated by any
+    hyperplane: on_oversize='raise' (default) surfaces it at execution
+    time; on_oversize='drop' removes them and reports the count."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    v = [float(x) for x in rng.normal(size=64)]
+    rows = [(i, v) for i in range(50)]  # 50 identical vectors
+    rows += [(100 + i, [float(x) for x in rng.normal(size=64)])
+             for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="re-split|assert"):
+        similarity.lsh_cosine_neardup_pairs(
+            emb, n_planes=4, n_tables=2, max_bucket=10,
+            max_resplit_rounds=2,
+        ).collect()
+    stats: dict = {}
+    out = similarity.lsh_cosine_neardup_pairs(
+        emb, n_planes=4, n_tables=2, max_bucket=10,
+        max_resplit_rounds=2, on_oversize="drop", stats_out=stats,
+    ).collect()
+    assert stats["oversized_rows"] == 2 * 50  # n_tables x clump size
+    ids = {i for r in out for i in (r["id_a"], r["id_b"])}
+    assert not (ids & set(range(50)))  # clump excluded, no crash
