@@ -81,58 +81,48 @@ _PRIORITY = [
     "fp_training_sources",
     # temporal / sampling / packing (round-1 gap)
     "asof_click_before_purchase",
-    # range_recent_activity -> fp_training_sources; slot to the DSIR
-    # domain-targeted selection gate (r7 flagship)
-    "sample_dsir_topk",
     "sample_hash_split",
-    # sample_stratified yields its slot to the REAL-database round trip
-    # (S13 closure, r6); it keeps driver signal inside fp_training_sources
-    "source_sqlite_roundtrip",
-    "pack_token_bins",
-    # pack_greedy_firstfit itself is rows-only; its ★ invariant twin
-    # below carries the driver signal, freeing this slot for the
-    # ★ curation composite (filter→dedup→split→pack end to end)
-    "curate_corpus_pipeline",
-    # pack_firstfit_invariants -> fp_training_sources; slot to the
-    # Iceberg-metadata native-read gate (r7 flagship)
-    "lakehouse_iceberg_native_read",
+    # --- r8 rotation (VERDICT r7 item 4): the r6/r7 flagships that
+    # held named slots (sample_dsir_topk, source_sqlite_roundtrip,
+    # pack_token_bins, curate_corpus_pipeline,
+    # lakehouse_iceberg_native_read, text_nb_classifier,
+    # text_bpe_roundtrip, search_hybrid_rrf, dedup_span_coverage,
+    # emb_semdedup_planted) are proven green in CORRECTNESS_r06/r07
+    # and rotate into fp_training_sources; entries that last held
+    # direct driver rows before r6 rotate back in for a fresh
+    # non-composite pass, plus the new r8 AES-GCM gate. ---
+    "sample_stratified",
+    "a5_approx_distinct",
+    "dedup_simhash_planted",
+    "scalar_datetime",
+    "a11_pivot_daily",
+    "o1_topk_nations",
     # the six round-1 hash mismatches, fixed — must show green
     "a2_partner_matrix",
     "a3_quality_bands",
     "a4_business_kpis",
-    # a9_summarize_events -> fp_relational_ops; slot to the NB
-    # quality/domain classifier gate (r7 flagship)
-    "text_nb_classifier",
     "u3_enrollment_metrics",
     "u7_action_buckets",
     # one representative per core family (a1/w3 signal is carried by
     # the x12 summary mart / running-aggs tests; ngram's exact pair
     # set is what the minhash and drop_neardups oracles verify)
     "scalar_strings",
-    # a5_approx_distinct -> fp_training_sources; slot to the BPE
-    # tokenizer round-trip gate (r6 flagship)
-    "text_bpe_roundtrip",
+    "scalar_json",
+    "text_clean_redact",
+    "p11_text_predicates",
     "a10_hourly_rollup",
     "j1_left_join_activity",
     "w1_latest_event_per_user",
-    "lakehouse_merge_orders",  # MERGE/lakehouse semantics (A7/S5) — scalar_datetime yields its slot (§2.8 stays repped by scalar_strings)
+    "lakehouse_merge_orders",  # MERGE/lakehouse semantics (A7/S5)
     "w4_session_windows",
     "p6_projection_casts",
     # training-data suite with its verified gates
     "text_profile",
-    # dedup_exact -> fp_training_sources; slot to the hybrid
-    # lexical+semantic retrieval gate (r7 flagship)
-    "search_hybrid_rrf",
+    "privacy_aes_gcm",  # r8: randomized-AEAD column encryption gate
     "dedup_drop_neardups",
     "dedup_minhash_lsh",
-    # dedup_simhash_planted -> fp_training_sources; slot to the
-    # substring-span coverage entry (r6 flagship)
-    "dedup_span_coverage",
     "emb_knn_bruteforce",
     "emb_knn_lsh_recall",
-    # emb_knn_ivf_recall -> fp_training_sources; slot to the
-    # SemDeDup cell-scoped semantic-dedup gate (r7 flagship)
-    "emb_semdedup_planted",
     "emb_neardup",
     "multimodal_decode_real",
 ]

@@ -56,7 +56,6 @@ FP_GROUPS: dict[str, list[str]] = {
         "a1_transaction_summary",
         "a6_collect_ack_lists",
         "a10_sliding_rollup",
-        "a11_pivot_daily",
         "a14_unpivot_daily",
         "a13_percentiles",
         "rollup_region_nation",
@@ -75,7 +74,6 @@ FP_GROUPS: dict[str, list[str]] = {
         "p8_concat_partner_keys",
         "p10_case_bands",
         "div_full_priority_customers",
-        "o1_topk_nations",
         "u1_claim_metrics",
         "profile_orders",
         "profile_histogram_prices",
@@ -103,8 +101,6 @@ FP_GROUPS: dict[str, list[str]] = {
     "fp_training_sources": [
         "range_recent_activity",
         "pack_firstfit_invariants",
-        "scalar_datetime",
-        "scalar_json",
         "scalar_arrays",
         "variant_props_profile",
         "sample_global_shuffle",
@@ -149,8 +145,6 @@ FP_GROUPS: dict[str, list[str]] = {
         "emb_quantize_int8",
         "emb_knn_pq_recall",
         "curate_chunks_pipeline",
-        "text_clean_redact",
-        "p11_text_predicates",
         "multimodal_bytes",
         "multimodal_video_frames",
         "multimodal_features_real",
@@ -176,11 +170,21 @@ FP_GROUPS: dict[str, list[str]] = {
         "emb_knn_ivf_incremental",
         "emb_random_projection",
         "emb_pca_invariants",
-        "sample_stratified",
         "sample_dsir_topk",
-        "dedup_simhash_planted",
-        "a5_approx_distinct",
         "text_unigram_roundtrip",
+        # r8 rotation: r6/r7 flagships rotate out of the 50-slot
+        # window (green in CORRECTNESS_r06/r07); oracles stay fully
+        # driver-visible here
+        "sample_dsir_topk",
+        "source_sqlite_roundtrip",
+        "pack_token_bins",
+        "curate_corpus_pipeline",
+        "lakehouse_iceberg_native_read",
+        "text_nb_classifier",
+        "text_bpe_roundtrip",
+        "search_hybrid_rrf",
+        "dedup_span_coverage",
+        "emb_semdedup_planted",
         "privacy_pseudonymize",
         "privacy_k_anonymity",
         "privacy_aes_roundtrip",

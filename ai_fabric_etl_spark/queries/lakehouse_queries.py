@@ -1560,7 +1560,19 @@ def privacy_aes_roundtrip(spark, sf_dir):
     hashed by the driver), and encrypting twice yields identical
     bytes (determinism — the joinability property this mode exists
     for). A wrong mode (GCM default), wrong padding, or
-    non-determinism flips a column and fails the value hash."""
+    non-determinism flips a column and fails the value hash.
+
+    SECURITY NOTE (bench recipe, not production guidance): this entry
+    uses a source-literal demo key and raw ECB for oracle
+    determinism. Deterministic ECB leaks equality and frequency
+    patterns of the plaintext — on a low-entropy / low-cardinality
+    PII column that is a practical break (pair it with the
+    privacy_k_anonymity entry's equivalence-class analysis to see how
+    small those classes get). Production pseudonymization that must
+    stay joinable should use AES-SIV or a keyed HMAC/SHA-256 (see
+    privacy_pseudonymize) with a key from a managed secret store —
+    never a literal key in source. When joinability is NOT required,
+    use randomized AEAD instead: privacy_aes_gcm below."""
     key = F.lit("0123456789abcdef")  # 16-byte demo key: AES-128
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     enc = c.select(
@@ -1579,4 +1591,62 @@ def privacy_aes_roundtrip(spark, sf_dir):
             == F.col("c_name")
         ).alias("roundtrip_ok"),
         (F.col("ct1") == F.col("ct2")).alias("deterministic_ok"),
+    ).orderBy("c_custkey")
+
+
+_AES_GCM_ORACLE = """
+SELECT c_custkey,
+       CAST(length(c_name) + 28 AS INTEGER) AS enc_len,
+       TRUE AS roundtrip_ok,
+       FALSE AS deterministic
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+@register("privacy_aes_gcm", oracle=_AES_GCM_ORACLE)
+def privacy_aes_gcm(spark, sf_dir):
+    """Randomized authenticated encryption for governed columns:
+    ``aes_encrypt``/``aes_decrypt`` in GCM (AEAD) mode — the variant
+    to use whenever joinability on the ciphertext is NOT required
+    (the deterministic twin is privacy_aes_roundtrip; the security
+    tradeoff between them is documented there).
+
+    What the oracle pins, engine-computed and driver-hashed:
+
+    - ``enc_len``: Spark lays GCM out as IV(12) ‖ ciphertext ‖
+      tag(16), and GCM is a stream mode (no padding), so the length
+      is exactly ``len(plaintext) + 28`` — a wrong mode (ECB pads to
+      block multiples) or wrong layout flips every row;
+    - ``roundtrip_ok``: decrypt inverts encrypt byte-for-byte,
+      including tag verification (GCM authenticates; a corrupted
+      ciphertext would raise, not decrypt);
+    - ``deterministic``: asserted **FALSE** — each call draws a fresh
+      random IV, so two encryptions of the same plaintext differ.
+      The two encrypt calls use structurally different (semantically
+      equal) input expressions because Catalyst CSE collapses
+      IDENTICAL nondeterministic-in-effect subtrees into one
+      evaluation, which would fake determinism.
+
+    The randomness lives only in discarded ciphertext bytes; every
+    asserted column is deterministic, so the value hash is stable."""
+    key = F.lit("0123456789abcdef")  # 16-byte demo key: AES-128
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    enc = c.select(
+        "c_custkey",
+        "c_name",
+        F.aes_encrypt(F.col("c_name").cast("binary"), key,
+                      F.lit("GCM")).alias("ct1"),
+        # concat(name, '') != name structurally -> defeats CSE
+        F.aes_encrypt(F.concat(F.col("c_name"), F.lit("")).cast("binary"),
+                      key, F.lit("GCM")).alias("ct2"),
+    )
+    return enc.select(
+        "c_custkey",
+        F.length("ct1").cast("int").alias("enc_len"),
+        (
+            F.aes_decrypt(F.col("ct1"), key, F.lit("GCM")).cast("string")
+            == F.col("c_name")
+        ).alias("roundtrip_ok"),
+        (F.col("ct1") == F.col("ct2")).alias("deterministic"),
     ).orderBy("c_custkey")
