@@ -31,10 +31,22 @@ read parallelism), and each partition streams block-by-block
 what spark-avro does for huge single files — are not implemented;
 write many files instead, which is how this sink lays data out
 anyway. Two-phase commit mirrors the repo's sink convention: tasks
-stage ``part-*.avro`` under a job-unique staging dir, the driver
-commit publishes with per-file atomic renames, abort removes the
-staging dir; a half-failed job never leaves partial files in the
-target listing.
+stage ``part-*.avro`` under a job-unique staging dir; OVERWRITE
+publishes the whole job into a fresh ``gen-<uuid>`` generation dir
+and swaps the ``_CURRENT`` pointer with one atomic rename (a crash
+mid-commit leaves the previous generation fully listed — never a
+mixed or partially-empty target); APPEND publishes into the current
+layout with per-file atomic renames (each file appears whole or not
+at all); abort removes the staging dir. Readers resolve ``_CURRENT``
+when present and fall back to the flat legacy layout.
+
+Timezone contract: timestamp-micros values are epoch micros in UTC.
+Naive (tz-less) datetimes are treated as UTC instants — correct
+under this repo's sessions, which pin
+``spark.sql.session.timeZone=UTC`` (session.py); a NON-UTC session
+writing through this sink would emit mislabeled instants to external
+Avro readers (they still round-trip internally). Keep the session
+UTC, or convert before writing.
 """
 
 from __future__ import annotations
@@ -472,12 +484,32 @@ def _iter_file_rows(path: str, schema: StructType):
                 raise ValueError(f"pyavro: sync-marker mismatch in {path}")
 
 
+def _current_generation(path: str) -> str | None:
+    """Name of the committed generation dir, or None for the legacy
+    flat layout (no ``_CURRENT`` pointer)."""
+    ptr = os.path.join(path, "_CURRENT")
+    if os.path.isfile(ptr):
+        with open(ptr, encoding="utf-8") as f:
+            gen = f.read().strip()
+        if gen:
+            return gen
+    return None
+
+
+def _data_dir(path: str) -> str:
+    gen = _current_generation(path)
+    return os.path.join(path, gen) if gen else path
+
+
 def _avro_files(path: str) -> list[str]:
     if os.path.isfile(path):
         return [path]
+    d = _data_dir(path)
+    if not os.path.isdir(d):
+        return []
     return sorted(
-        os.path.join(path, n)
-        for n in os.listdir(path)
+        os.path.join(d, n)
+        for n in os.listdir(d)
         if n.endswith(".avro") and not n.startswith((".", "_"))
     )
 
@@ -522,11 +554,14 @@ class _Staged(WriterCommitMessage):
 
 class PyAvroWriter(DataSourceWriter):
     """Two-phase directory sink: tasks stage one container file each
-    under ``<target>/_staging_<uuid>/``; the driver commit publishes
-    them into the target with atomic per-file renames (overwrite
-    clears previously-committed part files first), abort removes the
-    staging dir. Readers listing the target never see a partial
-    file — the staging prefix is excluded by ``_avro_files``."""
+    under ``<target>/_staging_<uuid>/``. Overwrite commit publishes
+    the job into a fresh generation dir and atomically swaps the
+    ``_CURRENT`` pointer (transactional — see module docstring);
+    append commit publishes with atomic per-file renames into the
+    current layout. Abort removes the staging dir. Readers listing
+    the target never see a partial file — the staging prefix is
+    excluded by ``_avro_files`` and a generation becomes visible only
+    at the pointer swap."""
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         import uuid
@@ -615,18 +650,50 @@ class PyAvroWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         import shutil
+        import uuid
 
         os.makedirs(self.path, exist_ok=True)
+        staged = [m.path for m in messages if m is not None]
         if self.overwrite:
+            # transactional overwrite, ParquetMergeTable-style: publish
+            # the whole job into a fresh generation dir, then swap the
+            # _CURRENT pointer with ONE atomic rename. A crash anywhere
+            # before the swap leaves the old generation fully intact
+            # and listed; after the swap the new one. Never a mixed or
+            # partially-empty target (ADVICE r7: per-file renames after
+            # deletes left exactly that window).
+            prev_gen = _current_generation(self.path)
+            gen = f"gen-{uuid.uuid4().hex}"
+            gen_dir = os.path.join(self.path, gen)
+            os.makedirs(gen_dir, exist_ok=True)
+            for p in staged:
+                os.replace(p, os.path.join(gen_dir, os.path.basename(p)))
+            tmp = os.path.join(self.path, f"_CURRENT.{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(gen)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(self.path, "_CURRENT"))
+            # best-effort cleanup AFTER the swap: the old generation
+            # and any legacy flat part files are no longer reachable
+            if prev_gen:
+                shutil.rmtree(
+                    os.path.join(self.path, prev_gen), ignore_errors=True
+                )
             for name in os.listdir(self.path):
                 if name.endswith(".avro") and not name.startswith("_"):
-                    os.remove(os.path.join(self.path, name))
-        for m in messages:
-            if m is None:
-                continue
-            os.replace(
-                m.path, os.path.join(self.path, os.path.basename(m.path))
-            )
+                    try:
+                        os.remove(os.path.join(self.path, name))
+                    except OSError:
+                        pass
+        else:
+            # append publishes into the CURRENT layout (generation dir
+            # if one exists, legacy flat dir otherwise) with per-file
+            # atomic renames — each file appears whole or not at all
+            dest = _data_dir(self.path)
+            os.makedirs(dest, exist_ok=True)
+            for p in staged:
+                os.replace(p, os.path.join(dest, os.path.basename(p)))
         shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages) -> None:

@@ -160,6 +160,10 @@ def test_append_and_overwrite_modes(spark, tmp_path):
     assert spark.read.format("pyavro").load(out).count() == 3
     # no staging residue after commits
     assert not [n for n in os.listdir(out) if n.startswith("_staging")]
+    # overwrite leaves exactly ONE generation dir + the pointer
+    gens = [n for n in os.listdir(out) if n.startswith("gen-")]
+    assert len(gens) == 1
+    assert open(os.path.join(out, "_CURRENT")).read().strip() == gens[0]
 
 
 def test_codecs_and_block_structure(spark, tmp_path):
@@ -176,8 +180,7 @@ def test_codecs_and_block_structure(spark, tmp_path):
         assert back.agg(F.sum("k")).collect()[0][0] == 5000 * 4999 // 2
     # deflate actually compresses the repetitive payload
     size = lambda d: sum(  # noqa: E731
-        os.path.getsize(os.path.join(str(tmp_path / d), n))
-        for n in os.listdir(str(tmp_path / d))
+        os.path.getsize(f) for f in av._avro_files(str(tmp_path / d))
     )
     assert size("deflate") < size("null") / 5
 
@@ -190,7 +193,7 @@ def test_deflate_is_raw_deflate_per_spec(spark, tmp_path):
     spark.range(4).select(F.col("id").alias("k")).coalesce(1).write.format(
         "pyavro"
     ).mode("overwrite").save(out)
-    f = os.path.join(out, os.listdir(out)[0])
+    f = av._avro_files(out)[0]
     with open(f, "rb") as fh:
         meta, sync = av._read_header(fh)
         cur_rows = av._Cursor(fh.read())
@@ -216,7 +219,7 @@ def test_one_partition_per_file(spark, tmp_path):
     spark.range(100).select(F.col("id").alias("k")).repartition(
         7
     ).write.format("pyavro").mode("overwrite").save(out)
-    assert len([n for n in os.listdir(out) if n.endswith(".avro")]) == 7
+    assert len(av._avro_files(out)) == 7
     back = spark.read.format("pyavro").load(out)
     assert back.rdd.getNumPartitions() == 7
     assert back.count() == 100
@@ -307,3 +310,40 @@ def test_mixed_schema_directory_rejected(spark, tmp_path):
     ).write.format("pyavro").mode("append").save(out)
     with pytest.raises(Exception, match="does not match"):
         spark.read.format("pyavro").load(out).collect()
+
+
+def test_overwrite_commit_is_pointer_swap_atomic(spark, tmp_path):
+    """ADVICE r7: overwrite must be transactional — the previous
+    generation stays fully listed until the single _CURRENT pointer
+    rename. Simulate a crash mid-commit (staged files published into
+    the new generation dir, pointer NOT yet swapped): a reader must
+    still see the OLD data, complete."""
+    out = str(tmp_path / "atomic")
+    spark.range(10).select(F.col("id").alias("k")).write.format(
+        "pyavro"
+    ).mode("overwrite").save(out)
+    old_gen = open(os.path.join(out, "_CURRENT")).read().strip()
+
+    # hand-roll the crash window: a new generation dir full of files,
+    # no pointer swap — exactly the state between commit's publish
+    # loop and its os.replace
+    import shutil
+    crash_gen = os.path.join(out, "gen-crashed")
+    shutil.copytree(os.path.join(out, old_gen), crash_gen)
+
+    back = spark.read.format("pyavro").load(out)
+    assert back.count() == 10  # old generation, complete — not 20, not 0
+
+    # legacy flat layout (no pointer) still reads
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for n in os.listdir(os.path.join(out, old_gen)):
+        shutil.copy(os.path.join(out, old_gen, n), os.path.join(flat, n))
+    assert spark.read.format("pyavro").load(flat).count() == 10
+
+    # append into a pointer layout lands in the CURRENT generation
+    spark.range(5).select(F.col("id").alias("k")).write.format(
+        "pyavro"
+    ).mode("append").save(out)
+    assert spark.read.format("pyavro").load(out).count() == 15
+    assert open(os.path.join(out, "_CURRENT")).read().strip() == old_gen
