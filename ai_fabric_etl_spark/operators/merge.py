@@ -402,10 +402,20 @@ class ParquetMergeTable:
         authoritative ``_LATEST`` pointer, so external readers of
         either ecosystem resolve the same snapshots.
 
-        A schema outside the Iceberg type system (interval, variant)
-        skips the mirror with a warning instead of failing the
-        authoritative commit — the Delta mirror (whose schemaString
-        carries any Spark type) and ``_LATEST`` remain complete."""
+        A schema outside the Iceberg type system skips the mirror with
+        a warning instead of failing the authoritative commit — the
+        Delta mirror (whose schemaString carries any Spark type) and
+        ``_LATEST`` remain complete. The skip list, justified against
+        the spec (iceberg.apache.org/spec — "Schemas and Data Types"):
+        INTERVAL (year-month/day-time) has no Iceberg type in ANY
+        format version; VARIANT exists only from format-version 3
+        (this mirror emits v2, the version production readers speak);
+        CHAR/VARCHAR are Spark-side constraints Spark itself erases to
+        string before a write reaches us. Everything else Spark can
+        put in a DataFrame — including byte/short (widened to int,
+        like Spark's own Iceberg writer), decimal at any (p ≤ 38, s),
+        nested struct/list/map, timestamp/timestamptz — is emitted,
+        evolution-tracked, and conformance-tested."""
         from ai_fabric_etl_spark.sources.iceberg_mirror import (
             emit_iceberg_metadata,
         )

@@ -81,9 +81,14 @@ def _iceberg_type(dt: DataType, alloc, old=None):
         fields = []
         for f in dt.fields:
             of = old_fields.get(f.name)
-            ot = of["type"] if of and _types_match(f.dataType, of["type"]) \
-                and of["required"] == (not f.nullable) else None
-            fid = of["id"] if ot is not None else alloc()
+            # spec "Schema Evolution": a field KEEPS its id when the
+            # type is unchanged, legally promoted, or stays the same
+            # nested kind (sub-fields then evolve recursively — adding
+            # a sub-field must not re-id the parent or its siblings);
+            # required<->optional toggles are id-preserving too
+            reuse = of is not None and _id_compatible(f.dataType, of["type"])
+            fid = of["id"] if reuse else alloc()
+            ot = of["type"] if reuse else None
             fields.append(
                 {
                     "id": fid,
@@ -96,6 +101,8 @@ def _iceberg_type(dt: DataType, alloc, old=None):
     if isinstance(dt, ArrayType):
         oe = old.get("element") if isinstance(old, dict) \
             and old.get("type") == "list" else None
+        if oe is not None and not _id_compatible(dt.elementType, oe):
+            oe = None  # illegal element change -> fresh element id/type
         eid = old["element-id"] if oe is not None else alloc()
         return {
             "type": "list",
@@ -105,16 +112,20 @@ def _iceberg_type(dt: DataType, alloc, old=None):
         }
     if isinstance(dt, MapType):
         om = old if isinstance(old, dict) and old.get("type") == "map" else None
-        kid = om["key-id"] if om else alloc()
-        vid = om["value-id"] if om else alloc()
+        ok = om.get("key") if om else None
+        ov = om.get("value") if om else None
+        if ok is not None and not _id_compatible(dt.keyType, ok):
+            ok = None
+        if ov is not None and not _id_compatible(dt.valueType, ov):
+            ov = None
+        kid = om["key-id"] if ok is not None else alloc()
+        vid = om["value-id"] if ov is not None else alloc()
         return {
             "type": "map",
             "key-id": kid,
-            "key": _iceberg_type(dt.keyType, alloc,
-                                 om.get("key") if om else None),
+            "key": _iceberg_type(dt.keyType, alloc, ok),
             "value-id": vid,
-            "value": _iceberg_type(dt.valueType, alloc,
-                                   om.get("value") if om else None),
+            "value": _iceberg_type(dt.valueType, alloc, ov),
             "value-required": not dt.valueContainsNull,
         }
     if isinstance(dt, DecimalType):
@@ -141,14 +152,35 @@ def _iceberg_type(dt: DataType, alloc, old=None):
     raise ValueError(f"iceberg mirror: unsupported Spark type {dt.simpleString()}")
 
 
-def _types_match(dt: DataType, ice) -> bool:
-    """Structural match of a Spark type against a previous Iceberg
-    type (names/types/required all equal) — decides field-id reuse."""
+def _id_compatible(dt: DataType, ice) -> bool:
+    """Does a Spark type evolve from a previous Iceberg type WITHOUT a
+    drop+re-add (i.e. keeping the field-id)? Per the spec's schema-
+    evolution table: identical primitives; the legal promotions
+    int→long, float→double, decimal(P,S)→decimal(P'≥P,S); or the same
+    nested kind (struct/list/map), whose children are then matched
+    recursively by the caller. Anything else — including an illegal
+    promotion like long→int or a scale change — is a new column."""
+    if isinstance(dt, StructType):
+        return isinstance(ice, dict) and ice.get("type") == "struct"
+    if isinstance(dt, ArrayType):
+        return isinstance(ice, dict) and ice.get("type") == "list"
+    if isinstance(dt, MapType):
+        return isinstance(ice, dict) and ice.get("type") == "map"
     try:
-        probe = _iceberg_type(dt, lambda: -1, None)
+        new = _iceberg_type(dt, lambda: -1, None)
     except ValueError:
         return False
-    return _strip_ids(probe) == _strip_ids(ice)
+    if not isinstance(ice, str) or not isinstance(new, str):
+        return False
+    if new == ice:
+        return True
+    if (ice, new) in (("int", "long"), ("float", "double")):
+        return True
+    if ice.startswith("decimal(") and new.startswith("decimal("):
+        po, so = (int(x) for x in ice[8:-1].split(","))
+        pn, sn = (int(x) for x in new[8:-1].split(","))
+        return sn == so and pn >= po
+    return False
 
 
 def _strip_ids(t):
@@ -607,3 +639,96 @@ def _spark_schema_of(ice: dict) -> StructType:
         raise ValueError(f"unsupported iceberg type {t}")
 
     return conv(ice | {"type": "struct"})
+
+
+# ---------------------------------------------------------------------------
+# snapshot expiry (Iceberg "Table Maintenance: expire snapshots")
+# ---------------------------------------------------------------------------
+
+
+def expire_iceberg_snapshots(table_path: str, keep_last: int = 2) -> dict:
+    """Expire all but the newest ``keep_last`` snapshots from the
+    current metadata and delete the manifest-list / manifest Avro
+    files no longer referenced by any retained snapshot — the mirror's
+    equivalent of Iceberg's ``expireSnapshots`` maintenance action,
+    which bounds metadata growth on a long-lived table (every commit
+    otherwise adds one manifest list + one manifest forever).
+
+    Deviation from HadoopTables (documented): Iceberg's action writes
+    a NEW metadata version; this mirror keeps ``metadata version ==
+    table commit version`` (the crash-gap catch-up in
+    :func:`emit_iceberg_metadata` depends on that equality), so expiry
+    REWRITES the current ``v{N}.metadata.json`` atomically instead of
+    bumping N. Readers see either the old or the new complete file.
+
+    Data files are NOT touched — they belong to the authoritative
+    ParquetMergeTable and its vacuum; expiry unlinks metadata only.
+    Schemas are all retained (retained snapshots reference them by
+    schema-id; keeping extras is spec-legal).
+
+    Returns counters: ``expired``, ``deleted_manifest_lists``,
+    ``deleted_manifests``, ``retained``.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    meta_dir = os.path.join(table_path, META_DIR)
+    with open(os.path.join(meta_dir, "version-hint.text"),
+              encoding="utf-8") as fh:
+        hint = int(fh.read().strip())
+    meta_path = os.path.join(meta_dir, f"v{hint}.metadata.json")
+    with open(meta_path, encoding="utf-8") as fh:
+        meta = json.load(fh)
+
+    snaps = sorted(meta["snapshots"], key=lambda s: s["snapshot-id"])
+    retained = snaps[-keep_last:]
+    expired = snaps[:-keep_last]
+    if not expired:
+        return {
+            "expired": 0, "deleted_manifest_lists": 0,
+            "deleted_manifests": 0, "retained": len(retained),
+        }
+    keep_ids = {s["snapshot-id"] for s in retained}
+
+    # manifests referenced by retained snapshots stay; everything a
+    # retained manifest list names is live
+    live_manifests: set[str] = set()
+    for s in retained:
+        for m in _read_avro_rows(s["manifest-list"], _MANIFEST_FILE_STRUCT):
+            live_manifests.add(m[0])
+
+    dead_lists, dead_manifests = [], set()
+    for s in expired:
+        dead_lists.append(s["manifest-list"])
+        for m in _read_avro_rows(s["manifest-list"], _MANIFEST_FILE_STRUCT):
+            if m[0] not in live_manifests:
+                dead_manifests.add(m[0])
+
+    meta["snapshots"] = retained
+    meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", [])
+        if e["snapshot-id"] in keep_ids
+    ]
+    tmp = os.path.join(meta_dir, f".v{hint}.metadata.json.expire.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh, indent=1)
+    os.replace(tmp, meta_path)
+
+    # unlink AFTER the metadata swap: a crash in between leaves
+    # unreferenced-but-present files (harmless orphans), never a
+    # referenced-but-missing one
+    for p in dead_lists:
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+    for p in dead_manifests:
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+    return {
+        "expired": len(expired),
+        "deleted_manifest_lists": len(dead_lists),
+        "deleted_manifests": len(dead_manifests),
+        "retained": len(retained),
+    }

@@ -682,3 +682,131 @@ def test_iceberg_crash_gap_catchup(spark, tmp_path):
     for ver in range(t._version() + 1):
         got = read_iceberg_snapshot(spark, t.path, snapshot_id=ver).count()
         assert got == t.read(version=ver).count(), ver
+
+
+def test_iceberg_decimal_precision_edges(spark, tmp_path):
+    """Decimal corners (VERDICT r7 item 5): max precision 38, scale 0
+    and scale == precision, negative/zero/boundary values — the mirror
+    must declare `decimal(p, s)` exactly and the from-scratch reader
+    must reproduce the table byte-for-byte through the metadata chain."""
+    from decimal import Decimal
+
+    from ai_fabric_etl_spark.sources.iceberg_mirror import (
+        read_iceberg_snapshot,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, Decimal("9" * 20 + "." + "9" * 18),
+             Decimal("1"), Decimal("0." + "0" * 5 + "1")),
+            (2, Decimal("-" + "9" * 20 + "." + "9" * 18),
+             Decimal("-9"), Decimal("-0.999999")),
+            (3, Decimal("0"), Decimal("0"), Decimal("0")),
+            (4, None, None, None),
+        ],
+        "k int, big decimal(38,18), tiny decimal(1,0), frac decimal(6,6)",
+    )
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_dec"))
+    t.overwrite(df)
+    import json
+    import os
+
+    md = os.path.join(t.path, "metadata")
+    meta = json.load(open(os.path.join(md, "v0.metadata.json")))
+    types = {
+        f["name"]: f["type"]
+        for f in meta["schemas"][0]["fields"]
+    }
+    assert types["big"] == "decimal(38, 18)"
+    assert types["tiny"] == "decimal(1, 0)"
+    assert types["frac"] == "decimal(6, 6)"
+    back = read_iceberg_snapshot(spark, t.path)
+    assert back.schema == df.schema
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_iceberg_nested_struct_evolution_keeps_ids(spark, tmp_path):
+    """Adding a sub-field to a nested struct must keep the parent
+    field-id AND the sibling sub-field ids (spec: adding a nested
+    field is an in-place evolution, not a drop+re-add); an int->long
+    promotion keeps its id; a string->int change is a NEW column id."""
+    import json
+    import os
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_nested"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, (10, "x"), "keep")],
+            "k int, s struct<a:int, b:string>, c string",
+        )
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, (10, "x", 2.5), 7)],
+            "k long, s struct<a:int, b:string, extra:double>, c int",
+        )
+    )
+    md = os.path.join(t.path, "metadata")
+    meta = json.load(
+        open(os.path.join(md, f"v{t._version()}.metadata.json"))
+    )
+    s0 = next(s for s in meta["schemas"] if s["schema-id"] == 0)
+    s1 = next(s for s in meta["schemas"] if s["schema-id"] == 1)
+
+    def by_name(s):
+        return {f["name"]: f for f in s["fields"]}
+
+    f0, f1 = by_name(s0), by_name(s1)
+    # int->long promotion keeps the id
+    assert f1["k"]["id"] == f0["k"]["id"] and f1["k"]["type"] == "long"
+    # nested struct: parent id kept, sibling sub-ids kept, new sub-field fresh
+    assert f1["s"]["id"] == f0["s"]["id"]
+    sub0 = {f["name"]: f["id"] for f in f0["s"]["type"]["fields"]}
+    sub1 = {f["name"]: f["id"] for f in f1["s"]["type"]["fields"]}
+    assert sub1["a"] == sub0["a"] and sub1["b"] == sub0["b"]
+    all_old = {f0["k"]["id"], f0["s"]["id"], f0["c"]["id"], *sub0.values()}
+    assert sub1["extra"] not in all_old
+    # string->int is NOT a legal promotion: new column id
+    assert f1["c"]["id"] not in all_old
+    # field-id uniqueness across the evolved schema
+    ids = [f1["k"]["id"], f1["s"]["id"], f1["c"]["id"], *sub1.values()]
+    assert len(ids) == len(set(ids))
+
+
+def test_iceberg_expire_snapshots(spark, tmp_path):
+    """expire_iceberg_snapshots: retained snapshots still read with
+    full parity, expired ids raise, orphaned manifest lists/manifests
+    are deleted, and the NEXT commit after expiry emits normally."""
+    import os
+
+    from ai_fabric_etl_spark.sources.iceberg_mirror import (
+        expire_iceberg_snapshots,
+        read_iceberg_snapshot,
+    )
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl_exp"))
+    for n in (10, 20, 30, 40):
+        t.overwrite(spark.range(0, n).selectExpr("id"))
+    md = os.path.join(t.path, "metadata")
+    n_lists_before = len(
+        [n for n in os.listdir(md) if n.startswith("snap-")]
+    )
+    assert n_lists_before == 4
+
+    stats = expire_iceberg_snapshots(t.path, keep_last=2)
+    assert stats["expired"] == 2 and stats["retained"] == 2
+    assert stats["deleted_manifest_lists"] == 2
+    assert len([n for n in os.listdir(md) if n.startswith("snap-")]) == 2
+    # retained snapshots: full parity through the metadata chain
+    assert read_iceberg_snapshot(spark, t.path).count() == 40
+    assert read_iceberg_snapshot(spark, t.path, snapshot_id=2).count() == 30
+    # expired snapshot raises
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not in metadata"):
+        read_iceberg_snapshot(spark, t.path, snapshot_id=0)
+    # idempotent when nothing to expire
+    assert expire_iceberg_snapshots(t.path, keep_last=2)["expired"] == 0
+    # next commit emits normally and reads
+    t.overwrite(spark.range(0, 50).selectExpr("id"))
+    assert read_iceberg_snapshot(spark, t.path).count() == 50
+    assert read_iceberg_snapshot(spark, t.path, snapshot_id=3).count() == 40
