@@ -1,0 +1,117 @@
+"""Sketch-state longevity: 1,000 epoch-guarded commits with periodic
+compaction must leave every replay path O(1)/bounded — the pointer,
+the Delta log (checkpoint-seeded), and the Iceberg mirror (snapshot
+expiry) — and the fold must still work, exactly-once, at epoch 1000+
+(VERDICT r7 item 6: the mirror had this discipline, the state tables
+didn't have the PROOF).
+
+The loop drives the real metadata machinery 1,000 times: pointer swap
+(_swap), Delta JSON commit + every-10th parquet checkpoint
+(_emit_delta_log), Iceberg metadata/manifests (_emit_iceberg), the
+epoch guard, and compact_state every 100 epochs. The one thing NOT
+re-run per epoch is the Spark parquet job that materializes the
+version directory — each epoch instead copies a byte-identical
+Spark-written v=0 artifact (shutil.copytree, same files a write
+produces). That job is vanilla Spark write latency (~0.75 s each,
+~12 min for 1,000) and has no bearing on the growth properties under
+test; real folds through merge_drift_state bracket the loop at both
+ends to prove the genuine path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F  # noqa: F401  (parity with suite style)
+
+from ai_fabric_etl_spark.operators.merge import ParquetMergeTable
+from ai_fabric_etl_spark.streaming.sketch_state import (
+    compact_state,
+    merge_drift_state,
+    read_drift_psi,
+)
+
+EPOCHS = 1000
+COMPACT_EVERY = 100
+KEEP_LAST = 2
+
+
+def test_state_table_1000_epochs_bounded_replay(spark, tmp_path):
+    state = str(tmp_path / "drift_state")
+    app = "drift_state:ck"
+
+    # epoch 0: one REAL fold through the production path
+    batch = spark.range(1).selectExpr("CAST(id + 5 AS DOUBLE) AS x")
+    edges = [10.0]  # 2 bins; all values land in bin 1
+    merge_drift_state(spark, batch, state, 0, "x", edges, app_id=app)
+    t = ParquetMergeTable(spark, state)
+    assert t.last_epoch(app) == 0
+
+    # epochs 1..1000: the full metadata machinery per epoch, with the
+    # version directory materialized as a byte-identical copy of the
+    # Spark-written v=0 artifact (see module docstring)
+    sch = t.read().schema
+    schema_json = sch.json()
+    for e in range(1, EPOCHS + 1):
+        v = t._version() + 1
+        # source survives compaction: always the current newest version
+        src = os.path.join(state, f"v={v - 1}")
+        shutil.copytree(src, os.path.join(state, f"v={v}"))
+        t._swap(v, e, op="WRITE", app_id=app)
+        t._emit_delta_log(v, schema_json, "WRITE")
+        t._emit_iceberg(v, sch, "WRITE")
+        if e % COMPACT_EVERY == 0:
+            stats = compact_state(spark, state, keep_last=KEEP_LAST)
+            assert stats["retained"] == KEEP_LAST
+
+    assert t.last_epoch(app) == EPOCHS
+
+    # final compaction, then the boundedness claims -----------------
+    compact_state(spark, state, keep_last=KEEP_LAST)
+
+    # (1) data versions: only keep_last directories remain
+    vdirs = [n for n in os.listdir(state) if n.startswith("v=")]
+    assert len(vdirs) <= KEEP_LAST, vdirs
+
+    # (2) Iceberg mirror: metadata.json carries <= compact-interval
+    # snapshots and stays small; manifests/lists match the retained set
+    md = os.path.join(state, "metadata")
+    hint = int(open(os.path.join(md, "version-hint.text")).read())
+    meta_path = os.path.join(md, f"v{hint}.metadata.json")
+    meta = json.load(open(meta_path))
+    assert len(meta["snapshots"]) == KEEP_LAST
+    assert os.path.getsize(meta_path) < 64 * 1024
+    snap_files = [n for n in os.listdir(md) if n.startswith("snap-")]
+    manifest_files = [n for n in os.listdir(md) if n.startswith("manifest-")]
+    assert len(snap_files) == KEEP_LAST, len(snap_files)
+    assert len(manifest_files) == KEEP_LAST, len(manifest_files)
+
+    # (3) Delta log: replay seeds from the newest checkpoint and reads
+    # at most one checkpoint interval of JSON tail
+    log_dir = os.path.join(state, "_delta_log")
+    last_ck = json.load(open(os.path.join(log_dir, "_last_checkpoint")))
+    tail = [
+        n for n in os.listdir(log_dir)
+        if n.endswith(".json") and int(n.split(".")[0]) > last_ck["version"]
+    ]
+    assert len(tail) <= ParquetMergeTable._CHECKPOINT_INTERVAL, len(tail)
+
+    # the from-scratch Delta reader resolves the current snapshot
+    # through that bounded chain
+    from ai_fabric_etl_spark.sources.delta_reader import read_delta_snapshot
+
+    assert read_delta_snapshot(spark, state).count() == 1
+
+    # (4) the REAL fold still works at epoch 1000+, and the
+    # exactly-once guard still skips replays
+    merge_drift_state(spark, batch, state, EPOCHS + 1, "x", edges, app_id=app)
+    merge_drift_state(spark, batch, state, 500, "x", edges, app_id=app)  # replay
+    psi = {r["bin_id"]: r["cur_n"] for r in
+           read_drift_psi(spark, state, {1: 1}, bins=2).collect()}
+    # two real folds of one row each (epoch 0 and epoch 1001); the
+    # 1,000 copied versions each RE-STATE the same folded value (every
+    # overwrite replaces), and the replayed epoch-500 fold was skipped
+    assert psi[1] == 2, psi
+    assert ParquetMergeTable(spark, state).last_epoch(app) == EPOCHS + 1
