@@ -417,7 +417,7 @@ def lsh_cosine_neardup_pairs(
     target_occupancy: int = 16,
     corpus_count: int | None = None,
     extra_planes: int = 4,
-    max_resplit_rounds: int = 3,
+    max_resplit_rounds: int = 2,
     on_oversize: str = "raise",
     stats_out: dict | None = None,
 ) -> DataFrame:
@@ -476,7 +476,14 @@ def lsh_cosine_neardup_pairs(
         )
 
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    tagged = _tag_buckets(v, "v", dim, total_bits, n_tables, seed, stride=31)
+    # vectors never enter the bucket machinery: tagging needs them
+    # map-side only, and the tagged frame holds n_tables rows PER
+    # VECTOR — carrying the embedding there would shuffle every
+    # vector n_tables times through the joins below. Ids + keys only;
+    # vectors join back once per pair side at the end.
+    tagged = _tag_buckets(
+        v, "v", dim, total_bits, n_tables, seed, stride=31
+    ).select("id", "table", "bucket")
     fine_key = F.col("bucket")
 
     def mask(r: int) -> int:
@@ -556,17 +563,16 @@ def lsh_cosine_neardup_pairs(
     leveled = (
         tagged.join(assign.drop("_fn"), ["table", "bucket"])
         .filter(F.col("lvl").isNotNull())
-        .select("id", "v", "table", "lvl", "lbucket")
+        .select("id", "table", "lvl", "lbucket")
     )
 
     a = leveled.alias("a")
     b = leveled.alias("b")
-    # cosine + threshold BEFORE the pair dedup: a near-dup pair
-    # co-occurs in several tables, so the cosine is recomputed up to
-    # n_tables times — a vectorized codegen expression — but the
-    # dedup shuffle then carries (id, id, double) rows instead of two
-    # embedding vectors per candidate (the dominant byte volume)
-    return (
+    # id-only candidate pairs, deduped BEFORE any vector touches the
+    # pipeline: the pair dedup shuffles 16-byte rows, then each side's
+    # embedding joins back exactly once and the cosine runs once per
+    # DISTINCT pair
+    pairs = (
         a.join(
             b,
             (F.col("a.table") == F.col("b.table"))
@@ -574,13 +580,18 @@ def lsh_cosine_neardup_pairs(
             & (F.col("a.lbucket") == F.col("b.lbucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.join(v.select(F.col("id").alias("id_a"),
+                            F.col("v").alias("v_a")), "id_a")
+        .join(v.select(F.col("id").alias("id_b"),
+                       F.col("v").alias("v_b")), "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            "id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
