@@ -999,3 +999,50 @@ def duplicate_span_coverage(
             6,
         ).alias("dup_coverage"),
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Soft deduplication (the SlimPajama/RefinedWeb alternative to
+    dropping): every document is KEPT, weighted by the inverse of its
+    near-dup cluster size — a corpus re-weighting that preserves
+    coverage while removing the over-representation hard dedup targets
+    (duplicates otherwise act as implicit epochs over that content).
+
+    ``pairs`` is any near-dup edge list ``(doc_a, doc_b)`` from the
+    pair operators (LSH/MinHash/SemDeDup). Weights are integer
+    MICRO-weights (``1_000_000 // cluster_size``) so the result is
+    bit-stable across engines — float division would put the oracle
+    one ulp away.
+
+    Returns ``(id_col, cluster_rep, cluster_size, weight_micro)``:
+    singletons get themselves as rep, size 1, weight 1,000,000.
+
+    Scale shape: components via alternating large-star/small-star
+    (O(log n) rounds over the edge list — see
+    :func:`neardup_components`), cluster sizes one groupBy over the
+    (small) membership table, then ONE left join back to the corpus —
+    document payloads never enter the component machinery.
+    """
+    comp = neardup_components(pairs).select(
+        F.col("doc_id").alias("_cid"), "component"
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("_csize")
+    )
+    lab = comp.join(sizes, "component")
+    return (
+        docs.select(F.col(id_col))
+        .join(lab, docs[id_col] == lab["_cid"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("cluster_rep"),
+            F.coalesce("_csize", F.lit(1)).cast("int").alias("cluster_size"),
+            F.expr(
+                "1000000L div coalesce(_csize, 1)"  # integer div: exact
+            ).alias("weight_micro"),
+        )
+    )

@@ -697,3 +697,103 @@ def dsir_select_topk(
     return lr.orderBy(
         F.col("logratio_micro").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def sample_token_budget(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    salt: str = "tokbudget",
+) -> DataFrame:
+    """Per-domain TOKEN-budget selection — the cut a pretraining data
+    mix actually specifies ("30 B tokens of web, 5 B of code, 2 B of
+    wiki"), as opposed to the doc-count quotas of
+    :func:`temperature_mixture_sample`: within each domain, take the
+    deterministic-random prefix of documents whose INCLUSIVE
+    cumulative token count fits the domain's budget.
+
+    Order within a domain is the full-width md5 priority (same
+    NULL-coalesced ``md5(id || '-' || salt)`` encoding as every other
+    sampler here) with ``id_col`` as the unique tiebreak — seedless,
+    growth-stable (a corpus append never reorders the existing
+    prefix) and bit-identical in ANSI SQL, so the whole selection is
+    value-oracle-able.
+
+    Scale shape — a distributed prefix sum, never a one-task window:
+    a plain ``SUM() OVER (PARTITION BY domain ORDER BY ...)`` pins
+    each domain's ENTIRE corpus onto a single task (domains are few;
+    at 100 TB each is far beyond one executor). Instead the priority's
+    first two hex chars define 256 sub-buckets that are ORDER-ALIGNED
+    with the priority itself (the bucket is a prefix of the sort key,
+    so sorting by priority alone equals sorting by (bucket, priority)):
+
+    1. one groupBy computes per-(domain, bucket) token sums — at most
+       ``domains x 256`` rows collect to the driver, where a python
+       prefix over the bucket order yields each bucket's global
+       OFFSET (a bounded literal, like the profile/codebook collects);
+    2. the offsets broadcast-join back, and a window partitioned by
+       (domain, bucket) — 256-way parallel per domain — adds the
+       in-bucket running sum to the offset for the exact global
+       cumulative token count.
+
+    Documents from domains absent from ``budgets`` are dropped.
+    Returns ``(id_col, domain_col, n_tokens, cum_tokens)`` with
+    ``cum_tokens <= budgets[domain]``.
+    """
+    if not budgets:
+        raise ValueError("budgets must name at least one domain")
+    toks = (
+        F.col(token_col).cast("long")
+        if token_col
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    )
+    pr = _priority(id_col, salt)
+    base = (
+        docs.where(F.col(domain_col).isin(*budgets.keys()))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(domain_col).alias("_dom"),
+            toks.alias("n_tokens"),
+            pr.alias("_pr"),
+        )
+        .withColumn(
+            "_bkt", F.conv(F.substring("_pr", 1, 2), 16, 10).cast("int")
+        )
+    )
+    spark = docs.sparkSession
+    sums = (
+        base.groupBy("_dom", "_bkt")
+        .agg(F.sum("n_tokens").alias("_btok"))
+        .collect()
+    )
+    offs, run = [], {}
+    for r in sorted(sums, key=lambda r: (r["_dom"], r["_bkt"])):
+        offs.append((r["_dom"], r["_bkt"], run.get(r["_dom"], 0)))
+        run[r["_dom"]] = run.get(r["_dom"], 0) + r["_btok"]
+    offsets = spark.createDataFrame(
+        offs, "_dom string, _bkt int, _off long"
+    )
+    budget_expr = F.lit(None).cast("long")
+    for dom, b in budgets.items():
+        budget_expr = F.when(F.col("_dom") == dom, F.lit(int(b))).otherwise(
+            budget_expr
+        )
+    w = (
+        Window.partitionBy("_dom", "_bkt")
+        .orderBy("_pr", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(F.broadcast(offsets), ["_dom", "_bkt"])
+        .withColumn("cum_tokens", F.col("_off") + F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= budget_expr)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_dom").alias(domain_col),
+            "n_tokens",
+            "cum_tokens",
+        )
+    )

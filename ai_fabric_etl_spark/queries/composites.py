@@ -171,11 +171,19 @@ FP_GROUPS: dict[str, list[str]] = {
         "emb_random_projection",
         "emb_pca_invariants",
         "sample_dsir_topk",
+        # r8: per-domain token-budget selection (distributed prefix sum)
+        "sample_token_budget",
+        # r8: soft dedup — inverse-cluster-size re-weighting
+        "dedup_soft_weights",
         "text_unigram_roundtrip",
         # r8 rotation: r6/r7 flagships rotate out of the 50-slot
         # window (green in CORRECTNESS_r06/r07); oracles stay fully
         # driver-visible here
         "sample_dsir_topk",
+        # r8: per-domain token-budget selection (distributed prefix sum)
+        "sample_token_budget",
+        # r8: soft dedup — inverse-cluster-size re-weighting
+        "dedup_soft_weights",
         "source_sqlite_roundtrip",
         "pack_token_bins",
         "curate_corpus_pipeline",

@@ -2174,3 +2174,52 @@ def q_emb_pca_invariants(spark, sf_dir):
         "n_points long, k_components int, n_ortho_viol int, "
         "n_order_viol int, n_center_viol int, n_var_viol int",
     )
+
+
+@register(
+    "dedup_soft_weights",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000 FROM embeddings WHERE vec_id < 50
+    )
+    SELECT vec_id AS doc_id,
+           CAST(CASE WHEN vec_id >= 10000 THEN vec_id - 10000
+                     ELSE vec_id END AS BIGINT) AS cluster_rep,
+           CAST(CASE WHEN vec_id < 50 OR vec_id >= 10000
+                     THEN 2 ELSE 1 END AS INTEGER) AS cluster_size,
+           CAST(CASE WHEN vec_id < 50 OR vec_id >= 10000
+                     THEN 500000 ELSE 1000000 END AS BIGINT)
+             AS weight_micro
+    FROM corpus
+    """,
+)
+def q_dedup_soft_weights(spark, sf_dir):
+    """Soft dedup (SlimPajama-style re-weighting instead of dropping):
+    the planted-duplicate corpus from emb_neardup runs the full scale
+    pipeline — LSH near-dup pairs -> large-star/small-star components
+    -> inverse-cluster-size integer micro-weights joined back to every
+    document. The planted structure makes the whole output exactly
+    predictable: each planted pair forms a 2-cluster (rep = the
+    original id, weight 500000); everything else is a singleton at
+    weight 1000000. A missed pair, a wrong component, or a weight
+    off-by-one flips the value hash."""
+    emb = _t(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    pairs = similarity.lsh_cosine_neardup_pairs(
+        corpus, threshold=0.95
+    ).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return dedup.soft_dedup_weights(
+        corpus.select("vec_id"), pairs, id_col="vec_id"
+    ).select(
+        F.col("vec_id").alias("doc_id"),
+        "cluster_rep",
+        "cluster_size",
+        "weight_micro",
+    )

@@ -846,3 +846,47 @@ def sample_dsir_topk(spark, sf_dir):
         k=100,
         n_buckets=_DSIR_B,
     )
+
+
+_TOKBUDGET = {"src3": 900, "src7": 500, "src11": 1200, "src16": 700}
+_TOKBUDGET_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         md5(COALESCE(CAST(doc_id AS VARCHAR), '__NULL__')
+             || '-tokbudget') AS pr
+  FROM documents
+  WHERE source IN ('src3', 'src7', 'src11', 'src16')
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY pr, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c
+WHERE cum_tokens <= CASE source
+    WHEN 'src3' THEN 900 WHEN 'src7' THEN 500
+    WHEN 'src11' THEN 1200 WHEN 'src16' THEN 700 END
+"""
+
+
+@register("sample_token_budget", oracle=_TOKBUDGET_ORACLE)
+def q_sample_token_budget(spark, sf_dir):
+    """Per-domain TOKEN-budget cut (the unit a pretraining mix is
+    actually specified in — "N tokens of domain X", not N documents):
+    deterministic md5-priority prefix per domain whose inclusive
+    cumulative token count fits the budget. The engine computes the
+    global running sum as a DISTRIBUTED prefix sum (per-(domain,
+    md5-prefix-bucket) sums rolled up on the driver into bucket
+    offsets + a 256-way-parallel in-bucket window) — never a one-task
+    per-domain window; the oracle replays the identical total order
+    (the bucket is a PREFIX of the priority, so ordering by priority
+    alone is the same order) with a plain SQL window."""
+    from ai_fabric_etl_spark.operators.sampling import sample_token_budget
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return sample_token_budget(docs, _TOKBUDGET)

@@ -93,6 +93,8 @@ HEADLINE = [
     "sample_dsir_topk",            # DSIR hashed-bigram importance selection
     "emb_random_projection",       # JL sign projection (pure codegen)
     "lakehouse_iceberg_native_read",  # commit + iceberg-metadata read path
+    "sample_token_budget",         # per-domain token-budget prefix cut (r8)
+    "dedup_soft_weights",          # inverse-cluster-size soft dedup (r8)
     "x12_silver_transactions",     # distributed X12 parse
 ]
 

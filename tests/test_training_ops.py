@@ -853,3 +853,62 @@ def test_dsir_ranks_targetlike_docs_first(spark):
     assert lr[20] > lr[21]  # doc 20 is the tripled-A form
     top = dsir_select_topk(docs, F.col("source") == "tgt", k=10).collect()
     assert {r["doc_id"] for r in top} == set(range(20, 30))
+
+
+def test_sample_token_budget_invariants(spark, sf_dir):
+    """Per-domain token-budget cut: every selected doc's inclusive
+    cumulative tokens fits the budget, the selection is exactly the
+    md5-order PREFIX (no doc outside the budget order sneaks in, the
+    next doc in order would overflow), absent domains are dropped,
+    and the distributed prefix sum equals a single-window reference."""
+    from ai_fabric_etl_spark.operators.sampling import (
+        _priority,
+        sample_token_budget,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    budgets = {"src3": 900, "src7": 500}
+    out = sample_token_budget(docs, budgets).collect()
+    assert out, "selection must be non-empty"
+    assert {r["source"] for r in out} <= set(budgets)
+    for r in out:
+        assert r["cum_tokens"] <= budgets[r["source"]]
+
+    # reference: single-window cumulative sum in plain Spark
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(_priority("doc_id", "tokbudget"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = (
+        docs.where(F.col("source").isin(*budgets))
+        .select("doc_id", "source", toks.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    )
+    ref_rows = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["cum_tokens"])
+        for r in ref.collect()
+    }
+    got = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["cum_tokens"])
+        for r in out
+    }
+    want = {
+        k: v for k, v in ref_rows.items()
+        if v[2] <= budgets[v[0]]
+    }
+    assert got == want  # exact prefix, exact cumulative sums
+    # prefix-maximality: for each domain the NEXT doc in order overflows
+    for dom, b in budgets.items():
+        rest = sorted(
+            (v[2] for k, v in ref_rows.items()
+             if v[0] == dom and k not in got),
+        )
+        if rest:
+            assert rest[0] > b
