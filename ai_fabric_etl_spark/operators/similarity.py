@@ -1306,3 +1306,269 @@ def pca_project(
         return pd.Series(list((X - mu) @ W.T))
 
     return df.withColumn(out_col, _proj(F.col(vec_col)))
+
+
+# ---------------------------------------------------------------------------
+# incremental embedding near-dup: persisted LSH index, O(batch) admission
+# ---------------------------------------------------------------------------
+
+
+def emb_neardup_index_write(
+    emb: DataFrame,
+    path: str,
+    dim: int = 64,
+    n_planes: int | None = None,
+    n_tables: int = 6,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_occupancy: int = 16,
+    expected_final_count: int | None = None,
+    extra_planes: int = 4,
+    max_resplit_rounds: int = 2,
+) -> None:
+    """Persist the hyperplane-LSH near-dup index so a continuously
+    ingested corpus admits each batch in O(batch) — the embedding
+    sibling of :func:`dedup.minhash_index_write`. The plane count is
+    FIXED AT BUILD TIME from ``expected_final_count`` (default: the
+    current corpus size): auto-deriving per batch would re-key the
+    whole index on every insert. Size the index for the corpus you
+    expect, not the corpus you have.
+
+    Layout under ``path``:
+    - ``keys/``   — (id, table, bucket) with the FULL packed
+      ``n_planes + extra_planes·rounds``-bit key, partitioned by
+      table (ids + 8-byte keys, never vectors);
+    - ``vecs/``   — (id, v) for exact-cosine candidate verification;
+    - ``counts/`` — (table, bucket, n) per finest key: the occupancy
+      deltas batches merge against WITHOUT rescanning the corpus;
+    - ``meta.json`` — every key-derivation parameter, so a batch
+      reproduces bit-identical keys.
+    """
+    import json as _json
+    import os as _os
+
+    if n_planes is None:
+        n = (
+            expected_final_count
+            if expected_final_count is not None
+            else emb.count()
+        )
+        n_planes = neardup_planes_for(n, target_occupancy)
+    total_bits = n_planes + extra_planes * max_resplit_rounds
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    tagged = _tag_buckets(
+        v, "v", dim, total_bits, n_tables, seed, stride=31
+    ).select("id", "table", "bucket")
+    tagged.write.partitionBy("table").mode("overwrite").parquet(
+        f"{path}/keys"
+    )
+    v.write.mode("overwrite").parquet(f"{path}/vecs")
+    (
+        tagged.groupBy("table", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/counts")
+    )
+    _os.makedirs(path, exist_ok=True)
+    with open(f"{path}/meta.json", "w", encoding="utf-8") as fh:
+        _json.dump(
+            {
+                "dim": dim, "n_planes": n_planes, "n_tables": n_tables,
+                "seed": seed, "extra_planes": extra_planes,
+                "max_resplit_rounds": max_resplit_rounds,
+            },
+            fh,
+        )
+
+
+def emb_neardup_incremental(
+    new_emb: DataFrame,
+    index_path: str,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Near-dup pairs for a NEW embedding batch against an indexed
+    corpus (:func:`emb_neardup_index_write`) plus within the batch,
+    WITHOUT re-tagging the corpus: (id_a, id_b, cosine) with id_a <
+    id_b and at least one side in the batch. Index and batch ids must
+    be disjoint.
+
+    Scale shape — the batch, not the corpus, pays:
+    - only the batch is tagged (one Arrow matmul over O(batch) rows);
+    - bucket occupancy merges the stored per-bucket ``counts`` with
+      the batch's own (both count frames, no corpus scan), restricted
+      to the base-level buckets the batch touches;
+    - the corpus-side ``keys`` scan is pruned MAP-SIDE by a broadcast
+      of those touched base buckets before any shuffle — untouched
+      index regions are never read past the filter;
+    - level re-split assignment is the same hierarchy as the batch
+      operator (same packed keys, same masks), computed on the merged
+      counts so index and batch agree on every bucket's level;
+    - candidate verification joins the (small) pair set against the
+      stored ``vecs`` — vectors enter exactly once per pair side.
+
+    Oversize policy matches :func:`lsh_cosine_neardup_pairs`: a
+    touched bucket still over ``max_bucket`` at the deepest level
+    raises (run exact dedup first / rebuild with more planes).
+    """
+    import json as _json
+
+    with open(f"{index_path}/meta.json", encoding="utf-8") as fh:
+        meta = _json.load(fh)
+    n_planes = meta["n_planes"]
+    extra = meta["extra_planes"]
+    rounds = meta["max_resplit_rounds"]
+    spark = new_emb.sparkSession
+
+    def mask(r: int) -> int:
+        return (1 << (n_planes + extra * r)) - 1
+
+    b = new_emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    b_tagged = _tag_buckets(
+        b, "v", meta["dim"], n_planes + extra * rounds, meta["n_tables"],
+        meta["seed"], stride=31,
+    ).select("id", "table", "bucket")
+
+    base_key = F.col("bucket").bitwiseAND(F.lit(mask(0)))
+    touched = (
+        b_tagged.select("table", base_key.alias("_b0")).distinct()
+    )
+    # map-side prune of the index: only rows sharing a touched BASE
+    # bucket can pair with the batch at any refinement level
+    ik = spark.read.parquet(f"{index_path}/keys")
+    idx_keys = ik.join(
+        F.broadcast(touched),
+        (ik["table"] == touched["table"])
+        & (ik["bucket"].bitwiseAND(F.lit(mask(0))) == touched["_b0"]),
+    ).select(ik["id"], ik["table"], ik["bucket"])
+
+    # merged occupancy for touched buckets only: stored counts + batch
+    ic = spark.read.parquet(f"{index_path}/counts")
+    idx_counts = ic.join(
+        F.broadcast(touched),
+        (ic["table"] == touched["table"])
+        & (ic["bucket"].bitwiseAND(F.lit(mask(0))) == touched["_b0"]),
+    ).select(ic["table"], ic["bucket"], ic["n"])
+    b_counts = b_tagged.groupBy("table", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cnts = (
+        idx_counts.unionByName(b_counts)
+        .groupBy("table", "bucket")
+        .agg(F.sum("n").alias(f"n{rounds}"))
+    )
+    for r in range(rounds - 1, -1, -1):
+        w = Window.partitionBy(
+            "table", F.col("bucket").bitwiseAND(F.lit(mask(r)))
+        )
+        cnts = cnts.withColumn(f"n{r}", F.sum(f"n{rounds}").over(w))
+    lvl = F.lit(None).cast("int")
+    for r in range(rounds, -1, -1):
+        ok = F.col(f"n{r}") <= max_bucket
+        lvl = F.when(ok, F.lit(r)).otherwise(lvl)
+    assign = cnts.select("table", "bucket", lvl.alias("lvl"))
+
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def _guard_lvl(lv: pd.Series, bkt: pd.Series) -> pd.Series:
+        if lv.isna().any():
+            bad = bkt[lv.isna()].iloc[0]
+            raise ValueError(
+                "emb_neardup_incremental: touched bucket still exceeds "
+                f"max_bucket={max_bucket} at the deepest re-split level "
+                f"(finest bucket key {int(bad)}) — exact-dedup first or "
+                "rebuild the index with more planes"
+            )
+        return lv.astype("int32")
+
+    assign = assign.withColumn("lvl", _guard_lvl("lvl", "bucket")).withColumn(
+        "lbucket",
+        F.col("bucket").bitwiseAND(
+            F.expr(f"shiftleft(1L, lvl * {extra} + {n_planes}) - 1")
+        ),
+    )
+
+    def leveled(keys: DataFrame) -> DataFrame:
+        return keys.join(assign, ["table", "bucket"]).select(
+            "id", "table", "lvl", "lbucket"
+        )
+
+    side_a = leveled(idx_keys.unionByName(b_tagged))
+    side_b = leveled(b_tagged)
+    pairs = (
+        side_a.alias("a")
+        .join(
+            side_b.alias("b"),
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.lvl") == F.col("b.lvl"))
+            & (F.col("a.lbucket") == F.col("b.lbucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = spark.read.parquet(f"{index_path}/vecs").unionByName(b)
+    return (
+        pairs.join(vecs.select(F.col("id").alias("id_a"),
+                               F.col("v").alias("v_a")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"),
+                          F.col("v").alias("v_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            cosine(F.col("v_a"), F.col("v_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def emb_neardup_index_insert(
+    new_emb: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Admit a screened batch into the index: append its keys and
+    vectors, fold its counts into the stored occupancy table. Keys
+    are derived with the index's OWN frozen parameters, so the index
+    never re-tags history (O(batch) like the query path)."""
+    import json as _json
+
+    with open(f"{index_path}/meta.json", encoding="utf-8") as fh:
+        meta = _json.load(fh)
+    spark = new_emb.sparkSession
+    b = new_emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    tagged = _tag_buckets(
+        b, "v", meta["dim"],
+        meta["n_planes"] + meta["extra_planes"] * meta["max_resplit_rounds"],
+        meta["n_tables"], meta["seed"], stride=31,
+    ).select("id", "table", "bucket")
+    tagged.write.partitionBy("table").mode("append").parquet(
+        f"{index_path}/keys"
+    )
+    b.write.mode("append").parquet(f"{index_path}/vecs")
+    merged = (
+        spark.read.parquet(f"{index_path}/counts")
+        .unionByName(
+            tagged.groupBy("table", "bucket").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+        )
+        .groupBy("table", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    # counts are bucket-granular (no ids): small enough to rewrite;
+    # stage then swap so a crash never leaves a half-written table
+    merged.cache().count()
+    merged.write.mode("overwrite").parquet(f"{index_path}/counts_next")
+    import shutil as _shutil
+
+    _shutil.rmtree(f"{index_path}/counts")
+    _shutil.move(f"{index_path}/counts_next", f"{index_path}/counts")
+    merged.unpersist()

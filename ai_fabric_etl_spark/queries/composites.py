@@ -175,6 +175,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "sample_token_budget",
         # r8: soft dedup — inverse-cluster-size re-weighting
         "dedup_soft_weights",
+        # r8: incremental embedding near-dup vs persisted LSH index
+        "emb_neardup_incremental",
         "text_unigram_roundtrip",
         # r8 rotation: r6/r7 flagships rotate out of the 50-slot
         # window (green in CORRECTNESS_r06/r07); oracles stay fully
@@ -184,6 +186,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "sample_token_budget",
         # r8: soft dedup — inverse-cluster-size re-weighting
         "dedup_soft_weights",
+        # r8: incremental embedding near-dup vs persisted LSH index
+        "emb_neardup_incremental",
         "source_sqlite_roundtrip",
         "pack_token_bins",
         "curate_corpus_pipeline",

@@ -2223,3 +2223,50 @@ def q_dedup_soft_weights(spark, sf_dir):
         "cluster_size",
         "weight_micro",
     )
+
+
+@register(
+    "emb_neardup_incremental",
+    oracle="""
+    SELECT vec_id AS id_a, vec_id + 10000 AS id_b,
+           CAST(1.0 AS DOUBLE) AS cosine
+    FROM embeddings WHERE vec_id < 50
+    UNION ALL
+    SELECT vec_id, vec_id + 20000, CAST(1.0 AS DOUBLE)
+    FROM embeddings WHERE vec_id < 10
+    UNION ALL
+    SELECT vec_id + 10000, vec_id + 20000, CAST(1.0 AS DOUBLE)
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def q_emb_neardup_incremental(spark, sf_dir):
+    """Incremental embedding near-dup against a PERSISTED LSH index
+    (the embedding sibling of dedup_incremental_planted): the corpus
+    is indexed once (keys + vectors + per-bucket occupancy, plane
+    count frozen at build); a new batch is admitted in O(batch) — it
+    tags itself, merges occupancy deltas for the buckets it touches,
+    prunes the index map-side by those base buckets, and verifies
+    candidates with exact cosine. The batch plants copies of 50
+    corpus vectors (+10000) and RE-copies 10 of them (+20000), so the
+    expected pair set is exactly predictable: 50 corpus×batch pairs,
+    10 more corpus×batch pairs, and 10 batch-internal pairs — recall
+    is structurally 1.0 (identical vectors share every sign bit), and
+    the oracle asserts the full 70-pair value set."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="embidx_") + "/idx"
+    similarity.emb_neardup_index_write(
+        emb.select("vec_id", "embedding"), idx
+    )
+    batch = (
+        emb.filter(F.col("vec_id") < 50)
+        .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+        .unionByName(
+            emb.filter(F.col("vec_id") < 10).select(
+                (F.col("vec_id") + 20000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    pairs = similarity.emb_neardup_incremental(batch, idx, threshold=0.95)
+    return pairs.withColumn("cosine", F.round("cosine", 6))

@@ -95,6 +95,7 @@ HEADLINE = [
     "lakehouse_iceberg_native_read",  # commit + iceberg-metadata read path
     "sample_token_budget",         # per-domain token-budget prefix cut (r8)
     "dedup_soft_weights",          # inverse-cluster-size soft dedup (r8)
+    "emb_neardup_incremental",     # O(batch) near-dup vs persisted index (r8)
     "x12_silver_transactions",     # distributed X12 parse
 ]
 

@@ -921,3 +921,39 @@ def test_lsh_neardup_oversize_raise_and_drop(spark):
     assert stats["oversized_rows"] == 2 * 50  # n_tables x clump size
     ids = {i for r in out for i in (r["id_a"], r["id_b"])}
     assert not (ids & set(range(50)))  # clump excluded, no crash
+
+
+def test_emb_neardup_index_insert_parity(spark, emb, tmp_path):
+    """Index built whole vs built-then-inserted must answer a query
+    batch IDENTICALLY: emb_neardup_index_insert derives keys with the
+    index's frozen parameters and folds occupancy deltas, so history
+    is never re-tagged and the candidate structure is unchanged."""
+    half_a = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id", "embedding"
+    )
+    half_b = emb.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", "embedding"
+    )
+    full = emb.select("vec_id", "embedding")
+    n = full.count()
+
+    whole = str(tmp_path / "idx_whole")
+    grown = str(tmp_path / "idx_grown")
+    similarity.emb_neardup_index_write(
+        full, whole, expected_final_count=n
+    )
+    similarity.emb_neardup_index_write(
+        half_a, grown, expected_final_count=n
+    )
+    similarity.emb_neardup_index_insert(half_b, grown)
+
+    batch = emb.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 50000).alias("vec_id"), "embedding"
+    )
+    a = similarity.emb_neardup_incremental(batch, whole, threshold=0.95)
+    b = similarity.emb_neardup_incremental(batch, grown, threshold=0.95)
+    ra = {(r["id_a"], r["id_b"]) for r in a.collect()}
+    rb = {(r["id_a"], r["id_b"]) for r in b.collect()}
+    assert ra == rb
+    # the planted copies are all found (recall structurally 1.0)
+    assert {(i, i + 50000) for i in range(30)} <= ra
