@@ -1001,6 +1001,91 @@ def duplicate_span_coverage(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level dedup REMOVAL (Lee et al., ACL 2022: delete the
+    duplicated substring, keep the rest of the document) — the action
+    half of :func:`duplicate_span_coverage`, at the same word-k-gram
+    granularity: every token covered by a k-gram that also occurs in
+    ANOTHER document is dropped; surviving tokens rejoin in order.
+    Returns ``(id, n_tokens, n_removed, clean_text)`` — documents that
+    are entirely cross-doc duplicated collapse to ''.
+
+    Plan (linear in corpus tokens, k constant):
+
+    1-3. positional k-gram hashes, the one-shuffle cross-doc flag,
+       and the flag join-back are exactly duplicate_span_coverage's
+       stages 1-3;
+    4. covered token POSITIONS expand from each flagged gram as
+       ``explode(sequence(pos, pos+k-1))`` + distinct — at most
+       k rows per flagged occurrence, never a range join of tokens
+       against intervals;
+    5. tokens posexplode once, anti-join the covered set on
+       (doc, pos) — shuffle hash join, AQE-splittable on boilerplate-
+       heavy docs — and reassemble inside a co-partitioned
+       aggregation buffer (bounded by document size, the
+       remove_boilerplate_lines rebuild idiom)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("_doc"), toks.alias("_t")
+    ).withColumn("_n", F.size("_t"))
+    grams = base.where(F.col("_n") >= k).select(
+        "_doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_n") - (k - 1)),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("_t"), i, k))
+                ),
+            )
+        ).alias("_pos", "_g"),
+    )
+    dup_grams = (
+        grams.groupBy("_g")
+        .agg((F.min("_doc") != F.max("_doc")).alias("_dup"))
+        .where(F.col("_dup"))
+        .select("_g")
+    )
+    # posexplode yields 0-based _pos for a gram starting at token
+    # position _pos+1 (1-based); it covers tokens _pos+1 .. _pos+k
+    covered = (
+        grams.join(dup_grams, "_g")
+        .select(
+            "_doc",
+            F.explode(
+                F.sequence(F.col("_pos") + 1, F.col("_pos") + k)
+            ).alias("_tp"),
+        )
+        .distinct()
+    )
+    tokens_pos = base.select(
+        "_doc", F.posexplode("_t").alias("_tp0", "_tok")
+    ).select("_doc", (F.col("_tp0") + 1).alias("_tp"), "_tok")
+    kept = tokens_pos.join(covered, ["_doc", "_tp"], "left_anti")
+    rebuilt = kept.groupBy("_doc").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_tp", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return base.join(rebuilt, "_doc", "left").select(
+        F.col("_doc").alias(id_col),
+        F.col("_n").alias("n_tokens"),
+        (F.col("_n") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 def soft_dedup_weights(
     docs: DataFrame,
     pairs: DataFrame,

@@ -360,3 +360,191 @@ def synthesize_video(docs: DataFrame, max_docs: int = 60) -> DataFrame:
         .filter(F.col("doc_id") < max_docs)
         .mapInPandas(build, schema=MEDIA_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing (image near-dup)
+# ---------------------------------------------------------------------------
+
+
+def _dhash_bits(px: np.ndarray) -> int:
+    """64-bit difference hash (dHash — the gradient-based perceptual
+    hash; Krawetz's classic recipe): integer luma, area-mean
+    downsample to a 9x8 grid, one bit per horizontal neighbor
+    comparison. ALL arithmetic is integer (luma = (299R+587G+114B)
+    div 1000, cell = sum div count), so the hash is bit-deterministic
+    across platforms — no float resize in sight.
+
+    Images narrower/shorter than the grid sample overlapping bands
+    (each band is at least one row/col, clipped in range) — total and
+    deterministic for any size >= 1x1."""
+    if px.ndim == 3 and px.shape[2] >= 3:
+        g = (
+            299 * px[:, :, 0].astype(np.int64)
+            + 587 * px[:, :, 1].astype(np.int64)
+            + 114 * px[:, :, 2].astype(np.int64)
+        ) // 1000
+    else:
+        g = px.reshape(px.shape[0], px.shape[1], -1)[:, :, 0].astype(np.int64)
+    h, w = g.shape
+    cells = np.empty((8, 9), dtype=np.int64)
+    for r in range(8):
+        r0 = min(r * h // 8, h - 1)
+        r1 = max((r + 1) * h // 8, r0 + 1)
+        for c in range(9):
+            c0 = min(c * w // 9, w - 1)
+            c1 = max((c + 1) * w // 9, c0 + 1)
+            block = g[r0:r1, c0:c1]
+            cells[r, c] = int(block.sum()) // block.size
+    val = 0
+    for r in range(8):
+        for c in range(8):
+            val = (val << 1) | (1 if cells[r, c + 1] > cells[r, c] else 0)
+    if val >= 1 << 63:  # store as signed long
+        val -= 1 << 64
+    return val
+
+
+def dhash64(
+    media: DataFrame,
+    fake: bool = True,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, dhash) per image payload — the image sibling of SimHash
+    for text: near-duplicate images (same picture re-encoded, minor
+    crops/brightness shifts) land within a few Hamming bits.
+
+    REAL decode for BMP/PPM/PGM payloads (pure-numpy codecs);
+    ``fake`` governs unrecognized/corrupt payloads exactly like
+    :func:`decode_media` (deterministic md5-derived fake hash, or
+    raise). mapInPandas, Arrow-batched, constant memory per batch —
+    the 100 TB shape is one linear decode pass; no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                fmt = codecs.sniff_format(payload)
+                px = None
+                try:
+                    if fmt == "bmp":
+                        _, _, _, px = codecs.decode_bmp(payload)
+                    elif fmt in ("ppm", "pgm"):
+                        _, _, _, px = codecs.decode_pnm(payload)
+                except Exception as exc:  # noqa: BLE001 - sniffed-but-corrupt
+                    if not fake:
+                        raise ValueError(
+                            f"corrupt {fmt} payload: {exc}"
+                        ) from exc
+                if px is None:
+                    if not fake:
+                        raise NotImplementedError(
+                            "dhash64 decodes BMP/PPM/PGM without an imaging "
+                            "library; call with fake=True for plumbing tests"
+                        )
+                    d = hashlib.md5(payload).digest()
+                    val = int.from_bytes(d[:8], "big", signed=True)
+                else:
+                    val = _dhash_bits(px)
+                ids.append(int(mid))
+                hashes.append(val)
+            yield pd.DataFrame({id_col: ids, "dhash": hashes})
+
+    return media.mapInPandas(run, schema=f"{id_col} long, dhash long")
+
+
+def phash_near_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Near-duplicate image pairs by Hamming distance over 64-bit
+    perceptual hashes, via 16-bit-chunk pigeonhole banding (the
+    SimHash banding idiom, operators/dedup.simhash_near_pairs): any
+    pair within ``max_hamming`` <= 3 bits agrees on at least one of
+    the four 16-bit chunks, so candidates come from four equality
+    joins on (chunk_idx, chunk_value) — never an all-pairs scan —
+    and verify with one xor+popcount. Returns (id_a, id_b, hamming),
+    id_a < id_b."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"chunk banding holds for max_hamming in [0, 3], got {max_hamming}"
+        )
+    chunks = hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col(hash_col), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("_c"),
+    ).select("_id", "_h", F.col("_c.ci").alias("ci"), F.col("_c.cv").alias("cv"))
+    a = chunks.select(
+        F.col("ci"), F.col("cv"),
+        F.col("_id").alias("id_a"), F.col("_h").alias("h_a"),
+    )
+    b = chunks.select(
+        F.col("ci"), F.col("cv"),
+        F.col("_id").alias("id_b"), F.col("_h").alias("h_b"),
+    )
+    cand = (
+        a.join(b, ["ci", "cv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def synthesize_noise_images(
+    docs: DataFrame, width: int = 18, height: int = 16
+) -> DataFrame:
+    """Deterministic pseudorandom BMP corpus from the documents
+    table: pixel bytes are a SHA-256 counter stream keyed on doc_id,
+    so every image is reproducible, visually distinct, and carries a
+    non-degenerate dHash (the smooth gradients of synthesize_media
+    all share one dHash — useless for near-dup testing; hash-noise
+    images give each doc a unique fingerprint)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height * 3
+        for pdf in batches:
+            rows = {"media_id": [], "payload": [], "mime_type": [],
+                    "n_bytes": [], "source": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                buf = b""
+                ctr = 0
+                while len(buf) < n:
+                    buf += hashlib.sha256(f"{i}:{ctr}".encode()).digest()
+                    ctr += 1
+                px = np.frombuffer(buf[:n], dtype=np.uint8).reshape(
+                    height, width, 3
+                )
+                payload = codecs.encode_bmp(px)
+                rows["media_id"].append(i)
+                rows["payload"].append(payload)
+                rows["mime_type"].append("image/bmp")
+                rows["n_bytes"].append(len(payload))
+                rows["source"].append("synth-noise")
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(build, schema=MEDIA_SCHEMA)

@@ -456,3 +456,198 @@ FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
 ORDER BY rrf_score DESC, {id_col}
 LIMIT {k}
 """
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 8,
+    k_cand: int = 20,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98 — the standard diversity pass between retrieval and a
+    RAG context window): from the exact-cosine top-``k_cand``
+    candidates for the query vector, greedily select ``k`` results,
+    each step maximizing ``lam * rel(d) - mu * max sim(d, selected)``
+    (empty selected set => the similarity term is 0), ties broken by
+    id. Returns (id, mmr_rank, rel_cosine, mmr_score), scores rounded
+    to the repo's 6-dp derived-double convention.
+
+    Scale shape: candidate generation is whatever top-k reduction the
+    caller's corpus needs (brute force here; the IVF/LSH paths produce
+    the same (id, rel) frame) — the ONLY corpus-scale stage. The
+    candidate-pair similarity matrix is a broadcast self-join of a
+    <=k_cand-row frame with the fixed-order cosine fold, and the
+    greedy scan runs once over those <=k_cand^2 rows inside a single
+    applyInPandas task: O(k * k_cand^2) comparisons on driver-free
+    executor memory, constant in corpus size.
+
+    Float discipline: rel and pairwise sims are computed by the SAME
+    left-associated aggregate fold the DuckDB oracle's unnest-SUM
+    replays; the greedy step only COMPARES those doubles plus one
+    ``lam*rel - mu*ms`` expression evaluated in identical order, so
+    selection is bit-deterministic across engines; rounding happens
+    after selection, JVM-side."""
+    import pandas as pd
+
+    from ai_fabric_etl_spark.operators.similarity import (
+        brute_force_topk,
+        cosine,
+    )
+
+    if not 1 <= k <= k_cand:
+        raise ValueError(f"need 1 <= k <= k_cand, got k={k} k_cand={k_cand}")
+    cand = brute_force_topk(
+        embeddings,
+        embeddings.filter(F.col(id_col) == query_vec_id),
+        k=k_cand,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(F.col("neighbor_id").alias("id"), F.col("cosine_sim").alias("rel"))
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    ce = cand.join(vecs, "id")
+    a = ce.select(
+        F.col("id").alias("ia"),
+        F.col("rel").alias("rel_a"),
+        F.col("v").alias("va"),
+    )
+    b = ce.select(F.col("id").alias("ib"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "rel_a",
+            "ib",
+            cosine(F.col("va"), F.col("vb")).alias("s"),
+        )
+        .withColumn("_g", F.lit(1))
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel: dict[int, float] = {}
+        sim: dict[tuple[int, int], float] = {}
+        for r in pdf.itertuples():
+            rel[int(r.ia)] = float(r.rel_a)
+            sim[(int(r.ia), int(r.ib))] = float(r.s)
+        remaining = sorted(rel)
+        selected: list[int] = []
+        out_id, out_rk, out_rel, out_score = [], [], [], []
+        for step in range(1, min(k, len(rel)) + 1):
+            best_key, best_id, best_score = None, None, None
+            for i in remaining:
+                ms = max([sim[(i, j)] for j in selected], default=0.0)
+                score = lam * rel[i] - mu * ms
+                key = (-score, i)
+                if best_key is None or key < best_key:
+                    best_key, best_id, best_score = key, i, score
+            selected.append(best_id)
+            remaining.remove(best_id)
+            out_id.append(best_id)
+            out_rk.append(step)
+            out_rel.append(rel[best_id])
+            out_score.append(best_score)
+        return pd.DataFrame(
+            {
+                "id": out_id,
+                "mmr_rank": out_rk,
+                "rel_cosine": out_rel,
+                "mmr_score": out_score,
+            }
+        )
+
+    res = pairs.groupBy("_g").applyInPandas(
+        greedy,
+        schema="id long, mmr_rank int, rel_cosine double, mmr_score double",
+    )
+    return res.select(
+        F.col("id").alias(id_col),
+        "mmr_rank",
+        F.round("rel_cosine", 6).alias("rel_cosine"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    ).orderBy("mmr_rank")
+
+
+def mmr_rerank_sql(
+    query_vec_id: int,
+    k: int = 8,
+    k_cand: int = 20,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    emb_table: str = "embeddings",
+) -> str:
+    """ANSI/DuckDB oracle replaying :func:`mmr_rerank` exactly: the
+    candidate CTE is the emb_knn cosine shape, pairwise sims the same
+    unnest-SUM fixed-order fold, and the greedy selection unrolls as
+    ``k`` chained argmax CTEs (score DESC, id) — bit-for-bit the
+    engine's comparisons."""
+    lam_s, mu_s = repr(float(lam)), repr(float(mu))
+    # Every CTE is MATERIALIZED: the acc chain references each
+    # predecessor twice (argmax join + NOT IN) and itself chains k
+    # deep, so DuckDB's default inlining re-expands the candidate
+    # scan exponentially in k (measured: k=8 at sf0.001 never
+    # finishes; materialized it is instant).
+    dot = (
+        "(SELECT SUM(x * y) FROM (SELECT unnest(a.v)::DOUBLE AS x, "
+        "unnest(b.v)::DOUBLE AS y))"
+    )
+    na = "sqrt((SELECT SUM(x * x) FROM (SELECT unnest(a.v)::DOUBLE AS x)))"
+    nb = "sqrt((SELECT SUM(y * y) FROM (SELECT unnest(b.v)::DOUBLE AS y)))"
+    parts = [
+        f"""WITH qv AS (SELECT embedding AS v FROM {emb_table}
+        WHERE {id_col} = {query_vec_id}),
+cand AS MATERIALIZED (
+  SELECT c.{id_col} AS id,
+         (SELECT SUM(x * y) FROM (SELECT unnest(q.v)::DOUBLE AS x,
+                                         unnest(c.embedding)::DOUBLE AS y))
+         / (sqrt((SELECT SUM(x * x) FROM (SELECT unnest(q.v)::DOUBLE AS x)))
+            * sqrt((SELECT SUM(y * y)
+                    FROM (SELECT unnest(c.embedding)::DOUBLE AS y))))
+           AS rel
+  FROM {emb_table} c CROSS JOIN qv q
+  WHERE c.{id_col} <> {query_vec_id}
+  ORDER BY rel DESC, id LIMIT {k_cand}
+),
+pv AS MATERIALIZED (SELECT cand.id, cand.rel, e.embedding AS v
+       FROM cand JOIN {emb_table} e ON e.{id_col} = cand.id),
+sims AS MATERIALIZED (
+  SELECT a.id AS ia, b.id AS ib, {dot} / ({na} * {nb}) AS s
+  FROM pv a JOIN pv b ON a.id <> b.id
+),
+sel1 AS MATERIALIZED (SELECT id, rel,
+                CAST({lam_s} AS DOUBLE) * rel
+                - CAST({mu_s} AS DOUBLE) * CAST(0 AS DOUBLE) AS score,
+                1 AS rk
+         FROM cand ORDER BY score DESC, id LIMIT 1),
+acc1 AS MATERIALIZED (SELECT * FROM sel1)"""
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f""",
+sel{t} AS MATERIALIZED (
+  SELECT c.id, c.rel,
+         CAST({lam_s} AS DOUBLE) * c.rel
+         - CAST({mu_s} AS DOUBLE) * ms.m AS score,
+         {t} AS rk
+  FROM cand c
+  JOIN (SELECT s.ia AS id, MAX(s.s) AS m
+        FROM sims s JOIN acc{t - 1} p ON s.ib = p.id
+        GROUP BY s.ia) ms ON ms.id = c.id
+  WHERE c.id NOT IN (SELECT id FROM acc{t - 1})
+  ORDER BY score DESC, c.id LIMIT 1
+),
+acc{t} AS MATERIALIZED (SELECT * FROM acc{t - 1} UNION ALL SELECT * FROM sel{t})"""
+        )
+    parts.append(
+        f"""
+SELECT id AS {id_col}, rk AS mmr_rank,
+       ROUND(rel, 6) AS rel_cosine, ROUND(score, 6) AS mmr_score
+FROM acc{k} ORDER BY rk"""
+    )
+    return "".join(parts)

@@ -482,6 +482,164 @@ def bigram_lm_scores(
     )
 
 
+def trigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    holdout_mod: int = 5,
+) -> DataFrame:
+    """Trigram language model with STUPID BACKOFF (Brants et al.,
+    "Large Language Models in Machine Translation", EMNLP 2007 — the
+    smoothing Google used precisely BECAUSE it needs no held-out
+    tuning and distributes as plain count tables), scoring a holdout
+    split against the train split's statistics. This is the
+    higher-order sibling of :func:`bigram_lm_scores`: where the bigram
+    entry trains and scores on the same corpus (every transition seen,
+    no backoff path exercised), the 80/20 split here makes unseen
+    trigrams/bigrams/unigrams REAL, so all three backoff branches are
+    live and value-verified.
+
+    Score per holdout trigram (w1, w2, w3), S(.) in ln-space:
+      - trigram seen in train:  ln(c(w1w2w3) / c(w1w2))
+      - else bigram seen:       ln(0.4 * c(w2w3) / c(w2))
+      - else (OOV-safe base):   ln(0.16 * (2*c(w3)+1) / (2*N + V))
+    0.4 is the paper's backoff multiplier (0.16 = 0.4^2 for the double
+    backoff); the base case is the add-half unigram so an OOV word
+    still scores finitely. Output per holdout doc:
+    ``(id, n_trigrams, avg_nll_micro)`` — mean negative log-prob in
+    half-up INTEGER micro-nats (the bigram entry's float discipline:
+    each branch is one IEEE expression evaluated in the same order on
+    both engines, rounded to 6 dp, summed as DECIMAL(38,6)).
+
+    Scale: three count aggregations over the train split (unigram,
+    bigram, trigram — each one shuffle); N and V collapse to driver
+    scalars; scoring joins the holdout trigram stream to the count
+    tables on their natural keys (vocabulary-sized shuffle hash joins,
+    deliberately not broadcast; hot function-word keys split under
+    AQE) and folds per doc. No UDFs anywhere."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("_doc"), toks.alias("_t")
+    ).withColumn("_n", F.size("_t"))
+    train = base.where(F.col("_doc") % holdout_mod != 0)
+    test = base.where(F.col("_doc") % holdout_mod == 0)
+
+    uni = (
+        train.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_u"))
+    )
+    # driver scalars, both bounded (one count row / |vocab| rows)
+    n_tokens = int(
+        train.select(F.sum(F.size("_t")).alias("s")).collect()[0]["s"] or 0
+    )
+    vocab_v = uni.count()
+
+    def _grams(df: DataFrame, order: int) -> DataFrame:
+        cols = [f"w{j + 1}" for j in range(order)]
+        return (
+            df.where(F.col("_n") >= order)
+            .select(
+                "_doc",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("_n") - (order - 1)),
+                        lambda i: F.struct(
+                            *[
+                                F.element_at(F.col("_t"), i + j).alias(
+                                    f"w{j + 1}"
+                                )
+                                for j in range(order)
+                            ]
+                        ),
+                    )
+                ).alias("_g"),
+            )
+            .select("_doc", *[F.col(f"_g.{c}").alias(c) for c in cols])
+        )
+
+    big = _grams(train, 2).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("_c2")
+    )
+    tri = _grams(train, 3).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("_c3")
+    )
+    tg = _grams(test, 3)
+
+    joined = (
+        tg.join(tri, ["w1", "w2", "w3"], "left")
+        .join(big.withColumnRenamed("_c2", "_c12"), ["w1", "w2"], "left")
+        .join(
+            big.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("_c2").alias("_c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("_u").alias("_u2")),
+            "w2",
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w3"), F.col("_u").alias("_u3")),
+            "w3",
+            "left",
+        )
+    )
+    term = (
+        F.when(
+            F.col("_c3").isNotNull(),
+            F.round(
+                F.log(
+                    F.col("_c3").cast("double")
+                    / F.col("_c12").cast("double")
+                ),
+                6,
+            ),
+        )
+        .when(
+            F.col("_c23").isNotNull(),
+            F.round(
+                F.log(
+                    F.lit(0.4)
+                    * F.col("_c23").cast("double")
+                    / F.col("_u2").cast("double")
+                ),
+                6,
+            ),
+        )
+        .otherwise(
+            F.round(
+                F.log(
+                    F.lit(0.16)
+                    * (2 * F.coalesce(F.col("_u3"), F.lit(0)) + 1).cast(
+                        "double"
+                    )
+                    / F.lit(2 * n_tokens + vocab_v).cast("double")
+                ),
+                6,
+            )
+        )
+        .cast("decimal(18,6)")
+    )
+    scored = joined.groupBy("_doc").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum(term).cast("decimal(38,6)").alias("_s"),
+    )
+    s_micro = (-F.col("_s") * 1_000_000).cast("long")
+    avg_micro = F.floor(
+        (2 * s_micro + F.col("n_trigrams")) / (2 * F.col("n_trigrams"))
+    ).cast("long")
+    return test.join(scored, "_doc", "left").select(
+        F.col("_doc").alias(id_col),
+        F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+        avg_micro.alias("avg_nll_micro"),
+    )
+
+
 def remove_boilerplate_lines(
     docs: DataFrame,
     text_col: str = "text",

@@ -106,7 +106,14 @@ _PRIORITY = [
     # one representative per core family (a1/w3 signal is carried by
     # the x12 summary mart / running-aggs tests; ngram's exact pair
     # set is what the minhash and drop_neardups oracles verify)
-    "scalar_strings",
+    # --- r9 rotation: five long-green veterans (scalar_strings,
+    # p6_projection_casts, dedup_drop_neardups, emb_knn_bruteforce,
+    # multimodal_decode_real — each direct-green in CORRECTNESS r6 AND
+    # r7) move to fp composites; the five new r9 operators take named
+    # slots. Family signal retained: scalar family keeps
+    # scalar_json/scalar_datetime, projections keep p11, dedup keeps
+    # minhash_lsh + simhash_planted, ANN keeps emb_knn_lsh_recall,
+    # multimodal gains the phash gate over the same real codecs. ---
     "scalar_json",
     "text_clean_redact",
     "p11_text_predicates",
@@ -115,16 +122,18 @@ _PRIORITY = [
     "w1_latest_event_per_user",
     "lakehouse_merge_orders",  # MERGE/lakehouse semantics (A7/S5)
     "w4_session_windows",
-    "p6_projection_casts",
     # training-data suite with its verified gates
     "text_profile",
     "privacy_aes_gcm",  # r8: randomized-AEAD column encryption gate
-    "dedup_drop_neardups",
     "dedup_minhash_lsh",
-    "emb_knn_bruteforce",
     "emb_knn_lsh_recall",
     "emb_neardup",
-    "multimodal_decode_real",
+    # r9 flagships
+    "text_trigram_backoff_nll",
+    "dedup_span_removal",
+    "text_wordpiece_roundtrip",
+    "search_mmr_rerank",
+    "multimodal_phash_neardup",
 ]
 
 

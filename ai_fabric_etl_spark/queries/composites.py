@@ -97,6 +97,10 @@ FP_GROUPS: dict[str, list[str]] = {
         "attribution_linear_touch",
         "profile_skew_gini",
         "drift_psi_prices",
+        # r9 rotation: long-green veterans displaced from the 50-slot
+        # window by the r9 flagships; oracles verified every sweep
+        "scalar_strings",
+        "p6_projection_casts",
     ],
     "fp_training_sources": [
         "range_recent_activity",
@@ -177,6 +181,21 @@ FP_GROUPS: dict[str, list[str]] = {
         "dedup_soft_weights",
         # r8: incremental embedding near-dup vs persisted LSH index
         "emb_neardup_incremental",
+        # r9: stupid-backoff trigram LM over the 80/20 split
+        "text_trigram_backoff_nll",
+        # r9: span-level dedup removal (Lee et al. delete-the-span)
+        "dedup_span_removal",
+        # r9: WordPiece tokenizer round trip (third subword family)
+        "text_wordpiece_roundtrip",
+        # r9: MMR diversity re-ranking (greedy argmax chain oracle)
+        "search_mmr_rerank",
+        # r9: image dHash near-dup planted gate (real BMP bytes)
+        "multimodal_phash_neardup",
+        # r9 rotation: displaced by the r9 flagships (direct-green in
+        # CORRECTNESS r6 and r7); oracles verified every sweep
+        "dedup_drop_neardups",
+        "emb_knn_bruteforce",
+        "multimodal_decode_real",
         "text_unigram_roundtrip",
         # r8 rotation: r6/r7 flagships rotate out of the 50-slot
         # window (green in CORRECTNESS_r06/r07); oracles stay fully

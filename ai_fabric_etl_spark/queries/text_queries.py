@@ -277,6 +277,53 @@ def q_dedup_span_coverage(spark, sf_dir):
 
 
 @register(
+    "dedup_span_removal",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    b2 AS (SELECT doc_id, t, len(t) AS n FROM base),
+    pos AS (SELECT doc_id, unnest(generate_series(0, n - 5)) AS pos, t
+            FROM b2 WHERE n >= 5),
+    grams AS (SELECT doc_id, pos,
+                     array_to_string(t[pos + 1 : pos + 5], ' ') AS gram
+              FROM pos),
+    dup AS (SELECT gram FROM grams
+            GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)),
+    cov AS (SELECT DISTINCT doc_id, tp FROM (
+              SELECT g.doc_id,
+                     unnest(generate_series(g.pos + 1, g.pos + 5)) AS tp
+              FROM grams g JOIN dup USING (gram))),
+    tok2 AS (SELECT doc_id, tp, t[tp] AS tok FROM (
+               SELECT doc_id, unnest(generate_series(1, n)) AS tp, t
+               FROM b2)),
+    kept AS (SELECT k.doc_id, k.tp, k.tok FROM tok2 k
+             WHERE NOT EXISTS (SELECT 1 FROM cov
+                               WHERE cov.doc_id = k.doc_id
+                                 AND cov.tp = k.tp)),
+    rebuilt AS (SELECT doc_id, COUNT(*) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY tp) AS clean_text
+                FROM kept GROUP BY doc_id)
+    SELECT b2.doc_id, b2.n AS n_tokens,
+           b2.n - COALESCE(r.n_kept, 0) AS n_removed,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM b2 LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_dedup_span_removal(spark, sf_dir):
+    """Span-level dedup REMOVAL (dedup.remove_duplicate_spans — the
+    action half of dedup_span_coverage, Lee et al.'s 'delete the
+    duplicated span, keep the document'): every token covered by a
+    cross-doc-duplicated word-5-gram is dropped and the survivors
+    rejoin in order; the corpus's planted exact-duplicate documents
+    collapse to ''. Full reconstructed-text value oracle — the engine
+    works on xxhash64 gram keys while the oracle carries exact
+    strings, so a hash-level recall defect surfaces as a text
+    mismatch."""
+    return dedup.remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), k=5
+    )
+
+
+@register(
     "text_bpe_roundtrip",
     oracle=f"""
     SELECT doc_id,
@@ -419,6 +466,77 @@ def q_text_bigram_lm_nll(spark, sf_dir):
 
 
 @register(
+    "text_trigram_backoff_nll",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    b AS (SELECT doc_id, t, len(t) AS n FROM tok),
+    train AS (SELECT * FROM b WHERE doc_id % 5 <> 0),
+    test AS (SELECT * FROM b WHERE doc_id % 5 = 0),
+    uni AS (SELECT w, COUNT(*) AS u
+            FROM (SELECT unnest(t) AS w FROM train) GROUP BY w),
+    nv AS (SELECT COUNT(*) AS v FROM uni),
+    nt AS (SELECT SUM(n) AS nn FROM train),
+    big AS (SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS c2
+            FROM (SELECT unnest(generate_series(1, n - 1)) AS i, t
+                  FROM train WHERE n >= 2)
+            GROUP BY 1, 2),
+    tri AS (SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3,
+                   COUNT(*) AS c3
+            FROM (SELECT unnest(generate_series(1, n - 2)) AS i, t
+                  FROM train WHERE n >= 3)
+            GROUP BY 1, 2, 3),
+    tg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+           FROM (SELECT doc_id, unnest(generate_series(1, n - 2)) AS i, t
+                 FROM test WHERE n >= 3)),
+    terms AS (
+      SELECT tg.doc_id,
+             CAST(ROUND(CASE
+               WHEN tri.c3 IS NOT NULL THEN
+                 ln(CAST(tri.c3 AS DOUBLE) / CAST(b12.c2 AS DOUBLE))
+               WHEN b23.c2 IS NOT NULL THEN
+                 ln(CAST(0.4 AS DOUBLE) * CAST(b23.c2 AS DOUBLE)
+                    / CAST(u2.u AS DOUBLE))
+               ELSE
+                 ln(CAST(0.16 AS DOUBLE)
+                    * CAST(2 * COALESCE(u3.u, 0) + 1 AS DOUBLE)
+                    / CAST(2 * nt.nn + nv.v AS DOUBLE))
+             END, 6) AS DECIMAL(18,6)) AS term
+      FROM tg
+      LEFT JOIN tri ON tg.w1 = tri.w1 AND tg.w2 = tri.w2 AND tg.w3 = tri.w3
+      LEFT JOIN big b12 ON tg.w1 = b12.w1 AND tg.w2 = b12.w2
+      LEFT JOIN big b23 ON tg.w2 = b23.w1 AND tg.w3 = b23.w2
+      LEFT JOIN uni u2 ON tg.w2 = u2.w
+      LEFT JOIN uni u3 ON tg.w3 = u3.w
+      CROSS JOIN nv CROSS JOIN nt
+    ),
+    agg AS (SELECT doc_id, COUNT(*) AS n_trigrams,
+                   CAST(-CAST(SUM(term) AS DECIMAL(38,6)) * 1000000
+                        AS BIGINT) AS s_micro
+            FROM terms GROUP BY doc_id)
+    SELECT test.doc_id,
+           COALESCE(agg.n_trigrams, 0) AS n_trigrams,
+           CAST(FLOOR((2 * agg.s_micro + agg.n_trigrams)
+                      / (2.0 * agg.n_trigrams)) AS BIGINT) AS avg_nll_micro
+    FROM test LEFT JOIN agg USING (doc_id)
+    """,
+)
+def q_text_trigram_backoff_nll(spark, sf_dir):
+    """Stupid-backoff trigram LM scoring (text.trigram_lm_scores,
+    Brants et al. EMNLP 2007) of the 20% holdout against the 80%
+    train split's count tables — the higher-order CCNet perplexity
+    signal with all three backoff branches LIVE (the bigram entry
+    trains on the full corpus, so its backoff path never fires).
+    Full per-doc value oracle in integer micro-nats: every branch is
+    one IEEE expression in the same evaluation order on both engines
+    (integer-ratio ln inputs; the 0.4/0.16 backoff multipliers cast
+    to double explicitly so DuckDB can't go exact-decimal), terms
+    round to 6 dp and sum as exact decimals, half-up integer mean."""
+    from ai_fabric_etl_spark.operators.text import trigram_lm_scores
+
+    return trigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "text_line_dedup",
     oracle="""
     WITH src AS (
@@ -523,6 +641,45 @@ def q_text_unigram_roundtrip(spark, sf_dir):
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words"),
         F.length(norm).alias("n_norm_chars"),
         (unigram.unigram_decode(F.col("pieces")) == norm).alias(
+            "roundtrip_ok"
+        ),
+    )
+
+
+@register(
+    "text_wordpiece_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOK}) AS n_words,
+           length(array_to_string({_TOK}, ' ')) AS n_norm_chars,
+           TRUE AS roundtrip_ok
+    FROM documents
+    """,
+)
+def q_text_wordpiece_roundtrip(spark, sf_dir):
+    """WordPiece tokenizer train + encode + decode
+    (operators/wordpiece.py; Schuster & Nakajima 2012 / BERT): the
+    vocabulary is learned by LIKELIHOOD-ranked merges (count(ab) /
+    (count(a)*count(b)), exact-integer comparisons) over the corpus's
+    word-frequency table (top-4000 words, 60 merges), every document
+    encodes with the Arrow-batched greedy longest-match-first
+    (MaxMatch) encoder, and ``roundtrip_ok`` asserts
+    decode(encode(text)) reproduces the whitespace-normalized source
+    EXACTLY per row. Merge scoring and MaxMatch are pinned against
+    hand-computed cases in tests/test_wordpiece.py (the merge loop is
+    not SQL-expressible). With BPE and Unigram-LM this completes all
+    three mainstream subword families."""
+    from ai_fabric_etl_spark.operators import wordpiece
+
+    docs = _t(spark, sf_dir, "documents")
+    pieces = wordpiece.wordpiece_train(docs, num_merges=60, max_words=4000)
+    enc = wordpiece.wordpiece_encode(docs, pieces)
+    norm = F.concat_ws(" ", F.split(F.trim(F.col("text")), r"\s+"))
+    return enc.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_words"),
+        F.length(norm).alias("n_norm_chars"),
+        (wordpiece.wordpiece_decode(F.col("pieces")) == norm).alias(
             "roundtrip_ok"
         ),
     )
@@ -962,6 +1119,39 @@ def q_multimodal_decode_real(spark, sf_dir):
     return decoded.select("media_id", "fmt", "width", "height", "channels")
 
 
+@register(
+    "multimodal_phash_neardup",
+    oracle="""
+    SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_multimodal_phash_neardup(spark, sf_dir):
+    """Image near-duplicate detection via 64-bit difference hashing
+    (multimodal.dhash64 + phash_near_pairs): a deterministic
+    pseudorandom BMP corpus (one distinct image per doc,
+    synthesize_noise_images) is REALLY encoded and decoded, 100
+    byte-exact copies are planted (ids +100000), and every planted
+    pair MUST surface at hamming 0 through the 16-bit-chunk pigeonhole
+    banding — structurally (identical bytes -> identical integer-only
+    luma/downsample/bits -> equal chunks), not by luck. The entry
+    returns only the planted slice so the oracle asserts the full
+    value set; a codec, hashing, or banding regression loses rows."""
+    from ai_fabric_etl_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.synthesize_noise_images(docs)
+    copies = media.filter(F.col("media_id") < 100).select(
+        (F.col("media_id") + 100000).alias("media_id"),
+        "payload", "mime_type", "n_bytes", "source",
+    )
+    hashes = multimodal.dhash64(media.unionByName(copies), fake=False)
+    pairs = multimodal.phash_near_pairs(hashes, max_hamming=3)
+    return pairs.filter(
+        (F.col("id_b") == F.col("id_a") + 100000) & (F.col("id_a") < 100)
+    ).select("id_a", "id_b", "hamming")
+
+
 _DECONTAM_SH5 = (
     "CASE WHEN len(t) >= 5 THEN list_distinct(list_transform(range(1, len(t)-3), "
     "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) "
@@ -1163,6 +1353,34 @@ def q_search_hybrid_rrf(spark, sf_dir):
         query_vec_id=_RRF_VEC_ID,
         k=15,
         k_each=20,
+    )
+
+
+from ai_fabric_etl_spark.operators.search import (  # noqa: E402
+    mmr_rerank,
+    mmr_rerank_sql,
+)
+
+
+@register(
+    "search_mmr_rerank",
+    oracle=mmr_rerank_sql(_RRF_VEC_ID, k=8, k_cand=20),
+)
+def q_search_mmr_rerank(spark, sf_dir):
+    """MMR diversity re-ranking (operators/search.mmr_rerank,
+    Carbonell & Goldstein SIGIR'98): the exact-cosine top-20
+    candidates for query vector 3 greedily re-rank to 8 results
+    maximizing 0.7*relevance - 0.3*max-similarity-to-selected — the
+    standard pass between retrieval and a RAG context window that
+    stops near-duplicate passages crowding out coverage. Full value
+    oracle: the greedy selection unrolls as 8 chained argmax CTEs in
+    DuckDB over the SAME fixed-order cosine doubles, so selection
+    order, ranks, and 6-dp scores must match bit-for-bit."""
+    return mmr_rerank(
+        _t(spark, sf_dir, "embeddings"),
+        query_vec_id=_RRF_VEC_ID,
+        k=8,
+        k_cand=20,
     )
 
 

@@ -96,6 +96,11 @@ HEADLINE = [
     "sample_token_budget",         # per-domain token-budget prefix cut (r8)
     "dedup_soft_weights",          # inverse-cluster-size soft dedup (r8)
     "emb_neardup_incremental",     # O(batch) near-dup vs persisted index (r8)
+    "text_trigram_backoff_nll",    # stupid-backoff trigram LM (r9)
+    "dedup_span_removal",          # cross-doc span deletion (r9)
+    "text_wordpiece_roundtrip",    # WordPiece train+encode+decode (r9)
+    "search_mmr_rerank",           # MMR diversity re-ranking (r9)
+    "multimodal_phash_neardup",    # image dHash near-dup, real codecs (r9)
     "x12_silver_transactions",     # distributed X12 parse
 ]
 
@@ -152,6 +157,16 @@ SCALE_HEADLINE = [
     "text_nb_classifier",
     "sample_dsir_topk",
     "emb_random_projection",
+    # r9: trigram LM — three count aggs + per-token-hit joins, linear
+    # in tokens like the bigram entry; span removal rides the span-
+    # coverage machinery (one gram shuffle + bounded position fanout);
+    # wordpiece caps its driver word dict like BPE; phash is one
+    # linear decode pass + bounded-bucket chunk joins (distinct noise
+    # images -> distinct hashes, so candidate pairs stay planted-only)
+    "text_trigram_backoff_nll",
+    "dedup_span_removal",
+    "text_wordpiece_roundtrip",
+    "multimodal_phash_neardup",
 ]
 
 

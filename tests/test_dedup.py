@@ -51,6 +51,50 @@ def test_duplicate_span_coverage_short_docs_and_validation(spark):
         duplicate_span_coverage(docs, k=1)
 
 
+def test_remove_duplicate_spans_planted(spark):
+    """Exact removal math on the span-coverage fixture: covered
+    tokens vanish, survivors rejoin in original order."""
+    from ai_fabric_etl_spark.operators.dedup import remove_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} one two three four"),
+            (2, f"x y {shared} z"),
+            (3, "totally unique words only here now"),
+            (4, f"{shared} one two three four"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in remove_duplicate_spans(docs, k=5).collect()
+    }
+    # docs 1/4 are exact duplicates: fully covered, collapse to ''
+    assert got[1] == (10, 10, "")
+    assert got[4] == (10, 10, "")
+    # doc 2 loses exactly the shared 6-token run, keeps x y ... z
+    assert got[2] == (9, 6, "x y z")
+    # unique doc untouched
+    assert got[3] == (6, 0, "totally unique words only here now")
+
+
+def test_remove_duplicate_spans_short_docs(spark):
+    from ai_fabric_etl_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    # below k: no grams form, nothing removed
+    got = {r.doc_id: (r.n_removed, r.clean_text)
+           for r in remove_duplicate_spans(docs, k=5).collect()}
+    assert got == {1: (0, "a b c"), 2: (0, "a b c")}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        remove_duplicate_spans(docs, k=1)
+
+
 def test_remove_boilerplate_lines_planted(spark):
     from ai_fabric_etl_spark.operators.text import remove_boilerplate_lines
 

@@ -398,6 +398,45 @@ def test_target_encoding_excludes_own_fold(spark, sf_dir):
         assert abs(enc - want) < 1e-6, (cat, f)
 
 
+def test_trigram_backoff_hand_computed(spark):
+    """Tiny corpus, hand-verifiable, exercising all three stupid-
+    backoff branches: doc_id % 5 == 0 is the holdout; train counts
+    are uni a=2,b=2,c=2,d=1,x=1,y=1 (N=9, V=6), big (a,b)=2 (b,c)=2
+    (c,d)=1 (x,y)=1, tri (a,b,c)=2 (b,c,d)=1."""
+    import math
+
+    from ai_fabric_etl_spark.operators.text import trigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"), (2, "a b c"), (3, "x y"),     # train
+            (0, "a b c d"),   # both trigrams seen
+            (5, "q x y"),     # trigram unseen, bigram (x,y) seen
+            (10, "a b q"),    # trigram+bigram unseen -> unigram base
+            (15, "z"),        # no trigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_trigrams, r.avg_nll_micro)
+           for r in trigram_lm_scores(docs).collect()}
+
+    def micro(terms):
+        s = round(-sum(terms) * 1_000_000)
+        n = len(terms)
+        return (2 * s + n) // (2 * n)
+
+    t_abc = round(math.log(2 / 2), 6)          # tri branch
+    t_bcd = round(math.log(1 / 2), 6)          # tri branch
+    t_qxy = round(math.log(0.4 * 1 / 1), 6)    # bigram backoff, u(x)=1
+    t_abq = round(math.log(0.16 * 1 / 24), 6)  # base, u(q)=0, 2N+V=24
+    assert got[0] == (2, micro([t_abc, t_bcd]))
+    assert got[5] == (1, micro([t_qxy]))
+    assert got[10] == (1, micro([t_abq]))
+    assert got[15] == (0, None)
+    # unseen-everything transitions score strictly worse (higher NLL)
+    assert got[10][1] > got[5][1] > got[0][1]
+
+
 def test_bigram_lm_scores_hand_computed(spark):
     """Tiny corpus, hand-verifiable: add-half smoothing over V=3
     vocab; terms follow round(ln((2c+1)/(2u+V)), 6) exactly."""

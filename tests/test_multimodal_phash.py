@@ -1,0 +1,116 @@
+"""Image perceptual hashing: dHash bit math, decode integration,
+and Hamming-banding pair recall (operators/multimodal.py)."""
+
+import numpy as np
+
+from ai_fabric_etl_spark.operators import codecs, multimodal
+
+
+def _cells_image(cells: np.ndarray, cell_w: int = 2, cell_h: int = 2):
+    """8x9 cell-value matrix -> (16, 18, 3) uint8 image where every
+    pixel of a cell carries the cell value (area mean == value)."""
+    assert cells.shape == (8, 9)
+    img = np.repeat(np.repeat(cells, cell_h, axis=0), cell_w, axis=1)
+    return np.stack([img] * 3, axis=2).astype(np.uint8)
+
+
+def _expected_bits(cells: np.ndarray) -> int:
+    val = 0
+    for r in range(8):
+        for c in range(8):
+            val = (val << 1) | (1 if cells[r, c + 1] > cells[r, c] else 0)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def test_dhash_bits_exact_cell_math():
+    rng = np.random.RandomState(7)
+    cells = rng.randint(0, 256, size=(8, 9))
+    assert multimodal._dhash_bits(_cells_image(cells)) == _expected_bits(
+        cells
+    )
+
+
+def test_dhash_stable_under_tiny_perturbation():
+    """Cells spaced >= 8 apart: a single +1 pixel cannot flip any
+    neighbor comparison -> identical hash (the near-dup property)."""
+    cells = (np.arange(72).reshape(8, 9) * 3 % 240).astype(np.int64)
+    base = _cells_image(cells)
+    pert = base.copy()
+    pert[0, 0, 0] = min(255, int(pert[0, 0, 0]) + 1)
+    h0 = multimodal._dhash_bits(base)
+    h1 = multimodal._dhash_bits(pert)
+    assert h0 == h1
+
+
+def test_dhash_single_designed_flip():
+    """Swapping one cell comparison flips exactly that bit."""
+    cells = np.full((8, 9), 100, dtype=np.int64)
+    cells[:, 1::2] = 120  # alternating pattern
+    h0 = multimodal._dhash_bits(_cells_image(cells))
+    flipped = cells.copy()
+    # raising cell (3,4) from 100 to 130 flips BOTH its comparisons:
+    # (3,3): 130>120 now true (was 100>120 false) and
+    # (3,4): 120>130 now false (was 120>100 true)
+    flipped[3, 4] = 130
+    h1 = multimodal._dhash_bits(_cells_image(flipped))
+    xor = (h0 ^ h1) & ((1 << 64) - 1)
+    assert bin(xor).count("1") == 2
+
+
+def test_dhash_small_images_total():
+    """Images smaller than the 9x8 grid still hash (overlapping
+    bands), deterministically."""
+    tiny = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    h1 = multimodal._dhash_bits(tiny)
+    h2 = multimodal._dhash_bits(tiny.copy())
+    assert h1 == h2
+
+
+def test_dhash64_real_decode_roundtrip(spark):
+    """dhash64(fake=False) over encoded BMP bytes equals _dhash_bits
+    of the source pixels."""
+    rng = np.random.RandomState(3)
+    imgs = {i: rng.randint(0, 256, (16, 18, 3)).astype(np.uint8)
+            for i in range(5)}
+    rows = [(i, bytearray(codecs.encode_bmp(px))) for i, px in imgs.items()]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r.dhash
+           for r in multimodal.dhash64(media, fake=False).collect()}
+    want = {i: multimodal._dhash_bits(px) for i, px in imgs.items()}
+    assert got == want
+
+
+def test_phash_near_pairs_banding_matches_bruteforce(spark):
+    """Chunk-banding recall == brute force for hamming <= 3, including
+    sign-bit hashes (arithmetic shiftright masked per chunk)."""
+    rng = np.random.RandomState(11)
+    base = [int(rng.randint(-(2**62), 2**62)) for _ in range(30)]
+    h0 = base[0] | (1 << 62)
+    hashes = list(base)
+    hashes[0] = h0
+    hashes.append(h0 ^ (1 << 5))                       # ham 1
+    hashes.append(h0 ^ (1 << 5) ^ (1 << 20) ^ (1 << 40))  # ham 3
+    hashes.append(h0 ^ 0xF)                            # ham 4: excluded
+    neg = -(2**63) + 12345                             # sign bit set
+    hashes.append(neg)
+    hashes.append(neg ^ (1 << 63 - 1) if False else neg ^ 1)  # ham 1
+    rows = [(i, h if h < 2**63 else h - 2**64)
+            for i, h in enumerate(hashes)]
+    df = spark.createDataFrame(rows, "media_id long, dhash long")
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in multimodal.phash_near_pairs(df, max_hamming=3).collect()}
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            d = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want.add((rows[i][0], rows[j][0], d))
+    assert got == want
+    assert len(want) >= 3  # the designed pairs are actually present
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.phash_near_pairs(df, max_hamming=5)

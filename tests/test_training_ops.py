@@ -912,3 +912,72 @@ def test_sample_token_budget_invariants(spark, sf_dir):
         )
         if rest:
             assert rest[0] > b
+
+
+def test_mmr_rerank_diversity_beats_relevance(spark):
+    """Hand-computed MMR: after the most-relevant vector is taken,
+    its near-duplicate is displaced by a diverse lower-relevance
+    vector under 0.7*rel - 0.3*maxsim."""
+    import math
+
+    from ai_fabric_etl_spark.operators.search import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),       # query
+        (1, [0.9, 0.4359, 0.0]),    # most relevant (rel 0.9)
+        (2, [0.9, 0.4359, 0.0]),    # exact dup of 1: sim(1,2)=1
+        (3, [0.9, 0.0, 0.4359]),    # same rel, diverse (sim(1,3)~0.81)
+        (4, [0.5, 0.5, 0.5]),       # filler, less relevant
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = [
+        (r.vec_id, r.mmr_rank)
+        for r in mmr_rerank(emb, query_vec_id=0, k=3, k_cand=4).collect()
+    ]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return d / (na * nb)
+
+    v = {i: e for i, e in rows}
+    rel = {i: cos(v[0], v[i]) for i in (1, 2, 3, 4)}
+    # step 1: pure relevance argmax
+    first = max(rel, key=lambda i: (rel[i], -i))
+    assert got[0] == (first, 1)
+    # replay greedy for steps 2-3
+    sel = [first]
+    for step in (2, 3):
+        best = None
+        for i in rel:
+            if i in sel:
+                continue
+            ms = max(cos(v[i], v[j]) for j in sel)
+            score = 0.7 * rel[i] - 0.3 * ms
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i)
+        sel.append(best[1])
+        assert got[step - 1] == (best[1], step)
+    # the designed outcome: diverse vec 3 outranks near-dup 2
+    assert sel[0] == 1 and sel[1] == 3
+    assert got[1][0] == 3
+
+
+def test_mmr_rerank_validation_and_size(spark):
+    from ai_fabric_etl_spark.operators.search import mmr_rerank
+
+    import pytest as _pytest
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError):
+        mmr_rerank(emb, 0, k=5, k_cand=3)
+    out = mmr_rerank(emb, 0, k=4, k_cand=5).collect()
+    assert [r.mmr_rank for r in out] == [1, 2, 3, 4]
+    assert len({r.vec_id for r in out}) == 4
