@@ -548,3 +548,109 @@ def synthesize_noise_images(
             yield pd.DataFrame(rows)
 
     return docs.select("doc_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def _audiofp_bits(frames: np.ndarray) -> int:
+    """64-bit audio energy-trend fingerprint (the Chromaprint/
+    Philips-robust-hash SHAPE at SQL-checkable complexity: compare
+    energies of adjacent windows, one bit each): integer mono mix,
+    65 equal windows, window energy = sum |x|, bit i = e[i+1] > e[i].
+    All-integer arithmetic — bit-deterministic on any platform. Short
+    clips sample overlapping windows (>= 1 frame each), total for any
+    n_frames >= 1."""
+    if frames.ndim == 2:
+        mono = frames.astype(np.int64).sum(axis=1) // frames.shape[1]
+    else:
+        mono = frames.astype(np.int64)
+    n = mono.shape[0]
+    e = np.empty(65, dtype=np.int64)
+    a = np.abs(mono)
+    for w in range(65):
+        s0 = min(w * n // 65, n - 1)
+        s1 = max((w + 1) * n // 65, s0 + 1)
+        e[w] = int(a[s0:s1].sum())
+    val = 0
+    for i in range(64):
+        val = (val << 1) | (1 if e[i + 1] > e[i] else 0)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def audio_fp64(
+    media: DataFrame,
+    fake: bool = True,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, afp) per WAV payload — the audio sibling of
+    :func:`dhash64`: re-encoded/slightly-edited copies of the same
+    recording land within a few Hamming bits, and
+    :func:`phash_near_pairs` (hash_col='afp') pairs them without an
+    all-pairs scan. Real decode for RIFF-PCM WAV; ``fake`` governs
+    unrecognized payloads exactly like decode_media. One linear
+    mapInPandas pass, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                frames = None
+                if codecs.sniff_format(payload) == "wav":
+                    try:
+                        _, _, _, frames = codecs.decode_wav(payload)
+                    except Exception as exc:  # noqa: BLE001 - corrupt payload
+                        if not fake:
+                            raise ValueError(
+                                f"corrupt WAV payload: {exc}"
+                            ) from exc
+                if frames is None:
+                    if not fake:
+                        raise NotImplementedError(
+                            "audio_fp64 decodes RIFF-PCM WAV only; call "
+                            "with fake=True for plumbing tests"
+                        )
+                    d = hashlib.md5(payload).digest()
+                    val = int.from_bytes(d[:8], "big", signed=True)
+                else:
+                    val = _audiofp_bits(frames)
+                ids.append(int(mid))
+                fps.append(val)
+            yield pd.DataFrame({id_col: ids, "afp": fps})
+
+    return media.mapInPandas(run, schema=f"{id_col} long, afp long")
+
+
+def synthesize_noise_audio(
+    docs: DataFrame, n_frames: int = 4096
+) -> DataFrame:
+    """Deterministic pseudorandom WAV corpus (SHA-256 counter stream
+    -> int16 PCM), one distinct clip per doc — noise gives each clip
+    a unique, non-degenerate energy-trend fingerprint (the synth sine
+    sweeps of synthesize_media have near-flat window energies)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nbytes = n_frames * 2
+        for pdf in batches:
+            rows = {"media_id": [], "payload": [], "mime_type": [],
+                    "n_bytes": [], "source": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                buf = b""
+                ctr = 0
+                while len(buf) < nbytes:
+                    buf += hashlib.sha256(f"wav:{i}:{ctr}".encode()).digest()
+                    ctr += 1
+                frames = np.frombuffer(buf[:nbytes], dtype="<i2").astype(
+                    np.int16
+                )
+                payload = codecs.encode_wav(frames, sample_rate=16_000)
+                rows["media_id"].append(i)
+                rows["payload"].append(payload)
+                rows["mime_type"].append("audio/wav")
+                rows["n_bytes"].append(len(payload))
+                rows["source"].append("synth-noise")
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(build, schema=MEDIA_SCHEMA)

@@ -191,6 +191,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "search_mmr_rerank",
         # r9: image dHash near-dup planted gate (real BMP bytes)
         "multimodal_phash_neardup",
+        # r9: audio energy-fingerprint near-dup gate (real WAV bytes)
+        "multimodal_audiofp_neardup",
         # r9 rotation: displaced by the r9 flagships (direct-green in
         # CORRECTNESS r6 and r7); oracles verified every sweep
         "dedup_drop_neardups",

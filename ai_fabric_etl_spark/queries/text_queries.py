@@ -1152,6 +1152,40 @@ def q_multimodal_phash_neardup(spark, sf_dir):
     ).select("id_a", "id_b", "hamming")
 
 
+@register(
+    "multimodal_audiofp_neardup",
+    oracle="""
+    SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_multimodal_audiofp_neardup(spark, sf_dir):
+    """Audio near-duplicate detection via 64-bit energy-trend
+    fingerprints (multimodal.audio_fp64 + phash_near_pairs): a
+    deterministic pseudorandom PCM corpus (one distinct WAV per doc)
+    is REALLY encoded and decoded through the stdlib RIFF codec, 100
+    byte-exact copies are planted (ids +100000), and every planted
+    pair MUST surface at hamming 0 through the same 16-bit-chunk
+    pigeonhole banding as the image gate — completing the near-dup
+    modality pair (image dHash / audio energy hash) over real
+    bytes."""
+    from ai_fabric_etl_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.synthesize_noise_audio(docs, n_frames=2048)
+    copies = media.filter(F.col("media_id") < 100).select(
+        (F.col("media_id") + 100000).alias("media_id"),
+        "payload", "mime_type", "n_bytes", "source",
+    )
+    fps = multimodal.audio_fp64(media.unionByName(copies), fake=False)
+    pairs = multimodal.phash_near_pairs(
+        fps, max_hamming=3, hash_col="afp"
+    )
+    return pairs.filter(
+        (F.col("id_b") == F.col("id_a") + 100000) & (F.col("id_a") < 100)
+    ).select("id_a", "id_b", "hamming")
+
+
 _DECONTAM_SH5 = (
     "CASE WHEN len(t) >= 5 THEN list_distinct(list_transform(range(1, len(t)-3), "
     "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) "

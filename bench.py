@@ -101,6 +101,7 @@ HEADLINE = [
     "text_wordpiece_roundtrip",    # WordPiece train+encode+decode (r9)
     "search_mmr_rerank",           # MMR diversity re-ranking (r9)
     "multimodal_phash_neardup",    # image dHash near-dup, real codecs (r9)
+    "multimodal_audiofp_neardup",  # audio energy-hash near-dup (r9)
     "x12_silver_transactions",     # distributed X12 parse
 ]
 

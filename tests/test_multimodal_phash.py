@@ -114,3 +114,52 @@ def test_phash_near_pairs_banding_matches_bruteforce(spark):
 
     with _pytest.raises(ValueError):
         multimodal.phash_near_pairs(df, max_hamming=5)
+
+
+def test_audiofp_exact_window_math():
+    """Fingerprint equals the hand-computed energy-trend bits."""
+    rng = np.random.RandomState(5)
+    frames = rng.randint(-30000, 30000, size=650).astype(np.int16)
+    a = np.abs(frames.astype(np.int64))
+    n = 650
+    e = []
+    for w in range(65):
+        s0 = min(w * n // 65, n - 1)
+        s1 = max((w + 1) * n // 65, s0 + 1)
+        e.append(int(a[s0:s1].sum()))
+    want = 0
+    for i in range(64):
+        want = (want << 1) | (1 if e[i + 1] > e[i] else 0)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert multimodal._audiofp_bits(frames) == want
+
+
+def test_audiofp_real_codec_roundtrip_and_stability(spark):
+    """audio_fp64(fake=False) over encoded WAV bytes equals
+    _audiofp_bits of the source frames; a byte-exact copy matches at
+    hamming 0 through the banding pairs."""
+    rng = np.random.RandomState(9)
+    clips = {i: rng.randint(-(2**14), 2**14, size=1024).astype(np.int16)
+             for i in range(4)}
+    rows = [(i, bytearray(codecs.encode_wav(f))) for i, f in clips.items()]
+    rows.append((100, rows[0][1]))  # byte-exact copy of clip 0
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    fps = multimodal.audio_fp64(media, fake=False)
+    got = {r.media_id: r.afp for r in fps.collect()}
+    for i, f in clips.items():
+        assert got[i] == multimodal._audiofp_bits(f)
+    assert got[100] == got[0]
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in multimodal.phash_near_pairs(
+                 fps, max_hamming=3, hash_col="afp").collect()}
+    assert pairs[(0, 100)] == 0
+
+
+def test_audiofp_short_and_stereo_total():
+    mono = np.array([5, -3], dtype=np.int16)
+    h1 = multimodal._audiofp_bits(mono)
+    h2 = multimodal._audiofp_bits(mono.copy())
+    assert h1 == h2
+    stereo = np.array([[100, 200], [-50, 60], [7, -7]], dtype=np.int16)
+    assert isinstance(multimodal._audiofp_bits(stereo), int)
