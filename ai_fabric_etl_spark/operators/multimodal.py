@@ -654,3 +654,121 @@ def synthesize_noise_audio(
             yield pd.DataFrame(rows)
 
     return docs.select("doc_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def video_frame_hashes(
+    media: DataFrame,
+    every_n: int = 1,
+    fake: bool = True,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, frame_idx, fhash) — per-sampled-frame 64-bit dHash over
+    Y4M luma planes (the video face of :func:`dhash64`): near-
+    duplicate videos (re-encodes, trims, watermark-free mirrors of
+    the same clip) share frame fingerprints at aligned indices.
+    ``every_n`` samples every n-th frame (the frame_sample_plan
+    cadence). One linear mapInPandas decode pass; output rows =
+    sampled frames, never buffered whole-video."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hs = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                frames = None
+                if codecs.sniff_format(payload) == "y4m":
+                    try:
+                        _, _, _, frames = codecs.decode_y4m(payload)
+                    except Exception as exc:  # noqa: BLE001
+                        if not fake:
+                            raise ValueError(
+                                f"corrupt Y4M payload: {exc}"
+                            ) from exc
+                if frames is None:
+                    if not fake:
+                        raise NotImplementedError(
+                            "video_frame_hashes decodes Y4M only; call "
+                            "with fake=True for plumbing tests"
+                        )
+                    d = hashlib.md5(payload).digest()
+                    ids.append(int(mid))
+                    idxs.append(0)
+                    hs.append(int.from_bytes(d[:8], "big", signed=True))
+                    continue
+                for fi in range(0, len(frames), every_n):
+                    ids.append(int(mid))
+                    idxs.append(fi)
+                    hs.append(_dhash_bits(frames[fi]))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "fhash": hs}
+            )
+
+    return media.mapInPandas(
+        run, schema=f"{id_col} long, frame_idx int, fhash long"
+    )
+
+
+def video_near_pairs(
+    frame_hashes: DataFrame,
+    max_hamming: int = 3,
+    min_frames: int = 2,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate video pairs: two videos match when at least
+    ``min_frames`` index-aligned sampled frames agree within
+    ``max_hamming`` bits. Candidates come from the 16-bit-chunk
+    pigeonhole join keyed on (frame_idx, chunk) — a pair is never
+    compared unless some frame chunk collides, so the work is bounded
+    by bucket occupancy, not video-pairs. Returns
+    (id_a, id_b, n_matching_frames)."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"chunk banding holds for max_hamming in [0, 3], got {max_hamming}"
+        )
+    chunks = frame_hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col("frame_idx").alias("fi"),
+        F.col("fhash").alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("fhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("_c"),
+    ).select(
+        "_id", "fi", "_h",
+        F.col("_c.ci").alias("ci"), F.col("_c.cv").alias("cv"),
+    )
+    a = chunks.select(
+        "fi", "ci", "cv",
+        F.col("_id").alias("id_a"), F.col("_h").alias("h_a"),
+    )
+    b = chunks.select(
+        "fi", "ci", "cv",
+        F.col("_id").alias("id_b"), F.col("_h").alias("h_b"),
+    )
+    frame_matches = (
+        a.join(b, ["fi", "ci", "cv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("fi", "id_a", "id_b", "h_a", "h_b")
+        .distinct()
+        .where(
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+            <= max_hamming
+        )
+    )
+    return (
+        frame_matches.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_matching_frames"))
+        .where(F.col("n_matching_frames") >= min_frames)
+    )

@@ -193,6 +193,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "multimodal_phash_neardup",
         # r9: audio energy-fingerprint near-dup gate (real WAV bytes)
         "multimodal_audiofp_neardup",
+        # r9: video frame-hash alignment near-dup gate (real Y4M)
+        "multimodal_video_neardup",
         # r9 rotation: displaced by the r9 flagships (direct-green in
         # CORRECTNESS r6 and r7); oracles verified every sweep
         "dedup_drop_neardups",

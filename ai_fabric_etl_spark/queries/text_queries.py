@@ -1186,6 +1186,41 @@ def q_multimodal_audiofp_neardup(spark, sf_dir):
     ).select("id_a", "id_b", "hamming")
 
 
+@register(
+    "multimodal_video_neardup",
+    oracle="""
+    SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+           CAST(3 + doc_id % 5 AS BIGINT) AS n_matching_frames
+    FROM documents WHERE doc_id < 30
+    """,
+)
+def q_multimodal_video_neardup(spark, sf_dir):
+    """Video near-duplicate detection (multimodal.video_frame_hashes
+    + video_near_pairs): the deterministic Y4M corpus (16x8 luma,
+    n_frames = 3 + id % 5) is REALLY decoded frame-by-frame, each
+    frame dHashes, and 30 byte-exact copies are planted — every
+    planted pair MUST surface with n_matching_frames equal to its
+    video's exact frame count (all frames at hamming 0 through the
+    per-frame-index chunk banding). Completes the near-dup modality
+    triple: image dHash, audio energy hash, video frame-hash
+    alignment — all over real bytes, no imaging/av libraries."""
+    from ai_fabric_etl_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.synthesize_video(docs, max_docs=60)
+    copies = media.filter(F.col("media_id") < 30).select(
+        (F.col("media_id") + 100000).alias("media_id"),
+        "payload", "mime_type", "n_bytes", "source",
+    )
+    fh = multimodal.video_frame_hashes(
+        media.unionByName(copies), every_n=1, fake=False
+    )
+    pairs = multimodal.video_near_pairs(fh, max_hamming=3, min_frames=2)
+    return pairs.filter(
+        (F.col("id_b") == F.col("id_a") + 100000) & (F.col("id_a") < 30)
+    ).select("id_a", "id_b", "n_matching_frames")
+
+
 _DECONTAM_SH5 = (
     "CASE WHEN len(t) >= 5 THEN list_distinct(list_transform(range(1, len(t)-3), "
     "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) "

@@ -102,6 +102,7 @@ HEADLINE = [
     "search_mmr_rerank",           # MMR diversity re-ranking (r9)
     "multimodal_phash_neardup",    # image dHash near-dup, real codecs (r9)
     "multimodal_audiofp_neardup",  # audio energy-hash near-dup (r9)
+    "multimodal_video_neardup",    # video frame-hash near-dup (r9)
     "x12_silver_transactions",     # distributed X12 parse
 ]
 
