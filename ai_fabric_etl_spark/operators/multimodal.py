@@ -772,3 +772,147 @@ def video_near_pairs(
         .agg(F.count(F.lit(1)).alias("n_matching_frames"))
         .where(F.col("n_matching_frames") >= min_frames)
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted perceptual-hash index (incremental image near-dup)
+# ---------------------------------------------------------------------------
+
+
+def phash_index_write(
+    hashes: DataFrame,
+    path: str,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    n_buckets: int = 64,
+) -> None:
+    """Persist a perceptual-hash near-dup index: each 64-bit hash
+    explodes into its four 16-bit chunk rows, partitioned on disk by
+    (chunk index, chunk-value bucket). A probe joins on the partition
+    columns under a broadcast, so Spark's dynamic partition pruning
+    reads ONLY the buckets the batch touches — the image sibling of
+    the MinHash band index (dedup.minhash_index_write) and the
+    embedding LSH index (similarity.emb_neardup_index_write):
+    admitting a new batch never re-hashes or re-scans the corpus."""
+    chunks = hashes.select(
+        F.col(id_col).alias("media_id"),
+        F.col(hash_col).alias("dhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col(hash_col), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("_c"),
+    ).select(
+        "media_id", "dhash",
+        F.col("_c.ci").alias("ci"),
+        F.col("_c.cv").alias("cv"),
+        (F.col("_c.cv") % n_buckets).alias("cb"),
+    )
+    chunks.write.mode("overwrite").partitionBy("ci", "cb").parquet(path)
+
+
+def phash_index_probe(
+    spark,
+    path: str,
+    batch_hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and the persisted index, in
+    O(batch): the batch's chunk keys broadcast against the index scan
+    (partition pruning on (ci, cb) + the chunk equality), candidates
+    verify with one xor+popcount against the stored hash. Returns
+    (batch_id, index_id, hamming). Batch-internal pairs are the
+    caller's phash_near_pairs problem; this is corpus admission."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"chunk banding holds for max_hamming in [0, 3], got {max_hamming}"
+        )
+    idx = spark.read.parquet(path)
+    probe = batch_hashes.select(
+        F.col(id_col).alias("batch_id"),
+        F.col(hash_col).alias("h_b"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col(hash_col), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("_c"),
+    ).select(
+        "batch_id", "h_b",
+        F.col("_c.ci").alias("ci"),
+        F.col("_c.cv").alias("cv"),
+        (F.col("_c.cv") % n_buckets).alias("cb"),
+    )
+    cand = (
+        idx.join(F.broadcast(probe), ["ci", "cb", "cv"])
+        .select(
+            "batch_id",
+            F.col("media_id").alias("index_id"),
+            "h_b",
+            F.col("dhash").alias("h_i"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("h_b").bitwiseXOR(F.col("h_i"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("batch_id", "index_id", "hamming")
+    )
+
+
+def phash_index_insert(
+    spark,
+    path: str,
+    new_hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    n_buckets: int = 64,
+) -> None:
+    """Fold a new batch into the index: append its chunk rows into
+    only the (ci, cb) partitions it touches (dynamic partition
+    overwrite is unnecessary — chunk rows are append-only facts).
+    Existing partitions' files are never rewritten."""
+    chunks = new_hashes.select(
+        F.col(id_col).alias("media_id"),
+        F.col(hash_col).alias("dhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col(hash_col), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("_c"),
+    ).select(
+        "media_id", "dhash",
+        F.col("_c.ci").alias("ci"),
+        F.col("_c.cv").alias("cv"),
+        (F.col("_c.cv") % n_buckets).alias("cb"),
+    )
+    chunks.write.mode("append").partitionBy("ci", "cb").parquet(path)

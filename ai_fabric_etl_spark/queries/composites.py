@@ -195,6 +195,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "multimodal_audiofp_neardup",
         # r9: video frame-hash alignment near-dup gate (real Y4M)
         "multimodal_video_neardup",
+        # r9: O(batch) image admission vs persisted phash index
+        "multimodal_phash_incremental",
         # r9 rotation: displaced by the r9 flagships (direct-green in
         # CORRECTNESS r6 and r7); oracles verified every sweep
         "dedup_drop_neardups",

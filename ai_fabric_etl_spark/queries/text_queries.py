@@ -1221,6 +1221,53 @@ def q_multimodal_video_neardup(spark, sf_dir):
     ).select("id_a", "id_b", "n_matching_frames")
 
 
+@register(
+    "multimodal_phash_incremental",
+    oracle="""
+    SELECT doc_id + 200000 AS batch_id, doc_id AS index_id, 0 AS hamming
+    FROM documents WHERE doc_id < 40
+    """,
+)
+def q_multimodal_phash_incremental(spark, sf_dir):
+    """INCREMENTAL image near-dup against a persisted fingerprint
+    index (multimodal.phash_index_write/probe — the image sibling of
+    the MinHash and embedding-LSH incremental paths): the corpus's
+    dHashes persist ONCE, partitioned by (chunk, chunk-value bucket);
+    a new batch hashes only itself and its chunk keys broadcast
+    against the pruned index scan — O(batch) admission, the corpus is
+    never re-hashed or re-scanned. The batch is 40 byte-exact copies
+    of corpus images (ids +200000) plus 20 NOVEL images (ids +300000
+    — different SHA-256 pixel streams); the entry returns the probe's
+    ENTIRE output, so the oracle asserts both full planted recall
+    (every copy at hamming 0) and zero false admissions from the
+    novel images. Whole-vs-grown index parity and insert visibility
+    are pytest-gated."""
+    import os
+    import tempfile
+
+    from ai_fabric_etl_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    corpus = multimodal.synthesize_noise_images(docs)
+    idx = os.path.join(tempfile.mkdtemp(prefix="phash_idx_"), "index")
+    multimodal.phash_index_write(
+        multimodal.dhash64(corpus, fake=False), idx
+    )
+    copies = corpus.filter(F.col("media_id") < 40).select(
+        (F.col("media_id") + 200000).alias("media_id"),
+        "payload", "mime_type", "n_bytes", "source",
+    )
+    novel = multimodal.synthesize_noise_images(
+        docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 300000).alias("doc_id")
+        )
+    )
+    batch = multimodal.dhash64(copies.unionByName(novel), fake=False)
+    return multimodal.phash_index_probe(
+        spark, idx, batch, max_hamming=3
+    ).orderBy("batch_id")
+
+
 _DECONTAM_SH5 = (
     "CASE WHEN len(t) >= 5 THEN list_distinct(list_transform(range(1, len(t)-3), "
     "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) "

@@ -103,6 +103,7 @@ HEADLINE = [
     "multimodal_phash_neardup",    # image dHash near-dup, real codecs (r9)
     "multimodal_audiofp_neardup",  # audio energy-hash near-dup (r9)
     "multimodal_video_neardup",    # video frame-hash near-dup (r9)
+    "multimodal_phash_incremental",  # O(batch) image admission vs index (r9)
     "x12_silver_transactions",     # distributed X12 parse
 ]
 

@@ -214,3 +214,62 @@ def test_video_near_pairs_trim_and_threshold(spark):
     # raising the floor above the overlap drops the pair
     got4 = multimodal.video_near_pairs(fh, max_hamming=3, min_frames=4)
     assert got4.count() == 0
+
+
+def test_phash_index_probe_parity_and_insert(spark, tmp_path):
+    """Index probe == brute-force batch-vs-corpus hamming pairs;
+    inserted batches become visible to later probes without
+    rewriting existing partition files."""
+    import glob
+
+    rng = np.random.RandomState(23)
+    corpus_px = {i: rng.randint(0, 256, (16, 18, 3)).astype(np.uint8)
+                 for i in range(12)}
+    corpus = spark.createDataFrame(
+        [(i, bytearray(codecs.encode_bmp(px)))
+         for i, px in corpus_px.items()],
+        "media_id long, payload binary",
+    )
+    hashes = multimodal.dhash64(corpus, fake=False)
+    idx = str(tmp_path / "index")
+    multimodal.phash_index_write(hashes, idx)
+    n_files_before = len(glob.glob(f"{idx}/**/*.parquet", recursive=True))
+
+    # batch: copies of 0 and 5, one novel image
+    batch_px = {100: corpus_px[0], 105: corpus_px[5],
+                300: rng.randint(0, 256, (16, 18, 3)).astype(np.uint8)}
+    batch = spark.createDataFrame(
+        [(i, bytearray(codecs.encode_bmp(px)))
+         for i, px in batch_px.items()],
+        "media_id long, payload binary",
+    )
+    bh = multimodal.dhash64(batch, fake=False)
+    got = {(r.batch_id, r.index_id): r.hamming
+           for r in multimodal.phash_index_probe(
+               spark, idx, bh, max_hamming=3).collect()}
+    # brute force
+    ch = {i: multimodal._dhash_bits(px) for i, px in corpus_px.items()}
+    bhh = {i: multimodal._dhash_bits(px) for i, px in batch_px.items()}
+    want = {}
+    for b, hb in bhh.items():
+        for c, hc in ch.items():
+            d = bin((hb ^ hc) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want[(b, c)] = d
+    assert got == want
+    assert (100, 0) in got and got[(100, 0)] == 0
+    assert (105, 5) in got and got[(105, 5)] == 0
+
+    # insert the batch; a copy of the NOVEL image must now match it
+    multimodal.phash_index_insert(spark, idx, bh)
+    n_files_after = len(glob.glob(f"{idx}/**/*.parquet", recursive=True))
+    assert n_files_after > n_files_before  # appended, nothing rewritten
+    probe2 = spark.createDataFrame(
+        [(400, bytearray(codecs.encode_bmp(batch_px[300])))],
+        "media_id long, payload binary",
+    )
+    got2 = {(r.batch_id, r.index_id): r.hamming
+            for r in multimodal.phash_index_probe(
+                spark, idx, multimodal.dhash64(probe2, fake=False),
+                max_hamming=3).collect()}
+    assert got2.get((400, 300)) == 0
