@@ -1250,8 +1250,11 @@ def q_multimodal_phash_incremental(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     corpus = multimodal.synthesize_noise_images(docs)
     idx = os.path.join(tempfile.mkdtemp(prefix="phash_idx_"), "index")
+    # n_buckets=16 at bench scale (the 64-bucket default writes 256
+    # tiny partitions the toy corpus can't amortize; bucket count is
+    # a deployment knob — more buckets = finer pruning at 100 TB)
     multimodal.phash_index_write(
-        multimodal.dhash64(corpus, fake=False), idx
+        multimodal.dhash64(corpus, fake=False), idx, n_buckets=16
     )
     copies = corpus.filter(F.col("media_id") < 40).select(
         (F.col("media_id") + 200000).alias("media_id"),
@@ -1264,7 +1267,7 @@ def q_multimodal_phash_incremental(spark, sf_dir):
     )
     batch = multimodal.dhash64(copies.unionByName(novel), fake=False)
     return multimodal.phash_index_probe(
-        spark, idx, batch, max_hamming=3
+        spark, idx, batch, max_hamming=3, n_buckets=16
     ).orderBy("batch_id")
 
 
