@@ -455,11 +455,97 @@ def dhash64(
     return media.mapInPandas(run, schema=f"{id_col} long, dhash long")
 
 
+def _chunk_explode(hash_col: str) -> F.Column:
+    """The four 16-bit chunk (ci, cv) structs of a 64-bit hash —
+    shared by every banding operator so engine/index/probe always
+    derive bit-identical keys."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    F.shiftright(F.col(hash_col), 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("cv"),
+                )
+                for i in range(4)
+            ]
+        )
+    )
+
+
+def _rem48(h: F.Column, ci: int) -> F.Column:
+    """The 48 bits of a 64-bit hash OUTSIDE chunk ``ci`` (a Python
+    literal — Java shifts mod-64, so ci=0/3 need dedicated forms)."""
+    if ci == 0:
+        return F.shiftrightunsigned(h, 16)
+    if ci == 3:
+        return h.bitwiseAND(F.lit((1 << 48) - 1))
+    low = h.bitwiseAND(F.lit((1 << (16 * ci)) - 1))
+    high = F.shiftleft(F.shiftrightunsigned(h, 16 * (ci + 1)), 16 * ci)
+    return low.bitwiseOR(high)
+
+
+def _sub_chunk_case(h: F.Column, ci: F.Column) -> F.Column:
+    """array<struct<si,scv>> of the four 12-bit sub-chunks of the
+    48-bit remainder outside chunk ``ci`` (a column). Pigeonhole at
+    the next level down: a pair agreeing on chunk ci with <= 3
+    differing bits has all of them in the remainder, and 3 bits touch
+    at most 3 of the 4 sub-chunks — so the pair shares at least one
+    (si, scv). Used to RE-SPLIT hot (ci, cv) buckets instead of
+    letting their candidate pairs go quadratic."""
+    expr = None
+    for i in range(4):
+        rem = _rem48(h, i)
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("si"),
+                    F.shiftrightunsigned(rem, 12 * s)
+                    .bitwiseAND(F.lit(0xFFF))
+                    .cast("int")
+                    .alias("scv"),
+                )
+                for s in range(4)
+            ]
+        )
+        expr = F.when(ci == i, arr) if expr is None else expr.when(ci == i, arr)
+    return expr
+
+
+def _oversize_guard(max_bucket: int, what: str):
+    """Opaque execution-time guard over a bucket-count frame: raises
+    when any count exceeds ``max_bucket``. Same rationale as
+    similarity.lsh_cosine_neardup_pairs — a raise_error inside a CASE
+    gets elided (Catalyst infers isnotnull from downstream equi-joins
+    and pushes it below the raising expression); a pandas UDF is the
+    only guard the optimizer cannot route around."""
+    msg = (
+        f"{what}: banding bucket exceeds max_bucket={max_bucket} "
+        "(hot chunk value — solid frames / letterboxing / logo images "
+        "make perceptual-hash chunks collide at corpus scale). "
+        "Exact-dedup the media first, raise max_bucket, or pass "
+        "on_oversize='drop' to skip hot buckets with reported counters."
+    )
+
+    @F.pandas_udf(LongType())
+    def _guard(n: pd.Series) -> pd.Series:
+        if (n > max_bucket).any():
+            bad = int(n[n > max_bucket].iloc[0])
+            raise ValueError(f"{msg} (observed bucket size {bad})")
+        return n.astype("int64")
+
+    return _guard
+
+
 def phash_near_pairs(
     hashes: DataFrame,
     max_hamming: int = 3,
     id_col: str = "media_id",
     hash_col: str = "dhash",
+    max_bucket: int = 2000,
+    on_oversize: str = "raise",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs by Hamming distance over 64-bit
     perceptual hashes, via 16-bit-chunk pigeonhole banding (the
@@ -468,40 +554,95 @@ def phash_near_pairs(
     the four 16-bit chunks, so candidates come from four equality
     joins on (chunk_idx, chunk_value) — never an all-pairs scan —
     and verify with one xor+popcount. Returns (id_a, id_b, hamming),
-    id_a < id_b."""
+    id_a < id_b.
+
+    Oversize-bucket policy (real image/audio corpora hot-bucket
+    exactly here — solid frames, letterboxing, near-constant audio,
+    logo images — and a (ci, cv) bucket's candidate pairs grow as
+    occupancy²): a bucket over ``max_bucket`` RE-SPLITS on the four
+    12-bit sub-chunks of the 48 remaining bits (pigeonhole still
+    exact — <= 3 differing bits touch at most 3 of 4 sub-chunks), the
+    same hierarchy idea as similarity.lsh_cosine_neardup_pairs. A
+    sub-bucket STILL over ``max_bucket`` (only possible for near-
+    identical hashes no bit position separates) follows
+    ``on_oversize``: ``"raise"`` (default — the LSH/SemDeDup policy)
+    or ``"drop"`` with counters reported via ``stats_out``
+    (``hot_buckets``, ``dropped_subbuckets``, ``dropped_rows``).
+
+    The (id, hash, chunk) frame is persisted for the duration of the
+    plan: it is 4 rows x ~32 bytes per image — negligible next to the
+    decoded payloads its lineage would otherwise re-decode once per
+    branch (count pass + both self-join sides)."""
     if not 0 <= max_hamming <= 3:
         raise ValueError(
             f"chunk banding holds for max_hamming in [0, 3], got {max_hamming}"
         )
+    if on_oversize not in ("raise", "drop"):
+        raise ValueError(
+            f"on_oversize must be 'raise' or 'drop', got {on_oversize!r}"
+        )
     chunks = hashes.select(
         F.col(id_col).alias("_id"),
         F.col(hash_col).alias("_h"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftright(F.col(hash_col), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("cv"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("_c"),
+        _chunk_explode(hash_col).alias("_c"),
     ).select("_id", "_h", F.col("_c.ci").alias("ci"), F.col("_c.cv").alias("cv"))
-    a = chunks.select(
-        F.col("ci"), F.col("cv"),
-        F.col("_id").alias("id_a"), F.col("_h").alias("h_a"),
+    chunks = chunks.persist()
+
+    cnt = chunks.groupBy("ci", "cv").agg(F.count(F.lit(1)).alias("_n"))
+    hot_keys = cnt.filter(F.col("_n") > max_bucket).select("ci", "cv")
+    # cold rows pair on (ci, cv) exactly as before; hot-bucket rows
+    # leave via a broadcast anti join (map-side, empty for healthy
+    # corpora) and re-enter through the sub-chunk split below
+    cold = chunks.join(F.broadcast(hot_keys), ["ci", "cv"], "left_anti")
+    hot = chunks.join(F.broadcast(hot_keys), ["ci", "cv"])
+    sub = hot.select(
+        "ci", "cv", "_id", "_h",
+        F.explode(_sub_chunk_case(F.col("_h"), F.col("ci"))).alias("_s"),
+    ).select(
+        "ci", "cv", "_id", "_h",
+        F.col("_s.si").alias("si"), F.col("_s.scv").alias("scv"),
     )
-    b = chunks.select(
-        F.col("ci"), F.col("cv"),
-        F.col("_id").alias("id_b"), F.col("_h").alias("h_b"),
+    scnt = sub.groupBy("ci", "cv", "si", "scv").agg(
+        F.count(F.lit(1)).alias("_n")
     )
+    if on_oversize == "raise":
+        scnt = scnt.withColumn(
+            "_n", _oversize_guard(max_bucket, "phash_near_pairs")("_n")
+        )
+    elif stats_out is not None:
+        row = (
+            scnt.filter(F.col("_n") > max_bucket)
+            .agg(
+                F.count(F.lit(1)).alias("b"),
+                F.coalesce(F.sum("_n"), F.lit(0)).alias("r"),
+            )
+            .collect()[0]
+        )
+        stats_out["hot_buckets"] = hot_keys.count()
+        stats_out["dropped_subbuckets"] = int(row["b"])
+        stats_out["dropped_rows"] = int(row["r"])
+    sub_hot_keys = scnt.filter(F.col("_n") > max_bucket).select(
+        "ci", "cv", "si", "scv"
+    )
+    sub_ok = sub.join(F.broadcast(sub_hot_keys), ["ci", "cv", "si", "scv"],
+                      "left_anti")
+
+    def _pairs(df: DataFrame, keys: list[str]) -> DataFrame:
+        a = df.select(
+            *keys, F.col("_id").alias("id_a"), F.col("_h").alias("h_a")
+        )
+        b = df.select(
+            *keys, F.col("_id").alias("id_b"), F.col("_h").alias("h_b")
+        )
+        return (
+            a.join(b, keys)
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "h_a", "h_b")
+        )
+
     cand = (
-        a.join(b, ["ci", "cv"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "h_a", "h_b")
+        _pairs(cold, ["ci", "cv"])
+        .unionByName(_pairs(sub_ok, ["ci", "cv", "si", "scv"]))
         .distinct()
     )
     return (
@@ -515,14 +656,20 @@ def phash_near_pairs(
 
 
 def synthesize_noise_images(
-    docs: DataFrame, width: int = 18, height: int = 16
+    docs: DataFrame, width: int = 18, height: int = 16,
+    key_prefix: str = "",
 ) -> DataFrame:
     """Deterministic pseudorandom BMP corpus from the documents
     table: pixel bytes are a SHA-256 counter stream keyed on doc_id,
     so every image is reproducible, visually distinct, and carries a
     non-degenerate dHash (the smooth gradients of synthesize_media
     all share one dHash — useless for near-dup testing; hash-noise
-    images give each doc a unique fingerprint)."""
+    images give each doc a unique fingerprint). ``key_prefix`` puts a
+    batch in its own stream NAMESPACE (the synthesize_noise_audio
+    'wav:' idiom): planted novel batches built from offset numeric
+    ids could otherwise alias a real corpus doc's stream at a larger
+    scale factor (doc_id = d+300000 exists once the corpus passes
+    300k docs)."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = width * height * 3
@@ -534,7 +681,9 @@ def synthesize_noise_images(
                 buf = b""
                 ctr = 0
                 while len(buf) < n:
-                    buf += hashlib.sha256(f"{i}:{ctr}".encode()).digest()
+                    buf += hashlib.sha256(
+                        f"{key_prefix}{i}:{ctr}".encode()
+                    ).digest()
                     ctr += 1
                 px = np.frombuffer(buf[:n], dtype=np.uint8).reshape(
                     height, width, 3
@@ -716,60 +865,118 @@ def video_near_pairs(
     max_hamming: int = 3,
     min_frames: int = 2,
     id_col: str = "media_id",
+    max_shift: int = 2,
+    max_bucket: int = 2000,
+    on_oversize: str = "raise",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate video pairs: two videos match when at least
-    ``min_frames`` index-aligned sampled frames agree within
-    ``max_hamming`` bits. Candidates come from the 16-bit-chunk
-    pigeonhole join keyed on (frame_idx, chunk) — a pair is never
-    compared unless some frame chunk collides, so the work is bounded
-    by bucket occupancy, not video-pairs. Returns
-    (id_a, id_b, n_matching_frames)."""
+    ``min_frames`` frames agree within ``max_hamming`` bits at ONE
+    CONSISTENT frame offset in [-max_shift, +max_shift] — so a clip
+    trimmed from the head, or re-cut by a few frames, still matches
+    (exact-index-only alignment missed every head trim). Candidates
+    come from the 16-bit-chunk pigeonhole join keyed on
+    (frame_idx, chunk): side b is replicated once per offset
+    (2*max_shift+1 copies of the CHUNK rows — ids and keys, never
+    payloads), a pair is never compared unless some frame chunk
+    collides, and matches aggregate per (pair, shift) with the best
+    shift reported (ties: smallest |shift|, then smallest shift).
+    Returns (id_a, id_b, n_matching_frames, shift) where
+    shift = fi_b - fi_a.
+
+    Oversize-bucket policy: a hot (frame_idx, chunk) bucket — solid
+    black frames, letterboxed intros, station logos — makes the banding
+    join quadratic in its occupancy. Buckets over ``max_bucket``
+    follow ``on_oversize``: ``"raise"`` (default) or ``"drop"`` with
+    counters via ``stats_out`` (``dropped_buckets``,
+    ``dropped_rows``). No sub-chunk re-split here: the hot-frame case
+    is identical frames (all 64 bits equal), which no remaining bit
+    position separates — an explicit policy beats a machinery that
+    cannot engage."""
     if not 0 <= max_hamming <= 3:
         raise ValueError(
             f"chunk banding holds for max_hamming in [0, 3], got {max_hamming}"
+        )
+    if max_shift < 0:
+        raise ValueError(f"max_shift must be >= 0, got {max_shift}")
+    if on_oversize not in ("raise", "drop"):
+        raise ValueError(
+            f"on_oversize must be 'raise' or 'drop', got {on_oversize!r}"
         )
     chunks = frame_hashes.select(
         F.col(id_col).alias("_id"),
         F.col("frame_idx").alias("fi"),
         F.col("fhash").alias("_h"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftright(F.col("fhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("cv"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("_c"),
+        _chunk_explode("fhash").alias("_c"),
     ).select(
         "_id", "fi", "_h",
         F.col("_c.ci").alias("ci"), F.col("_c.cv").alias("cv"),
     )
-    a = chunks.select(
-        "fi", "ci", "cv",
+    chunks = chunks.persist()
+
+    cnt = chunks.groupBy("fi", "ci", "cv").agg(F.count(F.lit(1)).alias("_n"))
+    if on_oversize == "raise":
+        cnt = cnt.withColumn(
+            "_n", _oversize_guard(max_bucket, "video_near_pairs")("_n")
+        )
+    elif stats_out is not None:
+        row = (
+            cnt.filter(F.col("_n") > max_bucket)
+            .agg(
+                F.count(F.lit(1)).alias("b"),
+                F.coalesce(F.sum("_n"), F.lit(0)).alias("r"),
+            )
+            .collect()[0]
+        )
+        stats_out["dropped_buckets"] = int(row["b"])
+        stats_out["dropped_rows"] = int(row["r"])
+    hot_keys = cnt.filter(F.col("_n") > max_bucket).select("fi", "ci", "cv")
+    pruned = chunks.join(F.broadcast(hot_keys), ["fi", "ci", "cv"],
+                         "left_anti")
+
+    a = pruned.select(
+        F.col("fi").alias("g"), "ci", "cv",
         F.col("_id").alias("id_a"), F.col("_h").alias("h_a"),
     )
-    b = chunks.select(
+    b = pruned.select(
         "fi", "ci", "cv",
         F.col("_id").alias("id_b"), F.col("_h").alias("h_b"),
+        F.explode(
+            F.array(*[F.lit(s) for s in range(-max_shift, max_shift + 1)])
+        ).alias("shift"),
+    ).select(
+        (F.col("fi") - F.col("shift")).alias("g"), "ci", "cv",
+        "id_b", "h_b", "shift",
     )
     frame_matches = (
-        a.join(b, ["fi", "ci", "cv"])
+        a.join(b, ["g", "ci", "cv"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("fi", "id_a", "id_b", "h_a", "h_b")
+        .select("g", "shift", "id_a", "id_b", "h_a", "h_b")
         .distinct()
         .where(
             F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
             <= max_hamming
         )
     )
+    per_shift = frame_matches.groupBy("id_a", "id_b", "shift").agg(
+        F.count(F.lit(1)).alias("_nm")
+    )
+    best = per_shift.groupBy("id_a", "id_b").agg(
+        F.max(
+            F.struct(
+                F.col("_nm").alias("nm"),
+                (-F.abs(F.col("shift"))).alias("negabs"),
+                (-F.col("shift")).alias("negshift"),
+                F.col("shift").alias("shift"),
+            )
+        ).alias("_b")
+    )
     return (
-        frame_matches.groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_matching_frames"))
+        best.select(
+            "id_a", "id_b",
+            F.col("_b.nm").alias("n_matching_frames"),
+            F.col("_b.shift").alias("shift"),
+        )
         .where(F.col("n_matching_frames") >= min_frames)
     )
 
@@ -777,6 +984,51 @@ def video_near_pairs(
 # ---------------------------------------------------------------------------
 # persisted perceptual-hash index (incremental image near-dup)
 # ---------------------------------------------------------------------------
+
+
+def _index_chunks(
+    hashes: DataFrame, id_col: str, hash_col: str, n_buckets: int
+) -> DataFrame:
+    """(media_id, dhash, ci, cv, cb) chunk rows for the on-disk index
+    layout — one derivation shared by write/probe/insert so the
+    partition bucket can never drift between them."""
+    return hashes.select(
+        F.col(id_col).alias("media_id"),
+        F.col(hash_col).alias("dhash"),
+        _chunk_explode(hash_col).alias("_c"),
+    ).select(
+        "media_id", "dhash",
+        F.col("_c.ci").alias("ci"),
+        F.col("_c.cv").alias("cv"),
+        (F.col("_c.cv") % n_buckets).alias("cb"),
+    )
+
+
+def _index_n_buckets(path: str, n_buckets: int | None) -> int:
+    """Resolve the index's bucket count from its persisted meta.json;
+    an explicitly passed value must MATCH (a drifted n_buckets would
+    silently re-bucket probe keys into the wrong partitions and lose
+    candidates — fail loudly instead)."""
+    import json as _json
+    import os as _os
+
+    meta_path = _os.path.join(path, "_phash_index_meta.json")
+    if _os.path.exists(meta_path):
+        with open(meta_path, encoding="utf-8") as fh:
+            stored = int(_json.load(fh)["n_buckets"])
+        if n_buckets is not None and n_buckets != stored:
+            raise ValueError(
+                f"phash index at {path} was written with n_buckets="
+                f"{stored}; caller passed {n_buckets} — a mismatched "
+                "bucket count silently loses candidates"
+            )
+        return stored
+    if n_buckets is None:
+        raise ValueError(
+            f"phash index at {path} has no _phash_index_meta.json "
+            "(pre-meta layout); pass n_buckets explicitly"
+        )
+    return n_buckets
 
 
 def phash_index_write(
@@ -788,35 +1040,25 @@ def phash_index_write(
 ) -> None:
     """Persist a perceptual-hash near-dup index: each 64-bit hash
     explodes into its four 16-bit chunk rows, partitioned on disk by
-    (chunk index, chunk-value bucket). A probe joins on the partition
-    columns under a broadcast, so Spark's dynamic partition pruning
-    reads ONLY the buckets the batch touches — the image sibling of
-    the MinHash band index (dedup.minhash_index_write) and the
-    embedding LSH index (similarity.emb_neardup_index_write):
-    admitting a new batch never re-hashes or re-scans the corpus."""
-    chunks = hashes.select(
-        F.col(id_col).alias("media_id"),
-        F.col(hash_col).alias("dhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftright(F.col(hash_col), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("cv"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("_c"),
-    ).select(
-        "media_id", "dhash",
-        F.col("_c.ci").alias("ci"),
-        F.col("_c.cv").alias("cv"),
-        (F.col("_c.cv") % n_buckets).alias("cb"),
-    )
-    chunks.write.mode("overwrite").partitionBy("ci", "cb").parquet(path)
+    (chunk index, chunk-value bucket). A probe lists the batch's
+    touched (ci, cb) partitions and filters the scan STATICALLY, so
+    only those directories are ever read — the image sibling of the
+    MinHash band index (dedup.minhash_index_write) and the embedding
+    LSH index (similarity.emb_neardup_index_write): admitting a new
+    batch never re-hashes or re-scans the corpus. ``n_buckets`` is
+    persisted in ``_phash_index_meta.json`` and re-read by
+    probe/insert, so the partitioning knob cannot drift between
+    writer and readers."""
+    import json as _json
+    import os as _os
+
+    _index_chunks(hashes, id_col, hash_col, n_buckets).write.mode(
+        "overwrite"
+    ).partitionBy("ci", "cb").parquet(path)
+    with open(
+        _os.path.join(path, "_phash_index_meta.json"), "w", encoding="utf-8"
+    ) as fh:
+        _json.dump({"n_buckets": int(n_buckets), "version": 1}, fh)
 
 
 def phash_index_probe(
@@ -826,43 +1068,96 @@ def phash_index_probe(
     max_hamming: int = 3,
     id_col: str = "media_id",
     hash_col: str = "dhash",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
+    max_bucket: int = 2000,
+    on_oversize: str = "raise",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and the persisted index, in
-    O(batch): the batch's chunk keys broadcast against the index scan
-    (partition pruning on (ci, cb) + the chunk equality), candidates
-    verify with one xor+popcount against the stored hash. Returns
+    O(batch): the batch's distinct (ci, cb) keys are collected (a
+    bounded set — at most 4·n_buckets, usually 4·|batch|) and pushed
+    as a STATIC partition filter on the index scan, so untouched
+    partitions are never read (pytest-proven: corrupting every
+    untouched partition's files leaves the probe green). Candidates
+    broadcast-join on the full chunk value and verify with one
+    xor+popcount against the stored hash. Returns
     (batch_id, index_id, hamming). Batch-internal pairs are the
-    caller's phash_near_pairs problem; this is corpus admission."""
+    caller's phash_near_pairs problem; this is corpus admission.
+
+    ``n_buckets`` defaults to the value persisted at
+    :func:`phash_index_write` time (see ``_index_n_buckets``).
+
+    Oversize policy: per-(ci, cv) occupancy of the index rows the
+    batch actually touches is counted on the pruned scan; a bucket
+    over ``max_bucket`` (hot chunk value — the candidate fan-out per
+    probing image) raises by default, or drops with counters via
+    ``stats_out`` (``dropped_buckets``, ``dropped_rows``) under
+    ``on_oversize='drop'``."""
     if not 0 <= max_hamming <= 3:
         raise ValueError(
             f"chunk banding holds for max_hamming in [0, 3], got {max_hamming}"
         )
-    idx = spark.read.parquet(path)
+    if on_oversize not in ("raise", "drop"):
+        raise ValueError(
+            f"on_oversize must be 'raise' or 'drop', got {on_oversize!r}"
+        )
+    n_buckets = _index_n_buckets(path, n_buckets)
     probe = batch_hashes.select(
         F.col(id_col).alias("batch_id"),
         F.col(hash_col).alias("h_b"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftright(F.col(hash_col), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("cv"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("_c"),
+        _chunk_explode(hash_col).alias("_c"),
     ).select(
         "batch_id", "h_b",
         F.col("_c.ci").alias("ci"),
         F.col("_c.cv").alias("cv"),
         (F.col("_c.cv") % n_buckets).alias("cb"),
     )
+    probe = probe.persist()
+    touched = [
+        (int(r["ci"]), int(r["cb"]))
+        for r in probe.select("ci", "cb").distinct().collect()
+    ]
+    if not touched:
+        return spark.createDataFrame(
+            [], "batch_id long, index_id long, hamming int"
+        )
+    part_filter = None
+    for ci, cb in touched:
+        term = (F.col("ci") == ci) & (F.col("cb") == cb)
+        part_filter = term if part_filter is None else (part_filter | term)
+    # explicit schema: no footer-based inference — at 100 TB schema
+    # discovery over thousands of partition dirs is itself a scan,
+    # and the layout is pinned by _index_chunks anyway
+    idx = (
+        spark.read.schema("media_id long, dhash long, cv long, ci int, cb int")
+        .parquet(path)
+        .where(part_filter)
+    )
+
+    keys = probe.select("ci", "cb", "cv").distinct()
+    occ = idx.join(F.broadcast(keys), ["ci", "cb", "cv"]).groupBy(
+        "ci", "cv"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    if on_oversize == "raise":
+        occ = occ.withColumn(
+            "_n", _oversize_guard(max_bucket, "phash_index_probe")("_n")
+        )
+    elif stats_out is not None:
+        row = (
+            occ.filter(F.col("_n") > max_bucket)
+            .agg(
+                F.count(F.lit(1)).alias("b"),
+                F.coalesce(F.sum("_n"), F.lit(0)).alias("r"),
+            )
+            .collect()[0]
+        )
+        stats_out["dropped_buckets"] = int(row["b"])
+        stats_out["dropped_rows"] = int(row["r"])
+    hot_keys = occ.filter(F.col("_n") > max_bucket).select("ci", "cv")
+    probe_ok = probe.join(F.broadcast(hot_keys), ["ci", "cv"], "left_anti")
+
     cand = (
-        idx.join(F.broadcast(probe), ["ci", "cb", "cv"])
+        idx.join(F.broadcast(probe_ok), ["ci", "cb", "cv"])
         .select(
             "batch_id",
             F.col("media_id").alias("index_id"),
@@ -887,32 +1182,16 @@ def phash_index_insert(
     new_hashes: DataFrame,
     id_col: str = "media_id",
     hash_col: str = "dhash",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> None:
     """Fold a new batch into the index: append its chunk rows into
     only the (ci, cb) partitions it touches (dynamic partition
     overwrite is unnecessary — chunk rows are append-only facts).
-    Existing partitions' files are never rewritten."""
-    chunks = new_hashes.select(
-        F.col(id_col).alias("media_id"),
-        F.col(hash_col).alias("dhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftright(F.col(hash_col), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("cv"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("_c"),
-    ).select(
-        "media_id", "dhash",
-        F.col("_c.ci").alias("ci"),
-        F.col("_c.cv").alias("cv"),
-        (F.col("_c.cv") % n_buckets).alias("cb"),
-    )
-    chunks.write.mode("append").partitionBy("ci", "cb").parquet(path)
+    Existing partitions' files are never rewritten. ``n_buckets``
+    comes from the index's own meta (see ``_index_n_buckets``) — an
+    insert bucketed differently from the writer would strand rows in
+    partitions no probe looks at."""
+    n_buckets = _index_n_buckets(path, n_buckets)
+    _index_chunks(new_hashes, id_col, hash_col, n_buckets).write.mode(
+        "append"
+    ).partitionBy("ci", "cb").parquet(path)

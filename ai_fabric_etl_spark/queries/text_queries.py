@@ -1190,7 +1190,8 @@ def q_multimodal_audiofp_neardup(spark, sf_dir):
     "multimodal_video_neardup",
     oracle="""
     SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
-           CAST(3 + doc_id % 5 AS BIGINT) AS n_matching_frames
+           CAST(3 + doc_id % 5 AS BIGINT) AS n_matching_frames,
+           CAST(0 AS INTEGER) AS shift
     FROM documents WHERE doc_id < 30
     """,
 )
@@ -1200,10 +1201,14 @@ def q_multimodal_video_neardup(spark, sf_dir):
     n_frames = 3 + id % 5) is REALLY decoded frame-by-frame, each
     frame dHashes, and 30 byte-exact copies are planted — every
     planted pair MUST surface with n_matching_frames equal to its
-    video's exact frame count (all frames at hamming 0 through the
-    per-frame-index chunk banding). Completes the near-dup modality
-    triple: image dHash, audio energy hash, video frame-hash
-    alignment — all over real bytes, no imaging/av libraries."""
+    video's exact frame count, at best shift 0 (all frames at
+    hamming 0 through the per-frame-index chunk banding; the r10
+    shift window [-2, +2] makes head-trimmed/re-cut clips match too,
+    and a byte-exact copy must win at offset 0 — the oracle pins
+    both the count AND the reported shift). Completes the near-dup
+    modality triple: image dHash, audio energy hash, video
+    frame-hash alignment — all over real bytes, no imaging/av
+    libraries."""
     from ai_fabric_etl_spark.operators import multimodal
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -1215,10 +1220,12 @@ def q_multimodal_video_neardup(spark, sf_dir):
     fh = multimodal.video_frame_hashes(
         media.unionByName(copies), every_n=1, fake=False
     )
-    pairs = multimodal.video_near_pairs(fh, max_hamming=3, min_frames=2)
+    pairs = multimodal.video_near_pairs(
+        fh, max_hamming=3, min_frames=2, max_shift=2
+    )
     return pairs.filter(
         (F.col("id_b") == F.col("id_a") + 100000) & (F.col("id_a") < 30)
-    ).select("id_a", "id_b", "n_matching_frames")
+    ).select("id_a", "id_b", "n_matching_frames", "shift")
 
 
 @register(
@@ -1236,12 +1243,14 @@ def q_multimodal_phash_incremental(spark, sf_dir):
     a new batch hashes only itself and its chunk keys broadcast
     against the pruned index scan — O(batch) admission, the corpus is
     never re-hashed or re-scanned. The batch is 40 byte-exact copies
-    of corpus images (ids +200000) plus 20 NOVEL images (ids +300000
-    — different SHA-256 pixel streams); the entry returns the probe's
-    ENTIRE output, so the oracle asserts both full planted recall
-    (every copy at hamming 0) and zero false admissions from the
-    novel images. Whole-vs-grown index parity and insert visibility
-    are pytest-gated."""
+    of corpus images (ids +200000) plus 20 NOVEL images (ids +300000,
+    in their own 'novel:' SHA stream namespace so a planted id can
+    never alias a real corpus stream at any scale factor); the entry
+    returns the probe's ENTIRE output, so the oracle asserts both
+    full planted recall (every copy at hamming 0) and zero false
+    admissions from the novel images. Whole-vs-grown index parity,
+    insert visibility, and the static-pruning proof (untouched
+    partitions corrupted, probe stays green) are pytest-gated."""
     import os
     import tempfile
 
@@ -1250,11 +1259,12 @@ def q_multimodal_phash_incremental(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     corpus = multimodal.synthesize_noise_images(docs)
     idx = os.path.join(tempfile.mkdtemp(prefix="phash_idx_"), "index")
-    # n_buckets=16 at bench scale (the 64-bucket default writes 256
-    # tiny partitions the toy corpus can't amortize; bucket count is
-    # a deployment knob — more buckets = finer pruning at 100 TB)
+    # n_buckets=64 — the claimed 100 TB pruning knob, now exercised
+    # at bench scale too (r10): the probe's STATIC partition filter
+    # reads only the batch's touched (ci, cb) dirs, so finer
+    # bucketing costs the write 256 dirs but the probe nothing
     multimodal.phash_index_write(
-        multimodal.dhash64(corpus, fake=False), idx, n_buckets=16
+        multimodal.dhash64(corpus, fake=False), idx, n_buckets=64
     )
     copies = corpus.filter(F.col("media_id") < 40).select(
         (F.col("media_id") + 200000).alias("media_id"),
@@ -1263,11 +1273,12 @@ def q_multimodal_phash_incremental(spark, sf_dir):
     novel = multimodal.synthesize_noise_images(
         docs.filter(F.col("doc_id") < 20).select(
             (F.col("doc_id") + 300000).alias("doc_id")
-        )
+        ),
+        key_prefix="novel:",
     )
     batch = multimodal.dhash64(copies.unionByName(novel), fake=False)
     return multimodal.phash_index_probe(
-        spark, idx, batch, max_hamming=3, n_buckets=16
+        spark, idx, batch, max_hamming=3
     ).orderBy("batch_id")
 
 

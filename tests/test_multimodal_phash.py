@@ -273,3 +273,226 @@ def test_phash_index_probe_parity_and_insert(spark, tmp_path):
                 spark, idx, multimodal.dhash64(probe2, fake=False),
                 max_hamming=3).collect()}
     assert got2.get((400, 300)) == 0
+
+
+# ---------------------------------------------------------------------------
+# r10: oversize-bucket policy + shift-robust video + index meta/pruning
+# ---------------------------------------------------------------------------
+
+
+def _brute_pairs(rows, max_hamming=3):
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            d = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
+            if d <= max_hamming:
+                a, b = sorted((rows[i][0], rows[j][0]))
+                want.add((a, b, d))
+    return want
+
+
+def test_phash_hot_bucket_resplit_keeps_recall(spark):
+    """A bucket over max_bucket re-splits on 12-bit sub-chunks of the
+    remaining 48 bits instead of going quadratic — and recall against
+    brute force is preserved (the letterbox case: shared chunk,
+    differing elsewhere)."""
+    rng = np.random.RandomState(31)
+    shared_cv = 0xBEEF
+    rows = []
+    for i in range(20):  # all share chunk 0 -> one hot (ci=0, cv) bucket
+        rest = int(rng.randint(0, 2**48))
+        rows.append((i, (rest << 16) | shared_cv))
+    # planted near-dups INSIDE the hot bucket (differ by 1 bit in the
+    # remainder -> share 3 of 4 sub-chunks) and a cold-bucket pair
+    rows.append((100, rows[0][1] ^ (1 << 20)))
+    rows.append((200, int(rng.randint(0, 2**62))))
+    rows.append((201, rows[-1][1] ^ (1 << 3)))
+    signed = [(i, h if h < 2**63 else h - 2**64) for i, h in rows]
+    df = spark.createDataFrame(signed, "media_id long, dhash long")
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in multimodal.phash_near_pairs(
+               df, max_hamming=3, max_bucket=5).collect()}
+    assert got == _brute_pairs(signed)
+    assert (0, 100, 1) in got  # the hot-bucket planted pair survived
+
+
+def test_phash_degenerate_corpus_raises_not_quadratic(spark):
+    """>max_bucket IDENTICAL hashes (the gradient-corpus case STATUS
+    documents) raise by default; on_oversize='drop' reports counters
+    instead of silently emitting occupancy^2 candidates."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, 12345) for i in range(10)], "media_id long, dhash long"
+    )
+    with pytest.raises(Exception, match="max_bucket"):
+        multimodal.phash_near_pairs(df, max_bucket=5).collect()
+    stats = {}
+    got = multimodal.phash_near_pairs(
+        df, max_bucket=5, on_oversize="drop", stats_out=stats
+    ).collect()
+    assert got == []
+    assert stats["hot_buckets"] == 4  # every chunk of the one hash
+    assert stats["dropped_subbuckets"] == 16
+    assert stats["dropped_rows"] == 160
+    with pytest.raises(ValueError, match="on_oversize"):
+        multimodal.phash_near_pairs(df, on_oversize="explode")
+
+
+def test_video_hot_frame_bucket_policy(spark):
+    """>max_bucket videos sharing one frame hash at one index (solid
+    black intro frame) raise by default / drop with counters."""
+    import pytest
+
+    rows = [(i, 0, 777) for i in range(8)]  # 8 videos, same frame 0
+    # frame 1 distinct in EVERY 16-bit chunk (h = i replicated per
+    # chunk) so only frame 0's four buckets are hot
+    rows += [(i, 1, ((i + 1) << 48) | ((i + 1) << 32) | ((i + 1) << 16)
+              | (i + 1)) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "media_id long, frame_idx int, fhash long"
+    )
+    with pytest.raises(Exception, match="max_bucket"):
+        multimodal.video_near_pairs(df, max_bucket=5, min_frames=1).collect()
+    stats = {}
+    got = multimodal.video_near_pairs(
+        df, max_bucket=5, min_frames=1, on_oversize="drop", stats_out=stats
+    ).collect()
+    assert got == []  # the only collisions lived in the dropped bucket
+    assert stats["dropped_buckets"] == 4
+    assert stats["dropped_rows"] == 32
+
+
+def test_video_head_trim_matches_via_shift(spark):
+    """A clip trimmed from the HEAD (indices shifted) matches at the
+    consistent negative offset — the r9 index-aligned-only gap."""
+    rng = np.random.RandomState(41)
+    frames = [rng.randint(0, 256, (8, 16)).astype(np.uint8)
+              for _ in range(5)]
+    full = bytearray(codecs.encode_y4m(frames))
+    head_trim = bytearray(codecs.encode_y4m(frames[1:]))  # drops frame 0
+    media = spark.createDataFrame(
+        [(1, full), (2, head_trim)], "media_id long, payload binary"
+    )
+    fh = multimodal.video_frame_hashes(media, fake=False)
+    got = {(r.id_a, r.id_b): (r.n_matching_frames, r.shift)
+           for r in multimodal.video_near_pairs(
+               fh, max_hamming=3, min_frames=2, max_shift=2).collect()}
+    assert got == {(1, 2): (4, -1)}
+    # with max_shift=0 (the r9 behavior) the head trim is invisible
+    got0 = multimodal.video_near_pairs(
+        fh, max_hamming=3, min_frames=2, max_shift=0
+    ).collect()
+    assert got0 == []
+
+
+def test_video_exact_copy_reports_shift_zero(spark):
+    """A byte-exact copy must win at offset 0 even with the shift
+    window open (ties break toward the smallest |shift|)."""
+    rng = np.random.RandomState(43)
+    frames = [rng.randint(0, 256, (8, 16)).astype(np.uint8)
+              for _ in range(4)]
+    payload = bytearray(codecs.encode_y4m(frames))
+    media = spark.createDataFrame(
+        [(1, payload), (2, payload)], "media_id long, payload binary"
+    )
+    fh = multimodal.video_frame_hashes(media, fake=False)
+    [r] = multimodal.video_near_pairs(
+        fh, max_hamming=3, min_frames=2, max_shift=2
+    ).collect()
+    assert (r.id_a, r.id_b, r.n_matching_frames, r.shift) == (1, 2, 4, 0)
+
+
+def test_phash_index_meta_pins_n_buckets(spark, tmp_path):
+    """The index persists n_buckets; probe/insert resolve it from the
+    meta and a mismatched explicit value fails LOUDLY instead of
+    silently losing candidates (ADVICE r9)."""
+    import os
+
+    import pytest
+
+    hashes = spark.createDataFrame(
+        [(i, 1000 + i) for i in range(6)], "media_id long, dhash long"
+    )
+    idx = str(tmp_path / "idx")
+    multimodal.phash_index_write(hashes, idx, n_buckets=16)
+    batch = spark.createDataFrame([(99, 1000)], "media_id long, dhash long")
+    # meta-resolved probe works with no explicit n_buckets
+    got = multimodal.phash_index_probe(spark, idx, batch).collect()
+    assert {(r.batch_id, r.index_id, r.hamming) for r in got} >= {(99, 0, 0)}
+    with pytest.raises(ValueError, match="n_buckets"):
+        multimodal.phash_index_probe(spark, idx, batch, n_buckets=32)
+    with pytest.raises(ValueError, match="n_buckets"):
+        multimodal.phash_index_insert(spark, idx, batch, n_buckets=32)
+    # matching explicit value is accepted
+    multimodal.phash_index_insert(spark, idx, batch, n_buckets=16)
+    # legacy pre-meta layout: explicit value required
+    os.remove(os.path.join(idx, "_phash_index_meta.json"))
+    with pytest.raises(ValueError, match="explicitly"):
+        multimodal.phash_index_probe(spark, idx, batch)
+    got2 = multimodal.phash_index_probe(
+        spark, idx, batch, n_buckets=16
+    ).collect()
+    assert len(got2) >= 1
+
+
+def test_phash_index_probe_static_pruning_64(spark, tmp_path):
+    """The 100 TB pruning claim, proven mechanically at n_buckets=64:
+    every partition the 1-image batch does NOT touch is corrupted on
+    disk; the probe must stay green (it never opens those files),
+    while a full scan of the corrupted index fails."""
+    import glob
+    import os
+
+    import pytest
+
+    rng = np.random.RandomState(47)
+    rows = [(i, int(rng.randint(-(2**62), 2**62))) for i in range(300)]
+    hashes = spark.createDataFrame(rows, "media_id long, dhash long")
+    idx = str(tmp_path / "idx64")
+    multimodal.phash_index_write(hashes, idx, n_buckets=64)
+
+    h0 = rows[0][1]
+    touched = {(i, ((h0 >> (16 * i)) & 0xFFFF) % 64) for i in range(4)}
+    n_corrupt = 0
+    for f in glob.glob(f"{idx}/ci=*/cb=*/*.parquet"):
+        parts = f.split(os.sep)
+        ci = int(parts[-3].split("=")[1])
+        cb = int(parts[-2].split("=")[1])
+        if (ci, cb) not in touched:
+            with open(f, "wb") as fh:
+                fh.write(b"not a parquet file")
+            n_corrupt += 1
+    assert n_corrupt > 200  # the corruption is widespread and real
+    batch = spark.createDataFrame([(999, h0)], "media_id long, dhash long")
+    got = {(r.batch_id, r.index_id, r.hamming)
+           for r in multimodal.phash_index_probe(spark, idx, batch).collect()}
+    assert (999, 0, 0) in got
+    # sanity: an unpruned scan of the same index cannot survive
+    with pytest.raises(Exception):
+        spark.read.parquet(idx).groupBy("ci").count().collect()
+
+
+def test_phash_index_probe_hot_bucket_policy(spark, tmp_path):
+    """A hot index chunk value (the per-probe fan-out bound) raises
+    by default and drops-with-counters on request."""
+    import pytest
+
+    hashes = spark.createDataFrame(
+        [(i, 555) for i in range(10)], "media_id long, dhash long"
+    )
+    idx = str(tmp_path / "hot")
+    multimodal.phash_index_write(hashes, idx, n_buckets=16)
+    batch = spark.createDataFrame([(99, 555)], "media_id long, dhash long")
+    with pytest.raises(Exception, match="max_bucket"):
+        multimodal.phash_index_probe(
+            spark, idx, batch, max_bucket=5
+        ).collect()
+    stats = {}
+    got = multimodal.phash_index_probe(
+        spark, idx, batch, max_bucket=5, on_oversize="drop",
+        stats_out=stats,
+    ).collect()
+    assert got == []
+    assert stats["dropped_buckets"] == 4
+    assert stats["dropped_rows"] == 40
