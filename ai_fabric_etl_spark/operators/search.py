@@ -518,8 +518,14 @@ def mmr_rerank(
         F.col("v").alias("va"),
     )
     b = ce.select(F.col("id").alias("ib"), F.col("v").alias("vb"))
+    # LEFT join so a singleton candidate set still seeds the greedy
+    # (ia != ib yields no pairs for one candidate; an inner join then
+    # produced zero groups and an empty result, while the SQL
+    # oracle's sel1 CTE correctly returned that candidate at rank 1 —
+    # ADVICE r9). With >= 2 candidates every row matches and the plan
+    # is the old inner join.
     pairs = (
-        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"), "left")
         .select(
             "ia",
             "rel_a",
@@ -534,7 +540,8 @@ def mmr_rerank(
         sim: dict[tuple[int, int], float] = {}
         for r in pdf.itertuples():
             rel[int(r.ia)] = float(r.rel_a)
-            sim[(int(r.ia), int(r.ib))] = float(r.s)
+            if not pd.isna(r.ib):
+                sim[(int(r.ia), int(r.ib))] = float(r.s)
         remaining = sorted(rel)
         selected: list[int] = []
         out_id, out_rk, out_rel, out_score = [], [], [], []

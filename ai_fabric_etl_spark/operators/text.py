@@ -516,13 +516,31 @@ def trigram_lm_scores(
     scalars; scoring joins the holdout trigram stream to the count
     tables on their natural keys (vocabulary-sized shuffle hash joins,
     deliberately not broadcast; hot function-word keys split under
-    AQE) and folds per doc. No UDFs anywhere."""
+    AQE) and folds per doc. No UDFs anywhere.
+
+    The holdout split is the repo's md5-bucket idiom (r10; was
+    ``_doc % holdout_mod``, which required numeric ids):
+    ``('0x' || substr(md5(id || '-trigram'), 1, 15)) % holdout_mod``
+    — replayable in ANSI SQL, deterministic, and string ids are
+    first-class (NULL ids hash as '__NULL__', the hash_split
+    convention)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    k = F.coalesce(F.col("_doc").cast("string"), F.lit("__NULL__"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(k, F.lit("-trigram")).cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % holdout_mod
+    )
     base = docs.select(
         F.col(id_col).alias("_doc"), toks.alias("_t")
     ).withColumn("_n", F.size("_t"))
-    train = base.where(F.col("_doc") % holdout_mod != 0)
-    test = base.where(F.col("_doc") % holdout_mod == 0)
+    train = base.where(bucket != 0)
+    test = base.where(bucket == 0)
 
     uni = (
         train.select(F.explode("_t").alias("w"))

@@ -469,9 +469,12 @@ def q_text_bigram_lm_nll(spark, sf_dir):
     "text_trigram_backoff_nll",
     oracle=f"""
     WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
-    b AS (SELECT doc_id, t, len(t) AS n FROM tok),
-    train AS (SELECT * FROM b WHERE doc_id % 5 <> 0),
-    test AS (SELECT * FROM b WHERE doc_id % 5 = 0),
+    b AS (SELECT doc_id, t, len(t) AS n,
+          ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '__NULL__')
+                              || '-trigram'), 1, 15))::BIGINT % 5 AS hb
+          FROM tok),
+    train AS (SELECT * FROM b WHERE hb <> 0),
+    test AS (SELECT * FROM b WHERE hb = 0),
     uni AS (SELECT w, COUNT(*) AS u
             FROM (SELECT unnest(t) AS w FROM train) GROUP BY w),
     nv AS (SELECT COUNT(*) AS v FROM uni),
@@ -526,6 +529,8 @@ def q_text_trigram_backoff_nll(spark, sf_dir):
     train split's count tables — the higher-order CCNet perplexity
     signal with all three backoff branches LIVE (the bigram entry
     trains on the full corpus, so its backoff path never fires).
+    The ~20% holdout is the md5-bucket split (r10 — replayable in
+    ANSI SQL and string-id-safe, vs the r9 numeric-only `% 5`).
     Full per-doc value oracle in integer micro-nats: every branch is
     one IEEE expression in the same evaluation order on both engines
     (integer-ratio ln inputs; the 0.4/0.16 backoff multipliers cast

@@ -957,3 +957,21 @@ def test_emb_neardup_index_insert_parity(spark, emb, tmp_path):
     assert ra == rb
     # the planted copies are all found (recall structurally 1.0)
     assert {(i, i + 50000) for i in range(30)} <= ra
+
+
+def test_ngram_jaccard_exact_boundary_pair(spark):
+    """A pair at EXACTLY the threshold survives the r10 PPJoin
+    positional filter + df>=2 prefix floor (epsilon slack keeps the
+    float bound over-inclusive; verification stays exact). |A|=8
+    shingles, |B|=4, overlap=4 -> J = 4/8 = 0.5 on the nose, and the
+    length filter is at its own boundary (t*|A| == |B|)."""
+    a = " ".join(f"w{i}" for i in range(10))     # 8 distinct shingles
+    b = " ".join(f"w{i}" for i in range(4, 10))  # 4 shingles, all shared
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    for fo in (True, False):
+        got = {(r.doc_a, r.doc_b, r.jaccard)
+               for r in dedup.ngram_jaccard_pairs(
+                   docs, threshold=0.5, freq_ordered=fo).collect()}
+        assert got == {(1, 2, 0.5)}, f"freq_ordered={fo}"

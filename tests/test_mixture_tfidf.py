@@ -400,20 +400,29 @@ def test_target_encoding_excludes_own_fold(spark, sf_dir):
 
 def test_trigram_backoff_hand_computed(spark):
     """Tiny corpus, hand-verifiable, exercising all three stupid-
-    backoff branches: doc_id % 5 == 0 is the holdout; train counts
-    are uni a=2,b=2,c=2,d=1,x=1,y=1 (N=9, V=6), big (a,b)=2 (b,c)=2
-    (c,d)=1 (x,y)=1, tri (a,b,c)=2 (b,c,d)=1."""
+    backoff branches. The holdout split is the md5-bucket idiom
+    (r10): ids are CHOSEN by computing the bucket in-test — 0/1/2
+    land in train (bucket != 0), 3/13/20/21 in the holdout (== 0).
+    Train counts: uni a=2,b=2,c=2,d=1,x=1,y=1 (N=9, V=6), big
+    (a,b)=2 (b,c)=2 (c,d)=1 (x,y)=1, tri (a,b,c)=2 (b,c,d)=1."""
+    import hashlib
     import math
 
     from ai_fabric_etl_spark.operators.text import trigram_lm_scores
 
+    def bucket(i):
+        h = hashlib.md5(f"{i}-trigram".encode()).hexdigest()[:15]
+        return int(h, 16) % 5
+
+    assert [bucket(i) != 0 for i in (0, 1, 2)] == [True] * 3
+    assert [bucket(i) for i in (3, 13, 20, 21)] == [0] * 4
     docs = spark.createDataFrame(
         [
-            (1, "a b c d"), (2, "a b c"), (3, "x y"),     # train
-            (0, "a b c d"),   # both trigrams seen
-            (5, "q x y"),     # trigram unseen, bigram (x,y) seen
-            (10, "a b q"),    # trigram+bigram unseen -> unigram base
-            (15, "z"),        # no trigrams
+            (0, "a b c d"), (1, "a b c"), (2, "x y"),  # train
+            (3, "a b c d"),   # both trigrams seen
+            (13, "q x y"),    # trigram unseen, bigram (x,y) seen
+            (20, "a b q"),    # trigram+bigram unseen -> unigram base
+            (21, "z"),        # no trigrams
         ],
         "doc_id long, text string",
     )
@@ -429,12 +438,39 @@ def test_trigram_backoff_hand_computed(spark):
     t_bcd = round(math.log(1 / 2), 6)          # tri branch
     t_qxy = round(math.log(0.4 * 1 / 1), 6)    # bigram backoff, u(x)=1
     t_abq = round(math.log(0.16 * 1 / 24), 6)  # base, u(q)=0, 2N+V=24
-    assert got[0] == (2, micro([t_abc, t_bcd]))
-    assert got[5] == (1, micro([t_qxy]))
-    assert got[10] == (1, micro([t_abq]))
-    assert got[15] == (0, None)
+    assert got[3] == (2, micro([t_abc, t_bcd]))
+    assert got[13] == (1, micro([t_qxy]))
+    assert got[20] == (1, micro([t_abq]))
+    assert got[21] == (0, None)
     # unseen-everything transitions score strictly worse (higher NLL)
-    assert got[10][1] > got[5][1] > got[0][1]
+    assert got[20][1] > got[13][1] > got[3][1]
+
+
+def test_trigram_backoff_string_ids(spark):
+    """String doc ids are first-class under the hash-mod holdout
+    (the r9 numeric-only `% mod` gap): the split must be the md5
+    bucket of the STRING id, scored docs must be exactly the
+    bucket-0 ids, and every holdout doc scores."""
+    import hashlib
+
+    from ai_fabric_etl_spark.operators.text import trigram_lm_scores
+
+    names = [f"doc-{c}" for c in "abcdefgh"]
+
+    def bucket(s):
+        h = hashlib.md5(f"{s}-trigram".encode()).hexdigest()[:15]
+        return int(h, 16) % 5
+
+    holdout = {s for s in names if bucket(s) == 0}
+    assert holdout  # the fixture must actually exercise the split
+    docs = spark.createDataFrame(
+        [(s, "the quick brown fox jumps") for s in names],
+        "doc_id string, text string",
+    )
+    out = trigram_lm_scores(docs).collect()
+    assert {r.doc_id for r in out} == holdout
+    for r in out:
+        assert r.n_trigrams == 3 and r.avg_nll_micro is not None
 
 
 def test_bigram_lm_scores_hand_computed(spark):

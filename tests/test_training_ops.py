@@ -981,3 +981,21 @@ def test_mmr_rerank_validation_and_size(spark):
     out = mmr_rerank(emb, 0, k=4, k_cand=5).collect()
     assert [r.mmr_rank for r in out] == [1, 2, 3, 4]
     assert len({r.vec_id for r in out}) == 4
+
+
+def test_mmr_rerank_singleton_candidate(spark):
+    """A corpus with exactly one non-query vector must yield that
+    candidate at rank 1 (ADVICE r9: the inner pair join produced an
+    empty result while the SQL oracle's sel1 returned one row)."""
+    from ai_fabric_etl_spark.operators.search import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.8, 0.6])],
+        "vec_id long, embedding array<double>",
+    )
+    out = mmr_rerank(emb, 0, k=1, k_cand=20).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.vec_id, r.mmr_rank) == (1, 1)
+    assert abs(r.rel_cosine - 0.8) < 1e-6
+    assert abs(r.mmr_score - 0.7 * 0.8) < 1e-6
