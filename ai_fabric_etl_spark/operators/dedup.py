@@ -147,6 +147,15 @@ def ngram_jaccard_pairs(
       drop at join time before the pair ever materializes (epsilon
       slack on the float threshold keeps the filter over-inclusive —
       verification is exact anyway).
+    - **asymmetric index prefix** (freq-ordered path): the join is
+      probe-side prefix |s|-⌈t·|s|⌉+1 against INDEX-side prefix
+      |s|-⌈2t/(1+t)·|s|⌉+1, with the index side strictly smaller
+      under the (n_sh, doc_id) total order (AllPairs/Bayardo). Exact:
+      the pair's first common element c1 sits within |s|-o+1 of both
+      orders, and o >= t·|x| (length filter) and o >= 2t/(1+t)·|y|
+      (|y| <= |x|) bound both prefixes from below. At t=0.5 the index
+      entries shrink from ~n/2 to ~n/3 per doc — candidates fall as
+      the product.
     """
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int") + 1
@@ -157,6 +166,17 @@ def ngram_jaccard_pairs(
         .cache()
     )
     if freq_ordered:
+        # index-side prefix: |s| - ceil(2t/(1+t)*|s|) + 1 (epsilon
+        # keeps ceil from rounding UP past the exact value, which
+        # would shorten the prefix and lose the witness)
+        index_len = (
+            F.col("n_sh")
+            - F.ceil(
+                F.lit(2 * threshold / (1.0 + threshold)) * F.col("n_sh")
+                - F.lit(1e-9)
+            ).cast("int")
+            + 1
+        )
         exploded = sh.select("doc_id", "n_sh", F.explode("hs").alias("shingle_key"))
         doc_freq = exploded.groupBy("shingle_key").agg(F.count(F.lit(1)).alias("df"))
         pre = (
@@ -169,7 +189,17 @@ def ngram_jaccard_pairs(
             )
             .filter(F.col("rn") <= prefix_len)
             .filter(F.col("df") >= 2)
-            .select("doc_id", "n_sh", "shingle_key", "rn")
+            .withColumn("in_index", F.col("rn") <= index_len)
+            .select("doc_id", "n_sh", "shingle_key", "rn", "in_index")
+        )
+        a = pre.alias("a")  # probe side: full t-prefix
+        b = pre.filter(F.col("in_index")).alias("b")  # index side
+        # the index side must be STRICTLY SMALLER under the
+        # (n_sh, doc_id) total order for the shorter prefix to stay
+        # exact (AllPairs size-ordered probing, relationally)
+        order_cond = (F.col("b.n_sh") < F.col("a.n_sh")) | (
+            (F.col("b.n_sh") == F.col("a.n_sh"))
+            & (F.col("b.doc_id") < F.col("a.doc_id"))
         )
     else:
         pre = sh.select(
@@ -182,8 +212,9 @@ def ngram_jaccard_pairs(
             "doc_id", "n_sh", "shingle_key",
             (F.col("pos0") + 1).alias("rn"),
         )
-    a = pre.alias("a")
-    b = pre.alias("b")
+        a = pre.alias("a")
+        b = pre.alias("b")
+        order_cond = F.col("a.doc_id") < F.col("b.doc_id")
     # length filter: Jaccard >= t forces t*|B| <= |A| (and vice versa);
     # positional filter: overlap reachable from this witness must
     # still clear the t/(1+t)(|A|+|B|) equivalent-overlap threshold
@@ -199,12 +230,15 @@ def ngram_jaccard_pairs(
         a.join(
             b,
             (F.col("a.shingle_key") == F.col("b.shingle_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & order_cond
             & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh"))
             & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
             & (reachable >= min_overlap),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return _verify_jaccard(cand, sh, threshold)
