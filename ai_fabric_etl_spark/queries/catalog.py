@@ -97,12 +97,18 @@ _PRIORITY = [
     "scalar_datetime",
     "a11_pivot_daily",
     "o1_topk_nations",
-    # the six round-1 hash mismatches, fixed — must show green
-    "a2_partner_matrix",
-    "a3_quality_bands",
-    "a4_business_kpis",
-    "u3_enrollment_metrics",
-    "u7_action_buckets",
+    # --- r10 rotation (VERDICT r9 item 6): eight entries whose last
+    # direct driver row predates r6 (the r4 behavior/profile family —
+    # composite-resident since) take named slots; the eight
+    # multi-round-green veterans they displace (a2/a3/a4/u3/u7 —
+    # round-1 fixes green r2–r9 whose signal the x12 gold marts carry
+    # — plus a10_hourly_rollup/j1/w1) rotate into fp_relational_ops,
+    # oracles still verified every sweep. ---
+    "affinity_brand_pairs",
+    "rfm_customer_segments",
+    "profile_histogram_equidepth",
+    "event_transition_matrix",
+    "winsorize_prices",
     # one representative per core family (a1/w3 signal is carried by
     # the x12 summary mart / running-aggs tests; ngram's exact pair
     # set is what the minhash and drop_neardups oracles verify)
@@ -117,9 +123,9 @@ _PRIORITY = [
     "scalar_json",
     "text_clean_redact",
     "p11_text_predicates",
-    "a10_hourly_rollup",
-    "j1_left_join_activity",
-    "w1_latest_event_per_user",
+    "timeseries_gap_fill",
+    "anomaly_zscore_daily",
+    "attribution_linear_touch",
     "lakehouse_merge_orders",  # MERGE/lakehouse semantics (A7/S5)
     "w4_session_windows",
     # training-data suite with its verified gates

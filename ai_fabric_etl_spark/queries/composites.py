@@ -101,6 +101,18 @@ FP_GROUPS: dict[str, list[str]] = {
         # window by the r9 flagships; oracles verified every sweep
         "scalar_strings",
         "p6_projection_casts",
+        # r10 rotation: displaced by the r4 behavior/profile family's
+        # fresh direct-row pass (VERDICT r9 item 6); a2/a3/a4/u3/u7
+        # green r2–r9, a10/j1/w1 green since r1 — oracles stay fully
+        # driver-visible here
+        "a2_partner_matrix",
+        "a3_quality_bands",
+        "a4_business_kpis",
+        "u3_enrollment_metrics",
+        "u7_action_buckets",
+        "a10_hourly_rollup",
+        "j1_left_join_activity",
+        "w1_latest_event_per_user",
     ],
     "fp_training_sources": [
         "range_recent_activity",
