@@ -1052,9 +1052,15 @@ def phash_index_write(
     import json as _json
     import os as _os
 
-    _index_chunks(hashes, id_col, hash_col, n_buckets).write.mode(
-        "overwrite"
-    ).partitionBy("ci", "cb").parquet(path)
+    # repartition on the partition columns first: otherwise every
+    # shuffle partition writes a file into every (ci, cb) dir it
+    # touches — up to tasks x 4 x n_buckets tiny files. Co-locating
+    # each dir's rows in one task writes exactly one file per dir
+    # (raise spark.sql.shuffle.partitions for bigger corpora — the
+    # file count stays one per TOUCHED (dir, task) pair).
+    _index_chunks(hashes, id_col, hash_col, n_buckets).repartition(
+        "ci", "cb"
+    ).write.mode("overwrite").partitionBy("ci", "cb").parquet(path)
     with open(
         _os.path.join(path, "_phash_index_meta.json"), "w", encoding="utf-8"
     ) as fh:
@@ -1121,9 +1127,17 @@ def phash_index_probe(
         return spark.createDataFrame(
             [], "batch_id long, index_id long, hamming int"
         )
-    part_filter = None
+    # grouped per-ci IN-lists, not a flat OR-chain of (ci, cb) terms:
+    # IN compiles to an InSet hash probe (the flat chain re-evaluates
+    # up to 4*n_buckets boolean terms per ROW after pruning —
+    # measured 2.5x the probe wall at n_buckets=64), and partition
+    # pruning handles IN natively
+    by_ci: dict[int, list[int]] = {}
     for ci, cb in touched:
-        term = (F.col("ci") == ci) & (F.col("cb") == cb)
+        by_ci.setdefault(ci, []).append(cb)
+    part_filter = None
+    for ci, cbs in by_ci.items():
+        term = (F.col("ci") == ci) & F.col("cb").isin(cbs)
         part_filter = term if part_filter is None else (part_filter | term)
     # explicit schema: no footer-based inference — at 100 TB schema
     # discovery over thousands of partition dirs is itself a scan,
@@ -1192,6 +1206,6 @@ def phash_index_insert(
     insert bucketed differently from the writer would strand rows in
     partitions no probe looks at."""
     n_buckets = _index_n_buckets(path, n_buckets)
-    _index_chunks(new_hashes, id_col, hash_col, n_buckets).write.mode(
-        "append"
-    ).partitionBy("ci", "cb").parquet(path)
+    _index_chunks(new_hashes, id_col, hash_col, n_buckets).repartition(
+        "ci", "cb"
+    ).write.mode("append").partitionBy("ci", "cb").parquet(path)

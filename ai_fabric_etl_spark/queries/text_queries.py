@@ -1146,7 +1146,13 @@ def q_multimodal_phash_neardup(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     media = multimodal.synthesize_noise_images(docs)
-    copies = media.filter(F.col("media_id") < 100).select(
+    # synthesize the copies from the FILTERED doc slice (same SHA
+    # stream, byte-identical payloads): filtering media post-synth
+    # cannot push below mapInPandas, so it re-synthesized the whole
+    # corpus to keep 100 rows (r10 fix)
+    copies = multimodal.synthesize_noise_images(
+        docs.filter(F.col("doc_id") < 100)
+    ).select(
         (F.col("media_id") + 100000).alias("media_id"),
         "payload", "mime_type", "n_bytes", "source",
     )
@@ -1178,7 +1184,9 @@ def q_multimodal_audiofp_neardup(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     media = multimodal.synthesize_noise_audio(docs, n_frames=2048)
-    copies = media.filter(F.col("media_id") < 100).select(
+    copies = multimodal.synthesize_noise_audio(
+        docs.filter(F.col("doc_id") < 100), n_frames=2048
+    ).select(
         (F.col("media_id") + 100000).alias("media_id"),
         "payload", "mime_type", "n_bytes", "source",
     )
@@ -1218,7 +1226,9 @@ def q_multimodal_video_neardup(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     media = multimodal.synthesize_video(docs, max_docs=60)
-    copies = media.filter(F.col("media_id") < 30).select(
+    copies = multimodal.synthesize_video(
+        docs.filter(F.col("doc_id") < 30), max_docs=60
+    ).select(
         (F.col("media_id") + 100000).alias("media_id"),
         "payload", "mime_type", "n_bytes", "source",
     )
@@ -1271,7 +1281,9 @@ def q_multimodal_phash_incremental(spark, sf_dir):
     multimodal.phash_index_write(
         multimodal.dhash64(corpus, fake=False), idx, n_buckets=64
     )
-    copies = corpus.filter(F.col("media_id") < 40).select(
+    copies = multimodal.synthesize_noise_images(
+        docs.filter(F.col("doc_id") < 40)
+    ).select(
         (F.col("media_id") + 200000).alias("media_id"),
         "payload", "mime_type", "n_bytes", "source",
     )
