@@ -1,0 +1,179 @@
+"""Streaming media admission: a continuous near-duplicate gate over
+an image/media stream, backed by the persisted perceptual-hash index.
+
+The batch building blocks are operators/multimodal.py's incremental
+path (``phash_index_write/probe/insert`` — O(batch) admission, the
+corpus is never re-hashed); this module is their Structured-Streaming
+face: every micro-batch of media rows is hashed, probed against the
+index, routed (admit / reject-with-provenance), and the admitted
+hashes fold into the index — so a training-data ingest keeps the
+image corpus near-dup-free continuously instead of re-running corpus
+dedup per snapshot. The reference has no streaming media path; this
+follows the repo's foreachBatch state discipline
+(streaming/running_aggs.py): epoch ids ride in the decisions table's
+pointer scoped to the checkpoint identity, replayed epochs skip.
+
+Crash-window idempotency (the index insert and the decisions commit
+cannot be one atomic swap — they live in different stores): the probe
+step classifies an EXACT same-id index match as "this batch's rows
+from a prior partially-completed attempt" (a media id is unique in
+the stream, so batch_id == index_id can only be the batch's own
+earlier insert). Those rows keep their admit decision but are NOT
+re-inserted, so any crash/replay interleaving converges to the same
+index contents and decisions — pytest-gated.
+
+Within-batch policy: a row with a SMALLER-id near-duplicate in the
+same batch is rejected (deterministic first-wins; transitive cluster
+canonicalization is dedup's connected-components job, not a stream
+gate's). Oversize-bucket policy is inherited from the probe
+(raise by default — see multimodal.phash_index_probe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ai_fabric_etl_spark.operators import multimodal
+from ai_fabric_etl_spark.operators.merge import ParquetMergeTable
+
+DECISION_COLS = ["media_id", "admitted", "dup_of", "hamming", "epoch"]
+
+
+def admit_media_batch(
+    spark: SparkSession,
+    media_batch: DataFrame,
+    index_path: str,
+    state_dir: str,
+    epoch_id: int,
+    app_id: str | None = None,
+    max_hamming: int = 3,
+    fake: bool = False,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> None:
+    """One micro-batch admission. Also callable from batch jobs.
+
+    Decision row per input media id:
+    ``(media_id, admitted, dup_of, hamming, epoch)`` — ``dup_of`` is
+    the min-hamming (then min-id) provenance: an index id for corpus
+    duplicates, a smaller batch id for within-batch duplicates, NULL
+    for admitted rows."""
+    table = ParquetMergeTable(spark, state_dir)
+    last = table.last_epoch(app_id)
+    if last is not None and epoch_id <= last:
+        return  # replayed epoch after restart — already decided
+
+    hashes = multimodal.dhash64(
+        media_batch, fake=fake, id_col=id_col, payload_col=payload_col
+    ).persist()
+    probe = multimodal.phash_index_probe(
+        spark, index_path, hashes, max_hamming=max_hamming, id_col=id_col
+    ).persist()
+
+    # batch_id == index_id can only be this batch's own rows from a
+    # prior attempt that crashed between index insert and the epoch
+    # commit: keep their (admitted) decision, skip their re-insert
+    self_ids = probe.filter(F.col("batch_id") == F.col("index_id")).select(
+        F.col("batch_id").alias(id_col)
+    ).distinct()
+    index_dups = (
+        probe.filter(F.col("batch_id") != F.col("index_id"))
+        .groupBy("batch_id")
+        .agg(
+            F.min(F.struct("hamming", "index_id")).alias("_best")
+        )
+        .select(
+            F.col("batch_id").alias(id_col),
+            F.col("_best.index_id").alias("dup_of"),
+            F.col("_best.hamming").alias("hamming"),
+        )
+    )
+
+    # within-batch: reject any id with a SMALLER-id near-dup whose
+    # smaller side is not itself an index duplicate
+    batch_pairs = multimodal.phash_near_pairs(
+        hashes, max_hamming=max_hamming, id_col=id_col
+    )
+    batch_dups = (
+        batch_pairs.join(
+            index_dups.select(F.col(id_col).alias("id_a")), "id_a", "left_anti"
+        )
+        .groupBy("id_b")
+        .agg(F.min(F.struct("hamming", "id_a")).alias("_best"))
+        .select(
+            F.col("id_b").alias(id_col),
+            F.col("_best.id_a").alias("dup_of"),
+            F.col("_best.hamming").alias("hamming"),
+        )
+        # an id that is ALREADY an index duplicate keeps that
+        # provenance; the batch rule only applies to survivors
+        .join(index_dups.select(id_col), id_col, "left_anti")
+    )
+
+    rejected = index_dups.unionByName(batch_dups)
+    decisions = (
+        hashes.select(id_col)
+        .join(rejected, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("dup_of").isNull().alias("admitted"),
+            "dup_of",
+            "hamming",
+            F.lit(int(epoch_id)).alias("epoch"),
+        )
+    )
+    prior = table.read() if table.exists() else None
+    merged = (
+        prior.unionByName(decisions) if prior is not None else decisions
+    )
+    table.overwrite(merged, epoch=epoch_id, app_id=app_id)
+
+    to_insert = (
+        hashes.join(rejected, id_col, "left_anti")
+        .join(self_ids, id_col, "left_anti")
+        .select(id_col, "dhash")
+    )
+    multimodal.phash_index_insert(spark, index_path, to_insert, id_col=id_col)
+    hashes.unpersist()
+    probe.unpersist()
+
+
+def admit_media_stream(
+    stream: DataFrame,
+    index_path: str,
+    state_dir: str,
+    checkpoint: str,
+    max_hamming: int = 3,
+    fake: bool = False,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Wire the admission gate into a streaming query. The checkpoint
+    location is the epoch-guard app identity (restart on the same
+    checkpoint resumes exactly-once; a fresh checkpoint resets)."""
+    spark = stream.sparkSession
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        admit_media_batch(
+            spark,
+            batch_df,
+            index_path,
+            state_dir,
+            epoch_id,
+            app_id=checkpoint,
+            max_hamming=max_hamming,
+            fake=fake,
+        )
+
+    writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_decisions(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All admission decisions so far (one row per media id seen)."""
+    return ParquetMergeTable(spark, state_dir).read().select(*DECISION_COLS)

@@ -1,0 +1,171 @@
+"""Streaming media admission gate (streaming/media_admission.py):
+decision routing, exactly-once epochs, crash-window convergence, and
+stream == batch parity over real BMP bytes."""
+
+import glob
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from ai_fabric_etl_spark.operators import codecs, multimodal
+from ai_fabric_etl_spark.streaming.media_admission import (
+    admit_media_batch,
+    admit_media_stream,
+    read_decisions,
+)
+
+
+def _img(seed: int) -> bytearray:
+    rng = np.random.RandomState(seed)
+    return bytearray(
+        codecs.encode_bmp(rng.randint(0, 256, (16, 18, 3)).astype(np.uint8))
+    )
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def _init_index(spark, path):
+    empty = spark.createDataFrame([], "media_id long, dhash long")
+    multimodal.phash_index_write(empty, path, n_buckets=16)
+
+
+def test_admission_routing(spark, tmp_path):
+    """Novel images admit; a byte-exact copy of an indexed image
+    rejects with index provenance; a within-batch copy rejects with
+    the smaller batch id."""
+    idx = str(tmp_path / "idx")
+    state = str(tmp_path / "state")
+    _init_index(spark, idx)
+
+    b1 = _media(spark, [(1, _img(1)), (2, _img(2))])
+    admit_media_batch(spark, b1, idx, state, epoch_id=0, app_id="t")
+    d = {r.media_id: (r.admitted, r.dup_of, r.hamming)
+         for r in read_decisions(spark, state).collect()}
+    assert d == {1: (True, None, None), 2: (True, None, None)}
+
+    # batch 2: copy of indexed 1, a novel image, and a within-batch
+    # copy pair (20 is a copy of 10 -> reject 20, admit 10)
+    b2 = _media(
+        spark,
+        [(3, _img(1)), (10, _img(7)), (20, _img(7)), (30, _img(9))],
+    )
+    admit_media_batch(spark, b2, idx, state, epoch_id=1, app_id="t")
+    d = {r.media_id: (r.admitted, r.dup_of, r.hamming)
+         for r in read_decisions(spark, state).collect()}
+    assert d[3] == (False, 1, 0)
+    assert d[10] == (True, None, None)
+    assert d[20] == (False, 10, 0)
+    assert d[30] == (True, None, None)
+
+    # the index holds exactly the admitted set: a copy of each
+    # admitted image matches, a copy of a rejected-only id does not
+    probe = _media(spark, [(100, _img(7)), (101, _img(9)), (102, _img(2))])
+    got = {(r.batch_id, r.index_id)
+           for r in multimodal.phash_index_probe(
+               spark, idx, multimodal.dhash64(probe, fake=False)
+           ).collect()}
+    assert got == {(100, 10), (101, 30), (102, 2)}
+
+
+def test_admission_epoch_replay_skips(spark, tmp_path):
+    """Replaying an already-applied epoch is a no-op for decisions
+    AND index contents (exactly-once under restart)."""
+    idx = str(tmp_path / "idx")
+    state = str(tmp_path / "state")
+    _init_index(spark, idx)
+    b = _media(spark, [(1, _img(1)), (2, _img(2))])
+    admit_media_batch(spark, b, idx, state, epoch_id=0, app_id="t")
+    n_files = len(glob.glob(f"{idx}/**/*.parquet", recursive=True))
+    n_dec = read_decisions(spark, state).count()
+    admit_media_batch(spark, b, idx, state, epoch_id=0, app_id="t")
+    assert len(glob.glob(f"{idx}/**/*.parquet", recursive=True)) == n_files
+    assert read_decisions(spark, state).count() == n_dec
+
+
+def test_admission_crash_window_converges(spark, tmp_path):
+    """A crash BETWEEN the index insert and the epoch commit (the
+    non-atomic window) converges on replay: rows already in the index
+    under their own id keep their admit decision and are not
+    re-inserted."""
+    idx = str(tmp_path / "idx")
+    state = str(tmp_path / "state")
+    _init_index(spark, idx)
+    b = _media(spark, [(1, _img(1)), (2, _img(2))])
+    # simulate the crashed first attempt: index got the rows, the
+    # decisions/epoch commit never happened
+    multimodal.phash_index_insert(
+        spark, idx, multimodal.dhash64(b, fake=False)
+    )
+    n_rows = spark.read.schema(
+        "media_id long, dhash long, cv long, ci int, cb int"
+    ).parquet(idx).count()
+    admit_media_batch(spark, b, idx, state, epoch_id=0, app_id="t")
+    d = {r.media_id: (r.admitted, r.dup_of)
+         for r in read_decisions(spark, state).collect()}
+    assert d == {1: (True, None), 2: (True, None)}
+    got = spark.read.schema(
+        "media_id long, dhash long, cv long, ci int, cb int"
+    ).parquet(idx).count()
+    assert got == n_rows  # no duplicate index rows from the replay
+
+
+def test_admission_stream_equals_batch(spark, tmp_path):
+    """Running the batches through a real file stream (availableNow,
+    one batch per file) produces the same decisions and an
+    equivalently-probing index as direct batch calls."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [(1, _img(1)), (2, _img(2))],
+        [(3, _img(1)), (10, _img(7)), (20, _img(7))],
+    ]
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            {"media_id": [r[0] for r in rows],
+             "payload": [bytes(r[1]) for r in rows]}
+        )
+        pdf.to_parquet(src / f"b{i}.parquet")
+
+    # batch reference
+    idx_b = str(tmp_path / "idx_b")
+    st_b = str(tmp_path / "st_b")
+    _init_index(spark, idx_b)
+    for i, rows in enumerate(batches):
+        admit_media_batch(
+            spark, _media(spark, rows), idx_b, st_b, epoch_id=i, app_id="b"
+        )
+
+    # stream: one file per micro-batch
+    idx_s = str(tmp_path / "idx_s")
+    st_s = str(tmp_path / "st_s")
+    _init_index(spark, idx_s)
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = admit_media_stream(
+        stream, idx_s, st_s, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    def canon(state):
+        return sorted(
+            (r.media_id, r.admitted, r.dup_of, r.hamming)
+            for r in read_decisions(spark, state).collect()
+        )
+
+    assert canon(st_s) == canon(st_b)
+    probe = multimodal.dhash64(
+        _media(spark, [(100, _img(7)), (101, _img(2))]), fake=False
+    )
+    pb = {(r.batch_id, r.index_id)
+          for r in multimodal.phash_index_probe(spark, idx_b, probe).collect()}
+    ps = {(r.batch_id, r.index_id)
+          for r in multimodal.phash_index_probe(spark, idx_s, probe).collect()}
+    assert pb == ps == {(100, 10), (101, 2)}
