@@ -1199,3 +1199,52 @@ def soft_dedup_weights(
             ).alias("weight_micro"),
         )
     )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-argmax cluster canonicalization: hard dedup that keeps
+    the BEST member of each near-dup cluster instead of the first/
+    minimum id (the RefinedWeb/FineWeb refinement — min-id keep
+    discards a clean original whenever a truncated or boilerplate-
+    laden copy happens to carry the smaller id).
+
+    ``pairs`` is any near-dup edge list ``(doc_a, doc_b)``;
+    ``quality_col`` is any numeric score (length, LM NLL negated,
+    classifier margin). Canonical member = max quality, ties broken
+    by MIN id (min over ``struct(-quality, id)``, so string ids order
+    naturally too). Returns ``(id_col, cluster_rep, kept,
+    canonical_id)``; singletons keep themselves.
+
+    Scale shape: components via large-star/small-star (O(log n)
+    rounds over the edge list), the argmax one grouped aggregation
+    over the membership table, one join back — payloads never enter
+    the component machinery (same discipline as
+    :func:`soft_dedup_weights`)."""
+    comp = neardup_components(pairs).select(
+        F.col("doc_id").alias("_cid"), "component"
+    )
+    d = docs.select(
+        F.col(id_col).alias("_cid"),
+        F.col(quality_col).cast("double").alias("_q"),
+    )
+    labeled = d.join(comp, "_cid", "left").withColumn(
+        "component", F.coalesce("component", F.col("_cid"))
+    )
+    best = labeled.groupBy("component").agg(
+        F.min(
+            F.struct(
+                (-F.col("_q")).alias("negq"), F.col("_cid").alias("id")
+            )
+        ).alias("_b")
+    )
+    return labeled.join(best, "component").select(
+        F.col("_cid").alias(id_col),
+        F.col("component").alias("cluster_rep"),
+        (F.col("_cid") == F.col("_b.id")).alias("kept"),
+        F.col("_b.id").alias("canonical_id"),
+    )

@@ -1,0 +1,103 @@
+"""Differential-privacy release mechanisms over aggregates.
+
+The governance face a training-data platform needs next to
+pseudonymization / k-anonymity / AEAD column crypto (see the
+privacy_* entries in queries/lakehouse_queries.py): release GROUP
+COUNTS about the corpus (per-source document counts, per-language
+token volumes) with calibrated Laplace noise instead of exact values,
+so membership of any single document is (epsilon)-deniable.
+
+Determinism note (same discipline as the AES entries): the Laplace
+draw here comes from a keyed md5 PRG over the group key + salt, so
+the release is REPRODUCIBLE and bit-verifiable against the DuckDB
+oracle — which also means releasing the same groups twice under the
+same salt spends no extra budget, while a production deployment
+wanting fresh randomness per release must rotate the salt (and
+account epsilon per release). That trade is documented, not hidden.
+
+All math is a fixed-order IEEE expression chain both engines evaluate
+identically: u = (h52 + 0.5) / 2^52 in (0, 1) exactly, then the
+Laplace inverse CDF -b*sign(u-1/2)*ln(1-2|u-1/2|), rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 16^13 = 2^52: 13 md5 hex chars convert exactly to a double
+_H52 = 4503599627370496.0
+
+
+def _uniform(key: F.Column, salt: str) -> F.Column:
+    """Deterministic uniform draw in the OPEN interval (0, 1): the
+    +0.5 offset keeps u off both endpoints, so ln(1-2|u-0.5|) is
+    always finite."""
+    k = F.coalesce(key.cast("string"), F.lit("__NULL__"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(k, F.lit(f"-{salt}")).cast("binary")), 1, 13),
+        16,
+        10,
+    ).cast("double")
+    return (h + F.lit(0.5)) / F.lit(_H52)
+
+
+def laplace_noise(key: F.Column, epsilon: float, salt: str = "dp") -> F.Column:
+    """Laplace(0, 1/epsilon) noise as a deterministic function of the
+    group key — inverse-CDF over the keyed uniform draw."""
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    u = _uniform(key, salt)
+    centered = u - F.lit(0.5)
+    sign = (
+        F.when(centered > 0, F.lit(1.0))
+        .when(centered < 0, F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        F.lit(-1.0 / epsilon)
+        * sign
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    salt: str = "dp",
+    out_col: str = "noisy_count",
+) -> DataFrame:
+    """Per-group COUNT(*) released with Laplace(1/epsilon) noise —
+    counting queries have L1 sensitivity 1 (one row moves one group
+    count by one), so this is the textbook epsilon-DP count release.
+    Returns ``(group_col, out_col)`` with the noisy value rounded to
+    the repo's 6-dp derived-double convention; the exact count never
+    leaves the plan.
+
+    Scale: one partial-aggregated groupBy; the noise is a per-GROUP
+    codegen expression over the group key (no data-sized state, no
+    second pass)."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    noisy = F.round(
+        F.col("_n").cast("double")
+        + laplace_noise(F.col(group_col), epsilon, salt),
+        6,
+    )
+    return counts.select(F.col(group_col), noisy.alias(out_col))
+
+
+def laplace_noise_sql(key_expr: str, epsilon: float, salt: str = "dp") -> str:
+    """The ANSI/DuckDB twin of :func:`laplace_noise` — the identical
+    IEEE expression chain over the identical md5-derived uniform."""
+    u = (
+        f"((('0x' || substr(md5(COALESCE(CAST({key_expr} AS VARCHAR), "
+        f"'__NULL__') || '-{salt}'), 1, 13))::BIGINT + 0.5) / {_H52!r})"
+    )
+    sign = (
+        f"(CASE WHEN {u} - 0.5 > 0 THEN 1.0 "
+        f"WHEN {u} - 0.5 < 0 THEN -1.0 ELSE 0.0 END)"
+    )
+    return (
+        f"({-1.0 / epsilon!r} * {sign} * ln(1.0 - 2.0 * abs({u} - 0.5)))"
+    )

@@ -237,6 +237,10 @@ FP_GROUPS: dict[str, list[str]] = {
         "privacy_pseudonymize",
         "privacy_k_anonymity",
         "privacy_aes_roundtrip",
+        # r10: epsilon-DP Laplace count release (keyed-PRG determinism)
+        "privacy_dp_counts",
+        # r10: quality-argmax cluster canonicalization (keep-best)
+        "dedup_keep_best",
     ],
 }
 

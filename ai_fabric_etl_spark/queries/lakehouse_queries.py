@@ -1650,3 +1650,42 @@ def privacy_aes_gcm(spark, sf_dir):
         ).alias("roundtrip_ok"),
         (F.col("ct1") == F.col("ct2")).alias("deterministic"),
     ).orderBy("c_custkey")
+
+
+_DP_EPS = 0.5
+_DP_SALT = "dp-counts-v1"
+
+
+def _dp_noise_sql(key_expr: str) -> str:
+    from ai_fabric_etl_spark.operators.privacy import laplace_noise_sql
+
+    return laplace_noise_sql(key_expr, _DP_EPS, _DP_SALT)
+
+
+@register(
+    "privacy_dp_counts",
+    oracle=f"""
+    SELECT o_orderpriority,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 + {_dp_noise_sql('o_orderpriority')}, 6) AS noisy_count
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_privacy_dp_counts(spark, sf_dir):
+    """Governance: epsilon-differentially-private COUNT release
+    (operators/privacy.dp_noisy_counts) — per-priority order counts
+    with Laplace(1/eps) noise, eps=0.5, the textbook sensitivity-1
+    count mechanism. The Laplace draw is a keyed md5 PRG over the
+    group key so the release is REPRODUCIBLE and the oracle replays
+    the identical inverse-CDF expression chain bit-for-bit (fresh
+    randomness per release = rotate the salt, documented in the
+    operator). Completes the privacy family: pseudonymize /
+    k-anonymity / AEAD / DP release."""
+    from ai_fabric_etl_spark.operators.privacy import dp_noisy_counts
+
+    return dp_noisy_counts(
+        _t(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        epsilon=_DP_EPS,
+        salt=_DP_SALT,
+    )

@@ -2591,6 +2591,65 @@ def q_dedup_soft_weights(spark, sf_dir):
 
 
 @register(
+    "dedup_keep_best",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000 FROM embeddings WHERE vec_id < 50
+    )
+    SELECT vec_id AS doc_id,
+           CAST(CASE WHEN vec_id >= 10000 THEN vec_id - 10000
+                     ELSE vec_id END AS BIGINT) AS cluster_rep,
+           CASE WHEN vec_id < 50 THEN
+                  (vec_id % 7) > ((vec_id + 10000) % 7)
+                WHEN vec_id >= 10000 THEN
+                  ((vec_id - 10000) % 7) < (vec_id % 7)
+                ELSE TRUE END AS kept,
+           CAST(CASE WHEN vec_id < 50 THEN
+                  CASE WHEN (vec_id % 7) > ((vec_id + 10000) % 7)
+                       THEN vec_id ELSE vec_id + 10000 END
+                WHEN vec_id >= 10000 THEN
+                  CASE WHEN ((vec_id - 10000) % 7) < (vec_id % 7)
+                       THEN vec_id ELSE vec_id - 10000 END
+                ELSE vec_id END AS BIGINT) AS canonical_id
+    FROM corpus
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-argmax hard dedup (dedup.keep_best_per_cluster — the
+    RefinedWeb keep-the-BEST-member refinement over min-id keeping):
+    the planted-pair corpus from dedup_soft_weights runs LSH pairs ->
+    components -> per-cluster quality argmax, with quality the
+    arithmetic score id % 7 so the winner of every planted pair is
+    exactly predictable on both engines (original scores i % 7, its
+    copy (i+10000) % 7 = (i+4) % 7 — never a tie, so roughly half the
+    clusters canonicalize on the COPY, which min-id keeping would
+    always discard; a min-id regression flips those rows' hashes)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    pairs = similarity.lsh_cosine_neardup_pairs(
+        corpus, threshold=0.95
+    ).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    scored = corpus.select(
+        "vec_id", (F.col("vec_id") % 7).cast("double").alias("q")
+    )
+    return dedup.keep_best_per_cluster(
+        scored, pairs, quality_col="q", id_col="vec_id"
+    ).select(
+        F.col("vec_id").alias("doc_id"),
+        "cluster_rep",
+        "kept",
+        "canonical_id",
+    )
+
+
+@register(
     "emb_neardup_incremental",
     oracle="""
     SELECT vec_id AS id_a, vec_id + 10000 AS id_b,

@@ -104,6 +104,8 @@ HEADLINE = [
     "multimodal_audiofp_neardup",  # audio energy-hash near-dup (r9)
     "multimodal_video_neardup",    # video frame-hash near-dup (r9)
     "multimodal_phash_incremental",  # O(batch) image admission vs index (r9)
+    "privacy_dp_counts",           # epsilon-DP Laplace count release (r10)
+    "dedup_keep_best",             # quality-argmax cluster canonical (r10)
     "x12_silver_transactions",     # distributed X12 parse
 ]
 

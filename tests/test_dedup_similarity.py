@@ -975,3 +975,43 @@ def test_ngram_jaccard_exact_boundary_pair(spark):
                for r in dedup.ngram_jaccard_pairs(
                    docs, threshold=0.5, freq_ordered=fo).collect()}
         assert got == {(1, 2, 0.5)}, f"freq_ordered={fo}"
+
+
+def test_keep_best_per_cluster_argmax_and_ties(spark):
+    """Canonical member = max quality, ties -> min id; transitive
+    clusters resolve through components; singletons keep themselves."""
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (4, 1.0), (7, 2.0)],
+        "doc_id long, q double",
+    )
+    # {1,2,3} is one transitive cluster (1-2, 2-3); {4} pairs with
+    # nothing listed... pair 4 with 1 via 1-4 to make a 4-cluster;
+    # 7 is a singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: (r.cluster_rep, r.kept, r.canonical_id)
+           for r in dedup.keep_best_per_cluster(
+               docs, pairs, quality_col="q").collect()}
+    # cluster {1,2,3,4}: max q = 9.0 shared by 2 and 3 -> min id 2
+    assert got[1] == (1, False, 2)
+    assert got[2] == (1, True, 2)
+    assert got[3] == (1, False, 2)
+    assert got[4] == (1, False, 2)
+    assert got[7] == (7, True, 7)
+
+
+def test_keep_best_string_ids(spark):
+    """String ids order naturally through the min(struct(-q, id))
+    formulation — no numeric-id assumption."""
+    docs = spark.createDataFrame(
+        [("a", 1.0), ("b", 3.0), ("z", 2.0)], "doc_id string, q double"
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "z")], "doc_a string, doc_b string"
+    )
+    got = {r.doc_id: (r.kept, r.canonical_id)
+           for r in dedup.keep_best_per_cluster(
+               docs, pairs, quality_col="q").collect()}
+    assert got == {"a": (False, "b"), "b": (True, "b"),
+                   "z": (False, "b")}

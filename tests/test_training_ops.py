@@ -999,3 +999,48 @@ def test_mmr_rerank_singleton_candidate(spark):
     assert (r.vec_id, r.mmr_rank) == (1, 1)
     assert abs(r.rel_cosine - 0.8) < 1e-6
     assert abs(r.mmr_score - 0.7 * 0.8) < 1e-6
+
+
+def test_dp_noisy_counts_mechanism(spark):
+    """The Laplace release: hand-computed inverse-CDF parity,
+    epsilon scaling (b = 1/eps), determinism, and the exact count
+    never appearing in the output."""
+    import hashlib
+    import math
+
+    from ai_fabric_etl_spark.operators import privacy
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(90)], "id long, grp string"
+    )
+
+    def hand_noise(key, eps, salt="dp"):
+        h = int(
+            hashlib.md5(f"{key}-{salt}".encode()).hexdigest()[:13], 16
+        )
+        u = (h + 0.5) / 4503599627370496.0
+        c = u - 0.5
+        s = 1.0 if c > 0 else (-1.0 if c < 0 else 0.0)
+        return (-1.0 / eps) * s * math.log(1.0 - 2.0 * abs(c))
+
+    for eps in (0.5, 2.0):
+        got = {r.grp: r.noisy_count
+               for r in privacy.dp_noisy_counts(
+                   df, "grp", epsilon=eps).collect()}
+        for g in ("g0", "g1", "g2"):
+            want = round(30.0 + hand_noise(g, eps), 6)
+            assert got[g] == want, (g, eps)
+            assert got[g] != 30.0  # the exact count is never released
+    # b = 1/eps: the same key's noise shrinks by exactly 4x
+    n_half = hand_noise("g0", 0.5)
+    n_two = hand_noise("g0", 2.0)
+    assert abs(n_half) == 4 * abs(n_two)
+    # determinism across calls (the documented keyed-PRG contract)
+    a = privacy.dp_noisy_counts(df, "grp", epsilon=1.0).collect()
+    b = privacy.dp_noisy_counts(df, "grp", epsilon=1.0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        privacy.laplace_noise(F.lit("x"), epsilon=0.0)
