@@ -172,6 +172,11 @@ SCALE_HEADLINE = [
     "dedup_span_removal",
     "text_wordpiece_roundtrip",
     "multimodal_phash_neardup",
+    # r10: keep-best rides the same pairs->components machinery as
+    # soft_weights (O(log n) star rounds); the DP release is one
+    # grouped count + per-group codegen noise
+    "dedup_keep_best",
+    "privacy_dp_counts",
 ]
 
 
