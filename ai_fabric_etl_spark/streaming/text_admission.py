@@ -1,0 +1,288 @@
+"""Streaming text admission: a continuous near-duplicate gate over a
+document stream, backed by the persisted MinHash LSH index.
+
+The text sibling of :mod:`streaming.media_admission` — together they
+make corpus dedup CONTINUOUS for both modalities instead of a
+re-run-per-snapshot batch job. Batch building blocks:
+``dedup.minhash_index_write`` persists signatures + band keys once;
+each micro-batch here shingles and signs ONLY itself (O(batch)),
+probes the band-partitioned index map-side, verifies candidates with
+EXACT Jaccard against the stored shingle sets, routes every doc
+(admit / reject with best-match provenance), and appends the admitted
+docs' band keys + signatures so later batches dedup against them.
+
+Skew policy (r10 idiom, shared with multimodal.phash_index_probe):
+the probe computes LIVE per-(band, bucket) occupancy on the
+broadcast-pruned index scan — never trusting the build-time
+``bucket_size`` column, which goes stale as inserts append — and a
+bucket over ``max_bucket`` raises by default or drops with counters
+(``stats_out``: dropped_buckets/dropped_rows). Appended band rows
+stamp ``bucket_size`` with the bucket's occupancy AS OF their insert
+(monotone within a bucket), so the batch-path
+``minhash_dedup_incremental`` stored-size guard stays meaningful for
+them; its guard is still build-time-approximate on grown indexes —
+this module's live count is the admission-path guarantee.
+
+Epoch discipline and crash-window convergence follow
+media_admission: epoch ids ride the decisions table pointer
+(replay-skip); a probe match with ``index id == batch id`` can only
+be the batch's own insert from a prior crashed attempt (ids are
+unique in the stream), so those rows keep their admit decision and
+are not re-inserted — any interleaving converges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ai_fabric_etl_spark.operators.dedup import (
+    _lsh_band_keys,
+    _minhash_sig_udf,
+    hashed_shingles,
+)
+from ai_fabric_etl_spark.operators.merge import ParquetMergeTable
+from ai_fabric_etl_spark.operators.multimodal import _oversize_guard
+
+DECISION_COLS = ["doc_id", "admitted", "dup_of", "jaccard", "epoch"]
+
+
+def _sig_bands(
+    docs: DataFrame, text_col: str, num_hashes: int, bands: int, n: int
+) -> tuple[DataFrame, DataFrame]:
+    sig = docs.select(
+        "doc_id", hashed_shingles(F.col(text_col), n).alias("hs")
+    ).withColumn("sig", _minhash_sig_udf(num_hashes)(F.col("hs")))
+    sig = sig.persist()
+    return sig, _lsh_band_keys(sig, num_hashes, bands)
+
+
+def _exact_jaccard(cand: DataFrame, hs_a: DataFrame, hs_b: DataFrame,
+                   threshold: float) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for candidate pairs, exact over the
+    hashed shingle sets (same contract as the batch dedup path)."""
+    j = cand.join(hs_a, "doc_a").join(hs_b, "doc_b")
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        j.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def admit_text_batch(
+    spark: SparkSession,
+    docs_batch: DataFrame,
+    index_path: str,
+    state_dir: str,
+    epoch_id: int,
+    app_id: str | None = None,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    max_bucket: int = 1000,
+    on_oversize: str = "raise",
+    stats_out: dict | None = None,
+) -> None:
+    """One micro-batch admission. Also callable from batch jobs.
+
+    Decision row per input doc:
+    ``(doc_id, admitted, dup_of, jaccard, epoch)`` — ``dup_of`` is
+    the max-Jaccard (then min-id) provenance: an index id for corpus
+    duplicates, a smaller batch id for within-batch duplicates, NULL
+    for admitted rows. ``num_hashes/bands/n/threshold`` must match
+    the values the index was built with."""
+    if on_oversize not in ("raise", "drop"):
+        raise ValueError(
+            f"on_oversize must be 'raise' or 'drop', got {on_oversize!r}"
+        )
+    table = ParquetMergeTable(spark, state_dir)
+    last = table.last_epoch(app_id)
+    if last is not None and epoch_id <= last:
+        return  # replayed epoch — already decided
+
+    sig, bk = _sig_bands(docs_batch, text_col, num_hashes, bands, n)
+    bk = bk.persist()
+    touched = bk.select("band", "bucket").distinct()
+
+    idx_bk = spark.read.schema(
+        "doc_id long, bucket long, bucket_size long, band int"
+    ).parquet(f"{index_path}/bands")
+    pruned = idx_bk.join(F.broadcast(touched), ["band", "bucket"]).select(
+        "band", "bucket", "doc_id"
+    )
+    # LIVE occupancy on the pruned scan — the stored bucket_size is a
+    # build-time hint that goes stale under appends
+    occ = pruned.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    if on_oversize == "raise":
+        occ = occ.withColumn(
+            "_n", _oversize_guard(max_bucket, "admit_text_batch")("_n")
+        )
+    elif stats_out is not None:
+        row = (
+            occ.filter(F.col("_n") > max_bucket)
+            .agg(F.count(F.lit(1)).alias("b"),
+                 F.coalesce(F.sum("_n"), F.lit(0)).alias("r"))
+            .collect()[0]
+        )
+        stats_out["dropped_buckets"] = int(row["b"])
+        stats_out["dropped_rows"] = int(row["r"])
+    hot = occ.filter(F.col("_n") > max_bucket).select("band", "bucket")
+    bk_ok = bk.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+
+    # corpus x batch candidates (self matches INCLUDED — they identify
+    # a prior crashed attempt's inserts), then exact-Jaccard verify
+    cand_cross = (
+        pruned.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        .join(
+            F.broadcast(bk_ok.select(
+                "band", "bucket", F.col("doc_id").alias("doc_b"))),
+            ["band", "bucket"],
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    self_ids = cand_cross.filter(F.col("doc_a") == F.col("doc_b")).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    idx_sigs = spark.read.parquet(f"{index_path}/sigs")
+    cross = _exact_jaccard(
+        cand_cross.filter(F.col("doc_a") != F.col("doc_b")),
+        idx_sigs.select(F.col("doc_id").alias("doc_a"),
+                        F.col("hs").alias("hs_a")),
+        sig.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
+        threshold,
+    )
+    index_dups = (
+        cross.groupBy("doc_b")
+        .agg(F.max(F.struct(F.col("jaccard").alias("j"),
+                            (-F.col("doc_a")).alias("negid"),
+                            F.col("doc_a").alias("id"))).alias("_b"))
+        .select(F.col("doc_b").alias("doc_id"),
+                F.col("_b.id").alias("dup_of"),
+                F.round(F.col("_b.j"), 6).alias("jaccard"))
+    )
+
+    # within-batch candidates from the batch's own band keys
+    a = bk_ok.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b = bk_ok.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    cand_batch = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    within = _exact_jaccard(
+        cand_batch,
+        sig.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
+        sig.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
+        threshold,
+    )
+    batch_dups = (
+        within.join(index_dups.select(F.col("doc_id").alias("doc_a")),
+                    "doc_a", "left_anti")
+        .groupBy("doc_b")
+        .agg(F.max(F.struct(F.col("jaccard").alias("j"),
+                            (-F.col("doc_a")).alias("negid"),
+                            F.col("doc_a").alias("id"))).alias("_b"))
+        .select(F.col("doc_b").alias("doc_id"),
+                F.col("_b.id").alias("dup_of"),
+                F.round(F.col("_b.j"), 6).alias("jaccard"))
+        .join(index_dups.select("doc_id"), "doc_id", "left_anti")
+    )
+
+    rejected = index_dups.unionByName(batch_dups)
+    decisions = (
+        sig.select("doc_id")
+        .join(rejected, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNull().alias("admitted"),
+            "dup_of",
+            "jaccard",
+            F.lit(int(epoch_id)).alias("epoch"),
+        )
+    )
+    prior = table.read() if table.exists() else None
+    merged = prior.unionByName(decisions) if prior is not None else decisions
+    table.overwrite(merged, epoch=epoch_id, app_id=app_id)
+
+    # insert admitted (excluding prior-attempt self rows): band keys
+    # stamped with occupancy AS OF this insert, plus signatures
+    admit_ids = (
+        sig.select("doc_id")
+        .join(rejected, "doc_id", "left_anti")
+        .join(self_ids, "doc_id", "left_anti")
+    )
+    new_bk_rows = bk.join(F.broadcast(admit_ids), "doc_id")
+    occ_now = occ.select(
+        "band", "bucket", F.col("_n").alias("_prior_n")
+    )
+    delta = new_bk_rows.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_d")
+    )
+    sized = (
+        new_bk_rows.join(F.broadcast(
+            delta.join(occ_now, ["band", "bucket"], "left")), ["band", "bucket"])
+        .select(
+            "doc_id", "bucket",
+            (F.coalesce("_prior_n", F.lit(0)) + F.col("_d")).alias(
+                "bucket_size"
+            ),
+            "band",
+        )
+    )
+    sized.write.partitionBy("band").mode("append").parquet(
+        f"{index_path}/bands"
+    )
+    sig.join(F.broadcast(admit_ids), "doc_id").select(
+        "doc_id", "hs"
+    ).write.mode("append").parquet(f"{index_path}/sigs")
+    sig.unpersist()
+    bk.unpersist()
+
+
+def admit_text_stream(
+    stream: DataFrame,
+    index_path: str,
+    state_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Wire the admission gate into a streaming query (checkpoint =
+    epoch-guard identity, exactly-once across restarts)."""
+    spark = stream.sparkSession
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        admit_text_batch(
+            spark,
+            batch_df,
+            index_path,
+            state_dir,
+            epoch_id,
+            app_id=checkpoint,
+            text_col=text_col,
+            threshold=threshold,
+            max_bucket=max_bucket,
+        )
+
+    writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_decisions(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All admission decisions so far (one row per doc seen)."""
+    return ParquetMergeTable(spark, state_dir).read().select(*DECISION_COLS)
