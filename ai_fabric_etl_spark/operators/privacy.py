@@ -101,3 +101,49 @@ def laplace_noise_sql(key_expr: str, epsilon: float, salt: str = "dp") -> str:
     return (
         f"({-1.0 / epsilon!r} * {sign} * ln(1.0 - 2.0 * abs({u} - 0.5)))"
     )
+
+
+def dp_noisy_sum(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    clip: float,
+    epsilon: float = 1.0,
+    salt: str = "dp",
+    out_col: str = "noisy_sum_micro",
+) -> DataFrame:
+    """Per-group SUM released with bounded-contribution DP: each
+    row's value is CLIPPED to [0, clip] first — without clipping a
+    sum has unbounded sensitivity and no finite noise scale is
+    private — then Laplace(clip/epsilon) noise is added (add/remove
+    of one row moves the clipped sum by at most ``clip``). Returns
+    ``(group_col, out_col)`` in integer MICRO-units
+    (``noisy_sum_micro`` by default).
+
+    Integer-micro output, not a rounded double: group sums reach
+    magnitudes where one ulp of the decimal→double cast equals the
+    6-dp rounding quantum (observed: a 2.7e9 sum diverged in the 6th
+    decimal between engines), so the exact decimal sum converts to
+    micro-units as a LONG (exact on both engines) and the single
+    float product — clip·noise·1e6 — rounds to a long once. Same
+    keyed-PRG determinism trade as :func:`dp_noisy_counts` (rotate
+    the salt per release)."""
+    if clip <= 0:
+        raise ValueError(f"clip must be > 0, got {clip}")
+    clipped = F.least(
+        F.greatest(F.col(value_col).cast("double"), F.lit(0.0)),
+        F.lit(float(clip)),
+    )
+    sums = df.groupBy(group_col).agg(
+        F.sum(clipped.cast("decimal(18,4)")).alias("_sd")
+    )
+    s_micro = (F.col("_sd") * 1_000_000).cast("long")
+    noise_micro = F.round(
+        F.lit(float(clip))
+        * laplace_noise(F.col(group_col), epsilon, salt)
+        * F.lit(1000000.0),
+        0,
+    ).cast("long")
+    return sums.select(
+        F.col(group_col), (s_micro + noise_micro).alias(out_col)
+    )

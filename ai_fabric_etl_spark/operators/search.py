@@ -658,3 +658,83 @@ SELECT id AS {id_col}, rk AS mmr_rank,
 FROM acc{k} ORDER BY rk"""
     )
     return "".join(parts)
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Retrieval quality metrics per query — the evaluation face of
+    the search/ANN family (recall gates exist per index; this scores
+    ANY (query, doc, rank) run against graded ground truth, the
+    harness a retrieval-backed curation or RAG pipeline tunes on):
+
+    - ``recall_at_k`` = |top-k ∩ relevant| / |relevant|
+    - ``mrr``         = 1 / rank of the first relevant hit (0 if none)
+    - ``ndcg_at_k``   = DCG@k / IDCG@k with graded relevance,
+      DCG = Σ rel_i / log2(rank_i + 1)
+
+    Float discipline: each DCG/IDCG term is one log2 + division
+    rounded to 6 dp, summed as DECIMAL(38,6) (exact), and the final
+    ratio is one rounded IEEE division — bit-replayable in ANSI SQL.
+
+    Scale: one rank-filtered equi-join of the run against the truth
+    set, grouped per query; IDCG ranks the truth list per query with
+    a window PARTITIONED BY QUERY (truth lists are judgment-sized —
+    tens of rows per query — never corpus-sized). Queries with empty
+    truth are omitted (their metrics are undefined)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql.window import Window
+
+    q, d, rk, rel = query_col, doc_col, rank_col, rel_col
+    term = lambda relc, rankc: F.round(  # noqa: E731 - shared shape
+        relc.cast("double") / F.log2(rankc.cast("double") + F.lit(1.0)), 6
+    ).cast("decimal(38,6)")
+
+    hits = (
+        results.filter(F.col(rk) <= k)
+        .join(truth.select(q, d, rel), [q, d])
+    )
+    per_q_hits = hits.groupBy(q).agg(
+        F.count(F.lit(1)).alias("_n_hit"),
+        F.min(rk).alias("_first"),
+        F.sum(term(F.col(rel), F.col(rk))).alias("_dcg"),
+    )
+    ideal = truth.withColumn(
+        "_irank",
+        F.row_number().over(
+            Window.partitionBy(q).orderBy(F.col(rel).desc(), F.col(d))
+        ),
+    ).filter(F.col("_irank") <= k)
+    per_q_truth = truth.groupBy(q).agg(F.count(F.lit(1)).alias("_n_rel"))
+    per_q_ideal = ideal.groupBy(q).agg(
+        F.sum(term(F.col(rel), F.col("_irank"))).alias("_idcg")
+    )
+    return (
+        per_q_truth.join(per_q_ideal, q)
+        .join(per_q_hits, q, "left")
+        .select(
+            F.col(q),
+            F.col("_n_rel").alias("n_relevant"),
+            F.round(
+                F.coalesce(F.col("_n_hit"), F.lit(0)) / F.col("_n_rel"), 6
+            ).alias("recall_at_k"),
+            F.coalesce(
+                F.round(F.lit(1.0) / F.col("_first"), 6), F.lit(0.0)
+            ).alias("mrr"),
+            F.coalesce(
+                F.round(
+                    F.col("_dcg").cast("double")
+                    / F.col("_idcg").cast("double"),
+                    6,
+                ),
+                F.lit(0.0),
+            ).alias("ndcg_at_k"),
+        )
+    )

@@ -241,6 +241,10 @@ FP_GROUPS: dict[str, list[str]] = {
         "privacy_dp_counts",
         # r10: quality-argmax cluster canonicalization (keep-best)
         "dedup_keep_best",
+        # r10: bounded-contribution DP sum release (clip + Laplace)
+        "privacy_dp_sum",
+        # r10: recall@k / MRR / nDCG retrieval evaluation harness
+        "search_retrieval_metrics",
     ],
 }
 

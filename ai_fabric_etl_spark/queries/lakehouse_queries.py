@@ -1689,3 +1689,70 @@ def q_privacy_dp_counts(spark, sf_dir):
         epsilon=_DP_EPS,
         salt=_DP_SALT,
     )
+
+
+_DPS_SALT = "dp-sums-v1"
+_DPS_CLIP = 100000.0
+
+
+def _dps_noise_sql(key_expr: str) -> str:
+    from ai_fabric_etl_spark.operators.privacy import laplace_noise_sql
+
+    return laplace_noise_sql(key_expr, _DP_EPS, _DPS_SALT)
+
+
+@register(
+    "privacy_dp_sum",
+    oracle=f"""
+    WITH rel AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(LEAST(GREATEST(CAST(o_totalprice AS DOUBLE),
+                                          0.0), {_DPS_CLIP!r})
+                          AS DECIMAL(18,4))) * 1000000 AS BIGINT)
+             + CAST(ROUND({_DPS_CLIP!r} * {_dps_noise_sql('o_orderpriority')}
+                          * 1000000.0, 0) AS BIGINT) AS m
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST((m - ((m % 1000000 + 1000000) % 1000000)) / 1000000
+                AS BIGINT) AS noisy_units,
+           CAST((m % 1000000 + 1000000) % 1000000 AS BIGINT)
+             AS noisy_rem_micro
+    FROM rel
+    """,
+)
+def q_privacy_dp_sum(spark, sf_dir):
+    """Bounded-contribution DP SUM release
+    (operators/privacy.dp_noisy_sum): per-priority revenue totals
+    with each order's contribution CLIPPED to [0, 100000] — an
+    unclipped sum has unbounded sensitivity, so no finite noise is
+    private — then Laplace(clip/eps) noise, eps=0.5, released in
+    integer MICRO-units: at billion-scale sums one ulp of the
+    decimal->double cast equals the 6-dp quantum (found at sf0.1 —
+    spark/duck diverged in the 6th decimal), so the exact decimal sum
+    converts to a long and the one float product rounds to a long
+    once. The noise is the same keyed-PRG inverse-CDF chain as
+    privacy_dp_counts under its own salt, so the oracle replays the
+    release bit-for-bit."""
+    from ai_fabric_etl_spark.operators.privacy import dp_noisy_sum
+
+    rel = dp_noisy_sum(
+        _t(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_totalprice",
+        clip=_DPS_CLIP,
+        epsilon=_DP_EPS,
+        salt=_DPS_SALT,
+    )
+    # decomposed into (whole units, micro remainder) for the
+    # fingerprint gate: its cross-engine ROUND(double, 6) summary is
+    # only exact for per-value magnitudes < ~9e9 (2^53 / 1e6), and
+    # micro totals here reach ~2.7e15; floor-mod keeps both columns
+    # in range and exactly reassemblable on both engines
+    m = F.col("noisy_sum_micro")
+    rem = F.pmod(m, F.lit(1000000))
+    return rel.select(
+        "o_orderpriority",
+        ((m - rem) / 1000000).cast("long").alias("noisy_units"),
+        rem.cast("long").alias("noisy_rem_micro"),
+    )

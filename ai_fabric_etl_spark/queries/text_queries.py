@@ -2694,3 +2694,75 @@ def q_emb_neardup_incremental(spark, sf_dir):
     )
     pairs = similarity.emb_neardup_incremental(batch, idx, threshold=0.95)
     return pairs.withColumn("cosine", F.round("cosine", 6))
+
+
+@register(
+    "search_retrieval_metrics",
+    oracle="""
+    SELECT doc_id AS query_id,
+           CAST(3 AS BIGINT) AS n_relevant,
+           ROUND(CAST(2 AS DOUBLE) / 3, 6) AS recall_at_k,
+           ROUND(1.0 / (doc_id % 3 + 1), 6) AS mrr,
+           ROUND(
+             CAST(CAST(ROUND(2.0 / log2(CAST(doc_id % 3 + 1 AS DOUBLE)
+                                        + 1.0), 6) AS DECIMAL(38,6))
+                  + CAST(ROUND(1.0 / log2(6.0), 6) AS DECIMAL(38,6))
+               AS DOUBLE)
+             / CAST(CAST(ROUND(2.0 / log2(2.0), 6) AS DECIMAL(38,6))
+                    + CAST(ROUND(1.0 / log2(3.0), 6) AS DECIMAL(38,6))
+                    + CAST(ROUND(1.0 / log2(4.0), 6) AS DECIMAL(38,6))
+               AS DOUBLE),
+             6) AS ndcg_at_k
+    FROM documents WHERE doc_id < 10
+    """,
+)
+def q_search_retrieval_metrics(spark, sf_dir):
+    """Retrieval evaluation harness (search.retrieval_metrics —
+    recall@k / MRR / nDCG@k with graded relevance): ten synthetic
+    queries whose run and judgments are pure arithmetic, so every
+    metric value is predictable on both engines. Query q's run is
+    docs q*1000+r at ranks r=1..5; its truth is {first relevant at
+    rank q%3+1 with grade 2, doc at rank 5 with grade 1, one never-
+    retrieved doc with grade 1} — so recall@5 = 2/3 for every query,
+    MRR cycles 1 / 0.5 / 0.333333, and nDCG exercises the graded
+    DCG/IDCG decimal-term discipline (each term rounds to 6 dp before
+    the exact-decimal sum; the final ratio is one rounded IEEE
+    division). The ANN recall gates score indexes; this entry
+    value-verifies the METRIC math any retrieval run is tuned on."""
+    from ai_fabric_etl_spark.operators.search import retrieval_metrics
+
+    q = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 10)
+        .select(F.col("doc_id").alias("query_id"))
+    )
+    results = q.select(
+        "query_id",
+        F.explode(F.sequence(F.lit(1), F.lit(5))).alias("rank"),
+    ).select(
+        "query_id",
+        (F.col("query_id") * 1000 + F.col("rank")).alias("doc_id"),
+        "rank",
+    )
+    truth = q.select(
+        "query_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("query_id") * 1000 + F.col("query_id") % 3 + 1)
+                    .alias("doc_id"),
+                    F.lit(2).alias("rel"),
+                ),
+                F.struct(
+                    (F.col("query_id") * 1000 + 5).alias("doc_id"),
+                    F.lit(1).alias("rel"),
+                ),
+                F.struct(
+                    (F.col("query_id") * 1000 + 999).alias("doc_id"),
+                    F.lit(1).alias("rel"),
+                ),
+            )
+        ).alias("_t"),
+    ).select("query_id", F.col("_t.doc_id").alias("doc_id"),
+             F.col("_t.rel").alias("rel"))
+    return retrieval_metrics(results, truth, k=5)

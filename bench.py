@@ -106,6 +106,8 @@ HEADLINE = [
     "multimodal_phash_incremental",  # O(batch) image admission vs index (r9)
     "privacy_dp_counts",           # epsilon-DP Laplace count release (r10)
     "dedup_keep_best",             # quality-argmax cluster canonical (r10)
+    "privacy_dp_sum",              # clipped-contribution DP sum (r10)
+    "search_retrieval_metrics",    # recall@k / MRR / nDCG eval (r10)
     "x12_silver_transactions",     # distributed X12 parse
 ]
 

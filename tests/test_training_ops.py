@@ -1044,3 +1044,85 @@ def test_dp_noisy_counts_mechanism(spark):
 
     with _pytest.raises(ValueError):
         privacy.laplace_noise(F.lit("x"), epsilon=0.0)
+
+
+def test_dp_noisy_sum_clipping_and_parity(spark):
+    """Clipping binds (values above clip contribute exactly clip),
+    and the released value equals clipped_sum + clip * hand-noise."""
+    import hashlib
+    import math
+
+    from ai_fabric_etl_spark.operators import privacy
+
+    df = spark.createDataFrame(
+        [("a", 50.0), ("a", 250.0), ("b", 10.0), ("b", -5.0)],
+        "grp string, v double",
+    )
+
+    def hand_noise(key, eps, salt):
+        h = int(hashlib.md5(f"{key}-{salt}".encode()).hexdigest()[:13], 16)
+        u = (h + 0.5) / 4503599627370496.0
+        c = u - 0.5
+        s = 1.0 if c > 0 else (-1.0 if c < 0 else 0.0)
+        return (-1.0 / eps) * s * math.log(1.0 - 2.0 * abs(c))
+
+    got = {r.grp: r.noisy_sum_micro
+           for r in privacy.dp_noisy_sum(
+               df, "grp", "v", clip=100.0, epsilon=2.0, salt="s").collect()}
+
+    def micro(clipped_sum, key):
+        import math as _m
+        nm = 100.0 * hand_noise(key, 2.0, "s") * 1000000.0
+        # Spark ROUND(x, 0) is half-up; python round is banker's
+        return int(clipped_sum * 1_000_000) + int(_m.floor(nm + 0.5))
+
+    # a: 50 + min(250,100) = 150; b: 10 + max(-5,0) = 10
+    assert got["a"] == micro(150.0, "a")
+    assert got["b"] == micro(10.0, "b")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        privacy.dp_noisy_sum(df, "grp", "v", clip=0.0)
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """recall@k / MRR / nDCG on a crafted case: graded relevance,
+    a no-hit query, and the k cutoff excluding a late hit."""
+    import math
+
+    from ai_fabric_etl_spark.operators.search import retrieval_metrics
+
+    results = spark.createDataFrame(
+        # q1: hits at ranks 1 (rel 2) and 3 (rel 1); rank-4 doc is
+        #     relevant but k=3 cuts it
+        # q2: no relevant doc retrieved
+        [(1, 11, 1), (1, 12, 2), (1, 13, 3), (1, 14, 4),
+         (2, 21, 1), (2, 22, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    truth = spark.createDataFrame(
+        [(1, 11, 2), (1, 13, 1), (1, 14, 1),
+         (2, 99, 1)],
+        "query_id long, doc_id long, rel int",
+    )
+    got = {r.query_id: r for r in retrieval_metrics(
+        results, truth, k=3).collect()}
+
+    def t(rel, rank):
+        return round(rel / math.log2(rank + 1), 6)
+
+    q1 = got[1]
+    assert q1.n_relevant == 3
+    assert q1.recall_at_k == round(2 / 3, 6)
+    assert q1.mrr == 1.0
+    dcg = t(2, 1) + t(1, 3)
+    idcg = t(2, 1) + t(1, 2) + t(1, 3)
+    assert q1.ndcg_at_k == round(dcg / idcg, 6)
+    q2 = got[2]
+    assert (q2.recall_at_k, q2.mrr, q2.ndcg_at_k) == (0.0, 0.0, 0.0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        retrieval_metrics(results, truth, k=0)
