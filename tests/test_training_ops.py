@@ -1126,3 +1126,106 @@ def test_retrieval_metrics_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         retrieval_metrics(results, truth, k=0)
+
+
+def test_retrieval_metrics_random_parity(spark):
+    """Randomized parity against a pure-python reference: seeded
+    runs/judgments with partial overlap, graded rels, and queries
+    missing from either side."""
+    import math
+    import random
+
+    from ai_fabric_etl_spark.operators.search import retrieval_metrics
+
+    rng = random.Random(77)
+    res_rows, truth_rows = [], []
+    for q in range(12):
+        docs = rng.sample(range(1000), 8)
+        for r, d in enumerate(docs, start=1):
+            res_rows.append((q, d, r))
+        judged = rng.sample(range(1000), 5) + docs[:2]
+        for d in set(judged):
+            truth_rows.append((q, d, rng.choice([1, 2, 3])))
+    k = 5
+    results = spark.createDataFrame(
+        res_rows, "query_id long, doc_id long, rank int"
+    )
+    truth = spark.createDataFrame(
+        truth_rows, "query_id long, doc_id long, rel int"
+    )
+    got = {r.query_id: (r.n_relevant, r.recall_at_k, r.mrr, r.ndcg_at_k)
+           for r in retrieval_metrics(results, truth, k=k).collect()}
+
+    import collections
+    tr = collections.defaultdict(dict)
+    for q, d, rel in truth_rows:
+        tr[q][d] = rel
+    run = collections.defaultdict(dict)
+    for q, d, r in res_rows:
+        if r <= k:
+            run[q][d] = r
+
+    def term(rel, rank):
+        from decimal import Decimal
+        return Decimal(str(round(rel / math.log2(rank + 1), 6)))
+
+    for q in tr:
+        hits = [(d, run[q][d]) for d in tr[q] if d in run[q]]
+        n_rel = len(tr[q])
+        recall = round(len(hits) / n_rel, 6)
+        mrr = round(1.0 / min(r for _, r in hits), 6) if hits else 0.0
+        dcg = sum((term(tr[q][d], r) for d, r in hits), start=__import__("decimal").Decimal(0))
+        ideal = sorted(tr[q].items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        idcg = sum((term(rel, i) for i, (_, rel) in enumerate(ideal, start=1)),
+                   start=__import__("decimal").Decimal(0))
+        ndcg = round(float(dcg) / float(idcg), 6) if hits else 0.0
+        assert got[q] == (n_rel, recall, mrr, ndcg), q
+
+
+def test_keep_best_random_parity(spark):
+    """Randomized parity against a pure-python union-find reference:
+    arbitrary edge sets (chains, cliques, singletons), random
+    qualities with ties."""
+    import random
+
+    from ai_fabric_etl_spark.operators import dedup
+
+    rng = random.Random(31)
+    ids = list(range(40))
+    quality = {i: float(rng.choice([1, 2, 3])) for i in ids}
+    edges = set()
+    while len(edges) < 25:
+        a, b = rng.sample(ids, 2)
+        if a > b:
+            a, b = b, a
+        edges.add((a, b))
+    docs = spark.createDataFrame(
+        [(i, quality[i]) for i in ids], "doc_id long, q double"
+    )
+    pairs = spark.createDataFrame(
+        sorted(edges), "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: (r.cluster_rep, r.kept, r.canonical_id)
+           for r in dedup.keep_best_per_cluster(
+               docs, pairs, quality_col="q").collect()}
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters = {}
+    for i in ids:
+        clusters.setdefault(find(i), []).append(i)
+    for rep, members in clusters.items():
+        rep_min = min(members)
+        canon = min(members, key=lambda i: (-quality[i], i))
+        for i in members:
+            assert got[i] == (rep_min, i == canon, canon), (i, members)
