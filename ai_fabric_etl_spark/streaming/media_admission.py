@@ -14,13 +14,16 @@ follows the repo's foreachBatch state discipline
 pointer scoped to the checkpoint identity, replayed epochs skip.
 
 Crash-window idempotency (the index insert and the decisions commit
-cannot be one atomic swap — they live in different stores): the probe
+cannot be one atomic swap — they live in different stores): the
+insert runs FIRST, the epoch commit LAST. A crash after the insert
+replays the whole epoch (the guard has not advanced), and the probe
 step classifies an EXACT same-id index match as "this batch's rows
 from a prior partially-completed attempt" (a media id is unique in
 the stream, so batch_id == index_id can only be the batch's own
-earlier insert). Those rows keep their admit decision but are NOT
-re-inserted, so any crash/replay interleaving converges to the same
-index contents and decisions — pytest-gated.
+earlier insert): those rows keep their admit decision and are NOT
+re-inserted. The reverse order would lose admitted rows from the
+index forever — a committed epoch skips on replay. Pytest-gated in
+both directions (convergence, and the ordering itself).
 
 Within-batch policy: a row with a SMALLER-id near-duplicate in the
 same batch is rejected (deterministic first-wins; transitive cluster
@@ -113,6 +116,20 @@ def admit_media_batch(
     )
 
     rejected = index_dups.unionByName(batch_dups)
+
+    # ORDERING INVARIANT: the index insert happens BEFORE the epoch
+    # commit. A crash after the insert replays the epoch (the guard
+    # has not advanced) and the same-id self-detection above skips the
+    # re-insert; a crash before the insert replays everything. The
+    # reverse order would be unrecoverable: a committed epoch whose
+    # insert never ran skips on replay and the admitted hashes are
+    # lost from the index forever.
+    #
+    # The batch's decision rows are LOCALIZED (collect) before the
+    # insert: their plan probes the index path, and Spark's cache
+    # auto-refresh on append (recacheByPath) would otherwise re-read
+    # the just-grown index when the commit evaluates them. One row per
+    # input media id — micro-batch-sized, never corpus-sized.
     decisions = (
         hashes.select(id_col)
         .join(rejected, id_col, "left")
@@ -124,11 +141,8 @@ def admit_media_batch(
             F.lit(int(epoch_id)).alias("epoch"),
         )
     )
-    prior = table.read() if table.exists() else None
-    merged = (
-        prior.unionByName(decisions) if prior is not None else decisions
-    )
-    table.overwrite(merged, epoch=epoch_id, app_id=app_id)
+    dec_schema = decisions.schema
+    dec_rows = decisions.collect()
 
     to_insert = (
         hashes.join(rejected, id_col, "left_anti")
@@ -136,6 +150,11 @@ def admit_media_batch(
         .select(id_col, "dhash")
     )
     multimodal.phash_index_insert(spark, index_path, to_insert, id_col=id_col)
+
+    decided = spark.createDataFrame(dec_rows, dec_schema)
+    prior = table.read() if table.exists() else None
+    merged = prior.unionByName(decided) if prior is not None else decided
+    table.overwrite(merged, epoch=epoch_id, app_id=app_id)
     hashes.unpersist()
     probe.unpersist()
 

@@ -28,7 +28,12 @@ media_admission: epoch ids ride the decisions table pointer
 (replay-skip); a probe match with ``index id == batch id`` can only
 be the batch's own insert from a prior crashed attempt (ids are
 unique in the stream), so those rows keep their admit decision and
-are not re-inserted — any interleaving converges.
+are not re-inserted — any interleaving converges. Write order is
+sigs -> bands -> decisions commit: self-detection keys on band rows,
+so a crash between the appends leaves orphan sigs (benign duplicate
+on re-insert), never band keys whose signatures are permanently
+suppressed; the commit runs last so a skipped replay never implies
+an insert that did not happen.
 """
 
 from __future__ import annotations
@@ -197,7 +202,25 @@ def admit_text_batch(
         .join(index_dups.select("doc_id"), "doc_id", "left_anti")
     )
 
-    rejected = index_dups.unionByName(batch_dups)
+    rejected = index_dups.unionByName(batch_dups).persist()
+
+    # ORDERING INVARIANT (crash-window convergence): the three writes
+    # run as sigs -> bands -> decisions commit. Self-detection keys on
+    # BAND rows (the probe path), so bands must never exist without
+    # their signatures: sigs first means a crash between the two
+    # appends leaves sig rows whose bands are missing — the replay's
+    # self-detection finds nothing and re-inserts BOTH (a duplicate
+    # sig row is benign: candidate pairs are grouped/maxed downstream,
+    # and the exact-Jaccard value is identical), never band keys whose
+    # signatures are permanently suppressed. The decisions commit runs
+    # LAST: a committed epoch skips on replay, so everything it
+    # implies must already be durable.
+    #
+    # The batch's decision rows are LOCALIZED (collect) before the
+    # appends: their plan reads the index's bands/sigs parquet, and
+    # Spark's cache auto-refresh on append (recacheByPath) would
+    # otherwise re-probe the just-grown index when the commit
+    # evaluates them. One row per input doc — micro-batch-sized.
     decisions = (
         sig.select("doc_id")
         .join(rejected, "doc_id", "left")
@@ -209,17 +232,17 @@ def admit_text_batch(
             F.lit(int(epoch_id)).alias("epoch"),
         )
     )
-    prior = table.read() if table.exists() else None
-    merged = prior.unionByName(decisions) if prior is not None else decisions
-    table.overwrite(merged, epoch=epoch_id, app_id=app_id)
+    dec_schema = decisions.schema
+    dec_rows = decisions.collect()
 
-    # insert admitted (excluding prior-attempt self rows): band keys
-    # stamped with occupancy AS OF this insert, plus signatures
     admit_ids = (
         sig.select("doc_id")
         .join(rejected, "doc_id", "left_anti")
         .join(self_ids, "doc_id", "left_anti")
-    )
+    ).persist()
+    sig.join(F.broadcast(admit_ids), "doc_id").select(
+        "doc_id", "hs"
+    ).write.mode("append").parquet(f"{index_path}/sigs")
     new_bk_rows = bk.join(F.broadcast(admit_ids), "doc_id")
     occ_now = occ.select(
         "band", "bucket", F.col("_n").alias("_prior_n")
@@ -241,9 +264,13 @@ def admit_text_batch(
     sized.write.partitionBy("band").mode("append").parquet(
         f"{index_path}/bands"
     )
-    sig.join(F.broadcast(admit_ids), "doc_id").select(
-        "doc_id", "hs"
-    ).write.mode("append").parquet(f"{index_path}/sigs")
+
+    decided = spark.createDataFrame(dec_rows, dec_schema)
+    prior = table.read() if table.exists() else None
+    merged = prior.unionByName(decided) if prior is not None else decided
+    table.overwrite(merged, epoch=epoch_id, app_id=app_id)
+    rejected.unpersist()
+    admit_ids.unpersist()
     sig.unpersist()
     bk.unpersist()
 

@@ -4,6 +4,8 @@ live-occupancy skew policy, and stream == batch parity."""
 
 import glob
 
+from pyspark.sql import functions as F
+
 from ai_fabric_etl_spark.operators import dedup
 from ai_fabric_etl_spark.streaming.text_admission import (
     admit_text_batch,
@@ -166,3 +168,84 @@ def test_text_admission_stream_equals_batch(spark, tmp_path):
     got = canon(st_s)
     assert (200, False, 110, 1.0) in got  # cross-batch growth held
     assert (210, True, None, None) in got
+
+
+def test_text_admission_inserts_precede_epoch_commit(
+    spark, tmp_path, monkeypatch
+):
+    """The ordering itself (ADVICE r10): if the epoch commit fails,
+    the index MUST already hold the admitted doc's sigs AND bands —
+    commit-first would skip the replay and lose the doc from the
+    index forever."""
+    from ai_fabric_etl_spark.operators.merge import ParquetMergeTable
+
+    idx = str(tmp_path / "idx")
+    state = str(tmp_path / "state")
+    _build_index(spark, idx, [(1, BASE)])
+    b = _docs(spark, [(100, NOVEL_A)])
+    n_sig0 = spark.read.parquet(f"{idx}/sigs").count()
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("simulated crash at the epoch commit")
+
+    monkeypatch.setattr(ParquetMergeTable, "overwrite", boom)
+    try:
+        admit_text_batch(spark, b, idx, state, epoch_id=0, app_id="t")
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+
+    sigs = spark.read.parquet(f"{idx}/sigs")
+    bands = spark.read.parquet(f"{idx}/bands")
+    assert sigs.filter("doc_id = 100").count() > 0
+    assert bands.filter("doc_id = 100").count() > 0
+    assert not ParquetMergeTable(spark, state).exists()
+
+    # replay converges: decisions land, no duplicate index rows
+    admit_text_batch(spark, b, idx, state, epoch_id=0, app_id="t")
+    d = {r.doc_id: (r.admitted, r.dup_of)
+         for r in read_decisions(spark, state).collect()}
+    assert d == {100: (True, None)}
+    assert spark.read.parquet(f"{idx}/sigs").count() == n_sig0 + 1
+
+
+def test_text_admission_orphan_sigs_never_suppress(spark, tmp_path):
+    """A crash BETWEEN the sigs append and the bands append (the
+    window the sigs-first ordering makes survivable) converges on
+    replay: self-detection keys on bands, finds nothing, re-inserts
+    both halves — the duplicate sig row is benign, and a later
+    duplicate of the doc is still REJECTED (nothing is permanently
+    suppressed from the index)."""
+    from ai_fabric_etl_spark.operators.dedup import (
+        _minhash_sig_udf,
+        hashed_shingles,
+    )
+
+    idx = str(tmp_path / "idx")
+    state = str(tmp_path / "state")
+    _build_index(spark, idx, [(1, BASE)])
+    b = _docs(spark, [(100, NOVEL_A)])
+
+    # simulate the crashed attempt: sig row written, band rows not
+    b.select(
+        "doc_id", hashed_shingles(F.col("text"), 3).alias("hs")
+    ).withColumn("sig", _minhash_sig_udf(32)(F.col("hs"))).select(
+        "doc_id", "hs"
+    ).write.mode("append").parquet(f"{idx}/sigs")
+
+    admit_text_batch(spark, b, idx, state, epoch_id=0, app_id="t")
+    d = {r.doc_id: (r.admitted, r.dup_of)
+         for r in read_decisions(spark, state).collect()}
+    assert d == {100: (True, None)}
+    # duplicate sig row is the documented benign outcome
+    assert spark.read.parquet(f"{idx}/sigs").filter(
+        "doc_id = 100").count() == 2
+    assert spark.read.parquet(f"{idx}/bands").filter(
+        "doc_id = 100").count() > 0
+
+    # the doc is fully live in the index: its duplicate rejects
+    b2 = _docs(spark, [(200, NOVEL_A)])
+    admit_text_batch(spark, b2, idx, state, epoch_id=1, app_id="t")
+    d = {r.doc_id: (r.admitted, r.dup_of, r.jaccard)
+         for r in read_decisions(spark, state).collect()}
+    assert d[200] == (False, 100, 1.0)

@@ -1026,7 +1026,7 @@ def test_dp_noisy_counts_mechanism(spark):
     for eps in (0.5, 2.0):
         got = {r.grp: r.noisy_count
                for r in privacy.dp_noisy_counts(
-                   df, "grp", epsilon=eps).collect()}
+                   df, "grp", epsilon=eps, salt="dp").collect()}
         for g in ("g0", "g1", "g2"):
             want = round(30.0 + hand_noise(g, eps), 6)
             assert got[g] == want, (g, eps)
@@ -1036,14 +1036,56 @@ def test_dp_noisy_counts_mechanism(spark):
     n_two = hand_noise("g0", 2.0)
     assert abs(n_half) == 4 * abs(n_two)
     # determinism across calls (the documented keyed-PRG contract)
-    a = privacy.dp_noisy_counts(df, "grp", epsilon=1.0).collect()
-    b = privacy.dp_noisy_counts(df, "grp", epsilon=1.0).collect()
+    a = privacy.dp_noisy_counts(df, "grp", epsilon=1.0, salt="dp").collect()
+    b = privacy.dp_noisy_counts(df, "grp", epsilon=1.0, salt="dp").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        privacy.laplace_noise(F.lit("x"), epsilon=0.0)
+        privacy.laplace_noise(F.lit("x"), epsilon=0.0, salt="dp")
+    with _pytest.raises(TypeError):
+        privacy.dp_noisy_counts(df, "grp", epsilon=1.0)  # salt required
+
+
+def test_dp_salt_rotation_changes_release(spark):
+    """VERDICT r10 #6: the replayable-noise trade is a visible caller
+    decision. Two releases of the SAME data under ROTATED salts
+    differ in every group, while each matches its own oracle (the
+    hand-computed inverse-CDF under that salt); fresh_salt() yields
+    distinct unpredictable salts."""
+    import hashlib
+    import math
+
+    from ai_fabric_etl_spark.operators import privacy
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(90)], "id long, grp string"
+    )
+
+    def hand_noise(key, eps, salt):
+        h = int(hashlib.md5(f"{key}-{salt}".encode()).hexdigest()[:13], 16)
+        u = (h + 0.5) / 4503599627370496.0
+        c = u - 0.5
+        s = 1.0 if c > 0 else (-1.0 if c < 0 else 0.0)
+        return (-1.0 / eps) * s * math.log(1.0 - 2.0 * abs(c))
+
+    rel = {}
+    for salt in ("release-1", "release-2"):
+        rel[salt] = {r.grp: r.noisy_count
+                     for r in privacy.dp_noisy_counts(
+                         df, "grp", epsilon=1.0, salt=salt).collect()}
+        for g in ("g0", "g1", "g2"):
+            assert rel[salt][g] == round(30.0 + hand_noise(g, 1.0, salt), 6)
+    assert all(rel["release-1"][g] != rel["release-2"][g]
+               for g in ("g0", "g1", "g2"))
+
+    s1, s2 = privacy.fresh_salt(), privacy.fresh_salt()
+    assert s1 != s2 and len(s1) == 32
+    # a fresh-salt release is valid output but not replayable by a
+    # caller who does not hold the salt
+    out = privacy.dp_noisy_counts(df, "grp", salt=s1).collect()
+    assert len(out) == 3
 
 
 def test_dp_noisy_sum_clipping_and_parity(spark):
