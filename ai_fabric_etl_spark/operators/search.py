@@ -683,11 +683,20 @@ def retrieval_metrics(
     rounded to 6 dp, summed as DECIMAL(38,6) (exact), and the final
     ratio is one rounded IEEE division — bit-replayable in ANSI SQL.
 
+    Graded qrels discipline (ADVICE r10): judged-but-IRRELEVANT rows
+    (rel = 0, standard in TREC-style pools) count for NOTHING in the
+    relevant-set metrics — n_relevant / recall / MRR see only rel > 0
+    rows, so a rel=0 hit can neither inflate recall nor set MRR's
+    first-hit rank. DCG/IDCG keep every graded row (a rel=0 term is
+    identically 0, and ideal ranking orders it past every positive
+    grade, so it never displaces gain within the cutoff).
+
     Scale: one rank-filtered equi-join of the run against the truth
     set, grouped per query; IDCG ranks the truth list per query with
     a window PARTITIONED BY QUERY (truth lists are judgment-sized —
     tens of rows per query — never corpus-sized). Queries with empty
-    truth are omitted (their metrics are undefined)."""
+    truth — or with NO rel > 0 judgment — are omitted (their metrics
+    are undefined)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql.window import Window
@@ -702,8 +711,8 @@ def retrieval_metrics(
         .join(truth.select(q, d, rel), [q, d])
     )
     per_q_hits = hits.groupBy(q).agg(
-        F.count(F.lit(1)).alias("_n_hit"),
-        F.min(rk).alias("_first"),
+        F.count_if(F.col(rel) > 0).alias("_n_hit"),
+        F.min(F.when(F.col(rel) > 0, F.col(rk))).alias("_first"),
         F.sum(term(F.col(rel), F.col(rk))).alias("_dcg"),
     )
     ideal = truth.withColumn(
@@ -712,7 +721,11 @@ def retrieval_metrics(
             Window.partitionBy(q).orderBy(F.col(rel).desc(), F.col(d))
         ),
     ).filter(F.col("_irank") <= k)
-    per_q_truth = truth.groupBy(q).agg(F.count(F.lit(1)).alias("_n_rel"))
+    per_q_truth = (
+        truth.filter(F.col(rel) > 0)
+        .groupBy(q)
+        .agg(F.count(F.lit(1)).alias("_n_rel"))
+    )
     per_q_ideal = ideal.groupBy(q).agg(
         F.sum(term(F.col(rel), F.col("_irank"))).alias("_idcg")
     )

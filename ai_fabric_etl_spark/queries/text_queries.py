@@ -2723,12 +2723,16 @@ def q_search_retrieval_metrics(spark, sf_dir):
     metric value is predictable on both engines. Query q's run is
     docs q*1000+r at ranks r=1..5; its truth is {first relevant at
     rank q%3+1 with grade 2, doc at rank 5 with grade 1, one never-
-    retrieved doc with grade 1} — so recall@5 = 2/3 for every query,
-    MRR cycles 1 / 0.5 / 0.333333, and nDCG exercises the graded
-    DCG/IDCG decimal-term discipline (each term rounds to 6 dp before
-    the exact-decimal sum; the final ratio is one rounded IEEE
-    division). The ANN recall gates score indexes; this entry
-    value-verifies the METRIC math any retrieval run is tuned on."""
+    retrieved doc with grade 1, PLUS a judged-irrelevant (rel=0) doc
+    at rank 4} — so recall@5 = 2/3 for every query, MRR cycles
+    1 / 0.5 / 0.333333, and nDCG exercises the graded DCG/IDCG
+    decimal-term discipline (each term rounds to 6 dp before the
+    exact-decimal sum; the final ratio is one rounded IEEE division).
+    The rel=0 row value-gates the graded-qrels fix (ADVICE r10): it
+    must count for nothing in n_relevant / recall / MRR — the
+    pre-fix code reports n_relevant=4 and recall=0.75 here. The ANN
+    recall gates score indexes; this entry value-verifies the METRIC
+    math any retrieval run is tuned on."""
     from ai_fabric_etl_spark.operators.search import retrieval_metrics
 
     q = (
@@ -2760,6 +2764,10 @@ def q_search_retrieval_metrics(spark, sf_dir):
                 F.struct(
                     (F.col("query_id") * 1000 + 999).alias("doc_id"),
                     F.lit(1).alias("rel"),
+                ),
+                F.struct(
+                    (F.col("query_id") * 1000 + 4).alias("doc_id"),
+                    F.lit(0).alias("rel"),
                 ),
             )
         ).alias("_t"),

@@ -1125,12 +1125,18 @@ def test_dp_noisy_sum_clipping_and_parity(spark):
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        privacy.dp_noisy_sum(df, "grp", "v", clip=0.0)
+        privacy.dp_noisy_sum(df, "grp", "v", clip=0.0, salt="s")
+    with _pytest.raises(TypeError):
+        privacy.dp_noisy_sum(df, "grp", "v", clip=1.0)  # salt required
 
 
 def test_retrieval_metrics_hand_computed(spark):
     """recall@k / MRR / nDCG on a crafted case: graded relevance,
-    a no-hit query, and the k cutoff excluding a late hit."""
+    a no-hit query, the k cutoff excluding a late hit, and
+    judged-irrelevant (rel=0) rows counting for nothing (ADVICE
+    r10): a rel=0 hit at rank 1 must not set MRR, must not enter
+    n_relevant or recall, and a query judged ONLY with rel=0 rows is
+    omitted."""
     import math
 
     from ai_fabric_etl_spark.operators.search import retrieval_metrics
@@ -1139,13 +1145,20 @@ def test_retrieval_metrics_hand_computed(spark):
         # q1: hits at ranks 1 (rel 2) and 3 (rel 1); rank-4 doc is
         #     relevant but k=3 cuts it
         # q2: no relevant doc retrieved
+        # q3: rank-1 doc judged IRRELEVANT (rel 0), first relevant at
+        #     rank 2 — pre-fix MRR would be 1.0, correct is 0.5
+        # q4: every judgment is rel=0 — metrics undefined, omitted
         [(1, 11, 1), (1, 12, 2), (1, 13, 3), (1, 14, 4),
-         (2, 21, 1), (2, 22, 2)],
+         (2, 21, 1), (2, 22, 2),
+         (3, 31, 1), (3, 32, 2),
+         (4, 41, 1)],
         "query_id long, doc_id long, rank int",
     )
     truth = spark.createDataFrame(
         [(1, 11, 2), (1, 13, 1), (1, 14, 1),
-         (2, 99, 1)],
+         (2, 99, 1),
+         (3, 31, 0), (3, 32, 2), (3, 99, 1),
+         (4, 41, 0)],
         "query_id long, doc_id long, rel int",
     )
     got = {r.query_id: r for r in retrieval_metrics(
@@ -1163,6 +1176,14 @@ def test_retrieval_metrics_hand_computed(spark):
     assert q1.ndcg_at_k == round(dcg / idcg, 6)
     q2 = got[2]
     assert (q2.recall_at_k, q2.mrr, q2.ndcg_at_k) == (0.0, 0.0, 0.0)
+    q3 = got[3]
+    assert q3.n_relevant == 2          # the rel=0 judgment is not relevant
+    assert q3.recall_at_k == 0.5       # only doc 32 is a relevant hit
+    assert q3.mrr == 0.5               # rel=0 at rank 1 does not set MRR
+    dcg3 = t(2, 2)                     # rel=0 hit contributes 0 gain
+    idcg3 = t(2, 1) + t(1, 2)          # rel=0 sorts past both positives
+    assert q3.ndcg_at_k == round(dcg3 / idcg3, 6)
+    assert 4 not in got                # rel=0-only truth -> omitted
 
     import pytest as _pytest
 
@@ -1187,7 +1208,8 @@ def test_retrieval_metrics_random_parity(spark):
             res_rows.append((q, d, r))
         judged = rng.sample(range(1000), 5) + docs[:2]
         for d in set(judged):
-            truth_rows.append((q, d, rng.choice([1, 2, 3])))
+            # grade 0 = judged irrelevant (graded-qrels pools)
+            truth_rows.append((q, d, rng.choice([0, 1, 2, 3])))
     k = 5
     results = spark.createDataFrame(
         res_rows, "query_id long, doc_id long, rank int"
@@ -1211,17 +1233,26 @@ def test_retrieval_metrics_random_parity(spark):
         from decimal import Decimal
         return Decimal(str(round(rel / math.log2(rank + 1), 6)))
 
+    omitted = 0
     for q in tr:
+        pos = {d: rel for d, rel in tr[q].items() if rel > 0}
+        if not pos:
+            assert q not in got, q  # no relevant judgment -> omitted
+            omitted += 1
+            continue
         hits = [(d, run[q][d]) for d in tr[q] if d in run[q]]
-        n_rel = len(tr[q])
-        recall = round(len(hits) / n_rel, 6)
-        mrr = round(1.0 / min(r for _, r in hits), 6) if hits else 0.0
+        pos_hits = [(d, r) for d, r in hits if d in pos]
+        n_rel = len(pos)
+        recall = round(len(pos_hits) / n_rel, 6)
+        mrr = (round(1.0 / min(r for _, r in pos_hits), 6)
+               if pos_hits else 0.0)
         dcg = sum((term(tr[q][d], r) for d, r in hits), start=__import__("decimal").Decimal(0))
         ideal = sorted(tr[q].items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         idcg = sum((term(rel, i) for i, (_, rel) in enumerate(ideal, start=1)),
                    start=__import__("decimal").Decimal(0))
         ndcg = round(float(dcg) / float(idcg), 6) if hits else 0.0
         assert got[q] == (n_rel, recall, mrr, ndcg), q
+    assert len(got) == len(tr) - omitted
 
 
 def test_keep_best_random_parity(spark):
