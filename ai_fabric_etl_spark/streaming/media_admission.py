@@ -25,11 +25,12 @@ re-inserted. The reverse order would lose admitted rows from the
 index forever — a committed epoch skips on replay. Pytest-gated in
 both directions (convergence, and the ordering itself).
 
-Within-batch policy: a row with a SMALLER-id near-duplicate in the
-same batch is rejected (deterministic first-wins; transitive cluster
-canonicalization is dedup's connected-components job, not a stream
-gate's). Oversize-bucket policy is inherited from the probe
-(raise by default — see multimodal.phash_index_probe).
+Within-batch policy: one representative per near-dup component — the
+component canonical (smallest id) is admitted, every other member is
+rejected against it (see streaming/admission_common.py for the full
+policy statement and the invariant that dup_of always names an
+ADMITTED doc or an index id). Oversize-bucket policy is inherited
+from the probe (raise by default — see multimodal.phash_index_probe).
 """
 
 from __future__ import annotations
@@ -40,6 +41,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ai_fabric_etl_spark.operators import multimodal
 from ai_fabric_etl_spark.operators.merge import ParquetMergeTable
+from ai_fabric_etl_spark.streaming.admission_common import component_rejects
 
 DECISION_COLS = ["media_id", "admitted", "dup_of", "hamming", "epoch"]
 
@@ -81,8 +83,17 @@ def admit_media_batch(
     self_ids = probe.filter(F.col("batch_id") == F.col("index_id")).select(
         F.col("batch_id").alias(id_col)
     ).distinct()
+    # corpus duplicates exclude ALL matches whose index id is in the
+    # current batch (not just same-id): stream ids are unique, so an
+    # index row carrying ANY batch id is the batch's own insert from
+    # a prior crashed attempt. Classifying those as corpus dups would
+    # remove their edges from the within-batch graph below and make
+    # the DECISIONS depend on the crash interleaving; routed through
+    # the batch graph instead, replay computes exactly the clean
+    # run's decisions and index contents.
+    batch_ids = hashes.select(F.col(id_col).alias("index_id")).distinct()
     index_dups = (
-        probe.filter(F.col("batch_id") != F.col("index_id"))
+        probe.join(F.broadcast(batch_ids), "index_id", "left_anti")
         .groupBy("batch_id")
         .agg(
             F.min(F.struct("hamming", "index_id")).alias("_best")
@@ -94,25 +105,21 @@ def admit_media_batch(
         )
     )
 
-    # within-batch: reject any id with a SMALLER-id near-dup whose
-    # smaller side is not itself an index duplicate
+    # within-batch: one representative per near-dup component (see
+    # admission_common). Edges are restricted to probe SURVIVORS on
+    # both sides — an index duplicate keeps its index provenance and
+    # must not stitch two otherwise-unrelated survivors together.
     batch_pairs = multimodal.phash_near_pairs(
         hashes, max_hamming=max_hamming, id_col=id_col
     )
-    batch_dups = (
-        batch_pairs.join(
-            index_dups.select(F.col(id_col).alias("id_a")), "id_a", "left_anti"
-        )
-        .groupBy("id_b")
-        .agg(F.min(F.struct("hamming", "id_a")).alias("_best"))
-        .select(
-            F.col("id_b").alias(id_col),
-            F.col("_best.id_a").alias("dup_of"),
-            F.col("_best.hamming").alias("hamming"),
-        )
-        # an id that is ALREADY an index duplicate keeps that
-        # provenance; the batch rule only applies to survivors
-        .join(index_dups.select(id_col), id_col, "left_anti")
+    surv_pairs = batch_pairs.join(
+        index_dups.select(F.col(id_col).alias("id_a")), "id_a", "left_anti"
+    ).join(
+        index_dups.select(F.col(id_col).alias("id_b")), "id_b", "left_anti"
+    )
+    batch_dups = component_rejects(
+        surv_pairs, id_col=id_col, a_col="id_a", b_col="id_b",
+        metric_col="hamming",
     )
 
     rejected = index_dups.unionByName(batch_dups)

@@ -49,6 +49,7 @@ from ai_fabric_etl_spark.operators.dedup import (
 )
 from ai_fabric_etl_spark.operators.merge import ParquetMergeTable
 from ai_fabric_etl_spark.operators.multimodal import _oversize_guard
+from ai_fabric_etl_spark.streaming.admission_common import component_rejects
 
 DECISION_COLS = ["doc_id", "admitted", "dup_of", "jaccard", "epoch"]
 
@@ -97,9 +98,10 @@ def admit_text_batch(
 
     Decision row per input doc:
     ``(doc_id, admitted, dup_of, jaccard, epoch)`` — ``dup_of`` is
-    the max-Jaccard (then min-id) provenance: an index id for corpus
-    duplicates, a smaller batch id for within-batch duplicates, NULL
-    for admitted rows. ``num_hashes/bands/n/threshold`` must match
+    the max-Jaccard (then min-id) index id for corpus duplicates, the
+    component canonical (an ADMITTED smaller batch id — see
+    admission_common) for within-batch duplicates, NULL for admitted
+    rows. ``num_hashes/bands/n/threshold`` must match
     the values the index was built with."""
     if on_oversize not in ("raise", "drop"):
         raise ValueError(
@@ -156,9 +158,20 @@ def admit_text_batch(
     self_ids = cand_cross.filter(F.col("doc_a") == F.col("doc_b")).select(
         F.col("doc_b").alias("doc_id")
     ).distinct()
+    # corpus candidates exclude ALL index rows carrying a CURRENT
+    # batch id (not just same-id): stream ids are unique, so those
+    # can only be the batch's own insert from a prior crashed
+    # attempt. Classifying them as corpus dups would remove their
+    # edges from the within-batch graph and make decisions depend on
+    # the crash interleaving; the within-batch path below (both docs
+    # are in ``bk``) covers those pairs identically on every replay.
     idx_sigs = spark.read.parquet(f"{index_path}/sigs")
     cross = _exact_jaccard(
-        cand_cross.filter(F.col("doc_a") != F.col("doc_b")),
+        cand_cross.join(
+            F.broadcast(sig.select(F.col("doc_id").alias("doc_a"))),
+            "doc_a",
+            "left_anti",
+        ),
         idx_sigs.select(F.col("doc_id").alias("doc_a"),
                         F.col("hs").alias("hs_a")),
         sig.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
@@ -189,17 +202,21 @@ def admit_text_batch(
         sig.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
         threshold,
     )
-    batch_dups = (
-        within.join(index_dups.select(F.col("doc_id").alias("doc_a")),
-                    "doc_a", "left_anti")
-        .groupBy("doc_b")
-        .agg(F.max(F.struct(F.col("jaccard").alias("j"),
-                            (-F.col("doc_a")).alias("negid"),
-                            F.col("doc_a").alias("id"))).alias("_b"))
-        .select(F.col("doc_b").alias("doc_id"),
-                F.col("_b.id").alias("dup_of"),
-                F.round(F.col("_b.j"), 6).alias("jaccard"))
-        .join(index_dups.select("doc_id"), "doc_id", "left_anti")
+    # within-batch: one representative per near-dup component (see
+    # admission_common); edges restricted to probe survivors on both
+    # sides — an index duplicate keeps its index provenance and must
+    # not stitch two otherwise-unrelated survivors together
+    surv = within.join(
+        index_dups.select(F.col("doc_id").alias("doc_a")), "doc_a",
+        "left_anti",
+    ).join(
+        index_dups.select(F.col("doc_id").alias("doc_b")), "doc_b",
+        "left_anti",
+    )
+    batch_dups = component_rejects(
+        surv.withColumn("jaccard", F.round("jaccard", 6)),
+        id_col="doc_id", a_col="doc_a", b_col="doc_b",
+        metric_col="jaccard",
     )
 
     rejected = index_dups.unionByName(batch_dups).persist()

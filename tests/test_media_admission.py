@@ -211,3 +211,33 @@ def test_admission_index_insert_precedes_epoch_commit(
         "media_id long, dhash long, cv long, ci int, cb int"
     ).parquet(idx).count()
     assert n == 8  # 2 images x 4 chunk rows, inserted exactly once
+
+
+def test_admission_replay_matches_clean_run(spark, tmp_path):
+    """Interleaving invariance: replay after a crashed attempt that
+    already inserted the admitted rows computes EXACTLY the clean
+    run's decisions — a prior-attempt insert of ANOTHER batch row
+    (here the within-batch canonical 10) is routed through the batch
+    graph, not misclassified as a corpus duplicate."""
+    batch = [(10, _img(7)), (20, _img(7)), (30, _img(9))]
+
+    def run(idx, state, pre_crash):
+        _init_index(spark, idx)
+        if pre_crash:
+            admit_media_batch(spark, _media(spark, batch), idx,
+                              idx + "_scratch", epoch_id=0, app_id="x")
+        admit_media_batch(spark, _media(spark, batch), idx, state,
+                          epoch_id=0, app_id="t")
+        return sorted(
+            (r.media_id, r.admitted, r.dup_of, r.hamming)
+            for r in read_decisions(spark, state).collect()
+        )
+
+    clean = run(str(tmp_path / "i1"), str(tmp_path / "s1"), False)
+    replay = run(str(tmp_path / "i2"), str(tmp_path / "s2"), True)
+    assert clean == replay
+    assert [r[1] for r in clean] == [True, False, True]  # 20 rejects vs 10
+    n = spark.read.schema(
+        "media_id long, dhash long, cv long, ci int, cb int"
+    ).parquet(str(tmp_path / "i2")).groupBy("media_id").count()
+    assert n.filter("count > 4").count() == 0  # 4 chunk rows per image, once

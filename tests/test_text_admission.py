@@ -249,3 +249,70 @@ def test_text_admission_orphan_sigs_never_suppress(spark, tmp_path):
     d = {r.doc_id: (r.admitted, r.dup_of, r.jaccard)
          for r in read_decisions(spark, state).collect()}
     assert d[200] == (False, 100, 1.0)
+
+
+def test_text_admission_chain_component_policy(spark, tmp_path):
+    """Within-batch chains (ADVICE r10): A~B and B~C with A not ~ C.
+    The component canonical A is admitted; BOTH B and C reject
+    against A — never against the rejected B — so every rejected
+    doc's dup_of is an ADMITTED doc. C's jaccard is NULL (transitive
+    member, no direct pair with the canonical)."""
+    words = [f"tok{i:02d}" for i in range(1, 29)]
+    a = " ".join(words[0:20])    # w1..w20
+    b = " ".join(words[4:24])    # w5..w24: J(a,b) = 14/22 ~ 0.64
+    c = " ".join(words[8:28])    # w9..w28: J(b,c) ~ 0.64, J(a,c) = 10/26 < 0.5
+
+    idx = str(tmp_path / "idx")
+    state = str(tmp_path / "state")
+    # 32 bands x 2 rows: chain links sit at J ~ 0.64, where the
+    # default 8x4 banding misses ~23% of candidates
+    dedup.minhash_index_write(
+        _docs(spark, [(1, NOVEL_B)]), idx, num_hashes=64, bands=32
+    )
+    admit_text_batch(
+        spark, _docs(spark, [(10, a), (20, b), (30, c)]),
+        idx, state, epoch_id=0, app_id="t",
+        num_hashes=64, bands=32,
+    )
+    d = {r.doc_id: (r.admitted, r.dup_of, r.jaccard)
+         for r in read_decisions(spark, state).collect()}
+    assert d[10] == (True, None, None)
+    assert d[20][0] is False and d[20][1] == 10 and d[20][2] is not None
+    assert d[30] == (False, 10, None)  # transitive: canonical, NULL metric
+    admitted = {k for k, v in d.items() if v[0]}
+    assert all(v[1] in admitted for k, v in d.items() if not v[0])
+
+
+def test_text_admission_replay_matches_clean_run(spark, tmp_path):
+    """Interleaving invariance: a replay after a crashed attempt that
+    already inserted the admitted rows computes EXACTLY the clean
+    run's decisions — the prior attempt's inserts of OTHER batch rows
+    are routed through the within-batch graph, not misclassified as
+    corpus duplicates (which would flip chain members' decisions)."""
+    words = [f"tok{i:02d}" for i in range(1, 29)]
+    a = " ".join(words[0:20])
+    b = " ".join(words[4:24])
+    c = " ".join(words[8:28])
+    batch = [(10, a), (20, b), (30, c), (40, NOVEL_A)]
+
+    def run(idx, state, pre_crash):
+        dedup.minhash_index_write(
+            _docs(spark, [(1, NOVEL_B)]), idx, num_hashes=64, bands=32
+        )
+        if pre_crash:  # crashed attempt: inserts done, commit missing
+            admit_text_batch(spark, _docs(spark, batch), idx,
+                             str(idx) + "_scratch", epoch_id=0, app_id="x",
+                             num_hashes=64, bands=32)
+        admit_text_batch(spark, _docs(spark, batch), idx, state,
+                         epoch_id=0, app_id="t", num_hashes=64, bands=32)
+        return sorted(
+            (r.doc_id, r.admitted, r.dup_of, r.jaccard)
+            for r in read_decisions(spark, state).collect()
+        )
+
+    clean = run(str(tmp_path / "i1"), str(tmp_path / "s1"), False)
+    replay = run(str(tmp_path / "i2"), str(tmp_path / "s2"), True)
+    assert clean == replay
+    # and the replayed index holds each admitted doc exactly once
+    n = spark.read.parquet(f"{tmp_path}/i2/sigs").groupBy("doc_id").count()
+    assert n.filter("count > 1").count() == 0
