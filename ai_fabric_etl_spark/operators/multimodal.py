@@ -1209,3 +1209,228 @@ def phash_index_insert(
     _index_chunks(new_hashes, id_col, hash_col, n_buckets).repartition(
         "ci", "cb"
     ).write.mode("append").partitionBy("ci", "cb").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# persisted video frame-hash index (incremental video near-dup)
+# ---------------------------------------------------------------------------
+
+
+def _video_index_chunks(
+    frame_hashes: DataFrame, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(media_id, frame_idx, fhash, ci, cv, cb) chunk rows for the
+    on-disk video index — the frame-level twin of :func:`_index_chunks`
+    (one derivation shared by write/probe/insert so the partition
+    bucket can never drift between them)."""
+    return frame_hashes.select(
+        F.col(id_col).alias("media_id"),
+        F.col("frame_idx"),
+        F.col("fhash"),
+        _chunk_explode("fhash").alias("_c"),
+    ).select(
+        "media_id", "frame_idx", "fhash",
+        F.col("_c.ci").alias("ci"),
+        F.col("_c.cv").alias("cv"),
+        (F.col("_c.cv") % n_buckets).alias("cb"),
+    )
+
+
+_VIDEO_IDX_SCHEMA = (
+    "media_id long, frame_idx int, fhash long, cv long, ci int, cb int"
+)
+
+
+def video_index_write(
+    frame_hashes: DataFrame,
+    path: str,
+    id_col: str = "media_id",
+    n_buckets: int = 64,
+) -> None:
+    """Persist a video frame-hash near-dup index: every sampled
+    frame's 64-bit dHash (:func:`video_frame_hashes`) explodes into
+    its four 16-bit chunk rows, partitioned on disk by (chunk index,
+    chunk-value bucket) — the video face of :func:`phash_index_write`.
+    A probe statically prunes to the batch's touched (ci, cb)
+    partitions, so admitting a new clip never re-decodes or re-scans
+    the corpus; frame alignment (the ±max_shift window) is applied at
+    probe time, NOT baked into the layout, so one index serves any
+    shift tolerance. ``n_buckets`` persists in
+    ``_phash_index_meta.json`` (same meta contract as the image/audio
+    index: probe/insert re-read it and a mismatched explicit value
+    fails loudly)."""
+    import json as _json
+    import os as _os
+
+    _video_index_chunks(frame_hashes, id_col, n_buckets).repartition(
+        "ci", "cb"
+    ).write.mode("overwrite").partitionBy("ci", "cb").parquet(path)
+    with open(
+        _os.path.join(path, "_phash_index_meta.json"), "w", encoding="utf-8"
+    ) as fh:
+        _json.dump(
+            {"n_buckets": int(n_buckets), "version": 1, "kind": "video"}, fh
+        )
+
+
+def video_index_probe(
+    spark,
+    path: str,
+    batch_frame_hashes: DataFrame,
+    max_hamming: int = 3,
+    min_frames: int = 2,
+    max_shift: int = 2,
+    id_col: str = "media_id",
+    n_buckets: int | None = None,
+    max_bucket: int = 2000,
+    on_oversize: str = "raise",
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Near-dup videos between a NEW batch and the persisted frame
+    index, in O(batch): the batch's distinct (ci, cb) keys push a
+    STATIC partition filter on the index scan (untouched partitions
+    are never read — pytest-proven by corrupting them), candidates
+    broadcast-join on the full chunk value at every frame offset in
+    [-max_shift, +max_shift], and a pair matches when >= ``min_frames``
+    batch frames agree within ``max_hamming`` bits at ONE CONSISTENT
+    offset (:func:`video_near_pairs` semantics — head-trimmed and
+    re-cut clips match at their true offset). Returns
+    (batch_id, index_id, n_matching_frames, shift) with the best
+    shift per pair (most frames, ties: smallest |shift|, then
+    smallest shift); shift = batch_frame_idx - index_frame_idx, the
+    same orientation as video_near_pairs' b-relative-to-a.
+
+    Oversize policy mirrors :func:`phash_index_probe`: per-(ci, cv)
+    occupancy of the index rows the batch touches, raise by default
+    or drop with ``stats_out`` counters."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"chunk banding holds for max_hamming in [0, 3], got {max_hamming}"
+        )
+    if max_shift < 0:
+        raise ValueError(f"max_shift must be >= 0, got {max_shift}")
+    if on_oversize not in ("raise", "drop"):
+        raise ValueError(
+            f"on_oversize must be 'raise' or 'drop', got {on_oversize!r}"
+        )
+    n_buckets = _index_n_buckets(path, n_buckets)
+    probe = batch_frame_hashes.select(
+        F.col(id_col).alias("batch_id"),
+        F.col("frame_idx").alias("fi_b"),
+        F.col("fhash").alias("h_b"),
+        _chunk_explode("fhash").alias("_c"),
+    ).select(
+        "batch_id", "fi_b", "h_b",
+        F.col("_c.ci").alias("ci"),
+        F.col("_c.cv").alias("cv"),
+        (F.col("_c.cv") % n_buckets).alias("cb"),
+    )
+    probe = probe.persist()
+    touched = [
+        (int(r["ci"]), int(r["cb"]))
+        for r in probe.select("ci", "cb").distinct().collect()
+    ]
+    if not touched:
+        return spark.createDataFrame(
+            [], "batch_id long, index_id long, n_matching_frames long, "
+                "shift int"
+        )
+    by_ci: dict[int, list[int]] = {}
+    for ci, cb in touched:
+        by_ci.setdefault(ci, []).append(cb)
+    part_filter = None
+    for ci, cbs in by_ci.items():
+        term = (F.col("ci") == ci) & F.col("cb").isin(cbs)
+        part_filter = term if part_filter is None else (part_filter | term)
+    idx = (
+        spark.read.schema(_VIDEO_IDX_SCHEMA).parquet(path).where(part_filter)
+    )
+
+    keys = probe.select("ci", "cb", "cv").distinct()
+    occ = idx.join(F.broadcast(keys), ["ci", "cb", "cv"]).groupBy(
+        "ci", "cv"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    if on_oversize == "raise":
+        occ = occ.withColumn(
+            "_n", _oversize_guard(max_bucket, "video_index_probe")("_n")
+        )
+    elif stats_out is not None:
+        row = (
+            occ.filter(F.col("_n") > max_bucket)
+            .agg(
+                F.count(F.lit(1)).alias("b"),
+                F.coalesce(F.sum("_n"), F.lit(0)).alias("r"),
+            )
+            .collect()[0]
+        )
+        stats_out["dropped_buckets"] = int(row["b"])
+        stats_out["dropped_rows"] = int(row["r"])
+    hot_keys = occ.filter(F.col("_n") > max_bucket).select("ci", "cv")
+    probe_ok = probe.join(F.broadcast(hot_keys), ["ci", "cv"], "left_anti")
+
+    # batch chunk rows replicated once per offset (keys only, never
+    # payloads): index frame g matches batch frame fi_b at
+    # shift = fi_b - g, so the batch side emits g = fi_b - shift
+    brep = probe_ok.select(
+        "batch_id", "fi_b", "h_b", "ci", "cv", "cb",
+        F.explode(
+            F.array(*[F.lit(s) for s in range(-max_shift, max_shift + 1)])
+        ).alias("shift"),
+    ).select(
+        (F.col("fi_b") - F.col("shift")).alias("g"),
+        "ci", "cv", "cb", "batch_id", "h_b", "shift",
+    )
+    cand = (
+        idx.withColumnRenamed("frame_idx", "g")
+        .join(F.broadcast(brep), ["g", "ci", "cb", "cv"])
+        .select(
+            "batch_id",
+            F.col("media_id").alias("index_id"),
+            "g", "shift", "h_b",
+            F.col("fhash").alias("h_i"),
+        )
+        .distinct()
+        .where(
+            F.bit_count(F.col("h_b").bitwiseXOR(F.col("h_i"))) <= max_hamming
+        )
+    )
+    per_shift = cand.groupBy("batch_id", "index_id", "shift").agg(
+        F.count(F.lit(1)).alias("_nm")
+    )
+    best = per_shift.groupBy("batch_id", "index_id").agg(
+        F.max(
+            F.struct(
+                F.col("_nm").alias("nm"),
+                (-F.abs(F.col("shift"))).alias("negabs"),
+                (-F.col("shift")).alias("negshift"),
+                F.col("shift").alias("shift"),
+            )
+        ).alias("_b")
+    )
+    return (
+        best.select(
+            "batch_id", "index_id",
+            F.col("_b.nm").alias("n_matching_frames"),
+            F.col("_b.shift").alias("shift"),
+        )
+        .where(F.col("n_matching_frames") >= min_frames)
+    )
+
+
+def video_index_insert(
+    spark,
+    path: str,
+    new_frame_hashes: DataFrame,
+    id_col: str = "media_id",
+    n_buckets: int | None = None,
+) -> None:
+    """Fold a new batch's frame hashes into the video index: append
+    chunk rows into only the (ci, cb) partitions they touch (chunk
+    rows are append-only facts; existing partitions' files are never
+    rewritten). ``n_buckets`` resolves from the index meta — a
+    drifted bucketing would strand rows in partitions no probe
+    reads."""
+    n_buckets = _index_n_buckets(path, n_buckets)
+    _video_index_chunks(new_frame_hashes, id_col, n_buckets).repartition(
+        "ci", "cb"
+    ).write.mode("append").partitionBy("ci", "cb").parquet(path)

@@ -3,6 +3,8 @@ and Hamming-banding pair recall (operators/multimodal.py)."""
 
 import numpy as np
 
+from pyspark.sql import functions as F
+
 from ai_fabric_etl_spark.operators import codecs, multimodal
 
 
@@ -496,3 +498,201 @@ def test_phash_index_probe_hot_bucket_policy(spark, tmp_path):
     assert got == []
     assert stats["dropped_buckets"] == 4
     assert stats["dropped_rows"] == 40
+
+
+# ---------------------------------------------------------------------------
+# r11: audio + video persisted indexes (incremental near-dup per modality)
+# ---------------------------------------------------------------------------
+
+
+def _y4m(i, n_frames=None, head_trim=0):
+    """Decorrelated pseudorandom frames (one RandomState per
+    (clip, frame)): adjacent frames of the same clip must NOT be
+    near-duplicates of each other, or every offset matches and the
+    shift assertion is vacuous."""
+    n = n_frames if n_frames is not None else 3 + i % 5
+    frames = [
+        np.random.RandomState(i * 1000 + f)
+        .randint(0, 256, (8, 16)).astype(np.uint8)
+        for f in range(head_trim, n)
+    ]
+    return bytearray(codecs.encode_y4m(frames))
+
+
+def test_audio_index_reuses_phash_trio(spark, tmp_path):
+    """The persisted index trio is hash-agnostic: audio_fp64
+    fingerprints (hash_col='afp') write/probe/insert through the same
+    machinery — a byte-exact copy of an indexed clip probes at
+    hamming 0, a novel clip stays silent until inserted."""
+    from ai_fabric_etl_spark.operators.multimodal import (
+        audio_fp64,
+        phash_index_insert,
+        phash_index_probe,
+        phash_index_write,
+        synthesize_noise_audio,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    corpus = synthesize_noise_audio(docs, n_frames=1024)
+    idx = str(tmp_path / "audio_idx")
+    phash_index_write(
+        audio_fp64(corpus, fake=False), idx, hash_col="afp", n_buckets=16
+    )
+
+    copies = synthesize_noise_audio(
+        docs.filter("doc_id < 2"), n_frames=1024
+    ).select((F.col("media_id") + 100).alias("media_id"), "payload",
+             "mime_type", "n_bytes", "source")
+    novel = synthesize_noise_audio(
+        spark.createDataFrame([(200,), (201,)], "doc_id long"),
+        n_frames=1024,
+    )
+    bh = audio_fp64(copies.unionByName(novel), fake=False)
+    got = {(r.batch_id, r.index_id): r.hamming
+           for r in phash_index_probe(
+               spark, idx, bh, max_hamming=3, hash_col="afp").collect()}
+    assert got.get((100, 0)) == 0 and got.get((101, 1)) == 0
+    assert not any(b >= 200 for b, _ in got)
+
+    phash_index_insert(spark, idx, bh, hash_col="afp")
+    reprobe = audio_fp64(
+        synthesize_noise_audio(
+            spark.createDataFrame([(200,)], "doc_id long"), n_frames=1024
+        ).select((F.col("media_id") + 300).alias("media_id"), "payload",
+                 "mime_type", "n_bytes", "source"),
+        fake=False,
+    )
+    got2 = {(r.batch_id, r.index_id): r.hamming
+            for r in phash_index_probe(
+                spark, idx, reprobe, max_hamming=3, hash_col="afp"
+            ).collect()}
+    assert got2.get((500, 200)) == 0
+
+
+def test_video_index_probe_parity_and_insert(spark, tmp_path):
+    """Video index probe == the batch-vs-corpus slice of
+    video_near_pairs (same min_frames / consistent-shift semantics):
+    byte-exact copies match with full frame count at shift 0, a
+    head-trimmed clip matches at its true offset, novel clips stay
+    silent until inserted."""
+    from ai_fabric_etl_spark.operators.multimodal import (
+        video_frame_hashes,
+        video_index_insert,
+        video_index_probe,
+        video_index_write,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, _y4m(i, n_frames=6)) for i in range(6)],
+        "media_id long, payload binary",
+    )
+    fh = video_frame_hashes(corpus, every_n=1, fake=False)
+    idx = str(tmp_path / "vidx")
+    video_index_write(fh, idx, n_buckets=16)
+
+    batch = spark.createDataFrame(
+        [
+            (100, _y4m(0, n_frames=6)),              # byte-exact copy of 0
+            (101, _y4m(3, n_frames=6, head_trim=1)),  # head-trimmed copy of 3
+            (300, _y4m(77, n_frames=6)),              # novel
+        ],
+        "media_id long, payload binary",
+    )
+    bfh = video_frame_hashes(batch, every_n=1, fake=False)
+    got = {(r.batch_id, r.index_id): (r.n_matching_frames, r.shift)
+           for r in video_index_probe(
+               spark, idx, bfh, max_hamming=3, min_frames=2, max_shift=2
+           ).collect()}
+    assert got[(100, 0)] == (6, 0)
+    # trimmed clip: its frame 0 is the original's frame 1 -> every
+    # batch frame fi_b matches index frame fi_b + 1, shift = -1
+    assert got[(101, 3)] == (5, -1)
+    assert not any(b == 300 for b, _ in got)
+
+    video_index_insert(spark, idx, bfh)
+    probe2 = video_frame_hashes(
+        spark.createDataFrame(
+            [(400, _y4m(77, n_frames=6))], "media_id long, payload binary"
+        ),
+        every_n=1, fake=False,
+    )
+    got2 = {(r.batch_id, r.index_id): (r.n_matching_frames, r.shift)
+            for r in video_index_probe(
+                spark, idx, probe2, max_hamming=3, min_frames=2, max_shift=2
+            ).collect()}
+    assert got2.get((400, 300)) == (6, 0)
+
+
+def test_video_index_probe_static_pruning(spark, tmp_path):
+    """The video index inherits the mechanical pruning proof: every
+    (ci, cb) partition the 1-clip batch does NOT touch is corrupted;
+    the probe stays green, a full scan fails."""
+    import glob
+    import os
+
+    import pytest
+
+    from ai_fabric_etl_spark.operators.multimodal import (
+        video_index_probe,
+        video_index_write,
+    )
+
+    rng = np.random.RandomState(53)
+    rows = [
+        (i, fi, int(rng.randint(-(2**62), 2**62)))
+        for i in range(150) for fi in range(4)
+    ]
+    fh = spark.createDataFrame(rows, "media_id long, frame_idx int, fhash long")
+    idx = str(tmp_path / "vidx64")
+    video_index_write(fh, idx, n_buckets=64)
+
+    clip0 = [(999, fi, h) for (i, fi, h) in rows if i == 0]
+    touched = {
+        (ci, ((h >> (16 * ci)) & 0xFFFF) % 64)
+        for (_, _, h) in clip0 for ci in range(4)
+    }
+    n_corrupt = 0
+    for f in glob.glob(f"{idx}/ci=*/cb=*/*.parquet"):
+        parts = f.split(os.sep)
+        ci = int(parts[-3].split("=")[1])
+        cb = int(parts[-2].split("=")[1])
+        if (ci, cb) not in touched:
+            with open(f, "wb") as fh2:
+                fh2.write(b"not a parquet file")
+            n_corrupt += 1
+    assert n_corrupt > 150
+    batch = spark.createDataFrame(
+        clip0, "media_id long, frame_idx int, fhash long"
+    )
+    got = {(r.batch_id, r.index_id): (r.n_matching_frames, r.shift)
+           for r in video_index_probe(
+               spark, idx, batch, max_hamming=0, min_frames=4, max_shift=0
+           ).collect()}
+    assert got.get((999, 0)) == (4, 0)
+    with pytest.raises(Exception):
+        spark.read.parquet(idx).groupBy("ci").count().collect()
+
+
+def test_video_index_meta_pins_n_buckets(spark, tmp_path):
+    """A video index insert/probe with a mismatched explicit
+    n_buckets fails loudly (same meta contract as the image index)."""
+    import pytest
+
+    from ai_fabric_etl_spark.operators.multimodal import (
+        video_index_insert,
+        video_index_probe,
+        video_index_write,
+    )
+
+    fh = spark.createDataFrame(
+        [(1, 0, 42), (1, 1, 43)], "media_id long, frame_idx int, fhash long"
+    )
+    idx = str(tmp_path / "vmeta")
+    video_index_write(fh, idx, n_buckets=16)
+    with pytest.raises(ValueError, match="n_buckets"):
+        video_index_probe(spark, idx, fh, n_buckets=32)
+    with pytest.raises(ValueError, match="n_buckets"):
+        video_index_insert(spark, idx, fh, n_buckets=8)
+    # matching explicit value and meta-resolved default both work
+    assert video_index_probe(spark, idx, fh, n_buckets=16,
+                             min_frames=2).count() > 0
