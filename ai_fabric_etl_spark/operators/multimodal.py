@@ -699,6 +699,51 @@ def synthesize_noise_images(
     return docs.select("doc_id").mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
+def synthesize_noise_video(
+    docs: DataFrame, key_prefix: str = "", max_docs: int | None = None,
+    head_trim: int = 0,
+) -> DataFrame:
+    """Deterministic pseudorandom Y4M corpus: 16x8 luma, n_frames =
+    3 + doc_id % 5 (oracle-computable without decoding), each frame a
+    SHA-256 counter stream keyed on (doc_id, frame) — DECORRELATED
+    frames, unlike :func:`synthesize_video`'s gradients whose
+    adjacent frames share a dHash within a few bits (every offset
+    then ties and shift assertions are vacuous). ``key_prefix``
+    namespaces planted batches (the synthesize_noise_images idiom)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 8 * 16
+        for pdf in batches:
+            rows = {"media_id": [], "payload": [], "mime_type": [],
+                    "n_bytes": [], "source": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                frames = []
+                for f in range(head_trim, 3 + i % 5):
+                    buf = b""
+                    ctr = 0
+                    while len(buf) < n:
+                        buf += hashlib.sha256(
+                            f"{key_prefix}y4m:{i}:{f}:{ctr}".encode()
+                        ).digest()
+                        ctr += 1
+                    frames.append(
+                        np.frombuffer(buf[:n], dtype=np.uint8).reshape(8, 16)
+                    )
+                payload = codecs.encode_y4m(frames)
+                rows["media_id"].append(i)
+                rows["payload"].append(payload)
+                rows["mime_type"].append("video/x-yuv4mpeg")
+                rows["n_bytes"].append(len(payload))
+                rows["source"].append("synth-noise")
+            yield pd.DataFrame(rows)
+
+    out = docs.select("doc_id")
+    if max_docs is not None:
+        out = out.filter(F.col("doc_id") < max_docs)
+    return out.mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
 def _audiofp_bits(frames: np.ndarray) -> int:
     """64-bit audio energy-trend fingerprint (the Chromaprint/
     Philips-robust-hash SHAPE at SQL-checkable complexity: compare
@@ -772,12 +817,15 @@ def audio_fp64(
 
 
 def synthesize_noise_audio(
-    docs: DataFrame, n_frames: int = 4096
+    docs: DataFrame, n_frames: int = 4096, key_prefix: str = ""
 ) -> DataFrame:
     """Deterministic pseudorandom WAV corpus (SHA-256 counter stream
     -> int16 PCM), one distinct clip per doc — noise gives each clip
     a unique, non-degenerate energy-trend fingerprint (the synth sine
-    sweeps of synthesize_media have near-flat window energies)."""
+    sweeps of synthesize_media have near-flat window energies).
+    ``key_prefix`` namespaces planted batches (the
+    synthesize_noise_images idiom: offset numeric ids could alias a
+    real corpus stream at a larger scale factor)."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         nbytes = n_frames * 2
@@ -789,7 +837,9 @@ def synthesize_noise_audio(
                 buf = b""
                 ctr = 0
                 while len(buf) < nbytes:
-                    buf += hashlib.sha256(f"wav:{i}:{ctr}".encode()).digest()
+                    buf += hashlib.sha256(
+                        f"{key_prefix}wav:{i}:{ctr}".encode()
+                    ).digest()
                     ctr += 1
                 frames = np.frombuffer(buf[:nbytes], dtype="<i2").astype(
                     np.int16

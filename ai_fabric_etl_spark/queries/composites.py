@@ -228,6 +228,11 @@ FP_GROUPS: dict[str, list[str]] = {
         "source_sqlite_roundtrip",
         "pack_token_bins",
         "curate_corpus_pipeline",
+        # r11: continuous admission gates for the remaining modalities
+        # (audio fingerprint index reuse; video frame-hash index with
+        # the shift window live in the gate)
+        "audio_admission_gate",
+        "video_admission_gate",
         "lakehouse_iceberg_native_read",
         "text_nb_classifier",
         "text_bpe_roundtrip",

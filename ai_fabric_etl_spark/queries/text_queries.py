@@ -2774,3 +2774,151 @@ def q_search_retrieval_metrics(spark, sf_dir):
     ).select("query_id", F.col("_t.doc_id").alias("doc_id"),
              F.col("_t.rel").alias("rel"))
     return retrieval_metrics(results, truth, k=5)
+
+
+@register(
+    "audio_admission_gate",
+    oracle="""
+    SELECT doc_id + 200000 AS media_id, FALSE AS admitted,
+           doc_id AS dup_of, 0 AS hamming
+    FROM documents WHERE doc_id < 10
+    UNION ALL
+    SELECT doc_id + 300000, TRUE, NULL, NULL
+    FROM documents WHERE doc_id < 10
+    UNION ALL
+    SELECT doc_id + 400000, FALSE, doc_id + 300000, 0
+    FROM documents WHERE doc_id < 10
+    """,
+)
+def q_audio_admission_gate(spark, sf_dir):
+    """CONTINUOUS audio admission (streaming/media_admission.
+    admit_audio_batch — r11: the audio modality's near-dup goes from
+    batch-only to a persisted-index gate, same hash-agnostic trio as
+    images): the corpus's energy-trend fingerprints index ONCE; one
+    admission batch then plants all three decision quadrants — 10
+    byte-exact copies of corpus clips (+200000 -> reject, index
+    provenance, hamming 0), 10 novel clips (+300000, own 'novel-wav:'
+    stream namespace -> admit), and 10 within-batch copies of the
+    novel clips (+400000 -> reject against the admitted component
+    canonical). The entry returns every decision row, so the oracle
+    asserts the full routing matrix; epoch replay-skip, crash-window
+    convergence, write ordering, and stream==batch parity are
+    pytest-gated (tests/test_av_admission.py)."""
+    import os
+    import tempfile
+
+    from ai_fabric_etl_spark.streaming.media_admission import (
+        admit_audio_batch,
+        read_decisions,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    corpus = multimodal.synthesize_noise_audio(docs, n_frames=1024)
+    tmp = tempfile.mkdtemp(prefix="audio_adm_")
+    idx = os.path.join(tmp, "index")
+    multimodal.phash_index_write(
+        multimodal.audio_fp64(corpus, fake=False), idx,
+        hash_col="afp", n_buckets=64,
+    )
+    ten = docs.filter(F.col("doc_id") < 10)
+    copies = multimodal.synthesize_noise_audio(ten, n_frames=1024).select(
+        (F.col("media_id") + 200000).alias("media_id"), "payload",
+        "mime_type", "n_bytes", "source",
+    )
+    novel_src = multimodal.synthesize_noise_audio(
+        ten.select((F.col("doc_id") + 300000).alias("doc_id")),
+        n_frames=1024, key_prefix="novel-wav:",
+    )
+    batch_copies = novel_src.select(
+        (F.col("media_id") + 100000).alias("media_id"), "payload",
+        "mime_type", "n_bytes", "source",
+    )
+    batch = copies.unionByName(novel_src).unionByName(batch_copies)
+    state = os.path.join(tmp, "state")
+    admit_audio_batch(spark, batch, idx, state, epoch_id=0, app_id="gate")
+    return read_decisions(spark, state).select(
+        "media_id", "admitted", "dup_of", "hamming"
+    ).orderBy("media_id")
+
+
+@register(
+    "video_admission_gate",
+    oracle="""
+    SELECT doc_id + 200000 AS media_id, FALSE AS admitted,
+           doc_id AS dup_of,
+           CAST(3 + doc_id % 5 AS BIGINT) AS matched_frames,
+           CAST(0 AS INTEGER) AS shift
+    FROM documents WHERE doc_id < 10
+    UNION ALL
+    SELECT doc_id + 250000, FALSE, doc_id,
+           CAST(2 + doc_id % 5 AS BIGINT), CAST(-1 AS INTEGER)
+    FROM documents WHERE doc_id < 10
+    UNION ALL
+    SELECT doc_id + 300000, TRUE, NULL, NULL, NULL
+    FROM documents WHERE doc_id < 10
+    UNION ALL
+    SELECT doc_id + 400000, FALSE, doc_id + 300000,
+           CAST(3 + doc_id % 5 AS BIGINT), CAST(0 AS INTEGER)
+    FROM documents WHERE doc_id < 10
+    """,
+)
+def q_video_admission_gate(spark, sf_dir):
+    """CONTINUOUS video admission (streaming/media_admission.
+    admit_video_batch over the r11 persisted frame-hash index): the
+    corpus's per-frame dHashes index ONCE (decorrelated noise frames,
+    n_frames = 3 + id % 5 — oracle-computable); one admission batch
+    plants FOUR quadrants — byte-exact copies (+200000 -> reject at
+    shift 0 with the full frame count), HEAD-TRIMMED re-uploads
+    (+250000 -> reject at their true offset -1 with n-1 frames: the
+    alignment window the r10 batch operator gained, now live in the
+    streaming gate), novel clips (+300000 -> admit), and within-batch
+    copies of the novel clips (+400000 -> reject against the admitted
+    canonical at shift 0). The oracle pins admission, provenance,
+    matched-frame count, AND the reported shift for every row."""
+    import os
+    import tempfile
+
+    from ai_fabric_etl_spark.streaming.media_admission import (
+        admit_video_batch,
+        read_video_decisions,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    corpus = multimodal.synthesize_noise_video(docs)
+    tmp = tempfile.mkdtemp(prefix="video_adm_")
+    idx = os.path.join(tmp, "index")
+    multimodal.video_index_write(
+        multimodal.video_frame_hashes(corpus, fake=False), idx, n_buckets=64
+    )
+    ten = docs.filter(F.col("doc_id") < 10)
+    copies = multimodal.synthesize_noise_video(ten).select(
+        (F.col("media_id") + 200000).alias("media_id"), "payload",
+        "mime_type", "n_bytes", "source",
+    )
+    trims = multimodal.synthesize_noise_video(ten, head_trim=1).select(
+        (F.col("media_id") + 250000).alias("media_id"), "payload",
+        "mime_type", "n_bytes", "source",
+    )
+    # novel n_frames must mirror the oracle's 3 + doc_id % 5, so the
+    # planted ids shift by a multiple of 5
+    novel_src = multimodal.synthesize_noise_video(
+        ten.select((F.col("doc_id") + 300000).alias("doc_id")),
+        key_prefix="novel-",
+    ).select(
+        (F.col("media_id")).alias("media_id"), "payload",
+        "mime_type", "n_bytes", "source",
+    )
+    batch_copies = novel_src.select(
+        (F.col("media_id") + 100000).alias("media_id"), "payload",
+        "mime_type", "n_bytes", "source",
+    )
+    batch = (
+        copies.unionByName(trims)
+        .unionByName(novel_src)
+        .unionByName(batch_copies)
+    )
+    state = os.path.join(tmp, "state")
+    admit_video_batch(spark, batch, idx, state, epoch_id=0, app_id="gate")
+    return read_video_decisions(spark, state).select(
+        "media_id", "admitted", "dup_of", "matched_frames", "shift"
+    ).orderBy("media_id")

@@ -37,13 +37,16 @@ def component_rejects(
     a_col: str,
     b_col: str,
     metric_col: str,
+    extra_metric_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """``(id_col, dup_of, metric_col)`` — one row per NON-canonical
-    member of each within-batch near-dup component. ``pairs`` is the
-    batch's survivor edge list (``a_col`` < ``b_col`` plus a metric
-    column: hamming, jaccard, ...); the canonical (minimum id, always
-    admitted) is never emitted. ``metric_col`` is the direct pair's
-    value against the canonical, NULL for transitive members."""
+    """``(id_col, dup_of, metric_col, *extra_metric_cols)`` — one row
+    per NON-canonical member of each within-batch near-dup component.
+    ``pairs`` is the batch's survivor edge list (``a_col`` < ``b_col``
+    plus metric columns: hamming, jaccard, matched_frames+shift, ...);
+    the canonical (minimum id, always admitted) is never emitted. The
+    metric columns carry the direct pair's values against the
+    canonical, NULL for transitive members."""
+    metrics = (metric_col, *extra_metric_cols)
     # The edge list is LOCALIZED first: it is decision-sized (pairs
     # among one micro-batch's probe survivors), and the component
     # loop's repeated self-joins would otherwise drag the full
@@ -51,19 +54,12 @@ def component_rejects(
     # evaluate a Python UDF inside the interpreted projections its
     # stage re-materialization sometimes falls back to.
     spark = pairs.sparkSession
-    schema = pairs.select(
+    narrowed = pairs.select(
         F.col(a_col).alias("id_a"),
         F.col(b_col).alias("id_b"),
-        F.col(metric_col),
-    ).schema
-    local = spark.createDataFrame(
-        pairs.select(
-            F.col(a_col).alias("id_a"),
-            F.col(b_col).alias("id_b"),
-            F.col(metric_col),
-        ).collect(),
-        schema,
+        *[F.col(m) for m in metrics],
     )
+    local = spark.createDataFrame(narrowed.collect(), narrowed.schema)
     edges = local.select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
@@ -71,7 +67,7 @@ def component_rejects(
     direct = local.select(
         F.col("id_a").alias("component"),
         F.col("id_b").alias("doc_id"),
-        F.col(metric_col),
+        *[F.col(m) for m in metrics],
     )
     return (
         comp.filter(F.col("doc_id") != F.col("component"))
@@ -79,6 +75,6 @@ def component_rejects(
         .select(
             F.col("doc_id").alias(id_col),
             F.col("component").alias("dup_of"),
-            F.col(metric_col),
+            *[F.col(m) for m in metrics],
         )
     )

