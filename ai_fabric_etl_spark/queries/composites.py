@@ -233,6 +233,9 @@ FP_GROUPS: dict[str, list[str]] = {
         # the shift window live in the gate)
         "audio_admission_gate",
         "video_admission_gate",
+        # r11: char-n-gram NB language identification (planted
+        # 4-language corpus, full model replay in the oracle)
+        "text_langid",
         "lakehouse_iceberg_native_read",
         "text_nb_classifier",
         "text_bpe_roundtrip",

@@ -2922,3 +2922,116 @@ def q_video_admission_gate(spark, sf_dir):
     return read_video_decisions(spark, state).select(
         "media_id", "admitted", "dup_of", "matched_frames", "shift"
     ).orderBy("media_id")
+
+
+_LANGID_ALPHABETS = [
+    "abcdefghijklmnop",
+    "qrstuvwxyzABCDEF",
+    "GHIJKLMNOPQRSTUV",
+    "WXYZ0123456789_.",
+]
+
+_LANGID_CORPUS_SQL = "CASE doc_id % 4 " + " ".join(
+    f"WHEN {k} THEN translate(md5(CAST(doc_id AS VARCHAR)), "
+    f"'0123456789abcdef', '{a}')"
+    for k, a in enumerate(_LANGID_ALPHABETS)
+) + " END"
+
+_LANGID_GRAMS = (
+    "list_transform(generate_series(1, length(t) - 1), i -> substr(t, i, 2))"
+)
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, 'L' || CAST(doc_id % 4 AS VARCHAR) AS lang,
+             {_LANGID_CORPUS_SQL} AS t
+      FROM documents
+    ),
+    train AS (SELECT * FROM base WHERE doc_id % 5 <> 0),
+    test AS (SELECT doc_id, lang, {_LANGID_GRAMS} AS g,
+                    length(t) - 1 AS n
+             FROM base WHERE doc_id % 5 = 0),
+    tok AS (SELECT lang AS y, unnest({_LANGID_GRAMS}) AS w FROM train),
+    cc AS (SELECT y, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    ny AS (SELECT y, COUNT(*) AS nt FROM tok GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
+    dt AS (SELECT COUNT(*) AS dtot FROM train),
+    cls AS (
+      SELECT dy.y,
+             CAST(ROUND(ln(2 * ny.nt + v.v), 6) AS DECIMAL(18,6)) AS b,
+             CAST(ROUND(ln(dy.d), 6) AS DECIMAL(18,6))
+               - CAST(ROUND(ln(dt.dtot), 6) AS DECIMAL(18,6)) AS prior
+      FROM (SELECT lang AS y, COUNT(*) AS d FROM train GROUP BY 1) dy
+      JOIN ny USING (y) CROSS JOIN v CROSS JOIN dt
+    ),
+    gm AS (SELECT doc_id, w, COUNT(*) AS m
+           FROM (SELECT doc_id, unnest(g) AS w FROM test) GROUP BY 1, 2),
+    hits AS (
+      SELECT gm.doc_id, cc.y,
+             CAST(SUM(gm.m * CAST(ROUND(ln(2 * cc.c + 1), 6)
+                                  AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS hs
+      FROM gm JOIN cc USING (w) GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT g.doc_id, g.actual, g.y,
+             COALESCE(h.hs, CAST(0 AS DECIMAL(38,6))) - g.n * g.b + g.prior
+               AS score
+      FROM (SELECT test.doc_id, test.lang AS actual, test.n, cls.*
+            FROM test CROSS JOIN cls) g
+      LEFT JOIN hits h ON g.doc_id = h.doc_id AND g.y = h.y
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, y) AS rn
+          FROM scored)
+    SELECT doc_id, y AS pred_lang, actual AS actual_lang,
+           (y = actual) AS is_correct,
+           CAST(score * 1000000 AS BIGINT) AS score_micro
+    FROM r WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def q_text_langid(spark, sf_dir):
+    """Language identification by character-n-gram Naive Bayes
+    (text.langid_classify — the fastText-shaped langid every
+    CCNet/RefinedWeb/FineWeb-descended pipeline gates on BEFORE
+    quality filtering; word-token NB needs vocabulary overlap, char
+    distributions do not): a planted multilingual corpus — four
+    synthetic languages, each doc's md5 hex stream translated through
+    its language's 16-char alphabet, so per-language character and
+    bigram distributions are deterministic on BOTH engines — trains
+    on the 80% split and scores the 20% holdout as one broadcast
+    model join + per-doc argmax. The oracle refits the identical
+    model relationally (smoothing, priors, decimal ln discipline,
+    tie-breaks), pinning prediction AND micro-nat score per doc;
+    planted-corpus precision (including noisy mixed-alphabet docs)
+    is pytest-gated."""
+    from ai_fabric_etl_spark.operators.text import langid_classify
+
+    hexs = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    text = None
+    for k, a in enumerate(_LANGID_ALPHABETS):
+        t = F.translate(hexs, "0123456789abcdef", a)
+        text = F.when(F.col("doc_id") % 4 == k, t) if text is None \
+            else text.when(F.col("doc_id") % 4 == k, t)
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("L"), (F.col("doc_id") % 4).cast("string"))
+        .alias("lang"),
+        text.alias("text"),
+    )
+    train = base.filter(F.col("doc_id") % 5 != 0)
+    test = base.filter(F.col("doc_id") % 5 == 0)
+    return (
+        langid_classify(train, test, n=2)
+        .join(test.select("doc_id", F.col("lang").alias("actual_lang")),
+              "doc_id")
+        .select(
+            "doc_id", "pred_lang", "actual_lang",
+            (F.col("pred_lang") == F.col("actual_lang")).alias("is_correct"),
+            "score_micro",
+        )
+        .orderBy("doc_id")
+    )

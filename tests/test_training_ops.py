@@ -1302,3 +1302,54 @@ def test_keep_best_random_parity(spark):
         canon = min(members, key=lambda i: (-quality[i], i))
         for i in members:
             assert got[i] == (rep_min, i == canon, canon), (i, members)
+
+
+def test_langid_planted_precision(spark):
+    """Char-bigram NB language ID on a planted 4-language corpus:
+    100% holdout precision on clean docs, robustness to 20%
+    mixed-alphabet noise, empty/short-text fallback to the max-prior
+    (then ascending-label) language."""
+    import hashlib
+
+    from ai_fabric_etl_spark.operators.text import langid_classify
+
+    alphas = ["abcdefghijklmnop", "qrstuvwxyzABCDEF",
+              "GHIJKLMNOPQRSTUV", "WXYZ0123456789_."]
+
+    def synth(i, lang):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        return h.translate(str.maketrans("0123456789abcdef", alphas[lang]))
+
+    rows = [(i, "L%d" % (i % 4), synth(i, i % 4)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    train = df.filter("doc_id % 5 != 0")
+
+    # clean holdout: 100% precision
+    test = df.filter("doc_id % 5 = 0")
+    out = {r.doc_id: r.pred_lang
+           for r in langid_classify(train, test).collect()}
+    want = {i: "L%d" % (i % 4) for i in range(0, 200, 5)}
+    assert out == want
+
+    # noisy docs: every 5th char replaced with the NEXT language's
+    # alphabet (20% contamination) — still classified correctly
+    noisy = []
+    for i in range(0, 40):
+        t = list(synth(i + 1000, i % 4))
+        other = synth(i + 2000, (i + 1) % 4)
+        for p in range(0, len(t), 5):
+            t[p] = other[p]
+        noisy.append((i + 1000, "".join(t)))
+    ndf = spark.createDataFrame(noisy, "doc_id long, text string")
+    nout = {r.doc_id: r.pred_lang
+            for r in langid_classify(train, ndf).collect()}
+    assert nout == {i + 1000: "L%d" % (i % 4) for i in range(40)}
+
+    # degenerate docs: no bigram evidence -> prior-only argmax;
+    # equal class priors here, so the ascending-label tie-break L0
+    edge = spark.createDataFrame(
+        [(9000, ""), (9001, "q")], "doc_id long, text string"
+    )
+    eout = {r.doc_id: r.pred_lang
+            for r in langid_classify(train, edge).collect()}
+    assert eout == {9000: "L0", 9001: "L0"}
