@@ -236,6 +236,8 @@ FP_GROUPS: dict[str, list[str]] = {
         # r11: char-n-gram NB language identification (planted
         # 4-language corpus, full model replay in the oracle)
         "text_langid",
+        # r11: cross-modal paired admission (text+image, one epoch)
+        "paired_admission_gate",
         "lakehouse_iceberg_native_read",
         "text_nb_classifier",
         "text_bpe_roundtrip",

@@ -3035,3 +3035,109 @@ def q_text_langid(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "paired_admission_gate",
+    oracle="""
+    SELECT doc_id + 200000 AS pair_id, FALSE AS admitted,
+           'text' AS reject_modality,
+           doc_id AS text_dup_of, CAST(1.0 AS DOUBLE) AS text_jaccard,
+           CAST(NULL AS BIGINT) AS image_dup_of,
+           CAST(NULL AS INTEGER) AS image_hamming
+    FROM documents WHERE doc_id < 10
+    UNION ALL
+    SELECT doc_id + 210000, FALSE, 'image', NULL, NULL, doc_id, 0
+    FROM documents WHERE doc_id < 10
+    UNION ALL
+    SELECT doc_id + 220000, FALSE, 'both', doc_id, 1.0, doc_id, 0
+    FROM documents WHERE doc_id < 10
+    UNION ALL
+    SELECT doc_id + 230000, TRUE, NULL, NULL, NULL, NULL, NULL
+    FROM documents WHERE doc_id < 10
+    UNION ALL
+    SELECT doc_id + 240000, FALSE, 'both', doc_id + 230000, 1.0,
+           doc_id + 230000, 0
+    FROM documents WHERE doc_id < 10
+    """,
+)
+def q_paired_admission_gate(spark, sf_dir):
+    """CROSS-MODAL paired admission (streaming/paired_admission — the
+    LAION-style caption+image curation gate: a training pair is
+    admitted only when BOTH its text and its image are novel, probing
+    the MinHash LSH index and the perceptual-hash index in ONE
+    decision under ONE epoch guard). The corpus indexes once (synth
+    texts: 8 md5 hex words per doc; synth noise images); one batch
+    then plants all five quadrants — text-dup (+200000), image-dup
+    (+210000), both-dup (+220000), fully-novel (+230000, admitted),
+    and a within-batch both-copy of the novel pair (+240000, rejected
+    against the admitted component canonical). The oracle pins
+    admission, per-modality provenance (which index id matched, at
+    what Jaccard/hamming), and the reject_modality label for every
+    row; epoch replay, crash-window convergence across the three
+    inserts, and stream==batch parity are pytest-gated."""
+    import os
+    import tempfile
+
+    from ai_fabric_etl_spark.operators import dedup
+    from ai_fabric_etl_spark.streaming.paired_admission import (
+        admit_pairs_batch,
+        read_decisions,
+    )
+
+    def synth_text(prefix):
+        return F.concat_ws(" ", *[
+            F.md5(F.concat(F.lit(prefix), F.col("doc_id").cast("string"),
+                           F.lit(f":{k}")).cast("binary"))
+            for k in range(8)
+        ])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    tmp = tempfile.mkdtemp(prefix="paired_adm_")
+    tidx = os.path.join(tmp, "text_index")
+    iidx = os.path.join(tmp, "image_index")
+    dedup.minhash_index_write(
+        docs.select("doc_id", synth_text("txt:").alias("text")), tidx
+    )
+    multimodal.phash_index_write(
+        multimodal.dhash64(
+            multimodal.synthesize_noise_images(docs), fake=False
+        ),
+        iidx, n_buckets=64,
+    )
+
+    ten = docs.filter(F.col("doc_id") < 10)
+
+    def images(id_offset, key_prefix=""):
+        return multimodal.synthesize_noise_images(
+            ten, key_prefix=key_prefix
+        ).select(
+            (F.col("media_id") + id_offset).alias("pair_id"), "payload"
+        )
+
+    def texts(id_offset, prefix):
+        return ten.select(
+            (F.col("doc_id") + id_offset).alias("pair_id"),
+            synth_text(prefix).alias("text"),
+        )
+
+    quadrants = [
+        # (id offset, text prefix, image key prefix)
+        (200000, "txt:", "nov-a:"),     # corpus text + novel image
+        (210000, "nov-b:", ""),         # novel text + corpus image
+        (220000, "txt:", ""),           # corpus text + corpus image
+        (230000, "nov-c:", "nov-d:"),   # fully novel -> admit
+        (240000, "nov-c:", "nov-d:"),   # within-batch copy of +230000
+    ]
+    batch = None
+    for off, tp, ip in quadrants:
+        q = texts(off, tp).join(images(off, ip), "pair_id")
+        batch = q if batch is None else batch.unionByName(q)
+
+    state = os.path.join(tmp, "state")
+    admit_pairs_batch(spark, batch, tidx, iidx, state,
+                      epoch_id=0, app_id="gate")
+    return read_decisions(spark, state).select(
+        "pair_id", "admitted", "reject_modality",
+        "text_dup_of", "text_jaccard", "image_dup_of", "image_hamming",
+    ).orderBy("pair_id")

@@ -78,40 +78,27 @@ def _exact_jaccard(cand: DataFrame, hs_a: DataFrame, hs_b: DataFrame,
     )
 
 
-def admit_text_batch(
+def _text_probe(
     spark: SparkSession,
-    docs_batch: DataFrame,
     index_path: str,
-    state_dir: str,
-    epoch_id: int,
-    app_id: str | None = None,
-    text_col: str = "text",
-    threshold: float = 0.5,
-    num_hashes: int = 32,
-    bands: int = 8,
-    n: int = 3,
-    max_bucket: int = 1000,
-    on_oversize: str = "raise",
-    stats_out: dict | None = None,
-) -> None:
-    """One micro-batch admission. Also callable from batch jobs.
-
-    Decision row per input doc:
-    ``(doc_id, admitted, dup_of, jaccard, epoch)`` — ``dup_of`` is
-    the max-Jaccard (then min-id) index id for corpus duplicates, the
-    component canonical (an ADMITTED smaller batch id — see
-    admission_common) for within-batch duplicates, NULL for admitted
-    rows. ``num_hashes/bands/n/threshold`` must match
-    the values the index was built with."""
-    if on_oversize not in ("raise", "drop"):
-        raise ValueError(
-            f"on_oversize must be 'raise' or 'drop', got {on_oversize!r}"
-        )
-    table = ParquetMergeTable(spark, state_dir)
-    last = table.last_epoch(app_id)
-    if last is not None and epoch_id <= last:
-        return  # replayed epoch — already decided
-
+    docs_batch: DataFrame,
+    text_col: str,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    n: int,
+    max_bucket: int,
+    on_oversize: str,
+    stats_out: dict | None,
+    what: str,
+):
+    """The probe half of text admission, shared with the cross-modal
+    paired gate: shingle+sign the batch, prune the band index to the
+    touched buckets (live occupancy skew policy), verify candidates
+    with exact Jaccard, and compute the within-batch pair list.
+    Returns ``(sig, bk, self_ids, index_dups, within, occ)`` — sig
+    and bk come back PERSISTED (the caller unpersists after its
+    inserts)."""
     sig, bk = _sig_bands(docs_batch, text_col, num_hashes, bands, n)
     bk = bk.persist()
     touched = bk.select("band", "bucket").distinct()
@@ -129,7 +116,7 @@ def admit_text_batch(
     )
     if on_oversize == "raise":
         occ = occ.withColumn(
-            "_n", _oversize_guard(max_bucket, "admit_text_batch")("_n")
+            "_n", _oversize_guard(max_bucket, what)("_n")
         )
     elif stats_out is not None:
         row = (
@@ -163,8 +150,8 @@ def admit_text_batch(
     # can only be the batch's own insert from a prior crashed
     # attempt. Classifying them as corpus dups would remove their
     # edges from the within-batch graph and make decisions depend on
-    # the crash interleaving; the within-batch path below (both docs
-    # are in ``bk``) covers those pairs identically on every replay.
+    # the crash interleaving; the within-batch path (both docs are in
+    # ``bk``) covers those pairs identically on every replay.
     idx_sigs = spark.read.parquet(f"{index_path}/sigs")
     cross = _exact_jaccard(
         cand_cross.join(
@@ -202,6 +189,49 @@ def admit_text_batch(
         sig.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
         threshold,
     )
+    return sig, bk, self_ids, index_dups, within, occ
+
+
+def admit_text_batch(
+    spark: SparkSession,
+    docs_batch: DataFrame,
+    index_path: str,
+    state_dir: str,
+    epoch_id: int,
+    app_id: str | None = None,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    max_bucket: int = 1000,
+    on_oversize: str = "raise",
+    stats_out: dict | None = None,
+) -> None:
+    """One micro-batch admission. Also callable from batch jobs.
+
+    Decision row per input doc:
+    ``(doc_id, admitted, dup_of, jaccard, epoch)`` — ``dup_of`` is
+    the max-Jaccard (then min-id) index id for corpus duplicates, the
+    component canonical (an ADMITTED smaller batch id — see
+    admission_common) for within-batch duplicates, NULL for admitted
+    rows. ``num_hashes/bands/n/threshold`` must match
+    the values the index was built with."""
+    if on_oversize not in ("raise", "drop"):
+        raise ValueError(
+            f"on_oversize must be 'raise' or 'drop', got {on_oversize!r}"
+        )
+    table = ParquetMergeTable(spark, state_dir)
+    last = table.last_epoch(app_id)
+    if last is not None and epoch_id <= last:
+        return  # replayed epoch — already decided
+
+    sig, bk, self_ids, index_dups, within, occ = _text_probe(
+        spark, index_path, docs_batch, text_col, threshold,
+        num_hashes, bands, n, max_bucket, on_oversize, stats_out,
+        what="admit_text_batch",
+    )
+
     # within-batch: one representative per near-dup component (see
     # admission_common); edges restricted to probe survivors on both
     # sides — an index duplicate keeps its index provenance and must
