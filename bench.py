@@ -108,6 +108,10 @@ HEADLINE = [
     "dedup_keep_best",             # quality-argmax cluster canonical (r10)
     "privacy_dp_sum",              # clipped-contribution DP sum (r10)
     "search_retrieval_metrics",    # recall@k / MRR / nDCG eval (r10)
+    "text_langid",                 # char-n-gram NB language ID (r11)
+    "audio_admission_gate",        # continuous audio admission (r11)
+    "video_admission_gate",        # continuous video admission (r11)
+    "paired_admission_gate",       # cross-modal pair admission (r11)
     "x12_silver_transactions",     # distributed X12 parse
 ]
 

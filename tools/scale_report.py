@@ -2,6 +2,7 @@
 
 Usage:
     python tools/scale_report.py OUT.json SF01.out SF1.out SF2.out [SF4.out]
+        [--sf2-dir DIR --sf4-dir DIR]
 
 Each input is the stdout of
 ``SPARK_GRAFT_BENCH_QUERIES=scale SPARK_GRAFT_SF_DIR=<dir> python
@@ -11,12 +12,27 @@ and the per-doubling ratios sf1->sf2 and sf2->sf4 — the knee evidence
 VERDICT r7 item 3 asks for: a stable (<=~2.1x) per-doubling ratio at
 two successive doublings demonstrates the suite is in its linear
 regime, not just between two lucky points.
+
+Isolated re-run protocol (VERDICT r10 item 2): late-suite contention
+(shuffle spill, cache/GC pressure from 40+ prior queries) recurs as
+phantom superlinearity — the r9 ENOSPC and r10 j1/dp_counts episodes
+were all cleared by hand re-measures that covered only some outliers.
+Now it is mechanical: when ``--sf2-dir``/``--sf4-dir`` are given, any
+query whose in-suite sf2->sf4 doubling exceeds ISOLATION_THRESHOLD
+(2.1x) is automatically re-run ALONE in a fresh bench process at both
+scale points, and the row records the isolated numbers next to the
+in-suite ones — so every flagged row ships with its
+contention-vs-real-knee verdict in the same artifact.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
+
+ISOLATION_THRESHOLD = 2.1
 
 
 def _load(path: str) -> dict:
@@ -24,9 +40,41 @@ def _load(path: str) -> dict:
     return json.loads(line)
 
 
+def _isolated_run(query: str, sf_dir: str) -> float | None:
+    """One query, fresh Spark session, nothing else in the process —
+    the bench's own single-query subset mode."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_QUERIES=query,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+    )
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(here, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=here,
+        timeout=3600,
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            out = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        return out.get("queries", {}).get(query)
+    return None
+
+
 def main() -> int:
-    out_path, p01, p1, p2 = sys.argv[1:5]
-    p4 = sys.argv[5] if len(sys.argv) > 5 else None
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts: dict[str, str] = {}
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a.startswith("--"):
+            opts[a] = next(it)
+    out_path, p01, p1, p2 = args[:4]
+    p4 = args[4] if len(args) > 4 else None
     b01, b1, b2 = _load(p01), _load(p1), _load(p2)
     b4 = _load(p4) if p4 else None
     qs = {}
@@ -50,6 +98,31 @@ def main() -> int:
             if "sf2" in row and row["sf2"]:
                 row["doubling_sf2_sf4"] = round(row["sf4"] / row["sf2"], 2)
         qs[q] = row
+
+    # isolated re-runs for every in-suite doubling outlier
+    sf2_dir, sf4_dir = opts.get("--sf2-dir"), opts.get("--sf4-dir")
+    n_isolated = 0
+    if sf2_dir and sf4_dir:
+        for q, row in qs.items():
+            d = row.get("doubling_sf2_sf4")
+            if d is None or d <= ISOLATION_THRESHOLD:
+                continue
+            i2 = _isolated_run(q, sf2_dir)
+            i4 = _isolated_run(q, sf4_dir)
+            row["isolated"] = {
+                "sf2": i2,
+                "sf4": i4,
+                "doubling_sf2_sf4": (
+                    round(i4 / i2, 2) if i2 and i4 else None
+                ),
+            }
+            n_isolated += 1
+            print(
+                f"isolated re-run {q}: in-suite {d}x -> isolated "
+                f"{row['isolated']['doubling_sf2_sf4']}x "
+                f"({i2}s -> {i4}s)"
+            )
+
     report = {
         "generator": (
             "tools/gen_scale.py sf0.1 -> sf1 (x10) / sf2 (x20)"
@@ -60,6 +133,13 @@ def main() -> int:
         "suite": (
             f"bench.py SCALE_HEADLINE ({len(b01['queries'])} "
             "linear-by-construction queries)"
+        ),
+        "isolated_protocol": (
+            f"every query whose in-suite sf2->sf4 doubling exceeds "
+            f"{ISOLATION_THRESHOLD}x is re-run alone in a fresh bench "
+            f"process at sf2 and sf4; {n_isolated} rows re-run"
+            if sf2_dir and sf4_dir
+            else "disabled (pass --sf2-dir/--sf4-dir)"
         ),
         "sf0.1_seconds": b01["value"],
         "sf1_seconds": b1["value"],
