@@ -79,24 +79,32 @@ _PRIORITY = [
     "fp_tpch_advanced",
     "fp_relational_ops",
     "fp_training_sources",
-    # temporal / sampling / packing (round-1 gap)
-    "asof_click_before_purchase",
-    "sample_hash_split",
-    # --- r8 rotation (VERDICT r7 item 4): the r6/r7 flagships that
-    # held named slots (sample_dsir_topk, source_sqlite_roundtrip,
-    # pack_token_bins, curate_corpus_pipeline,
-    # lakehouse_iceberg_native_read, text_nb_classifier,
-    # text_bpe_roundtrip, search_hybrid_rrf, dedup_span_coverage,
-    # emb_semdedup_planted) are proven green in CORRECTNESS_r06/r07
-    # and rotate into fp_training_sources; entries that last held
-    # direct driver rows before r6 rotate back in for a fresh
-    # non-composite pass, plus the new r8 AES-GCM gate. ---
-    "sample_stratified",
-    "a5_approx_distinct",
-    "dedup_simhash_planted",
-    "scalar_datetime",
-    "a11_pivot_daily",
-    "o1_topk_nations",
+    # --- r11 rotation (VERDICT r10 item 5): fourteen multi-round
+    # direct-green veterans rotate into fp composites — the five r9
+    # flagships (two direct greens each), the six r8-rotation
+    # entries (three greens each: sample_stratified,
+    # a5_approx_distinct, dedup_simhash_planted, scalar_datetime,
+    # a11_pivot_daily, o1_topk_nations), and three long-green rows
+    # (asof_click_before_purchase, sample_hash_split, scalar_json).
+    # In their place: the four r11 flagships, the four entries the
+    # r10 verdict names as never-direct (a13_percentiles,
+    # cohort_retention_weekly, funnel_view_click_purchase,
+    # scd2_customer_history), and six more whose last direct row
+    # predates r7 or never existed (tpch_q1 last direct r1;
+    # er_resolve_entities / graph_triangle_counts / privacy_dp_counts
+    # / dedup_incremental_planted / multimodal_phash_incremental
+    # never) — the last two freshly touched this round (salt API,
+    # fixture cache) and worth a direct gate. ---
+    "a13_percentiles",
+    "cohort_retention_weekly",
+    "funnel_view_click_purchase",
+    "scd2_customer_history",
+    "tpch_q1_pricing_summary",
+    "er_resolve_entities",
+    "graph_triangle_counts",
+    "privacy_dp_counts",
+    "dedup_incremental_planted",
+    "multimodal_phash_incremental",
     # --- r10 rotation (VERDICT r9 item 6): eight entries whose last
     # direct driver row predates r6 (the r4 behavior/profile family —
     # composite-resident since) take named slots; the eight
@@ -120,7 +128,6 @@ _PRIORITY = [
     # scalar_json/scalar_datetime, projections keep p11, dedup keeps
     # minhash_lsh + simhash_planted, ANN keeps emb_knn_lsh_recall,
     # multimodal gains the phash gate over the same real codecs. ---
-    "scalar_json",
     "text_clean_redact",
     "p11_text_predicates",
     "timeseries_gap_fill",
@@ -134,12 +141,11 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "emb_knn_lsh_recall",
     "emb_neardup",
-    # r9 flagships
-    "text_trigram_backoff_nll",
-    "dedup_span_removal",
-    "text_wordpiece_roundtrip",
-    "search_mmr_rerank",
-    "multimodal_phash_neardup",
+    # r11 flagships
+    "text_langid",
+    "audio_admission_gate",
+    "video_admission_gate",
+    "paired_admission_gate",
 ]
 
 

@@ -113,6 +113,14 @@ FP_GROUPS: dict[str, list[str]] = {
         "a10_hourly_rollup",
         "j1_left_join_activity",
         "w1_latest_event_per_user",
+        # r11 rotation: displaced by the never-direct family's fresh
+        # pass (VERDICT r10 item 5); every oracle stays driver-visible
+        "a5_approx_distinct",
+        "scalar_datetime",
+        "a11_pivot_daily",
+        "o1_topk_nations",
+        "scalar_json",
+        "asof_click_before_purchase",
     ],
     "fp_training_sources": [
         "range_recent_activity",
@@ -238,6 +246,10 @@ FP_GROUPS: dict[str, list[str]] = {
         "text_langid",
         # r11: cross-modal paired admission (text+image, one epoch)
         "paired_admission_gate",
+        # r11 rotation: displaced veterans (three direct greens each)
+        "sample_stratified",
+        "dedup_simhash_planted",
+        "sample_hash_split",
         "lakehouse_iceberg_native_read",
         "text_nb_classifier",
         "text_bpe_roundtrip",
