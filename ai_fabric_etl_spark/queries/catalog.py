@@ -130,9 +130,14 @@ _PRIORITY = [
     # multimodal gains the phash gate over the same real codecs. ---
     "text_clean_redact",
     "p11_text_predicates",
-    "timeseries_gap_fill",
     "anomaly_zscore_daily",
-    "attribution_linear_touch",
+    # asof stays DIRECT: its duration doubles diverge between engines
+    # past the 6th decimal on ~300 sf0.01 rows (engine ulp noise the
+    # direct compare's normalization absorbs but the fingerprint's
+    # round-to-6-then-exact-decimal-sum amplifies) — attribution
+    # rotates out in its place (already composite-resident, two
+    # direct greens)
+    "asof_click_before_purchase",
     "lakehouse_merge_orders",  # MERGE/lakehouse semantics (A7/S5)
     "w4_session_windows",
     # training-data suite with its verified gates
@@ -141,8 +146,10 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "emb_knn_lsh_recall",
     "emb_neardup",
-    # r11 flagships
+    # r11 flagships (timeseries_gap_fill rotates out for the fifth —
+    # two direct greens, composite-resident)
     "text_langid",
+    "embedding_admission_gate",
     "audio_admission_gate",
     "video_admission_gate",
     "paired_admission_gate",

@@ -120,7 +120,6 @@ FP_GROUPS: dict[str, list[str]] = {
         "a11_pivot_daily",
         "o1_topk_nations",
         "scalar_json",
-        "asof_click_before_purchase",
     ],
     "fp_training_sources": [
         "range_recent_activity",
@@ -246,6 +245,8 @@ FP_GROUPS: dict[str, list[str]] = {
         "text_langid",
         # r11: cross-modal paired admission (text+image, one epoch)
         "paired_admission_gate",
+        # r11: continuous embedding admission (fifth modality)
+        "embedding_admission_gate",
         # r11 rotation: displaced veterans (three direct greens each)
         "sample_stratified",
         "dedup_simhash_planted",

@@ -3163,3 +3163,76 @@ def q_paired_admission_gate(spark, sf_dir):
         "pair_id", "admitted", "reject_modality",
         "text_dup_of", "text_jaccard", "image_dup_of", "image_hamming",
     ).orderBy("pair_id")
+
+
+@register(
+    "embedding_admission_gate",
+    oracle="""
+    SELECT vec_id + 200000 AS vec_id, FALSE AS admitted,
+           vec_id AS dup_of, CAST(1.0 AS DOUBLE) AS cosine
+    FROM embeddings WHERE vec_id < 10
+    UNION ALL
+    SELECT vec_id + 300000, TRUE, NULL, NULL
+    FROM embeddings WHERE vec_id < 10
+    UNION ALL
+    SELECT vec_id + 400000, FALSE, vec_id + 300000, 1.0
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def q_embedding_admission_gate(spark, sf_dir):
+    """CONTINUOUS embedding admission (streaming/embedding_admission
+    — r11: the fifth modality of the admission family, so semantic
+    near-dup runs as a stream gate over the persisted hyperplane-LSH
+    index instead of corpus-vs-corpus per snapshot): the corpus
+    indexes once; one admission batch plants the three routing
+    quadrants — 10 byte-exact copies of corpus vectors (+200000 ->
+    reject, index provenance, cosine 1.0), 10 novel vectors
+    (+300000: corpus vector i with coordinate i bumped +1000 — the
+    bumped vector's cosine against EVERY corpus vector is bounded by
+    max |w_i|/||w|| + ||v||/1000 < 0.55 across all SFs, measured,
+    far under the 0.95 threshold, while distinct bumps are mutually
+    near-orthogonal -> admit), and 10 within-batch copies of the
+    novel vectors (+400000 -> reject against the admitted component
+    canonical). Epoch replay, the receipt-guarded crash windows, and
+    stream==batch parity are pytest-gated."""
+    import os
+    import tempfile
+
+    from ai_fabric_etl_spark.streaming.embedding_admission import (
+        admit_embeddings_batch,
+        read_decisions,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tmp = tempfile.mkdtemp(prefix="emb_adm_")
+    idx = os.path.join(tmp, "index")
+    similarity.emb_neardup_index_write(emb, idx)
+
+    ten = emb.filter(F.col("vec_id") < 10)
+    copies = ten.select(
+        (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+    )
+    bump = F.transform(
+        F.col("embedding"),
+        lambda x, j: (
+            x
+            + F.when(j == F.col("vec_id").cast("int"), F.lit(1000.0))
+            .otherwise(F.lit(0.0))
+        ).cast("float"),
+    )
+    # bump BEFORE re-aliasing vec_id: a lambda's F.col("vec_id") in
+    # the same select resolves against the shifted output alias and
+    # the bump silently never fires
+    novel = ten.select("vec_id", bump.alias("embedding")).select(
+        (F.col("vec_id") + 300000).alias("vec_id"), "embedding"
+    )
+    batch_copies = novel.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    batch = copies.unionByName(novel).unionByName(batch_copies)
+    state = os.path.join(tmp, "state")
+    admit_embeddings_batch(spark, batch, idx, state, epoch_id=0,
+                           app_id="gate", threshold=0.95)
+    return read_decisions(spark, state).select(
+        "vec_id", "admitted", "dup_of", "cosine"
+    ).orderBy("vec_id")
