@@ -141,7 +141,7 @@ def admit_embeddings_batch(
         surv, id_col="vec_id", a_col="id_a", b_col="id_b",
         metric_col="cosine",
     )
-    rejected = index_dups.unionByName(batch_dups)
+    rejected = index_dups.unionByName(batch_dups).persist()
 
     decisions = (
         batch.select("vec_id")
@@ -175,6 +175,7 @@ def admit_embeddings_batch(
     prior = table.read() if table.exists() else None
     merged = prior.unionByName(decided) if prior is not None else decided
     table.overwrite(merged, epoch=epoch_id, app_id=app_id)
+    rejected.unpersist()
     batch.unpersist()
     pairs.unpersist()
 

@@ -156,7 +156,9 @@ def admit_media_batch(
         metric_col="hamming",
     )
 
-    rejected = index_dups.unionByName(batch_dups)
+    # persisted: decision-sized, evaluated by the insert AND the
+    # commit (the batch pair graph would otherwise recompute per use)
+    rejected = index_dups.unionByName(batch_dups).persist()
 
     # ORDERING INVARIANT: the index insert happens BEFORE the epoch
     # commit. A crash after the insert replays the epoch (the guard
@@ -196,6 +198,7 @@ def admit_media_batch(
     prior = table.read() if table.exists() else None
     merged = prior.unionByName(decided) if prior is not None else decided
     table.overwrite(merged, epoch=epoch_id, app_id=app_id)
+    rejected.unpersist()
     hashes.unpersist()
     probe.unpersist()
 
@@ -351,7 +354,7 @@ def admit_video_batch(
         metric_col="matched_frames", extra_metric_cols=("shift",),
     )
 
-    rejected = index_dups.unionByName(batch_dups)
+    rejected = index_dups.unionByName(batch_dups).persist()
 
     decisions = (
         fh.select(id_col).distinct()
@@ -379,6 +382,7 @@ def admit_video_batch(
     prior = table.read() if table.exists() else None
     merged = prior.unionByName(decided) if prior is not None else decided
     table.overwrite(merged, epoch=epoch_id, app_id=app_id)
+    rejected.unpersist()
     fh.unpersist()
     probe.unpersist()
 

@@ -113,6 +113,9 @@ def admit_pairs_batch(
     )
 
     # --- index rejections: EITHER modality matching rejects ---
+    # persisted: decision-sized, but its lineage is BOTH probes — the
+    # commit path otherwise re-runs the full probe machinery once per
+    # downstream action (measured 5x at bench scale)
     index_rejected = (
         t_index_dups.select(
             "doc_id",
@@ -128,7 +131,7 @@ def admit_pairs_batch(
             "doc_id",
             "full_outer",
         )
-    )
+    ).persist()
 
     # --- within-batch: component policy over the UNION graph ---
     i_within = multimodal.phash_near_pairs(
@@ -210,7 +213,7 @@ def admit_pairs_batch(
                 modality.alias("reject_modality"),
             )
         )
-    )
+    ).persist()
 
     decisions = (
         sig.select("doc_id")
@@ -264,6 +267,8 @@ def admit_pairs_batch(
     merged = prior.unionByName(decided) if prior is not None else decided
     table.overwrite(merged, epoch=epoch_id, app_id=app_id)
     admit_ids.unpersist()
+    rejected.unpersist()
+    index_rejected.unpersist()
     sig.unpersist()
     bk.unpersist()
     hashes.unpersist()

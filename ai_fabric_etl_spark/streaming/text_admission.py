@@ -67,8 +67,11 @@ def _sig_bands(
 def _exact_jaccard(cand: DataFrame, hs_a: DataFrame, hs_b: DataFrame,
                    threshold: float) -> DataFrame:
     """(doc_a, doc_b, jaccard) for candidate pairs, exact over the
-    hashed shingle sets (same contract as the batch dedup path)."""
-    j = cand.join(hs_a, "doc_a").join(hs_b, "doc_b")
+    hashed shingle sets (same contract as the batch dedup path).
+    The candidate list is BATCH-sized (band-pruned pairs) while
+    ``hs_a`` may be the corpus-sized signature store — broadcast the
+    candidates so the store is scanned once map-side, never shuffled."""
+    j = F.broadcast(cand).join(hs_a, "doc_a").join(hs_b, "doc_b")
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.size("hs_a") + F.size("hs_b") - inter
     return (
