@@ -1168,76 +1168,82 @@ def phash_index_probe(
         F.col("_c.cv").alias("cv"),
         (F.col("_c.cv") % n_buckets).alias("cb"),
     )
+    # persisted for the duration of THIS call only (touched-collect +
+    # the optional occupancy collect); released in the finally so a
+    # per-micro-batch caller never leaks block-store entries (ADVICE
+    # r11) — later evaluation of the returned plan re-derives the
+    # batch-sized projection from the caller's (persisted) hashes
     probe = probe.persist()
-    touched = [
-        (int(r["ci"]), int(r["cb"]))
-        for r in probe.select("ci", "cb").distinct().collect()
-    ]
-    if not touched:
-        return spark.createDataFrame(
-            [], "batch_id long, index_id long, hamming int"
-        )
-    # grouped per-ci IN-lists, not a flat OR-chain of (ci, cb) terms:
-    # IN compiles to an InSet hash probe (the flat chain re-evaluates
-    # up to 4*n_buckets boolean terms per ROW after pruning —
-    # measured 2.5x the probe wall at n_buckets=64), and partition
-    # pruning handles IN natively
-    by_ci: dict[int, list[int]] = {}
-    for ci, cb in touched:
-        by_ci.setdefault(ci, []).append(cb)
-    part_filter = None
-    for ci, cbs in by_ci.items():
-        term = (F.col("ci") == ci) & F.col("cb").isin(cbs)
-        part_filter = term if part_filter is None else (part_filter | term)
-    # explicit schema: no footer-based inference — at 100 TB schema
-    # discovery over thousands of partition dirs is itself a scan,
-    # and the layout is pinned by _index_chunks anyway
-    idx = (
-        spark.read.schema("media_id long, dhash long, cv long, ci int, cb int")
-        .parquet(path)
-        .where(part_filter)
-    )
-
-    keys = probe.select("ci", "cb", "cv").distinct()
-    occ = idx.join(F.broadcast(keys), ["ci", "cb", "cv"]).groupBy(
-        "ci", "cv"
-    ).agg(F.count(F.lit(1)).alias("_n"))
-    if on_oversize == "raise":
-        occ = occ.withColumn(
-            "_n", _oversize_guard(max_bucket, "phash_index_probe")("_n")
-        )
-    elif stats_out is not None:
-        row = (
-            occ.filter(F.col("_n") > max_bucket)
-            .agg(
-                F.count(F.lit(1)).alias("b"),
-                F.coalesce(F.sum("_n"), F.lit(0)).alias("r"),
+    try:
+        touched = [
+            (int(r["ci"]), int(r["cb"]))
+            for r in probe.select("ci", "cb").distinct().collect()
+        ]
+        if not touched:
+            return spark.createDataFrame(
+                [], "batch_id long, index_id long, hamming int"
             )
-            .collect()[0]
+        # grouped per-ci IN-lists, not a flat OR-chain of (ci, cb)
+        # terms: IN compiles to an InSet hash probe (the flat chain
+        # re-evaluates up to 4*n_buckets boolean terms per ROW after
+        # pruning — measured 2.5x the probe wall at n_buckets=64), and
+        # partition pruning handles IN natively
+        part_filter = _touched_filter(touched)
+        # explicit schema: no footer-based inference — at 100 TB schema
+        # discovery over thousands of partition dirs is itself a scan,
+        # and the layout is pinned by _index_chunks anyway
+        idx = (
+            spark.read.schema(
+                "media_id long, dhash long, cv long, ci int, cb int"
+            )
+            .parquet(path)
+            .where(part_filter)
         )
-        stats_out["dropped_buckets"] = int(row["b"])
-        stats_out["dropped_rows"] = int(row["r"])
-    hot_keys = occ.filter(F.col("_n") > max_bucket).select("ci", "cv")
-    probe_ok = probe.join(F.broadcast(hot_keys), ["ci", "cv"], "left_anti")
 
-    cand = (
-        idx.join(F.broadcast(probe_ok), ["ci", "cb", "cv"])
-        .select(
-            "batch_id",
-            F.col("media_id").alias("index_id"),
-            "h_b",
-            F.col("dhash").alias("h_i"),
+        keys = probe.select("ci", "cb", "cv").distinct()
+        occ = idx.join(F.broadcast(keys), ["ci", "cb", "cv"]).groupBy(
+            "ci", "cv"
+        ).agg(F.count(F.lit(1)).alias("_n"))
+        if on_oversize == "raise":
+            occ = occ.withColumn(
+                "_n", _oversize_guard(max_bucket, "phash_index_probe")("_n")
+            )
+        elif stats_out is not None:
+            row = (
+                occ.filter(F.col("_n") > max_bucket)
+                .agg(
+                    F.count(F.lit(1)).alias("b"),
+                    F.coalesce(F.sum("_n"), F.lit(0)).alias("r"),
+                )
+                .collect()[0]
+            )
+            stats_out["dropped_buckets"] = int(row["b"])
+            stats_out["dropped_rows"] = int(row["r"])
+        hot_keys = occ.filter(F.col("_n") > max_bucket).select("ci", "cv")
+        probe_ok = probe.join(
+            F.broadcast(hot_keys), ["ci", "cv"], "left_anti"
         )
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.col("h_b").bitwiseXOR(F.col("h_i"))),
+
+        cand = (
+            idx.join(F.broadcast(probe_ok), ["ci", "cb", "cv"])
+            .select(
+                "batch_id",
+                F.col("media_id").alias("index_id"),
+                "h_b",
+                F.col("dhash").alias("h_i"),
+            )
+            .distinct()
         )
-        .where(F.col("hamming") <= max_hamming)
-        .select("batch_id", "index_id", "hamming")
-    )
+        return (
+            cand.withColumn(
+                "hamming",
+                F.bit_count(F.col("h_b").bitwiseXOR(F.col("h_i"))),
+            )
+            .where(F.col("hamming") <= max_hamming)
+            .select("batch_id", "index_id", "hamming")
+        )
+    finally:
+        probe.unpersist()
 
 
 def phash_index_insert(
@@ -1259,6 +1265,108 @@ def phash_index_insert(
     _index_chunks(new_hashes, id_col, hash_col, n_buckets).repartition(
         "ci", "cb"
     ).write.mode("append").partitionBy("ci", "cb").parquet(path)
+
+
+def _touched_filter(touched: list[tuple[int, int]]):
+    """Grouped per-ci IN-list partition predicate for a list of
+    (ci, cb) keys (shared by probe/presence — see the probe's note on
+    InSet vs flat OR-chains)."""
+    by_ci: dict[int, list[int]] = {}
+    for ci, cb in touched:
+        by_ci.setdefault(ci, []).append(cb)
+    part_filter = None
+    for ci, cbs in by_ci.items():
+        term = (F.col("ci") == ci) & F.col("cb").isin(cbs)
+        part_filter = term if part_filter is None else (part_filter | term)
+    return part_filter
+
+
+def phash_index_presence(
+    spark,
+    path: str,
+    batch_hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """``(id_col, n_chunks)`` — how many of each given id's FOUR chunk
+    rows the index already holds. The crash-window completeness check
+    behind self-detection (ADVICE r11): a crash mid
+    :func:`phash_index_insert` can leave an id with 1–3 of its 4 chunk
+    rows durable (the partitioned append is not atomic across (ci, cb)
+    dirs), and skipping the re-insert on any single chunk match would
+    permanently under-index it — near-dups whose only equal chunk is a
+    missing row would never match. An id's own rows live exactly in
+    the partitions its own hash touches, so the scan statically prunes
+    to those — O(ids), never the corpus."""
+    n_buckets = _index_n_buckets(path, n_buckets)
+    chunks = _index_chunks(batch_hashes, id_col, hash_col, n_buckets)
+    touched = [
+        (int(r["ci"]), int(r["cb"]))
+        for r in chunks.select("ci", "cb").distinct().collect()
+    ]
+    if not touched:
+        return spark.createDataFrame([], f"{id_col} long, n_chunks long")
+    idx = (
+        spark.read.schema("media_id long, dhash long, cv long, ci int, cb int")
+        .parquet(path)
+        .where(_touched_filter(touched))
+    )
+    own = chunks.select("media_id", "ci", "cv").distinct()
+    return (
+        idx.join(F.broadcast(own), ["media_id", "ci", "cv"])
+        .groupBy("media_id")
+        .agg(F.count_distinct("ci").alias("n_chunks"))
+        .select(F.col("media_id").alias(id_col), "n_chunks")
+    )
+
+
+def video_index_presence(
+    spark,
+    path: str,
+    batch_frame_hashes: DataFrame,
+    id_col: str = "media_id",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """``(id_col, n_rows, n_expected)`` — per id, how many of its
+    (frame_idx, ci) chunk rows the video index already holds vs the
+    4 x n_frames a COMPLETE insert writes. The frame-level twin of
+    :func:`phash_index_presence` (same crash-window rationale); the
+    scan prunes to the partitions the id's own frame hashes touch."""
+    n_buckets = _index_n_buckets(path, n_buckets)
+    chunks = _video_index_chunks(batch_frame_hashes, id_col, n_buckets)
+    touched = [
+        (int(r["ci"]), int(r["cb"]))
+        for r in chunks.select("ci", "cb").distinct().collect()
+    ]
+    if not touched:
+        return spark.createDataFrame(
+            [], f"{id_col} long, n_rows long, n_expected long"
+        )
+    idx = (
+        spark.read.schema(_VIDEO_IDX_SCHEMA)
+        .parquet(path)
+        .where(_touched_filter(touched))
+    )
+    own = chunks.select("media_id", "frame_idx", "ci", "cv").distinct()
+    present = (
+        idx.join(F.broadcast(own), ["media_id", "frame_idx", "ci", "cv"])
+        .groupBy("media_id")
+        .agg(
+            F.count_distinct("frame_idx", "ci").alias("n_rows")
+        )
+    )
+    expected = own.groupBy("media_id").agg(
+        F.count_distinct("frame_idx", "ci").alias("n_expected")
+    )
+    return (
+        expected.join(present, "media_id", "left")
+        .select(
+            F.col("media_id").alias(id_col),
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+            "n_expected",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1375,96 +1483,102 @@ def video_index_probe(
         F.col("_c.cv").alias("cv"),
         (F.col("_c.cv") % n_buckets).alias("cb"),
     )
+    # persist scoped to this call, released in the finally (ADVICE
+    # r11: the per-micro-batch leak accumulated block-store entries
+    # for the stream's lifetime)
     probe = probe.persist()
-    touched = [
-        (int(r["ci"]), int(r["cb"]))
-        for r in probe.select("ci", "cb").distinct().collect()
-    ]
-    if not touched:
-        return spark.createDataFrame(
-            [], "batch_id long, index_id long, n_matching_frames long, "
-                "shift int"
-        )
-    by_ci: dict[int, list[int]] = {}
-    for ci, cb in touched:
-        by_ci.setdefault(ci, []).append(cb)
-    part_filter = None
-    for ci, cbs in by_ci.items():
-        term = (F.col("ci") == ci) & F.col("cb").isin(cbs)
-        part_filter = term if part_filter is None else (part_filter | term)
-    idx = (
-        spark.read.schema(_VIDEO_IDX_SCHEMA).parquet(path).where(part_filter)
-    )
-
-    keys = probe.select("ci", "cb", "cv").distinct()
-    occ = idx.join(F.broadcast(keys), ["ci", "cb", "cv"]).groupBy(
-        "ci", "cv"
-    ).agg(F.count(F.lit(1)).alias("_n"))
-    if on_oversize == "raise":
-        occ = occ.withColumn(
-            "_n", _oversize_guard(max_bucket, "video_index_probe")("_n")
-        )
-    elif stats_out is not None:
-        row = (
-            occ.filter(F.col("_n") > max_bucket)
-            .agg(
-                F.count(F.lit(1)).alias("b"),
-                F.coalesce(F.sum("_n"), F.lit(0)).alias("r"),
+    try:
+        touched = [
+            (int(r["ci"]), int(r["cb"]))
+            for r in probe.select("ci", "cb").distinct().collect()
+        ]
+        if not touched:
+            return spark.createDataFrame(
+                [], "batch_id long, index_id long, n_matching_frames long, "
+                    "shift int"
             )
-            .collect()[0]
+        idx = (
+            spark.read.schema(_VIDEO_IDX_SCHEMA)
+            .parquet(path)
+            .where(_touched_filter(touched))
         )
-        stats_out["dropped_buckets"] = int(row["b"])
-        stats_out["dropped_rows"] = int(row["r"])
-    hot_keys = occ.filter(F.col("_n") > max_bucket).select("ci", "cv")
-    probe_ok = probe.join(F.broadcast(hot_keys), ["ci", "cv"], "left_anti")
 
-    # batch chunk rows replicated once per offset (keys only, never
-    # payloads): index frame g matches batch frame fi_b at
-    # shift = fi_b - g, so the batch side emits g = fi_b - shift
-    brep = probe_ok.select(
-        "batch_id", "fi_b", "h_b", "ci", "cv", "cb",
-        F.explode(
-            F.array(*[F.lit(s) for s in range(-max_shift, max_shift + 1)])
-        ).alias("shift"),
-    ).select(
-        (F.col("fi_b") - F.col("shift")).alias("g"),
-        "ci", "cv", "cb", "batch_id", "h_b", "shift",
-    )
-    cand = (
-        idx.withColumnRenamed("frame_idx", "g")
-        .join(F.broadcast(brep), ["g", "ci", "cb", "cv"])
-        .select(
-            "batch_id",
-            F.col("media_id").alias("index_id"),
-            "g", "shift", "h_b",
-            F.col("fhash").alias("h_i"),
-        )
-        .distinct()
-        .where(
-            F.bit_count(F.col("h_b").bitwiseXOR(F.col("h_i"))) <= max_hamming
-        )
-    )
-    per_shift = cand.groupBy("batch_id", "index_id", "shift").agg(
-        F.count(F.lit(1)).alias("_nm")
-    )
-    best = per_shift.groupBy("batch_id", "index_id").agg(
-        F.max(
-            F.struct(
-                F.col("_nm").alias("nm"),
-                (-F.abs(F.col("shift"))).alias("negabs"),
-                (-F.col("shift")).alias("negshift"),
-                F.col("shift").alias("shift"),
+        keys = probe.select("ci", "cb", "cv").distinct()
+        occ = idx.join(F.broadcast(keys), ["ci", "cb", "cv"]).groupBy(
+            "ci", "cv"
+        ).agg(F.count(F.lit(1)).alias("_n"))
+        if on_oversize == "raise":
+            occ = occ.withColumn(
+                "_n", _oversize_guard(max_bucket, "video_index_probe")("_n")
             )
-        ).alias("_b")
-    )
-    return (
-        best.select(
-            "batch_id", "index_id",
-            F.col("_b.nm").alias("n_matching_frames"),
-            F.col("_b.shift").alias("shift"),
+        elif stats_out is not None:
+            row = (
+                occ.filter(F.col("_n") > max_bucket)
+                .agg(
+                    F.count(F.lit(1)).alias("b"),
+                    F.coalesce(F.sum("_n"), F.lit(0)).alias("r"),
+                )
+                .collect()[0]
+            )
+            stats_out["dropped_buckets"] = int(row["b"])
+            stats_out["dropped_rows"] = int(row["r"])
+        hot_keys = occ.filter(F.col("_n") > max_bucket).select("ci", "cv")
+        probe_ok = probe.join(
+            F.broadcast(hot_keys), ["ci", "cv"], "left_anti"
         )
-        .where(F.col("n_matching_frames") >= min_frames)
-    )
+
+        # batch chunk rows replicated once per offset (keys only,
+        # never payloads): index frame g matches batch frame fi_b at
+        # shift = fi_b - g, so the batch side emits g = fi_b - shift
+        brep = probe_ok.select(
+            "batch_id", "fi_b", "h_b", "ci", "cv", "cb",
+            F.explode(
+                F.array(
+                    *[F.lit(s) for s in range(-max_shift, max_shift + 1)]
+                )
+            ).alias("shift"),
+        ).select(
+            (F.col("fi_b") - F.col("shift")).alias("g"),
+            "ci", "cv", "cb", "batch_id", "h_b", "shift",
+        )
+        cand = (
+            idx.withColumnRenamed("frame_idx", "g")
+            .join(F.broadcast(brep), ["g", "ci", "cb", "cv"])
+            .select(
+                "batch_id",
+                F.col("media_id").alias("index_id"),
+                "g", "shift", "h_b",
+                F.col("fhash").alias("h_i"),
+            )
+            .distinct()
+            .where(
+                F.bit_count(F.col("h_b").bitwiseXOR(F.col("h_i")))
+                <= max_hamming
+            )
+        )
+        per_shift = cand.groupBy("batch_id", "index_id", "shift").agg(
+            F.count(F.lit(1)).alias("_nm")
+        )
+        best = per_shift.groupBy("batch_id", "index_id").agg(
+            F.max(
+                F.struct(
+                    F.col("_nm").alias("nm"),
+                    (-F.abs(F.col("shift"))).alias("negabs"),
+                    (-F.col("shift")).alias("negshift"),
+                    F.col("shift").alias("shift"),
+                )
+            ).alias("_b")
+        )
+        return (
+            best.select(
+                "batch_id", "index_id",
+                F.col("_b.nm").alias("n_matching_frames"),
+                F.col("_b.shift").alias("shift"),
+            )
+            .where(F.col("n_matching_frames") >= min_frames)
+        )
+    finally:
+        probe.unpersist()
 
 
 def video_index_insert(

@@ -95,16 +95,26 @@ _PRIORITY = [
     # / dedup_incremental_planted / multimodal_phash_incremental
     # never) — the last two freshly touched this round (salt API,
     # fixture cache) and worth a direct gate. ---
-    "a13_percentiles",
-    "cohort_retention_weekly",
-    "funnel_view_click_purchase",
-    "scd2_customer_history",
-    "tpch_q1_pricing_summary",
-    "er_resolve_entities",
-    "graph_triangle_counts",
-    "privacy_dp_counts",
-    "dedup_incremental_planted",
-    "multimodal_phash_incremental",
+    # --- r12 rotation (VERDICT r11 item 6): the ten r11-rotation
+    # entries (each with a fresh r11 direct green) move back to fp
+    # composites; in their place, ten LONG-COMPOSITE residents whose
+    # last direct row predates r8 or never existed — the four the
+    # verdict names (a11_pivot_daily / a14_unpivot_daily /
+    # set_intersect_except / scalar_datetime) plus six never-direct
+    # window/rollup/KQL entries (w2/w5/w6/w7, rollup_region_nation,
+    # a9_summarize_events — sweep-verified every round since r3 but
+    # never driver-visible). All twenty remain value-oracled in both
+    # positions (fp membership checked before the swap). ---
+    "a11_pivot_daily",
+    "a14_unpivot_daily",
+    "set_intersect_except",
+    "scalar_datetime",
+    "w2_rank_topk",
+    "w5_ntile_distribution",
+    "w6_lag_lead_deltas",
+    "w7_time_range_frame",
+    "rollup_region_nation",
+    "a9_summarize_events",
     # --- r10 rotation (VERDICT r9 item 6): eight entries whose last
     # direct driver row predates r6 (the r4 behavior/profile family —
     # composite-resident since) take named slots; the eight

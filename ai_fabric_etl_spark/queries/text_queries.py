@@ -29,27 +29,174 @@ def _bench_fixture(sf_dir: str, name: str, key: dict):
     against the grown index converges to identical decisions and
     skips re-inserts (self-detection / batch-id routing / the
     embedding receipt) — the exact property the crash-window pytests
-    prove."""
+    prove.
+
+    Location + concurrency (ADVICE r11): fixtures live under the
+    repo-local ``.bench_cache/`` (gitignored) — per checkout, hence
+    per user, never a world-shared predictable /tmp path another user
+    could poison. When the key is stale an exclusive flock guards the
+    build: a concurrent bench run blocks on the lock, re-checks the
+    key once it acquires it, and finds the fixture fresh. ``key``
+    must carry EVERY knob the persisted artifact depends on (corpus
+    size, index parameters, synth shapes) — a changed knob rebuilds."""
+    import fcntl
     import json
     import os
-    import tempfile
 
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     root = os.path.join(
-        tempfile.gettempdir(),
+        repo_root, ".bench_cache",
         f"{name}_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     os.makedirs(root, exist_ok=True)
     kp = os.path.join(root, "_fixture_key.json")
-    if os.path.exists(kp):
+
+    def fresh() -> bool:
+        if not os.path.exists(kp):
+            return False
         with open(kp, encoding="utf-8") as fh:
-            if json.load(fh) == key:
-                return root, None
+            return json.load(fh) == key
+
+    if fresh():
+        return root, None
+    lock = open(os.path.join(root, "_fixture_lock"), "w")  # noqa: SIM115
+    fcntl.flock(lock, fcntl.LOCK_EX)
+    if fresh():  # another process built it while we waited
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
+        return root, None
 
     def mark() -> None:
         with open(kp, "w", encoding="utf-8") as fh:
             json.dump(key, fh)
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
 
     return root, mark
+
+
+# --- shared fixture builders: one definition per persisted index, used
+# by BOTH the driver entries and bench.py's gate-trend block (VERDICT
+# r11 item 5) so the staleness keys can never drift between them ---
+
+
+def _fixture_phash_index(spark, sf_dir: str) -> str:
+    import os
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    root, mark = _bench_fixture(
+        sf_dir, "phash_idx",
+        {"n_docs": docs.count(), "n_buckets": 64, "fixture_version": 1},
+    )
+    idx = os.path.join(root, "index")
+    if mark is not None:
+        multimodal.phash_index_write(
+            multimodal.dhash64(
+                multimodal.synthesize_noise_images(docs), fake=False
+            ),
+            idx, n_buckets=64,
+        )
+        mark()
+    return idx
+
+
+def _fixture_audio_index(spark, sf_dir: str) -> str:
+    import os
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    root, mark = _bench_fixture(
+        sf_dir, "audio_adm",
+        # key carries EVERY build knob (ADVICE r11: n_frames was
+        # missing — changing it silently reused a stale index)
+        {"n_docs": docs.count(), "n_buckets": 64, "n_frames": 1024,
+         "v": 1},
+    )
+    idx = os.path.join(root, "index")
+    if mark is not None:
+        corpus = multimodal.synthesize_noise_audio(docs, n_frames=1024)
+        multimodal.phash_index_write(
+            multimodal.audio_fp64(corpus, fake=False), idx,
+            hash_col="afp", n_buckets=64,
+        )
+        mark()
+    return idx
+
+
+def _fixture_video_index(spark, sf_dir: str) -> str:
+    import os
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    root, mark = _bench_fixture(
+        sf_dir, "video_adm",
+        {"n_docs": docs.count(), "n_buckets": 64,
+         "frames": "3+id%5", "v": 1},
+    )
+    idx = os.path.join(root, "index")
+    if mark is not None:
+        corpus = multimodal.synthesize_noise_video(docs)
+        multimodal.video_index_write(
+            multimodal.video_frame_hashes(corpus, fake=False), idx,
+            n_buckets=64,
+        )
+        mark()
+    return idx
+
+
+def _synth_pair_text(prefix: str):
+    """Deterministic 8-word synthetic text per doc_id (the paired
+    gate's text side — prefix namespaces the content stream)."""
+    return F.concat_ws(" ", *[
+        F.md5(F.concat(F.lit(prefix), F.col("doc_id").cast("string"),
+                       F.lit(f":{k}")).cast("binary"))
+        for k in range(8)
+    ])
+
+
+def _fixture_paired_indexes(spark, sf_dir: str) -> tuple[str, str]:
+    import os
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    root, mark = _bench_fixture(
+        sf_dir, "paired_adm",
+        # full build config (ADVICE r11): the text index's minhash
+        # knobs and synth shape, plus the image index's bucketing
+        {"n_docs": docs.count(), "n_buckets": 64, "num_hashes": 32,
+         "bands": 8, "n": 3, "text_synth": "md5x8:txt:", "v": 1},
+    )
+    tidx = os.path.join(root, "text_index")
+    iidx = os.path.join(root, "image_index")
+    if mark is not None:
+        dedup.minhash_index_write(
+            docs.select("doc_id", _synth_pair_text("txt:").alias("text")),
+            tidx,
+        )
+        multimodal.phash_index_write(
+            multimodal.dhash64(
+                multimodal.synthesize_noise_images(docs), fake=False
+            ),
+            iidx, n_buckets=64,
+        )
+        mark()
+    return tidx, iidx
+
+
+def _fixture_emb_index(spark, sf_dir: str) -> str:
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root, mark = _bench_fixture(
+        sf_dir, "emb_adm",
+        {"n_vecs": emb.count(), "dim": 64, "n_tables": 6, "seed": 13,
+         "target_occupancy": 16, "extra_planes": 4,
+         "max_resplit_rounds": 2, "v": 1},
+    )
+    idx = os.path.join(root, "index")
+    if mark is not None:
+        similarity.emb_neardup_index_write(emb, idx)
+        mark()
+    return idx
 
 # shared SQL fragments for the oracle side
 _TOK = "string_split_regex(trim(text), '\\s+')"
@@ -1303,15 +1450,9 @@ def q_multimodal_phash_incremental(spark, sf_dir):
     admissions from the novel images. Whole-vs-grown index parity,
     insert visibility, and the static-pruning proof (untouched
     partitions corrupted, probe stays green) are pytest-gated."""
-    import os
-    import tempfile
-
     from ai_fabric_etl_spark.operators import multimodal
 
-    import json
-
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    corpus = multimodal.synthesize_noise_images(docs)
     # n_buckets=64 — the claimed 100 TB pruning knob, now exercised
     # at bench scale too (r10): the probe's STATIC partition filter
     # reads only the batch's touched (ci, cb) dirs, so finer
@@ -1321,16 +1462,7 @@ def q_multimodal_phash_incremental(spark, sf_dir):
     # PROBE — the corpus indexes once in any real deployment, and a
     # fresh rebuild per bench run recorded the build, not the
     # operator). A corpus-size or knob change rebuilds.
-    root, mark = _bench_fixture(
-        sf_dir, "phash_idx",
-        {"n_docs": docs.count(), "n_buckets": 64, "fixture_version": 1},
-    )
-    idx = os.path.join(root, "index")
-    if mark is not None:
-        multimodal.phash_index_write(
-            multimodal.dhash64(corpus, fake=False), idx, n_buckets=64
-        )
-        mark()
+    idx = _fixture_phash_index(spark, sf_dir)
     copies = multimodal.synthesize_noise_images(
         docs.filter(F.col("doc_id") < 40)
     ).select(
@@ -2866,18 +2998,7 @@ def q_audio_admission_gate(spark, sf_dir):
     # corpus fingerprint index persists across bench runs (see
     # _bench_fixture — this row measures the ADMISSION, and re-running
     # the same batch against the grown index provably converges)
-    root, mark = _bench_fixture(
-        sf_dir, "audio_adm",
-        {"n_docs": docs.count(), "n_buckets": 64, "v": 1},
-    )
-    idx = os.path.join(root, "index")
-    if mark is not None:
-        corpus = multimodal.synthesize_noise_audio(docs, n_frames=1024)
-        multimodal.phash_index_write(
-            multimodal.audio_fp64(corpus, fake=False), idx,
-            hash_col="afp", n_buckets=64,
-        )
-        mark()
+    idx = _fixture_audio_index(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="audio_adm_state_")
     ten = docs.filter(F.col("doc_id") < 10)
     copies = multimodal.synthesize_noise_audio(ten, n_frames=1024).select(
@@ -2943,18 +3064,7 @@ def q_video_admission_gate(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    root, mark = _bench_fixture(
-        sf_dir, "video_adm",
-        {"n_docs": docs.count(), "n_buckets": 64, "v": 1},
-    )
-    idx = os.path.join(root, "index")
-    if mark is not None:
-        corpus = multimodal.synthesize_noise_video(docs)
-        multimodal.video_index_write(
-            multimodal.video_frame_hashes(corpus, fake=False), idx,
-            n_buckets=64,
-        )
-        mark()
+    idx = _fixture_video_index(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="video_adm_state_")
     ten = docs.filter(F.col("doc_id") < 10)
     copies = multimodal.synthesize_noise_video(ten).select(
@@ -3151,31 +3261,10 @@ def q_paired_admission_gate(spark, sf_dir):
         read_decisions,
     )
 
-    def synth_text(prefix):
-        return F.concat_ws(" ", *[
-            F.md5(F.concat(F.lit(prefix), F.col("doc_id").cast("string"),
-                           F.lit(f":{k}")).cast("binary"))
-            for k in range(8)
-        ])
+    synth_text = _synth_pair_text
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    root, mark = _bench_fixture(
-        sf_dir, "paired_adm",
-        {"n_docs": docs.count(), "n_buckets": 64, "v": 1},
-    )
-    tidx = os.path.join(root, "text_index")
-    iidx = os.path.join(root, "image_index")
-    if mark is not None:
-        dedup.minhash_index_write(
-            docs.select("doc_id", synth_text("txt:").alias("text")), tidx
-        )
-        multimodal.phash_index_write(
-            multimodal.dhash64(
-                multimodal.synthesize_noise_images(docs), fake=False
-            ),
-            iidx, n_buckets=64,
-        )
-        mark()
+    tidx, iidx = _fixture_paired_indexes(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="paired_adm_state_")
 
     ten = docs.filter(F.col("doc_id") < 10)
@@ -3254,13 +3343,7 @@ def q_embedding_admission_gate(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    root, mark = _bench_fixture(
-        sf_dir, "emb_adm", {"n_vecs": emb.count(), "v": 1},
-    )
-    idx = os.path.join(root, "index")
-    if mark is not None:
-        similarity.emb_neardup_index_write(emb, idx)
-        mark()
+    idx = _fixture_emb_index(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="emb_adm_state_")
 
     ten = emb.filter(F.col("vec_id") < 10)

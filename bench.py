@@ -260,6 +260,8 @@ def compact_line(out: dict, budget: int = LINE_BUDGET) -> str:
         "x12_parse_tx_per_sec": out.get("x12_parse_tx_per_sec"),
         "full": "BENCH_FULL.json",
     }
+    if out.get("gate_trend"):
+        slim["gate_trend"] = out["gate_trend"]
     regs = out.get("regressions", [])
     if regs:
         slim["regressions"] = [[r["query"], r["ratio"]] for r in regs[:6]]
@@ -387,6 +389,23 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001 - keep the suite alive
         errors["x12_parse_throughput"] = f"{type(ex).__name__}: {ex}"[:300]
 
+    # gate-family throughput trend (VERDICT r11 item 5): 5-batch
+    # admission sequence per modality against the warm fixture
+    # indexes; per-batch latency must stay flat — the observable form
+    # of the O(batch) ledger/index commit plan that single-batch rows
+    # cannot see. Runs on the full headline pass or on demand
+    # (SPARK_GRAFT_BENCH_QUERIES=gate_trend).
+    gate_trend: dict = {}
+    if headline is HEADLINE or subset == "gate_trend":
+        try:
+            from ai_fabric_etl_spark.queries.gate_trend import (
+                run_gate_trends,
+            )
+
+            gate_trend = run_gate_trends(spark, SF_DIR)
+        except Exception as ex:  # noqa: BLE001 - keep the suite alive
+            errors["gate_trend"] = f"{type(ex).__name__}: {ex}"[:300]
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_suite_seconds",
@@ -399,6 +418,8 @@ def main() -> None:
         "x12_parse_seconds": round(parse_s, 3) if parse_s == parse_s else None,
         "x12_parse_tx_per_sec": round(n_tx / parse_s, 1) if parse_s == parse_s and parse_s > 0 else None,
     }
+    if gate_trend:
+        out["gate_trend"] = gate_trend
     prev_file, prev = _previous_round_timings()
     regressions = [
         {

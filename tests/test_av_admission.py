@@ -271,3 +271,64 @@ def test_video_admission_stream_equals_batch(spark, tmp_path):
     d = dict((r.media_id, (r.admitted, r.dup_of, r.shift))
              for r in read_video_decisions(spark, st_s).collect())
     assert d[30] == (False, 1, -1)
+
+
+def test_video_zero_frame_payload_quarantines(spark, tmp_path):
+    """A decodable Y4M with ZERO frames yields no frame hashes — it
+    must still get a decision row (ADVICE r11: one decision per input
+    id): quarantined as admitted=false with NULL dup_of, and nothing
+    of it enters the index."""
+    idx = str(tmp_path / "idx")
+    state = str(tmp_path / "state")
+    _init_video_index(spark, idx, [(1, _y4m(1))])
+    empty_clip = bytearray(b"YUV4MPEG2 W16 H8 F25:1 Ip A1:1 C420\n")
+    b = _media(spark, [(100, _y4m(9)), (110, empty_clip)])
+    admit_video_batch(spark, b, idx, state, epoch_id=0, app_id="t")
+    d = {r.media_id: (r.admitted, r.dup_of)
+         for r in read_video_decisions(spark, state).collect()}
+    assert d == {100: (True, None), 110: (False, None)}
+    idx_ids = {
+        r.media_id
+        for r in spark.read.schema(
+            "media_id long, frame_idx int, fhash long, cv long, ci int, "
+            "cb int"
+        ).parquet(idx).select("media_id").distinct().collect()
+    }
+    assert idx_ids == {1, 100}
+
+
+def test_video_partial_self_insert_completes_on_replay(spark, tmp_path):
+    """Crash mid video_index_insert leaves an id with only SOME of its
+    frame-chunk rows durable. Replay must NOT skip the re-insert on a
+    partial id (ADVICE r11: single-chunk self-detection permanently
+    under-indexed it); after replay the id is fully present and a
+    copy of it still rejects."""
+    idx = str(tmp_path / "idx")
+    state = str(tmp_path / "state")
+    _init_video_index(spark, idx, [(1, _y4m(1))])
+
+    b = _media(spark, [(100, _y4m(9))])
+    fh = multimodal.video_frame_hashes(b, fake=False)
+    # simulate the crashed attempt: only chunk ci=0 rows made it in
+    partial = multimodal._video_index_chunks(fh, "media_id", 16).filter(
+        F.col("ci") == 0
+    )
+    partial.repartition("ci", "cb").write.mode("append").partitionBy(
+        "ci", "cb"
+    ).parquet(idx)
+
+    # replay of the never-committed epoch: presence check sees the
+    # partial insert and re-inserts in full
+    admit_video_batch(spark, b, idx, state, epoch_id=0, app_id="t")
+    d = {r.media_id: (r.admitted, r.dup_of)
+         for r in read_video_decisions(spark, state).collect()}
+    assert d == {100: (True, None)}
+    pres = multimodal.video_index_presence(spark, idx, fh).collect()[0]
+    assert pres.n_rows == pres.n_expected  # fully indexed now
+
+    probe = multimodal.video_index_probe(
+        spark, idx, multimodal.video_frame_hashes(
+            _media(spark, [(200, _y4m(9))]), fake=False
+        ),
+    )
+    assert {(r.batch_id, r.index_id) for r in probe.collect()} == {(200, 100)}

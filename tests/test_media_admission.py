@@ -241,3 +241,29 @@ def test_admission_replay_matches_clean_run(spark, tmp_path):
         "media_id long, dhash long, cv long, ci int, cb int"
     ).parquet(str(tmp_path / "i2")).groupBy("media_id").count()
     assert n.filter("count > 4").count() == 0  # 4 chunk rows per image, once
+
+
+def test_partial_self_insert_completes_on_replay(spark, tmp_path):
+    """Crash mid phash_index_insert leaves an id with fewer than its
+    4 chunk rows. Replay must re-insert (full-presence self-detection,
+    ADVICE r11) so near-dups whose only equal chunk was a missing row
+    still match."""
+    idx = str(tmp_path / "idx")
+    state = str(tmp_path / "state")
+    _init_index(spark, idx)
+
+    b = _media(spark, [(100, _img(9))])
+    hashes = multimodal.dhash64(b, fake=False)
+    partial = multimodal._index_chunks(hashes, "media_id", "dhash", 16).filter(
+        F.col("ci") < 2
+    )
+    partial.repartition("ci", "cb").write.mode("append").partitionBy(
+        "ci", "cb"
+    ).parquet(idx)
+
+    admit_media_batch(spark, b, idx, state, epoch_id=0, app_id="t")
+    d = {r.media_id: (r.admitted, r.dup_of)
+         for r in read_decisions(spark, state).collect()}
+    assert d == {100: (True, None)}
+    pres = multimodal.phash_index_presence(spark, idx, hashes).collect()[0]
+    assert pres.n_chunks == 4

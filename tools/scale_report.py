@@ -67,14 +67,22 @@ def _isolated_run(query: str, sf_dir: str) -> float | None:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    opts: dict[str, str] = {}
-    it = iter(sys.argv[1:])
-    for a in it:
-        if a.startswith("--"):
-            opts[a] = next(it)
-    out_path, p01, p1, p2 = args[:4]
-    p4 = args[4] if len(args) > 4 else None
+    # argparse, not hand-split argv (ADVICE r11: flag VALUES leaked
+    # into the positional list, shifting every positional when flags
+    # preceded them or when SF4 was omitted)
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("out_path")
+    ap.add_argument("sf01")
+    ap.add_argument("sf1")
+    ap.add_argument("sf2")
+    ap.add_argument("sf4", nargs="?", default=None)
+    ap.add_argument("--sf2-dir", dest="sf2_dir", default=None)
+    ap.add_argument("--sf4-dir", dest="sf4_dir", default=None)
+    ns = ap.parse_args()
+    out_path, p01, p1, p2, p4 = ns.out_path, ns.sf01, ns.sf1, ns.sf2, ns.sf4
+    opts = {"--sf2-dir": ns.sf2_dir, "--sf4-dir": ns.sf4_dir}
     b01, b1, b2 = _load(p01), _load(p1), _load(p2)
     b4 = _load(p4) if p4 else None
     qs = {}
