@@ -410,6 +410,7 @@ def dhash64(
     fake: bool = True,
     id_col: str = "media_id",
     payload_col: str = "payload",
+    on_error: str = "raise",
 ) -> DataFrame:
     """(id, dhash) per image payload — the image sibling of SimHash
     for text: near-duplicate images (same picture re-encoded, minor
@@ -417,9 +418,16 @@ def dhash64(
 
     REAL decode for BMP/PPM/PGM payloads (pure-numpy codecs);
     ``fake`` governs unrecognized/corrupt payloads exactly like
-    :func:`decode_media` (deterministic md5-derived fake hash, or
-    raise). mapInPandas, Arrow-batched, constant memory per batch —
-    the 100 TB shape is one linear decode pass; no shuffle."""
+    :func:`decode_media` (deterministic md5-derived fake hash, or the
+    ``on_error`` policy). ``on_error`` (fake=False only): ``"raise"``
+    fails the task on an undecodable payload; ``"null"`` emits the row
+    with a NULL hash instead — the continuous-gate mode, where one
+    poison payload must quarantine, not block the stream forever
+    (ADVICE r11: one decision row per input id). mapInPandas,
+    Arrow-batched, constant memory per batch — the 100 TB shape is one
+    linear decode pass; no shuffle."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -428,29 +436,36 @@ def dhash64(
                 payload = bytes(payload)
                 fmt = codecs.sniff_format(payload)
                 px = None
+                bad = False
                 try:
                     if fmt == "bmp":
                         _, _, _, px = codecs.decode_bmp(payload)
                     elif fmt in ("ppm", "pgm"):
                         _, _, _, px = codecs.decode_pnm(payload)
                 except Exception as exc:  # noqa: BLE001 - sniffed-but-corrupt
-                    if not fake:
+                    if not fake and on_error == "raise":
                         raise ValueError(
                             f"corrupt {fmt} payload: {exc}"
                         ) from exc
+                    bad = True
                 if px is None:
-                    if not fake:
+                    if fake:
+                        d = hashlib.md5(payload).digest()
+                        val = int.from_bytes(d[:8], "big", signed=True)
+                    elif bad or on_error == "null":
+                        val = None
+                    else:
                         raise NotImplementedError(
                             "dhash64 decodes BMP/PPM/PGM without an imaging "
                             "library; call with fake=True for plumbing tests"
                         )
-                    d = hashlib.md5(payload).digest()
-                    val = int.from_bytes(d[:8], "big", signed=True)
                 else:
                     val = _dhash_bits(px)
                 ids.append(int(mid))
                 hashes.append(val)
-            yield pd.DataFrame({id_col: ids, "dhash": hashes})
+            yield pd.DataFrame(
+                {id_col: ids, "dhash": pd.array(hashes, dtype="Int64")}
+            )
 
     return media.mapInPandas(run, schema=f"{id_col} long, dhash long")
 
@@ -776,14 +791,19 @@ def audio_fp64(
     fake: bool = True,
     id_col: str = "media_id",
     payload_col: str = "payload",
+    on_error: str = "raise",
 ) -> DataFrame:
     """(id, afp) per WAV payload — the audio sibling of
     :func:`dhash64`: re-encoded/slightly-edited copies of the same
     recording land within a few Hamming bits, and
     :func:`phash_near_pairs` (hash_col='afp') pairs them without an
     all-pairs scan. Real decode for RIFF-PCM WAV; ``fake`` governs
-    unrecognized payloads exactly like decode_media. One linear
-    mapInPandas pass, no shuffle."""
+    unrecognized payloads exactly like decode_media; ``on_error``
+    (fake=False): ``"raise"`` or ``"null"`` — NULL-hash row per
+    undecodable payload, the continuous-gate quarantine mode (see
+    :func:`dhash64`). One linear mapInPandas pass, no shuffle."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -791,27 +811,34 @@ def audio_fp64(
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload)
                 frames = None
+                bad = False
                 if codecs.sniff_format(payload) == "wav":
                     try:
                         _, _, _, frames = codecs.decode_wav(payload)
                     except Exception as exc:  # noqa: BLE001 - corrupt payload
-                        if not fake:
+                        if not fake and on_error == "raise":
                             raise ValueError(
                                 f"corrupt WAV payload: {exc}"
                             ) from exc
+                        bad = True
                 if frames is None:
-                    if not fake:
+                    if fake:
+                        d = hashlib.md5(payload).digest()
+                        val = int.from_bytes(d[:8], "big", signed=True)
+                    elif bad or on_error == "null":
+                        val = None
+                    else:
                         raise NotImplementedError(
                             "audio_fp64 decodes RIFF-PCM WAV only; call "
                             "with fake=True for plumbing tests"
                         )
-                    d = hashlib.md5(payload).digest()
-                    val = int.from_bytes(d[:8], "big", signed=True)
                 else:
                     val = _audiofp_bits(frames)
                 ids.append(int(mid))
                 fps.append(val)
-            yield pd.DataFrame({id_col: ids, "afp": fps})
+            yield pd.DataFrame(
+                {id_col: ids, "afp": pd.array(fps, dtype="Int64")}
+            )
 
     return media.mapInPandas(run, schema=f"{id_col} long, afp long")
 
@@ -1128,6 +1155,8 @@ def phash_index_probe(
     max_bucket: int = 2000,
     on_oversize: str = "raise",
     stats_out: dict | None = None,
+    scratch: list | None = None,
+    with_chunk_hits: bool = False,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and the persisted index, in
     O(batch): the batch's distinct (ci, cb) keys are collected (a
@@ -1168,82 +1197,94 @@ def phash_index_probe(
         F.col("_c.cv").alias("cv"),
         (F.col("_c.cv") % n_buckets).alias("cb"),
     )
-    # persisted for the duration of THIS call only (touched-collect +
-    # the optional occupancy collect); released in the finally so a
-    # per-micro-batch caller never leaks block-store entries (ADVICE
-    # r11) — later evaluation of the returned plan re-derives the
-    # batch-sized projection from the caller's (persisted) hashes
+    # persisted: the returned plan references this frame from several
+    # subtrees (occupancy, hot-key filter, candidate join) — an early
+    # unpersist re-decodes the batch once per subtree (measured ~2x
+    # the probe wall). ADVICE r11 (per-micro-batch persist leak): a
+    # CONTINUOUS caller passes ``scratch`` and unpersists at batch
+    # end; one-shot callers let it die with their session/cache clear.
     probe = probe.persist()
-    try:
-        touched = [
-            (int(r["ci"]), int(r["cb"]))
-            for r in probe.select("ci", "cb").distinct().collect()
-        ]
-        if not touched:
-            return spark.createDataFrame(
-                [], "batch_id long, index_id long, hamming int"
-            )
-        # grouped per-ci IN-lists, not a flat OR-chain of (ci, cb)
-        # terms: IN compiles to an InSet hash probe (the flat chain
-        # re-evaluates up to 4*n_buckets boolean terms per ROW after
-        # pruning — measured 2.5x the probe wall at n_buckets=64), and
-        # partition pruning handles IN natively
-        part_filter = _touched_filter(touched)
-        # explicit schema: no footer-based inference — at 100 TB schema
-        # discovery over thousands of partition dirs is itself a scan,
-        # and the layout is pinned by _index_chunks anyway
-        idx = (
-            spark.read.schema(
-                "media_id long, dhash long, cv long, ci int, cb int"
-            )
-            .parquet(path)
-            .where(part_filter)
+    if scratch is not None:
+        scratch.append(probe)
+    touched = [
+        (int(r["ci"]), int(r["cb"]))
+        for r in probe.select("ci", "cb").distinct().collect()
+    ]
+    if not touched:
+        return spark.createDataFrame(
+            [],
+            "batch_id long, index_id long, hamming int"
+            + (", n_chunk_hits long" if with_chunk_hits else ""),
         )
+    # grouped per-ci IN-lists, not a flat OR-chain of (ci, cb)
+    # terms: IN compiles to an InSet hash probe (the flat chain
+    # re-evaluates up to 4*n_buckets boolean terms per ROW after
+    # pruning — measured 2.5x the probe wall at n_buckets=64), and
+    # partition pruning handles IN natively
+    part_filter = _touched_filter(touched)
+    # explicit schema: no footer-based inference — at 100 TB schema
+    # discovery over thousands of partition dirs is itself a scan,
+    # and the layout is pinned by _index_chunks anyway
+    idx = (
+        spark.read.schema(
+            "media_id long, dhash long, cv long, ci int, cb int"
+        )
+        .parquet(path)
+        .where(part_filter)
+    )
 
-        keys = probe.select("ci", "cb", "cv").distinct()
-        occ = idx.join(F.broadcast(keys), ["ci", "cb", "cv"]).groupBy(
-            "ci", "cv"
-        ).agg(F.count(F.lit(1)).alias("_n"))
-        if on_oversize == "raise":
-            occ = occ.withColumn(
-                "_n", _oversize_guard(max_bucket, "phash_index_probe")("_n")
-            )
-        elif stats_out is not None:
-            row = (
-                occ.filter(F.col("_n") > max_bucket)
-                .agg(
-                    F.count(F.lit(1)).alias("b"),
-                    F.coalesce(F.sum("_n"), F.lit(0)).alias("r"),
-                )
-                .collect()[0]
-            )
-            stats_out["dropped_buckets"] = int(row["b"])
-            stats_out["dropped_rows"] = int(row["r"])
-        hot_keys = occ.filter(F.col("_n") > max_bucket).select("ci", "cv")
-        probe_ok = probe.join(
-            F.broadcast(hot_keys), ["ci", "cv"], "left_anti"
+    keys = probe.select("ci", "cb", "cv").distinct()
+    occ = idx.join(F.broadcast(keys), ["ci", "cb", "cv"]).groupBy(
+        "ci", "cv"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    if on_oversize == "raise":
+        occ = occ.withColumn(
+            "_n", _oversize_guard(max_bucket, "phash_index_probe")("_n")
         )
+    elif stats_out is not None:
+        row = (
+            occ.filter(F.col("_n") > max_bucket)
+            .agg(
+                F.count(F.lit(1)).alias("b"),
+                F.coalesce(F.sum("_n"), F.lit(0)).alias("r"),
+            )
+            .collect()[0]
+        )
+        stats_out["dropped_buckets"] = int(row["b"])
+        stats_out["dropped_rows"] = int(row["r"])
+    hot_keys = occ.filter(F.col("_n") > max_bucket).select("ci", "cv")
+    probe_ok = probe.join(
+        F.broadcast(hot_keys), ["ci", "cv"], "left_anti"
+    )
 
-        cand = (
-            idx.join(F.broadcast(probe_ok), ["ci", "cb", "cv"])
-            .select(
-                "batch_id",
-                F.col("media_id").alias("index_id"),
-                "h_b",
-                F.col("dhash").alias("h_i"),
-            )
-            .distinct()
+    # groupBy (not distinct) on the same key: identical shuffle, and
+    # the count of DISTINCT matched chunk slots per pair rides along
+    # for free — for a self pair (batch_id == index_id) it IS the
+    # insert-completeness check (4 = all chunk rows durable), so the
+    # gates' full-presence self-detection costs no second scan
+    cand = (
+        idx.join(F.broadcast(probe_ok), ["ci", "cb", "cv"])
+        .select(
+            "batch_id",
+            F.col("media_id").alias("index_id"),
+            "h_b",
+            F.col("dhash").alias("h_i"),
+            "ci",
         )
-        return (
-            cand.withColumn(
-                "hamming",
-                F.bit_count(F.col("h_b").bitwiseXOR(F.col("h_i"))),
-            )
-            .where(F.col("hamming") <= max_hamming)
-            .select("batch_id", "index_id", "hamming")
+        .groupBy("batch_id", "index_id", "h_b", "h_i")
+        .agg(F.count_distinct("ci").alias("n_chunk_hits"))
+    )
+    cols = ["batch_id", "index_id", "hamming"]
+    if with_chunk_hits:
+        cols.append("n_chunk_hits")
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("h_b").bitwiseXOR(F.col("h_i"))),
         )
-    finally:
-        probe.unpersist()
+        .where(F.col("hamming") <= max_hamming)
+        .select(*cols)
+    )
 
 
 def phash_index_insert(
@@ -1443,6 +1484,7 @@ def video_index_probe(
     max_bucket: int = 2000,
     on_oversize: str = "raise",
     stats_out: dict | None = None,
+    scratch: list | None = None,
 ) -> DataFrame:
     """Near-dup videos between a NEW batch and the persisted frame
     index, in O(batch): the batch's distinct (ci, cb) keys push a
@@ -1483,102 +1525,100 @@ def video_index_probe(
         F.col("_c.cv").alias("cv"),
         (F.col("_c.cv") % n_buckets).alias("cb"),
     )
-    # persist scoped to this call, released in the finally (ADVICE
-    # r11: the per-micro-batch leak accumulated block-store entries
-    # for the stream's lifetime)
+    # persisted for the returned plan's subtrees; a continuous caller
+    # owns the unpersist via ``scratch`` (see phash_index_probe)
     probe = probe.persist()
-    try:
-        touched = [
-            (int(r["ci"]), int(r["cb"]))
-            for r in probe.select("ci", "cb").distinct().collect()
-        ]
-        if not touched:
-            return spark.createDataFrame(
-                [], "batch_id long, index_id long, n_matching_frames long, "
-                    "shift int"
-            )
-        idx = (
-            spark.read.schema(_VIDEO_IDX_SCHEMA)
-            .parquet(path)
-            .where(_touched_filter(touched))
+    if scratch is not None:
+        scratch.append(probe)
+    touched = [
+        (int(r["ci"]), int(r["cb"]))
+        for r in probe.select("ci", "cb").distinct().collect()
+    ]
+    if not touched:
+        return spark.createDataFrame(
+            [], "batch_id long, index_id long, n_matching_frames long, "
+                "shift int"
         )
+    idx = (
+        spark.read.schema(_VIDEO_IDX_SCHEMA)
+        .parquet(path)
+        .where(_touched_filter(touched))
+    )
 
-        keys = probe.select("ci", "cb", "cv").distinct()
-        occ = idx.join(F.broadcast(keys), ["ci", "cb", "cv"]).groupBy(
-            "ci", "cv"
-        ).agg(F.count(F.lit(1)).alias("_n"))
-        if on_oversize == "raise":
-            occ = occ.withColumn(
-                "_n", _oversize_guard(max_bucket, "video_index_probe")("_n")
-            )
-        elif stats_out is not None:
-            row = (
-                occ.filter(F.col("_n") > max_bucket)
-                .agg(
-                    F.count(F.lit(1)).alias("b"),
-                    F.coalesce(F.sum("_n"), F.lit(0)).alias("r"),
-                )
-                .collect()[0]
-            )
-            stats_out["dropped_buckets"] = int(row["b"])
-            stats_out["dropped_rows"] = int(row["r"])
-        hot_keys = occ.filter(F.col("_n") > max_bucket).select("ci", "cv")
-        probe_ok = probe.join(
-            F.broadcast(hot_keys), ["ci", "cv"], "left_anti"
+    keys = probe.select("ci", "cb", "cv").distinct()
+    occ = idx.join(F.broadcast(keys), ["ci", "cb", "cv"]).groupBy(
+        "ci", "cv"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    if on_oversize == "raise":
+        occ = occ.withColumn(
+            "_n", _oversize_guard(max_bucket, "video_index_probe")("_n")
         )
+    elif stats_out is not None:
+        row = (
+            occ.filter(F.col("_n") > max_bucket)
+            .agg(
+                F.count(F.lit(1)).alias("b"),
+                F.coalesce(F.sum("_n"), F.lit(0)).alias("r"),
+            )
+            .collect()[0]
+        )
+        stats_out["dropped_buckets"] = int(row["b"])
+        stats_out["dropped_rows"] = int(row["r"])
+    hot_keys = occ.filter(F.col("_n") > max_bucket).select("ci", "cv")
+    probe_ok = probe.join(
+        F.broadcast(hot_keys), ["ci", "cv"], "left_anti"
+    )
 
-        # batch chunk rows replicated once per offset (keys only,
-        # never payloads): index frame g matches batch frame fi_b at
-        # shift = fi_b - g, so the batch side emits g = fi_b - shift
-        brep = probe_ok.select(
-            "batch_id", "fi_b", "h_b", "ci", "cv", "cb",
-            F.explode(
-                F.array(
-                    *[F.lit(s) for s in range(-max_shift, max_shift + 1)]
-                )
-            ).alias("shift"),
-        ).select(
-            (F.col("fi_b") - F.col("shift")).alias("g"),
-            "ci", "cv", "cb", "batch_id", "h_b", "shift",
-        )
-        cand = (
-            idx.withColumnRenamed("frame_idx", "g")
-            .join(F.broadcast(brep), ["g", "ci", "cb", "cv"])
-            .select(
-                "batch_id",
-                F.col("media_id").alias("index_id"),
-                "g", "shift", "h_b",
-                F.col("fhash").alias("h_i"),
+    # batch chunk rows replicated once per offset (keys only,
+    # never payloads): index frame g matches batch frame fi_b at
+    # shift = fi_b - g, so the batch side emits g = fi_b - shift
+    brep = probe_ok.select(
+        "batch_id", "fi_b", "h_b", "ci", "cv", "cb",
+        F.explode(
+            F.array(
+                *[F.lit(s) for s in range(-max_shift, max_shift + 1)]
             )
-            .distinct()
-            .where(
-                F.bit_count(F.col("h_b").bitwiseXOR(F.col("h_i")))
-                <= max_hamming
+        ).alias("shift"),
+    ).select(
+        (F.col("fi_b") - F.col("shift")).alias("g"),
+        "ci", "cv", "cb", "batch_id", "h_b", "shift",
+    )
+    cand = (
+        idx.withColumnRenamed("frame_idx", "g")
+        .join(F.broadcast(brep), ["g", "ci", "cb", "cv"])
+        .select(
+            "batch_id",
+            F.col("media_id").alias("index_id"),
+            "g", "shift", "h_b",
+            F.col("fhash").alias("h_i"),
+        )
+        .distinct()
+        .where(
+            F.bit_count(F.col("h_b").bitwiseXOR(F.col("h_i")))
+            <= max_hamming
+        )
+    )
+    per_shift = cand.groupBy("batch_id", "index_id", "shift").agg(
+        F.count(F.lit(1)).alias("_nm")
+    )
+    best = per_shift.groupBy("batch_id", "index_id").agg(
+        F.max(
+            F.struct(
+                F.col("_nm").alias("nm"),
+                (-F.abs(F.col("shift"))).alias("negabs"),
+                (-F.col("shift")).alias("negshift"),
+                F.col("shift").alias("shift"),
             )
+        ).alias("_b")
+    )
+    return (
+        best.select(
+            "batch_id", "index_id",
+            F.col("_b.nm").alias("n_matching_frames"),
+            F.col("_b.shift").alias("shift"),
         )
-        per_shift = cand.groupBy("batch_id", "index_id", "shift").agg(
-            F.count(F.lit(1)).alias("_nm")
-        )
-        best = per_shift.groupBy("batch_id", "index_id").agg(
-            F.max(
-                F.struct(
-                    F.col("_nm").alias("nm"),
-                    (-F.abs(F.col("shift"))).alias("negabs"),
-                    (-F.col("shift")).alias("negshift"),
-                    F.col("shift").alias("shift"),
-                )
-            ).alias("_b")
-        )
-        return (
-            best.select(
-                "batch_id", "index_id",
-                F.col("_b.nm").alias("n_matching_frames"),
-                F.col("_b.shift").alias("shift"),
-            )
-            .where(F.col("n_matching_frames") >= min_frames)
-        )
-    finally:
-        probe.unpersist()
+        .where(F.col("n_matching_frames") >= min_frames)
+    )
 
 
 def video_index_insert(

@@ -2283,11 +2283,16 @@ def q_er_resolve_entities(spark, sf_dir):
     own id as entity_id through the left-join recovery."""
     from ai_fabric_etl_spark.operators import dedup as _dedup
 
+    # persisted: the base-names aggregate feeds FOUR consumers (the
+    # offset scalar, both typo-variant branches, and the recs union) —
+    # unpersisted, each re-scans and re-aggregates the part table
+    # (r12: the only driver-flagged r11 perf row; the SymSpell block
+    # path itself was audited sound, this was the repeated-scan slack)
     names = (
         _t(spark, sf_dir, "part")
         .groupBy(F.col("p_name").alias("text"))
         .agg(F.min("p_partkey").alias("doc_id"))
-    )
+    ).persist()
     # variant-id offset DERIVED from the data (max key + 1): fixed
     # literal offsets collide with base ids once keys outgrow them
     # (p_partkey passes 1e7 at TPC-H SF 50), silently merging

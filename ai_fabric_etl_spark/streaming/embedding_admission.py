@@ -171,12 +171,20 @@ def admit_embeddings_batch(
                        "n_admitted": sum(1 for r in dec_rows if r.admitted)},
                       fh)
 
-    decided = spark.createDataFrame(dec_rows, dec_schema)
+    # one-slice localized frame: the decision rows are already on the
+    # driver, and a default createDataFrame would scatter them over
+    # defaultParallelism partitions whose single-file rewrite costs
+    # ~10x the write itself (see merge.append's n_files note)
+    decided = spark.createDataFrame(
+        spark.sparkContext.parallelize(dec_rows, 1), dec_schema
+    )
     # O(batch) ledger commit: a new version hardlinks the prior
     # version's files + one new decision file (VERDICT r11 weak #1 —
     # the old unionByName+overwrite rewrote the full decision history
     # every micro-batch). retain=2 bounds directory-entry growth.
-    table.append(decided, epoch=epoch_id, app_id=app_id, retain=2)
+    table.append(
+        decided, epoch=epoch_id, app_id=app_id, retain=2, n_files=None
+    )
     rejected.unpersist()
     batch.unpersist()
     pairs.unpersist()

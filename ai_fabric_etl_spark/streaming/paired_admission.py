@@ -90,28 +90,26 @@ def admit_pairs_batch(
     )
 
     # --- image side ---
+    # one row per INPUT pair; NULL dhash = undecodable image payload
+    # (quarantine — a poison pair must not fail the micro-batch)
     hashes = multimodal.dhash64(
-        pairs_batch, fake=fake, id_col=id_col, payload_col=payload_col
+        pairs_batch, fake=fake, id_col=id_col, payload_col=payload_col,
+        on_error="null",
     ).withColumnRenamed(id_col, "doc_id").persist()
+    hashed = hashes.filter(F.col("dhash").isNotNull())
+    scratch: list = []
     probe = multimodal.phash_index_probe(
-        spark, image_index_path, hashes, max_hamming=max_hamming,
-        id_col="doc_id",
+        spark, image_index_path, hashed, max_hamming=max_hamming,
+        id_col="doc_id", scratch=scratch, with_chunk_hits=True,
     ).persist()
-    # full-presence self-detection (ADVICE r11 — see admit_media_batch):
-    # skip the re-insert only when all 4 chunk rows are durable
-    i_self_cand = probe.filter(
-        F.col("batch_id") == F.col("index_id")
+    # full-presence self-detection (ADVICE r11): skip the re-insert
+    # only when all 4 chunk rows are durable — the probe's
+    # n_chunk_hits carries the completeness check for free
+    i_self = probe.filter(
+        (F.col("batch_id") == F.col("index_id"))
+        & (F.col("n_chunk_hits") >= 4)
     ).select(F.col("batch_id").alias("doc_id")).distinct()
-    i_self = (
-        multimodal.phash_index_presence(
-            spark, image_index_path,
-            hashes.join(i_self_cand, "doc_id", "left_semi"),
-            id_col="doc_id",
-        )
-        .filter(F.col("n_chunks") >= 4)
-        .select("doc_id")
-    )
-    batch_ids = hashes.select(F.col("doc_id").alias("index_id")).distinct()
+    batch_ids = hashed.select(F.col("doc_id").alias("index_id")).distinct()
     i_index_dups = (
         probe.join(F.broadcast(batch_ids), "index_id", "left_anti")
         .groupBy("batch_id")
@@ -146,7 +144,7 @@ def admit_pairs_batch(
 
     # --- within-batch: component policy over the UNION graph ---
     i_within = multimodal.phash_near_pairs(
-        hashes, max_hamming=max_hamming, id_col="doc_id"
+        hashed, max_hamming=max_hamming, id_col="doc_id"
     ).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
         "hamming",
@@ -226,14 +224,18 @@ def admit_pairs_batch(
         )
     ).persist()
 
-    # decisions cover EVERY input pair (ADVICE r11): a pair whose
-    # image payload is undecodable yields no hash row — it quarantines
-    # (admitted=false, reject_modality='decode', NULL dup_ofs) instead
-    # of silently getting no decision, and neither of its sides is
-    # inserted into an index
-    decoded = hashes.select("doc_id").withColumn("_decoded", F.lit(True))
+    # decisions cover EVERY input pair (ADVICE r11): the text side's
+    # sig frame always carries one row per pair, and the image hasher
+    # emits a NULL-hash row per undecodable payload (on_error='null')
+    # — a pair with an undecodable image quarantines
+    # (admitted=false, reject_modality='decode', NULL dup_ofs) and
+    # neither of its sides is inserted into an index. Both frames are
+    # already persisted: no second pass over the batch source.
+    decoded = hashes.filter(F.col("dhash").isNotNull()).select(
+        "doc_id"
+    ).withColumn("_decoded", F.lit(True))
     decisions = (
-        pairs_batch.select(F.col(id_col).alias("doc_id")).distinct()
+        sig.select("doc_id")
         .join(decoded, "doc_id", "left")
         .join(rejected, "doc_id", "left")
         .select(
@@ -258,7 +260,9 @@ def admit_pairs_batch(
         .join(rejected.select("doc_id"), "doc_id", "left_anti")
         .join(decoded.select("doc_id"), "doc_id", "left_semi")
     ).persist()
-    t_insert = admit_ids.join(t_self, "doc_id", "left_anti")
+    # persisted: evaluated by BOTH text writes (sigs, bands) — its
+    # t_self lineage re-runs the band-pruned candidate scan otherwise
+    t_insert = admit_ids.join(t_self, "doc_id", "left_anti").persist()
     sig.join(F.broadcast(t_insert), "doc_id").select(
         "doc_id", "hs"
     ).write.mode("append").parquet(f"{text_index_path}/sigs")
@@ -279,7 +283,7 @@ def admit_pairs_batch(
         f"{text_index_path}/bands"
     )
     i_insert = (
-        hashes.join(F.broadcast(admit_ids), "doc_id")
+        hashed.join(F.broadcast(admit_ids), "doc_id")
         .join(i_self, "doc_id", "left_anti")
         .select("doc_id", "dhash")
     )
@@ -287,19 +291,31 @@ def admit_pairs_batch(
         spark, image_index_path, i_insert, id_col="doc_id"
     )
 
-    decided = spark.createDataFrame(dec_rows, dec_schema)
+    # one-slice localized frame: the decision rows are already on the
+    # driver, and a default createDataFrame would scatter them over
+    # defaultParallelism partitions whose single-file rewrite costs
+    # ~10x the write itself (see merge.append's n_files note)
+    decided = spark.createDataFrame(
+        spark.sparkContext.parallelize(dec_rows, 1), dec_schema
+    )
     # O(batch) ledger commit: a new version hardlinks the prior
     # version's files + one new decision file (VERDICT r11 weak #1 —
     # the old unionByName+overwrite rewrote the full decision history
     # every micro-batch). retain=2 bounds directory-entry growth.
-    table.append(decided, epoch=epoch_id, app_id=app_id, retain=2)
+    table.append(
+        decided, epoch=epoch_id, app_id=app_id, retain=2, n_files=None
+    )
     admit_ids.unpersist()
+    t_insert.unpersist()
     rejected.unpersist()
     index_rejected.unpersist()
     sig.unpersist()
     bk.unpersist()
     hashes.unpersist()
     probe.unpersist()
+    occ.unpersist()
+    for fr in scratch:
+        fr.unpersist()
 
 
 def admit_pairs_stream(

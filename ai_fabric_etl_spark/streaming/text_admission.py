@@ -99,8 +99,8 @@ def _text_probe(
     paired gate: shingle+sign the batch, prune the band index to the
     touched buckets (live occupancy skew policy), verify candidates
     with exact Jaccard, and compute the within-batch pair list.
-    Returns ``(sig, bk, self_ids, index_dups, within, occ)`` — sig
-    and bk come back PERSISTED (the caller unpersists after its
+    Returns ``(sig, bk, self_ids, index_dups, within, occ)`` — sig,
+    bk, and occ come back PERSISTED (the caller unpersists after its
     inserts)."""
     sig, bk = _sig_bands(docs_batch, text_col, num_hashes, bands, n)
     bk = bk.persist()
@@ -130,6 +130,10 @@ def _text_probe(
         )
         stats_out["dropped_buckets"] = int(row["b"])
         stats_out["dropped_rows"] = int(row["r"])
+    # persisted: occ feeds the hot-bucket filter inside the probe AND
+    # the live bucket_size recount at insert time — unpersisted, the
+    # insert re-scans the pruned band index (caller unpersists)
+    occ = occ.persist()
     hot = occ.filter(F.col("_n") > max_bucket).select("band", "bucket")
     bk_ok = bk.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
 
@@ -315,16 +319,25 @@ def admit_text_batch(
         f"{index_path}/bands"
     )
 
-    decided = spark.createDataFrame(dec_rows, dec_schema)
+    # one-slice localized frame: the decision rows are already on the
+    # driver, and a default createDataFrame would scatter them over
+    # defaultParallelism partitions whose single-file rewrite costs
+    # ~10x the write itself (see merge.append's n_files note)
+    decided = spark.createDataFrame(
+        spark.sparkContext.parallelize(dec_rows, 1), dec_schema
+    )
     # O(batch) ledger commit: a new version hardlinks the prior
     # version's files + one new decision file (VERDICT r11 weak #1 —
     # the old unionByName+overwrite rewrote the full decision history
     # every micro-batch). retain=2 bounds directory-entry growth.
-    table.append(decided, epoch=epoch_id, app_id=app_id, retain=2)
+    table.append(
+        decided, epoch=epoch_id, app_id=app_id, retain=2, n_files=None
+    )
     rejected.unpersist()
     admit_ids.unpersist()
     sig.unpersist()
     bk.unpersist()
+    occ.unpersist()
 
 
 def admit_text_stream(

@@ -261,7 +261,11 @@ def compact_line(out: dict, budget: int = LINE_BUDGET) -> str:
         "full": "BENCH_FULL.json",
     }
     if out.get("gate_trend"):
-        slim["gate_trend"] = out["gate_trend"]
+        # 2dp lists keep the printed line lean; 3dp detail in FULL
+        slim["gate_trend"] = {
+            k: ([round(x, 2) for x in v] if isinstance(v, list) else v)
+            for k, v in out["gate_trend"].items()
+        }
     regs = out.get("regressions", [])
     if regs:
         slim["regressions"] = [[r["query"], r["ratio"]] for r in regs[:6]]

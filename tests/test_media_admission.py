@@ -267,3 +267,28 @@ def test_partial_self_insert_completes_on_replay(spark, tmp_path):
     assert d == {100: (True, None)}
     pres = multimodal.phash_index_presence(spark, idx, hashes).collect()[0]
     assert pres.n_chunks == 4
+
+
+def test_undecodable_payload_quarantines(spark, tmp_path):
+    """A corrupt image payload must not fail the micro-batch (poison
+    pill) NOR vanish: the hasher emits a NULL-hash row
+    (on_error='null') and the gate records an explicit quarantine —
+    admitted=false with NULL dup_of — while the decodable rows of the
+    same batch route normally and the corrupt id never enters the
+    index."""
+    idx = str(tmp_path / "idx")
+    state = str(tmp_path / "state")
+    _init_index(spark, idx)
+    corrupt = bytearray(bytes(_img(5))[:20])  # sniffs as BMP, truncated
+    b = _media(spark, [(1, _img(1)), (2, corrupt)])
+    admit_media_batch(spark, b, idx, state, epoch_id=0, app_id="t")
+    d = {r.media_id: (r.admitted, r.dup_of)
+         for r in read_decisions(spark, state).collect()}
+    assert d == {1: (True, None), 2: (False, None)}
+    idx_ids = {
+        r.media_id
+        for r in spark.read.schema(
+            "media_id long, dhash long, cv long, ci int, cb int"
+        ).parquet(idx).select("media_id").distinct().collect()
+    }
+    assert idx_ids == {1}
