@@ -316,6 +316,8 @@ def main() -> None:
     headline, skip_x12 = HEADLINE, False
     if subset == "scale":
         headline, skip_x12 = SCALE_HEADLINE, True
+    elif subset == "gate_trend":
+        headline, skip_x12 = [], True  # trend block only (below)
     elif subset:
         headline = [q for q in subset.split(",") if q]
         skip_x12 = "x12_silver_transactions" not in headline
