@@ -197,3 +197,103 @@ def run_gate_trends(
     )
 
     return out
+
+
+def run_compaction_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    n_appends: int = 100,
+    n_base: int = 200,
+) -> dict:
+    """The compaction bench row (VERDICT r11 item 2): probe latency
+    against a phash index FRAGMENTED by ``n_appends`` single-image
+    inserts vs the same index after ``maintenance.compact_index``,
+    plus proof the decisions are identical. The fragmented index is a
+    persisted fixture (building it once is the point — a stream
+    fragments its index for free); each run copies it, compacts the
+    copy, and probes both, so the fixture never mutates."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ai_fabric_etl_spark.operators.maintenance import compact_index
+    from ai_fabric_etl_spark.queries.text_queries import _bench_fixture
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < n_base
+    )
+    root, mark = _bench_fixture(
+        sf_dir, "frag_phash",
+        {"n_base": n_base, "n_appends": n_appends, "n_buckets": 16,
+         "v": 1},
+    )
+    idx = os.path.join(root, "index")
+    if mark is not None:
+        multimodal.phash_index_write(
+            multimodal.dhash64(
+                multimodal.synthesize_noise_images(docs), fake=False
+            ),
+            idx, n_buckets=16,
+        )
+        for b in range(n_appends):  # one tiny insert per micro-batch
+            one = multimodal.synthesize_noise_images(
+                docs.filter(F.col("doc_id") == b % n_base).select(
+                    (F.col("doc_id") + _BASE + b).alias("doc_id")
+                ),
+                key_prefix=f"frag{b}:",
+            )
+            multimodal.phash_index_insert(
+                spark, idx, multimodal.dhash64(one, fake=False)
+            )
+        mark()
+
+    def count_files(p):
+        import glob
+        return len([
+            f for f in glob.glob(os.path.join(p, "**", "*.parquet"),
+                                 recursive=True)
+            if not os.path.basename(f).startswith((".", "_"))
+        ])
+
+    probe_batch = multimodal.dhash64(
+        multimodal.synthesize_noise_images(
+            docs.filter(F.col("doc_id") < 10)
+        ).select((F.col("media_id") + 900000).alias("media_id"), "payload")
+        .unionByName(
+            multimodal.synthesize_noise_images(
+                docs.filter(F.col("doc_id") < 10).select(
+                    (F.col("doc_id") + 950000).alias("doc_id")
+                ),
+                key_prefix="novelcp:",
+            ).select("media_id", "payload")
+        ),
+        fake=False,
+    ).persist()
+    probe_batch.count()
+
+    def timed_probe(path):
+        t0 = time.perf_counter()
+        rows = sorted(map(tuple, multimodal.phash_index_probe(
+            spark, path, probe_batch
+        ).collect()))
+        return round(time.perf_counter() - t0, 3), rows
+
+    frag_sec, frag_rows = timed_probe(idx)
+    copy = tempfile.mkdtemp(prefix="compact_probe_") + "/index"
+    shutil.copytree(idx, copy)
+    t0 = time.perf_counter()
+    stats = compact_index(spark, copy)
+    compact_sec = round(time.perf_counter() - t0, 3)
+    comp_sec, comp_rows = timed_probe(copy)
+    probe_batch.unpersist()
+    shutil.rmtree(os.path.dirname(copy), ignore_errors=True)
+    return {
+        "files_fragmented": count_files(idx),
+        "files_compacted": stats["files_after"],
+        "probe_fragmented_sec": frag_sec,
+        "probe_compacted_sec": comp_sec,
+        "compact_sec": compact_sec,
+        "identical_decisions": frag_rows == comp_rows,
+        "n_matches": len(frag_rows),
+    }

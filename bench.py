@@ -266,6 +266,8 @@ def compact_line(out: dict, budget: int = LINE_BUDGET) -> str:
             k: ([round(x, 2) for x in v] if isinstance(v, list) else v)
             for k, v in out["gate_trend"].items()
         }
+    if out.get("compaction_probe"):
+        slim["compaction_probe"] = out["compaction_probe"]
     regs = out.get("regressions", [])
     if regs:
         slim["regressions"] = [[r["query"], r["ratio"]] for r in regs[:6]]
@@ -402,13 +404,19 @@ def main() -> None:
     # cannot see. Runs on the full headline pass or on demand
     # (SPARK_GRAFT_BENCH_QUERIES=gate_trend).
     gate_trend: dict = {}
+    compaction_probe: dict = {}
     if headline is HEADLINE or subset == "gate_trend":
         try:
             from ai_fabric_etl_spark.queries.gate_trend import (
+                run_compaction_probe,
                 run_gate_trends,
             )
 
             gate_trend = run_gate_trends(spark, SF_DIR)
+            # index small-file maintenance (VERDICT r11 item 2): probe
+            # vs a 100-append fragmented index, then vs its compacted
+            # copy — identical decisions, bounded file counts
+            compaction_probe = run_compaction_probe(spark, SF_DIR)
         except Exception as ex:  # noqa: BLE001 - keep the suite alive
             errors["gate_trend"] = f"{type(ex).__name__}: {ex}"[:300]
 
@@ -426,6 +434,8 @@ def main() -> None:
     }
     if gate_trend:
         out["gate_trend"] = gate_trend
+    if compaction_probe:
+        out["compaction_probe"] = compaction_probe
     prev_file, prev = _previous_round_timings()
     regressions = [
         {
