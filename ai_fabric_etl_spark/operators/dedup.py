@@ -428,6 +428,62 @@ def minhash_lsh_pairs(
     return _verify_jaccard(cand, sig.select("doc_id", "hs"), threshold)
 
 
+_SIG_BUCKETS = 64
+_MINHASH_META = "_minhash_index_meta.json"
+
+
+def sig_store_buckets(index_path: str) -> int | None:
+    """The sig store's doc_id-bucket count, pinned at write time in
+    ``_minhash_index_meta.json``; None for a legacy flat ``sigs/``
+    layout (pre-r13 indexes keep reading and appending flat)."""
+    import json
+    import os
+
+    try:
+        with open(
+            os.path.join(index_path, _MINHASH_META), encoding="utf-8"
+        ) as fh:
+            return int(json.load(fh)["sig_buckets"])
+    except FileNotFoundError:
+        return None
+
+
+def _sig_bucket(doc_col, n_buckets: int):
+    return F.pmod(F.col(doc_col) if isinstance(doc_col, str) else doc_col,
+                  F.lit(n_buckets)).cast("int")
+
+
+def sig_store_read(spark, index_path: str, sb_values=None) -> DataFrame:
+    """(doc_id, hs) from the index's signature store. On a bucketed
+    store, ``sb_values`` (a SMALL python list of touched bucket ids —
+    at most ``sig_buckets``, collected from the candidate pairs)
+    statically prunes the scan to those ``sb=`` partition dirs, so a
+    per-batch exact-Jaccard verify reads only the candidates' slice of
+    the corpus sig arrays instead of materializing every stored
+    shingle set (VERDICT r12 item 4: that full scan was ~6s of the
+    paired gate's 24.6s batch)."""
+    df = spark.read.parquet(f"{index_path}/sigs")
+    if sig_store_buckets(index_path) is not None and sb_values is not None:
+        df = df.where(F.col("sb").isin([int(x) for x in sb_values]))
+    return df.select("doc_id", "hs")
+
+
+def sig_store_append(sig_rows: DataFrame, index_path: str) -> None:
+    """Append (doc_id, hs) rows in the store's own layout (bucketed
+    ``sb=`` dirs when the meta pins them, flat otherwise) — an insert
+    bucketed differently from the writer would strand signatures in
+    partitions no pruned verify reads."""
+    n = sig_store_buckets(index_path)
+    if n is None:
+        sig_rows.select("doc_id", "hs").write.mode("append").parquet(
+            f"{index_path}/sigs"
+        )
+        return
+    sig_rows.select(
+        "doc_id", "hs", _sig_bucket("doc_id", n).alias("sb")
+    ).write.partitionBy("sb").mode("append").parquet(f"{index_path}/sigs")
+
+
 def minhash_index_write(
     docs: DataFrame,
     path: str,
@@ -435,6 +491,7 @@ def minhash_index_write(
     num_hashes: int = 32,
     bands: int = 8,
     n: int = 3,
+    sig_buckets: int = _SIG_BUCKETS,
 ) -> None:
     """Persist the MinHash LSH index for INCREMENTAL dedup: a
     continuously-ingested corpus must not re-shingle and re-sign 100 TB
@@ -445,11 +502,16 @@ def minhash_index_write(
     - ``bands/`` — (doc_id, bucket, bucket_size) partitioned by
       ``band``; bucket_size is precomputed at build time so queries
       apply the skew guard without re-aggregating the index.
-    - ``sigs/`` — (doc_id, hs): the hashed shingle sets that let the
-      incremental path confirm candidates with EXACT Jaccard (same
-      contract as the batch path). ~8 bytes/shingle; drop this side
-      and verify on signature agreement if the deployment can accept
-      estimated similarity instead.
+    - ``sigs/`` — (doc_id, hs) partitioned by ``sb = doc_id mod
+      sig_buckets`` (pinned in ``_minhash_index_meta.json``): the
+      hashed shingle sets that let the incremental path confirm
+      candidates with EXACT Jaccard (same contract as the batch
+      path). The bucketing lets a verify statically prune to the
+      candidate ids' partitions — at 100 TB the sig store is the fat
+      side (every stored shingle set), and a per-batch verify must
+      never materialize all of it (VERDICT r12 item 4). ~8
+      bytes/shingle; drop this side and verify on signature agreement
+      if the deployment can accept estimated similarity instead.
 
     Rebuild-free growth: ``minhash_dedup_incremental`` appends its
     batch to both directories after screening, keeping the index
@@ -457,6 +519,9 @@ def minhash_index_write(
     layouts are plain partitioned parquet precisely so a Delta-style
     append is one write).
     """
+    import json
+    import os
+
     sig = docs.select(
         "doc_id",
         hashed_shingles(F.col(text_col), n).alias("hs"),
@@ -468,7 +533,13 @@ def minhash_index_write(
         F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
     )
     sized.write.partitionBy("band").mode("overwrite").parquet(f"{path}/bands")
-    sig.select("doc_id", "hs").write.mode("overwrite").parquet(f"{path}/sigs")
+    sig.select(
+        "doc_id", "hs", _sig_bucket("doc_id", sig_buckets).alias("sb")
+    ).write.partitionBy("sb").mode("overwrite").parquet(f"{path}/sigs")
+    tmp = os.path.join(path, f".{_MINHASH_META}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"sig_buckets": int(sig_buckets)}, fh)
+    os.replace(tmp, os.path.join(path, _MINHASH_META))
     sig.unpersist()
 
 
@@ -542,9 +613,25 @@ def minhash_dedup_incremental(
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
-    cand = cand_cross.unionByName(cand_within).dropDuplicates(["doc_a", "doc_b"])
+    cand = cand_cross.unionByName(cand_within).dropDuplicates(
+        ["doc_a", "doc_b"]
+    ).persist()
+    # corpus-side sig read statically pruned to the candidate doc_a
+    # ids' sb partitions (bucketed stores; a legacy flat store reads
+    # whole) — the verify touches only the candidates' slice of the
+    # corpus shingle sets, never all of them. cand is persisted so the
+    # sb collect and the verify share one candidate materialization.
+    n_sb = sig_store_buckets(index_path)
+    sbs = None
+    if n_sb is not None:
+        sbs = [
+            r["sb"]
+            for r in cand.select(
+                _sig_bucket("doc_a", n_sb).alias("sb")
+            ).distinct().collect()
+        ]
     hs_all = (
-        spark.read.parquet(f"{index_path}/sigs")
+        sig_store_read(spark, index_path, sbs)
         .unionByName(new_sig.select("doc_id", "hs"))
     )
     return _verify_jaccard(cand, hs_all, threshold)

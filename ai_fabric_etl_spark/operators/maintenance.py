@@ -4,9 +4,10 @@
 Every admission micro-batch appends one parquet file per touched
 partition into the persisted indexes — the image/audio phash index
 and the video frame-hash index (``ci=<i>/cb=<b>/`` dirs,
-operators/multimodal.py), the MinHash text index (``sigs/`` flat +
-``bands/band=<b>/`` dirs, operators/dedup.py /
-streaming/text_admission.py), and the embedding LSH index
+operators/multimodal.py), the MinHash text index (``sigs/sb=<b>/``
+— flat on pre-r13 indexes — + ``bands/band=<b>/`` dirs,
+operators/dedup.py / streaming/text_admission.py), and the embedding
+LSH index
 (``keys/table=<t>/`` + ``vecs/``, operators/similarity.py). The
 probes stay partition-PRUNED regardless, but after 10^4–10^5 batches
 per-partition file listings and parquet footer reads dominate the
@@ -69,6 +70,13 @@ def compact_parquet_dir(
     leaves = _leaf_dirs(path)
     before = after = compacted = 0
     for leaf in leaves:
+        # a crash after the tmp-dir write but before os.replace leaves
+        # an orphan `_compacting-*` dir nothing else removes (readers
+        # and _leaf_dirs skip underscore dirs; the next run mints a
+        # fresh uuid) — unreferenced by construction, so reap it here
+        # (ADVICE r12)
+        for orphan in glob.glob(os.path.join(leaf, "_compacting-*")):
+            shutil.rmtree(orphan, ignore_errors=True)
         files = sorted(
             f for f in glob.glob(os.path.join(leaf, "*.parquet"))
             if not os.path.basename(f).startswith((".", "_"))
@@ -145,3 +153,53 @@ def compact_index(spark: SparkSession, path: str) -> dict:
     if not known:
         return compact_parquet_dir(spark, path, dedupe=False)
     return stats
+
+
+def maintenance_tick(
+    spark: SparkSession,
+    epoch_id: int,
+    every_n_epochs: int | None,
+    index_paths: list[str] | tuple[str, ...],
+    state_dir: str | None = None,
+    min_files: int = 2,
+) -> dict | None:
+    """The gates' SCHEDULED maintenance hook (VERDICT r12 item 2):
+    called by every admission gate's foreachBatch fold AFTER the
+    epoch's decision commit — the documented quiet point (the fold is
+    serial, so no writer is concurrent) — and a no-op except on every
+    ``every_n_epochs``-th epoch. On a firing epoch it compacts each
+    persisted index (:func:`compact_index`, byte-identical probe
+    decisions) and rewrites the decision ledger's current version into
+    one file (``ParquetMergeTable.compact``, epoch guard carried
+    forward), so a 10^5-batch stream bounds its per-leaf file counts
+    mechanically instead of relying on an operator remembering to run
+    maintenance.
+
+    Cost shape: the ledger rewrite is O(ledger) and each index leaf
+    rewrite is O(leaf), paid once per N batches — amortized O(size/N)
+    per batch, the standard compaction trade. Crash mid-tick is safe
+    in both halves: compact_parquet_dir is add-then-remove (duplicate
+    rows at worst, removed by the next tick), the ledger compact is
+    one atomic pointer swap, and a replayed epoch skips the fold
+    entirely (the guard advanced with the commit) so the tick simply
+    runs again at the next firing epoch. Returns the stats dict on a
+    firing epoch, None otherwise."""
+    if not every_n_epochs or every_n_epochs < 1:
+        return None
+    if (int(epoch_id) + 1) % every_n_epochs:
+        return None
+    out: dict = {"epoch": int(epoch_id), "indexes": {}}
+    for p in index_paths:
+        out["indexes"][p] = compact_index(spark, p)
+    if state_dir is not None:
+        from ai_fabric_etl_spark.operators.merge import ParquetMergeTable
+
+        t = ParquetMergeTable(spark, state_dir)
+        if t.exists():
+            t.compact(target_files=1)
+            # same retention the gates' appends use (retain=2): the
+            # compact commit added a version, so without this the
+            # table briefly holds three until the next append vacuums
+            t.vacuum(keep_last=2)
+            out["ledger_compacted"] = True
+    return out

@@ -888,16 +888,23 @@ def video_frame_hashes(
     fake: bool = True,
     id_col: str = "media_id",
     payload_col: str = "payload",
+    on_error: str = "raise",
 ) -> DataFrame:
     """(id, frame_idx, fhash) — per-sampled-frame 64-bit dHash over
     Y4M luma planes (the video face of :func:`dhash64`): near-
     duplicate videos (re-encodes, trims, watermark-free mirrors of
     the same clip) share frame fingerprints at aligned indices.
     ``every_n`` samples every n-th frame (the frame_sample_plan
-    cadence). One linear mapInPandas decode pass; output rows =
-    sampled frames, never buffered whole-video."""
+    cadence). ``on_error`` (fake=False only): ``"raise"`` fails the
+    task on a corrupt/unsniffable payload; ``"null"`` emits NO frame
+    rows for it — the continuous-gate mode (ADVICE r12: one poison
+    clip must quarantine through the gate's zero-frame decision path,
+    not fail the micro-batch forever). One linear mapInPandas decode
+    pass; output rows = sampled frames, never buffered whole-video."""
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1, got {every_n}")
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -905,16 +912,20 @@ def video_frame_hashes(
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload)
                 frames = None
+                bad = False
                 if codecs.sniff_format(payload) == "y4m":
                     try:
                         _, _, _, frames = codecs.decode_y4m(payload)
                     except Exception as exc:  # noqa: BLE001
-                        if not fake:
+                        if not fake and on_error == "raise":
                             raise ValueError(
                                 f"corrupt Y4M payload: {exc}"
                             ) from exc
+                        bad = True
                 if frames is None:
                     if not fake:
+                        if bad or on_error == "null":
+                            continue  # quarantine: no frame rows
                         raise NotImplementedError(
                             "video_frame_hashes decodes Y4M only; call "
                             "with fake=True for plumbing tests"
@@ -1257,23 +1268,24 @@ def phash_index_probe(
         F.broadcast(hot_keys), ["ci", "cv"], "left_anti"
     )
 
-    # groupBy (not distinct) on the same key: identical shuffle, and
-    # the count of DISTINCT matched chunk slots per pair rides along
-    # for free — for a self pair (batch_id == index_id) it IS the
-    # insert-completeness check (4 = all chunk rows durable), so the
-    # gates' full-presence self-detection costs no second scan
-    cand = (
-        idx.join(F.broadcast(probe_ok), ["ci", "cb", "cv"])
-        .select(
-            "batch_id",
-            F.col("media_id").alias("index_id"),
-            "h_b",
-            F.col("dhash").alias("h_i"),
-            "ci",
-        )
-        .groupBy("batch_id", "index_id", "h_b", "h_i")
-        .agg(F.count_distinct("ci").alias("n_chunk_hits"))
+    # default path: plain .distinct() over the candidate pairs — the
+    # cheapest dedup plan (r12's unconditional groupBy+count_distinct
+    # variant regressed this probe ~1.7x; the chunk-hit count is now
+    # computed only when a caller asks, and the gates' self-detection
+    # uses phash_index_presence instead — ADVICE r12)
+    cand_base = idx.join(F.broadcast(probe_ok), ["ci", "cb", "cv"]).select(
+        "batch_id",
+        F.col("media_id").alias("index_id"),
+        "h_b",
+        F.col("dhash").alias("h_i"),
+        "ci",
     )
+    if with_chunk_hits:
+        cand = cand_base.groupBy("batch_id", "index_id", "h_b", "h_i").agg(
+            F.count_distinct("ci").alias("n_chunk_hits")
+        )
+    else:
+        cand = cand_base.drop("ci").distinct()
     cols = ["batch_id", "index_id", "hamming"]
     if with_chunk_hits:
         cols.append("n_chunk_hits")

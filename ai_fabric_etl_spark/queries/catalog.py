@@ -95,26 +95,31 @@ _PRIORITY = [
     # / dedup_incremental_planted / multimodal_phash_incremental
     # never) — the last two freshly touched this round (salt API,
     # fixture cache) and worth a direct gate. ---
-    # --- r12 rotation (VERDICT r11 item 6): the ten r11-rotation
-    # entries (each with a fresh r11 direct green) move back to fp
-    # composites; in their place, ten LONG-COMPOSITE residents whose
-    # last direct row predates r8 or never existed — the four the
-    # verdict names (a11_pivot_daily / a14_unpivot_daily /
-    # set_intersect_except / scalar_datetime) plus six never-direct
-    # window/rollup/KQL entries (w2/w5/w6/w7, rollup_region_nation,
-    # a9_summarize_events — sweep-verified every round since r3 but
-    # never driver-visible). All twenty remain value-oracled in both
-    # positions (fp membership checked before the swap). ---
-    "a11_pivot_daily",
-    "a14_unpivot_daily",
-    "set_intersect_except",
-    "scalar_datetime",
-    "w2_rank_topk",
-    "w5_ntile_distribution",
-    "w6_lag_lead_deltas",
-    "w7_time_range_frame",
-    "rollup_region_nation",
-    "a9_summarize_events",
+    # --- r12 rotation (VERDICT r11 item 6) HISTORY: ten
+    # long-composite residents (a11_pivot_daily, a14_unpivot_daily,
+    # set_intersect_except, scalar_datetime, w2/w5/w6/w7,
+    # rollup_region_nation, a9_summarize_events) held direct slots
+    # and went green in CORRECTNESS_r12; they return to their fp
+    # composites below. ---
+    # --- r13 rotation (VERDICT r12 item 6): ten NEVER-direct
+    # fp-composite residents take the freed slots — the eight the
+    # verdict names (source_csv/jsonl/orc_roundtrip,
+    # sample_token_budget, text_line_dedup, graph_pagerank_suppliers,
+    # lakehouse_change_feed, dq_expectations_orders) plus the two
+    # remaining never-direct source connectors (fixed-width, XML).
+    # Verified before the swap: none appears in any CORRECTNESS_r*
+    # file, and each remains a member of its fp composite, so every
+    # oracle stays driver-visible in both positions. ---
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    "source_orc_roundtrip",
+    "source_fixedwidth_roundtrip",
+    "source_xml_roundtrip",
+    "sample_token_budget",
+    "text_line_dedup",
+    "graph_pagerank_suppliers",
+    "lakehouse_change_feed",
+    "dq_expectations_orders",
     # --- r10 rotation (VERDICT r9 item 6): eight entries whose last
     # direct driver row predates r6 (the r4 behavior/profile family —
     # composite-resident since) take named slots; the eight

@@ -223,30 +223,29 @@ def run_compaction_probe(
     docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
         F.col("doc_id") < n_base
     )
-    root, mark = _bench_fixture(
+    with _bench_fixture(
         sf_dir, "frag_phash",
         {"n_base": n_base, "n_appends": n_appends, "n_buckets": 16,
          "v": 1},
-    )
-    idx = os.path.join(root, "index")
-    if mark is not None:
-        multimodal.phash_index_write(
-            multimodal.dhash64(
-                multimodal.synthesize_noise_images(docs), fake=False
-            ),
-            idx, n_buckets=16,
-        )
-        for b in range(n_appends):  # one tiny insert per micro-batch
-            one = multimodal.synthesize_noise_images(
-                docs.filter(F.col("doc_id") == b % n_base).select(
-                    (F.col("doc_id") + _BASE + b).alias("doc_id")
+    ) as (root, fresh):
+        idx = os.path.join(root, "index")
+        if not fresh:
+            multimodal.phash_index_write(
+                multimodal.dhash64(
+                    multimodal.synthesize_noise_images(docs), fake=False
                 ),
-                key_prefix=f"frag{b}:",
+                idx, n_buckets=16,
             )
-            multimodal.phash_index_insert(
-                spark, idx, multimodal.dhash64(one, fake=False)
-            )
-        mark()
+            for b in range(n_appends):  # one tiny insert per micro-batch
+                one = multimodal.synthesize_noise_images(
+                    docs.filter(F.col("doc_id") == b % n_base).select(
+                        (F.col("doc_id") + _BASE + b).alias("doc_id")
+                    ),
+                    key_prefix=f"frag{b}:",
+                )
+                multimodal.phash_index_insert(
+                    spark, idx, multimodal.dhash64(one, fake=False)
+                )
 
     def count_files(p):
         import glob

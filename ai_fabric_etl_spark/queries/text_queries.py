@@ -19,10 +19,14 @@ def _bench_fixture(sf_dir: str, name: str, key: dict):
     """Stable on-disk fixture location for entries whose CORPUS-side
     index the bench must not rebuild per run (VERDICT r10 item 8: the
     operator such a row measures is the probe/admission — a real
-    deployment indexes the corpus once). Returns ``(root, mark)``:
-    build under ``root`` when stale, then call ``mark()`` to pin the
-    staleness key (corpus size + knobs + fixture version — any change
-    rebuilds). ``mark`` is None when the fixture is already fresh.
+    deployment indexes the corpus once). Context manager yielding
+    ``(root, fresh)``: build under ``root`` when ``fresh`` is False.
+    The staleness key (corpus size + knobs + fixture version — any
+    change rebuilds) is pinned only when the caller's block exits
+    CLEANLY; the build flock is released on EVERY exit path (ADVICE
+    r12: a raise mid-build previously leaked the locked fd for the
+    process lifetime, and any retry blocked forever on LOCK_EX
+    instead of rebuilding).
 
     Safe for the ADMISSION gates specifically because their decisions
     are interleaving-invariant: re-running the same planted batch
@@ -39,42 +43,47 @@ def _bench_fixture(sf_dir: str, name: str, key: dict):
     key once it acquires it, and finds the fixture fresh. ``key``
     must carry EVERY knob the persisted artifact depends on (corpus
     size, index parameters, synth shapes) — a changed knob rebuilds."""
+    import contextlib
     import fcntl
     import json
     import os
 
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    root = os.path.join(
-        repo_root, ".bench_cache",
-        f"{name}_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    os.makedirs(root, exist_ok=True)
-    kp = os.path.join(root, "_fixture_key.json")
+    @contextlib.contextmanager
+    def _cm():
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        root = os.path.join(
+            repo_root, ".bench_cache",
+            f"{name}_{os.path.basename(sf_dir.rstrip('/'))}",
+        )
+        os.makedirs(root, exist_ok=True)
+        kp = os.path.join(root, "_fixture_key.json")
 
-    def fresh() -> bool:
-        if not os.path.exists(kp):
-            return False
-        with open(kp, encoding="utf-8") as fh:
-            return json.load(fh) == key
+        def fresh() -> bool:
+            if not os.path.exists(kp):
+                return False
+            with open(kp, encoding="utf-8") as fh:
+                return json.load(fh) == key
 
-    if fresh():
-        return root, None
-    lock = open(os.path.join(root, "_fixture_lock"), "w")  # noqa: SIM115
-    fcntl.flock(lock, fcntl.LOCK_EX)
-    if fresh():  # another process built it while we waited
-        fcntl.flock(lock, fcntl.LOCK_UN)
-        lock.close()
-        return root, None
+        if fresh():
+            yield root, True
+            return
+        with open(os.path.join(root, "_fixture_lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                if fresh():  # another process built it while we waited
+                    yield root, True
+                else:
+                    yield root, False
+                    # clean build: pin the key (a raise above skips
+                    # this, so the next run rebuilds)
+                    with open(kp, "w", encoding="utf-8") as fh:
+                        json.dump(key, fh)
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
 
-    def mark() -> None:
-        with open(kp, "w", encoding="utf-8") as fh:
-            json.dump(key, fh)
-        fcntl.flock(lock, fcntl.LOCK_UN)
-        lock.close()
-
-    return root, mark
+    return _cm()
 
 
 # --- shared fixture builders: one definition per persisted index, used
@@ -86,19 +95,18 @@ def _fixture_phash_index(spark, sf_dir: str) -> str:
     import os
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    root, mark = _bench_fixture(
+    with _bench_fixture(
         sf_dir, "phash_idx",
         {"n_docs": docs.count(), "n_buckets": 64, "fixture_version": 1},
-    )
-    idx = os.path.join(root, "index")
-    if mark is not None:
-        multimodal.phash_index_write(
-            multimodal.dhash64(
-                multimodal.synthesize_noise_images(docs), fake=False
-            ),
-            idx, n_buckets=64,
-        )
-        mark()
+    ) as (root, fresh):
+        idx = os.path.join(root, "index")
+        if not fresh:
+            multimodal.phash_index_write(
+                multimodal.dhash64(
+                    multimodal.synthesize_noise_images(docs), fake=False
+                ),
+                idx, n_buckets=64,
+            )
     return idx
 
 
@@ -106,21 +114,20 @@ def _fixture_audio_index(spark, sf_dir: str) -> str:
     import os
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    root, mark = _bench_fixture(
+    with _bench_fixture(
         sf_dir, "audio_adm",
         # key carries EVERY build knob (ADVICE r11: n_frames was
         # missing — changing it silently reused a stale index)
         {"n_docs": docs.count(), "n_buckets": 64, "n_frames": 1024,
          "v": 1},
-    )
-    idx = os.path.join(root, "index")
-    if mark is not None:
-        corpus = multimodal.synthesize_noise_audio(docs, n_frames=1024)
-        multimodal.phash_index_write(
-            multimodal.audio_fp64(corpus, fake=False), idx,
-            hash_col="afp", n_buckets=64,
-        )
-        mark()
+    ) as (root, fresh):
+        idx = os.path.join(root, "index")
+        if not fresh:
+            corpus = multimodal.synthesize_noise_audio(docs, n_frames=1024)
+            multimodal.phash_index_write(
+                multimodal.audio_fp64(corpus, fake=False), idx,
+                hash_col="afp", n_buckets=64,
+            )
     return idx
 
 
@@ -128,19 +135,18 @@ def _fixture_video_index(spark, sf_dir: str) -> str:
     import os
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    root, mark = _bench_fixture(
+    with _bench_fixture(
         sf_dir, "video_adm",
         {"n_docs": docs.count(), "n_buckets": 64,
          "frames": "3+id%5", "v": 1},
-    )
-    idx = os.path.join(root, "index")
-    if mark is not None:
-        corpus = multimodal.synthesize_noise_video(docs)
-        multimodal.video_index_write(
-            multimodal.video_frame_hashes(corpus, fake=False), idx,
-            n_buckets=64,
-        )
-        mark()
+    ) as (root, fresh):
+        idx = os.path.join(root, "index")
+        if not fresh:
+            corpus = multimodal.synthesize_noise_video(docs)
+            multimodal.video_index_write(
+                multimodal.video_frame_hashes(corpus, fake=False), idx,
+                n_buckets=64,
+            )
     return idx
 
 
@@ -158,27 +164,28 @@ def _fixture_paired_indexes(spark, sf_dir: str) -> tuple[str, str]:
     import os
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    root, mark = _bench_fixture(
+    with _bench_fixture(
         sf_dir, "paired_adm",
         # full build config (ADVICE r11): the text index's minhash
         # knobs and synth shape, plus the image index's bucketing
+        # v2: bucketed sig store (sb=doc_id%64 — pruned exact-Jaccard
+        # verify, VERDICT r12 item 4)
         {"n_docs": docs.count(), "n_buckets": 64, "num_hashes": 32,
-         "bands": 8, "n": 3, "text_synth": "md5x8:txt:", "v": 1},
-    )
-    tidx = os.path.join(root, "text_index")
-    iidx = os.path.join(root, "image_index")
-    if mark is not None:
-        dedup.minhash_index_write(
-            docs.select("doc_id", _synth_pair_text("txt:").alias("text")),
-            tidx,
-        )
-        multimodal.phash_index_write(
-            multimodal.dhash64(
-                multimodal.synthesize_noise_images(docs), fake=False
-            ),
-            iidx, n_buckets=64,
-        )
-        mark()
+         "bands": 8, "n": 3, "text_synth": "md5x8:txt:", "v": 2},
+    ) as (root, fresh):
+        tidx = os.path.join(root, "text_index")
+        iidx = os.path.join(root, "image_index")
+        if not fresh:
+            dedup.minhash_index_write(
+                docs.select("doc_id", _synth_pair_text("txt:").alias("text")),
+                tidx,
+            )
+            multimodal.phash_index_write(
+                multimodal.dhash64(
+                    multimodal.synthesize_noise_images(docs), fake=False
+                ),
+                iidx, n_buckets=64,
+            )
     return tidx, iidx
 
 
@@ -186,16 +193,15 @@ def _fixture_emb_index(spark, sf_dir: str) -> str:
     import os
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    root, mark = _bench_fixture(
+    with _bench_fixture(
         sf_dir, "emb_adm",
         {"n_vecs": emb.count(), "dim": 64, "n_tables": 6, "seed": 13,
          "target_occupancy": 16, "extra_planes": 4,
          "max_resplit_rounds": 2, "v": 1},
-    )
-    idx = os.path.join(root, "index")
-    if mark is not None:
-        similarity.emb_neardup_index_write(emb, idx)
-        mark()
+    ) as (root, fresh):
+        idx = os.path.join(root, "index")
+        if not fresh:
+            similarity.emb_neardup_index_write(emb, idx)
     return idx
 
 # shared SQL fragments for the oracle side

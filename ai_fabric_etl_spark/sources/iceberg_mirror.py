@@ -408,7 +408,10 @@ def emit_iceberg_metadata(table, v: int, schema: StructType, op: str) -> None:
     last_v, prev = _last_metadata(meta_dir)
     now_ms = int(time.time() * 1000)
 
-    op_map = {"OPTIMIZE": "replace", "DELETE": "delete", "MERGE": "overwrite"}
+    op_map = {
+        "OPTIMIZE": "replace", "DELETE": "delete", "MERGE": "overwrite",
+        "APPEND": "append",
+    }
 
     for missing in range(last_v + 1, v + 1):
         # schema for this commit: live schema for the current commit,
@@ -454,13 +457,45 @@ def emit_iceberg_metadata(table, v: int, schema: StructType, op: str) -> None:
                 ]
                 last_col = new_last
 
-        # one manifest: every live file of this version, status ADDED
-        files = table._version_files(missing)
+        # APPEND fast-path (manifest-layout commits, VERDICT r12 item
+        # 1): the new snapshot's manifest holds ONLY the files this
+        # commit introduced (physically under ``v={v}/``), and its
+        # manifest list is the prior snapshot's list plus that one new
+        # manifest — the shape a real Iceberg append writes, O(batch)
+        # mirror work instead of one full-corpus manifest per commit.
+        # Everything else (overwrite ops, crash-gap catch-up whose op
+        # is unknowable) emits the full-snapshot manifest as before.
+        all_entries = table._version_entries(missing)
+        prev_snap = None
+        if prev:
+            prev_snap = next(
+                (
+                    s for s in prev.get("snapshots", [])
+                    if s["snapshot-id"] == prev.get("current-snapshot-id")
+                ),
+                None,
+            )
+        is_append = (
+            op == "APPEND"
+            and missing == v
+            and prev_snap is not None
+            and os.path.exists(prev_snap["manifest-list"])
+        )
+        own_prefix = f"v={missing}/"
+        manifest_entries = (
+            [e for e in all_entries if e["path"].startswith(own_prefix)]
+            if is_append
+            else all_entries
+        )
         entries = []
         total_rows = 0
-        for rel, size, _mtime in files:
-            abs_path = os.path.join(table.path, rel)
-            n_rows = _parquet_row_count(abs_path)
+        for e in manifest_entries:
+            abs_path = os.path.join(table.path, e["path"])
+            n_rows = (
+                e["rows"]
+                if e.get("rows") is not None
+                else _parquet_row_count(abs_path)
+            )
             total_rows += n_rows
             entries.append(
                 (
@@ -476,7 +511,7 @@ def emit_iceberg_metadata(table, v: int, schema: StructType, op: str) -> None:
                         "file_format": "PARQUET",
                         "partition": {},
                         "record_count": n_rows,
-                        "file_size_in_bytes": size,
+                        "file_size_in_bytes": e["size"],
                     },
                 )
             )
@@ -489,27 +524,39 @@ def emit_iceberg_metadata(table, v: int, schema: StructType, op: str) -> None:
         snap_path = os.path.join(
             meta_dir, f"snap-{missing}-{muid}.avro"
         )
+        manifest_rows = [
+            (
+                manifest_path,
+                os.path.getsize(manifest_path),
+                0,  # partition_spec_id
+                0,  # content: data
+                missing,
+                missing,
+                missing,
+                len(entries),
+                0,
+                0,
+                total_rows,
+                0,
+                0,
+            )
+        ]
+        if is_append:
+            # carry the prior snapshot's manifests forward (their
+            # entries stay live — status ADDED in an older snapshot
+            # reads as live data in this one, per the reader's
+            # status ∈ {EXISTING, ADDED} rule)
+            manifest_rows = (
+                _read_avro_rows(
+                    prev_snap["manifest-list"], _MANIFEST_FILE_STRUCT
+                )
+                + manifest_rows
+            )
         _write_avro_container(
             snap_path,
             _MANIFEST_FILE_AVRO,
             _MANIFEST_FILE_STRUCT,
-            [
-                (
-                    manifest_path,
-                    os.path.getsize(manifest_path),
-                    0,  # partition_spec_id
-                    0,  # content: data
-                    missing,
-                    missing,
-                    missing,
-                    len(entries),
-                    0,
-                    0,
-                    total_rows,
-                    0,
-                    0,
-                )
-            ],
+            manifest_rows,
         )
 
         snapshot = {

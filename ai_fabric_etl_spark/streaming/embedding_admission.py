@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ai_fabric_etl_spark.operators.maintenance import maintenance_tick
 from ai_fabric_etl_spark.operators.merge import ParquetMergeTable
 from ai_fabric_etl_spark.operators.similarity import (
     emb_neardup_incremental,
@@ -197,9 +198,13 @@ def admit_embeddings_stream(
     checkpoint: str,
     threshold: float = 0.9,
     available_now: bool = True,
+    maintenance_every: int | None = None,
 ) -> StreamingQuery:
     """Wire the embedding admission gate into a streaming query
-    (checkpoint = epoch-guard identity, exactly-once on restarts)."""
+    (checkpoint = epoch-guard identity, exactly-once on restarts).
+    ``maintenance_every``: every N-th epoch, compact the index
+    (keys/vecs deduped) and the decision ledger between micro-batches
+    (maintenance.maintenance_tick, VERDICT r12 item 2)."""
     spark = stream.sparkSession
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
@@ -211,6 +216,9 @@ def admit_embeddings_stream(
             epoch_id,
             app_id=checkpoint,
             threshold=threshold,
+        )
+        maintenance_tick(
+            spark, epoch_id, maintenance_every, [index_path], state_dir
         )
 
     writer = stream.writeStream.foreachBatch(fold).option(

@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ai_fabric_etl_spark.operators import multimodal
+from ai_fabric_etl_spark.operators.dedup import sig_store_append
+from ai_fabric_etl_spark.operators.maintenance import maintenance_tick
 from ai_fabric_etl_spark.operators.merge import ParquetMergeTable
 from ai_fabric_etl_spark.streaming.admission_common import component_rejects
 from ai_fabric_etl_spark.streaming.text_admission import _text_probe
@@ -82,11 +84,13 @@ def admit_pairs_batch(
         return  # replayed epoch — already decided
 
     # --- text side (shared probe with the single-modality gate) ---
+    scratch: list = []
     sig, bk, t_self, t_index_dups, t_within, occ = _text_probe(
         spark, text_index_path,
         pairs_batch.select(F.col(id_col).alias("doc_id"), text_col),
         text_col, threshold, num_hashes, bands, n, max_bucket,
         on_oversize="raise", stats_out=None, what="admit_pairs_batch",
+        scratch=scratch,
     )
 
     # --- image side ---
@@ -97,18 +101,30 @@ def admit_pairs_batch(
         on_error="null",
     ).withColumnRenamed(id_col, "doc_id").persist()
     hashed = hashes.filter(F.col("dhash").isNotNull())
-    scratch: list = []
     probe = multimodal.phash_index_probe(
         spark, image_index_path, hashed, max_hamming=max_hamming,
-        id_col="doc_id", scratch=scratch, with_chunk_hits=True,
+        id_col="doc_id", scratch=scratch,
     ).persist()
     # full-presence self-detection (ADVICE r11): skip the re-insert
-    # only when all 4 chunk rows are durable — the probe's
-    # n_chunk_hits carries the completeness check for free
-    i_self = probe.filter(
-        (F.col("batch_id") == F.col("index_id"))
-        & (F.col("n_chunk_hits") >= 4)
+    # only when all 4 chunk rows are DURABLE — judged by
+    # phash_index_presence on the candidates' own pruned partitions,
+    # not the probe's post-hot-filter chunk hits (ADVICE r12, same
+    # rationale as the media gate); zero extra jobs on a clean batch
+    i_self_cand = probe.filter(
+        F.col("batch_id") == F.col("index_id")
     ).select(F.col("batch_id").alias("doc_id")).distinct()
+    if i_self_cand.limit(1).count() == 0:  # no crash replay
+        i_self = i_self_cand
+    else:
+        i_self = (
+            multimodal.phash_index_presence(
+                spark, image_index_path,
+                hashed.join(i_self_cand, "doc_id", "left_semi"),
+                id_col="doc_id",
+            )
+            .filter(F.col("n_chunks") >= 4)
+            .select("doc_id")
+        )
     batch_ids = hashed.select(F.col("doc_id").alias("index_id")).distinct()
     i_index_dups = (
         probe.join(F.broadcast(batch_ids), "index_id", "left_anti")
@@ -167,12 +183,31 @@ def admit_pairs_batch(
             F.min("image_hamming").alias("image_hamming"),
         )
     )
-    surv_edges = edges.join(
-        index_rejected.select(F.col("doc_id").alias("doc_a")), "doc_a",
-        "left_anti",
-    ).join(
-        index_rejected.select(F.col("doc_id").alias("doc_b")), "doc_b",
-        "left_anti",
+    # a QUARANTINED pair (undecodable image) must never enter the
+    # within-batch graph (ADVICE r12): its text side still produces
+    # t_within edges, and as a component minimum it would become the
+    # canonical — a decodable pair rejected against it would point at
+    # a pair that was never admitted, losing that content everywhere.
+    # Mirror the image side's frame: edges restricted to DECODED pairs
+    # on both endpoints (the quarantined pair's own 'decode' decision
+    # is made independently below; its sides are never inserted).
+    surv_edges = (
+        edges.join(
+            hashed.select(F.col("doc_id").alias("doc_a")), "doc_a",
+            "left_semi",
+        )
+        .join(
+            hashed.select(F.col("doc_id").alias("doc_b")), "doc_b",
+            "left_semi",
+        )
+        .join(
+            index_rejected.select(F.col("doc_id").alias("doc_a")), "doc_a",
+            "left_anti",
+        )
+        .join(
+            index_rejected.select(F.col("doc_id").alias("doc_b")), "doc_b",
+            "left_anti",
+        )
     )
     batch_rejected = component_rejects(
         surv_edges, id_col="doc_id", a_col="doc_a", b_col="doc_b",
@@ -263,9 +298,10 @@ def admit_pairs_batch(
     # persisted: evaluated by BOTH text writes (sigs, bands) — its
     # t_self lineage re-runs the band-pruned candidate scan otherwise
     t_insert = admit_ids.join(t_self, "doc_id", "left_anti").persist()
-    sig.join(F.broadcast(t_insert), "doc_id").select(
-        "doc_id", "hs"
-    ).write.mode("append").parquet(f"{text_index_path}/sigs")
+    sig_store_append(
+        sig.join(F.broadcast(t_insert), "doc_id").select("doc_id", "hs"),
+        text_index_path,
+    )
     new_bk = bk.join(F.broadcast(t_insert), "doc_id")
     occ_now = occ.select("band", "bucket", F.col("_n").alias("_prior_n"))
     delta = new_bk.groupBy("band", "bucket").agg(
@@ -328,9 +364,13 @@ def admit_pairs_stream(
     max_hamming: int = 3,
     fake: bool = False,
     available_now: bool = True,
+    maintenance_every: int | None = None,
 ) -> StreamingQuery:
     """Wire the paired gate into a streaming query (checkpoint =
-    epoch-guard identity, exactly-once across restarts)."""
+    epoch-guard identity, exactly-once across restarts).
+    ``maintenance_every``: every N-th epoch, compact BOTH indexes and
+    the decision ledger between micro-batches
+    (maintenance.maintenance_tick, VERDICT r12 item 2)."""
     spark = stream.sparkSession
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
@@ -345,6 +385,10 @@ def admit_pairs_stream(
             threshold=threshold,
             max_hamming=max_hamming,
             fake=fake,
+        )
+        maintenance_tick(
+            spark, epoch_id, maintenance_every,
+            [text_index_path, image_index_path], state_dir,
         )
 
     writer = stream.writeStream.foreachBatch(fold).option(

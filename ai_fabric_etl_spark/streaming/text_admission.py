@@ -46,7 +46,11 @@ from ai_fabric_etl_spark.operators.dedup import (
     _lsh_band_keys,
     _minhash_sig_udf,
     hashed_shingles,
+    sig_store_append,
+    sig_store_buckets,
+    sig_store_read,
 )
+from ai_fabric_etl_spark.operators.maintenance import maintenance_tick
 from ai_fabric_etl_spark.operators.merge import ParquetMergeTable
 from ai_fabric_etl_spark.operators.multimodal import _oversize_guard
 from ai_fabric_etl_spark.streaming.admission_common import component_rejects
@@ -94,6 +98,7 @@ def _text_probe(
     on_oversize: str,
     stats_out: dict | None,
     what: str,
+    scratch: list | None = None,
 ):
     """The probe half of text admission, shared with the cross-modal
     paired gate: shingle+sign the batch, prune the band index to the
@@ -101,7 +106,10 @@ def _text_probe(
     with exact Jaccard, and compute the within-batch pair list.
     Returns ``(sig, bk, self_ids, index_dups, within, occ)`` — sig,
     bk, and occ come back PERSISTED (the caller unpersists after its
-    inserts)."""
+    inserts); the batch-sized candidate frame is persisted into
+    ``scratch`` when given (continuous callers unpersist at batch
+    end) so the sb-prune collect, self-detection, and the verify
+    share one candidate materialization."""
     sig, bk = _sig_bands(docs_batch, text_col, num_hashes, bands, n)
     bk = bk.persist()
     touched = bk.select("band", "bucket").distinct()
@@ -138,7 +146,10 @@ def _text_probe(
     bk_ok = bk.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
 
     # corpus x batch candidates (self matches INCLUDED — they identify
-    # a prior crashed attempt's inserts), then exact-Jaccard verify
+    # a prior crashed attempt's inserts), then exact-Jaccard verify.
+    # Persisted (batch-sized): self-detection, the sb-prune collect,
+    # and the verify all read it — unpersisted, each re-scans the
+    # pruned band index.
     cand_cross = (
         pruned.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
         .join(
@@ -148,7 +159,9 @@ def _text_probe(
         )
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
-    )
+    ).persist()
+    if scratch is not None:
+        scratch.append(cand_cross)
     self_ids = cand_cross.filter(F.col("doc_a") == F.col("doc_b")).select(
         F.col("doc_b").alias("doc_id")
     ).distinct()
@@ -159,13 +172,28 @@ def _text_probe(
     # edges from the within-batch graph and make decisions depend on
     # the crash interleaving; the within-batch path (both docs are in
     # ``bk``) covers those pairs identically on every replay.
-    idx_sigs = spark.read.parquet(f"{index_path}/sigs")
+    #
+    # The corpus sig read is statically PRUNED to the candidates' sb
+    # partitions (VERDICT r12 item 4: the flat scan re-materialized
+    # EVERY stored shingle set per batch — ~6s of the paired gate's
+    # 24.6s; the candidates touch a bounded handful of buckets).
+    cand_ext = cand_cross.join(
+        F.broadcast(sig.select(F.col("doc_id").alias("doc_a"))),
+        "doc_a",
+        "left_anti",
+    )
+    n_sb = sig_store_buckets(index_path)
+    sbs = None
+    if n_sb is not None:
+        sbs = [
+            r["sb"]
+            for r in cand_ext.select(
+                F.pmod(F.col("doc_a"), F.lit(n_sb)).cast("int").alias("sb")
+            ).distinct().collect()
+        ]
+    idx_sigs = sig_store_read(spark, index_path, sbs)
     cross = _exact_jaccard(
-        cand_cross.join(
-            F.broadcast(sig.select(F.col("doc_id").alias("doc_a"))),
-            "doc_a",
-            "left_anti",
-        ),
+        cand_ext,
         idx_sigs.select(F.col("doc_id").alias("doc_a"),
                         F.col("hs").alias("hs_a")),
         sig.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
@@ -233,10 +261,11 @@ def admit_text_batch(
     if last is not None and epoch_id <= last:
         return  # replayed epoch — already decided
 
+    scratch: list = []
     sig, bk, self_ids, index_dups, within, occ = _text_probe(
         spark, index_path, docs_batch, text_col, threshold,
         num_hashes, bands, n, max_bucket, on_oversize, stats_out,
-        what="admit_text_batch",
+        what="admit_text_batch", scratch=scratch,
     )
 
     # within-batch: one representative per near-dup component (see
@@ -294,9 +323,10 @@ def admit_text_batch(
         .join(rejected, "doc_id", "left_anti")
         .join(self_ids, "doc_id", "left_anti")
     ).persist()
-    sig.join(F.broadcast(admit_ids), "doc_id").select(
-        "doc_id", "hs"
-    ).write.mode("append").parquet(f"{index_path}/sigs")
+    sig_store_append(
+        sig.join(F.broadcast(admit_ids), "doc_id").select("doc_id", "hs"),
+        index_path,
+    )
     new_bk_rows = bk.join(F.broadcast(admit_ids), "doc_id")
     occ_now = occ.select(
         "band", "bucket", F.col("_n").alias("_prior_n")
@@ -338,6 +368,8 @@ def admit_text_batch(
     sig.unpersist()
     bk.unpersist()
     occ.unpersist()
+    for fr in scratch:
+        fr.unpersist()
 
 
 def admit_text_stream(
@@ -349,9 +381,13 @@ def admit_text_stream(
     threshold: float = 0.5,
     max_bucket: int = 1000,
     available_now: bool = True,
+    maintenance_every: int | None = None,
 ) -> StreamingQuery:
     """Wire the admission gate into a streaming query (checkpoint =
-    epoch-guard identity, exactly-once across restarts)."""
+    epoch-guard identity, exactly-once across restarts).
+    ``maintenance_every``: every N-th epoch, compact the index
+    (sigs deduped, bands merged) and the decision ledger between
+    micro-batches (maintenance.maintenance_tick, VERDICT r12 item 2)."""
     spark = stream.sparkSession
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
@@ -365,6 +401,9 @@ def admit_text_stream(
             text_col=text_col,
             threshold=threshold,
             max_bucket=max_bucket,
+        )
+        maintenance_tick(
+            spark, epoch_id, maintenance_every, [index_path], state_dir
         )
 
     writer = stream.writeStream.foreachBatch(fold).option(

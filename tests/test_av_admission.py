@@ -332,3 +332,31 @@ def test_video_partial_self_insert_completes_on_replay(spark, tmp_path):
         ),
     )
     assert {(r.batch_id, r.index_id) for r in probe.collect()} == {(200, 100)}
+
+
+def test_video_poison_payload_quarantines(spark, tmp_path):
+    """ADVICE r12: a corrupt / unsniffable video payload must not fail
+    the micro-batch (the image/audio hashers already had
+    on_error='null'; the video hasher gained it this round — it emits
+    NO frame rows for the poison clip, which then quarantines through
+    the zero-frame decision path). Decodable clips in the same batch
+    route normally; the poison id never enters the index."""
+    idx = str(tmp_path / "idx")
+    state = str(tmp_path / "state")
+    _init_video_index(spark, idx, [(1, _y4m(1))])
+    corrupt = bytearray(bytes(_y4m(7))[:40])   # sniffs Y4M, truncated
+    garbage = bytearray(b"\x00\x01not-a-video")  # unsniffable
+    b = _media(spark, [(100, _y4m(9)), (110, corrupt), (120, garbage)])
+    admit_video_batch(spark, b, idx, state, epoch_id=0, app_id="t")
+    d = {r.media_id: (r.admitted, r.dup_of)
+         for r in read_video_decisions(spark, state).collect()}
+    assert d == {100: (True, None), 110: (False, None),
+                 120: (False, None)}
+    idx_ids = {
+        r.media_id
+        for r in spark.read.schema(
+            "media_id long, frame_idx int, fhash long, cv long, ci int, "
+            "cb int"
+        ).parquet(idx).select("media_id").distinct().collect()
+    }
+    assert idx_ids == {1, 100}

@@ -237,3 +237,50 @@ def test_compact_parquet_dir_generic_roundtrip(spark, tmp_path):
     stats = compact_parquet_dir(spark, p)
     assert stats["files_before"] >= 6 and stats["files_after"] == 1
     assert sorted(map(tuple, spark.read.parquet(p).collect())) == before
+
+
+def test_compact_reaps_orphan_tmp_dirs(spark, tmp_path):
+    """ADVICE r12: a crash after the tmp-dir write but before
+    os.replace leaves an orphan `_compacting-<uuid>` dir that no later
+    run referenced — compact_parquet_dir must reap pre-existing
+    orphans at the start of each leaf pass (they are unreferenced by
+    construction: the replace into the leaf never happened)."""
+    p = str(tmp_path / "t")
+    for i in range(3):
+        spark.createDataFrame([(i,)], "a long").write.mode(
+            "append"
+        ).parquet(p)
+    orphan = os.path.join(p, "_compacting-deadbeef0123")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-stale.parquet"), "wb") as fh:
+        fh.write(b"stale")
+    before = sorted(map(tuple, spark.read.parquet(p).collect()))
+    compact_parquet_dir(spark, p)
+    assert not os.path.exists(orphan)
+    assert sorted(map(tuple, spark.read.parquet(p).collect())) == before
+
+
+def test_bench_fixture_lock_released_on_build_failure(tmp_path, monkeypatch):
+    """ADVICE r12: a raise inside the fixture build must release the
+    flock (and not pin the key) so a retry REBUILDS instead of
+    deadlocking on the leaked fd."""
+    import pytest
+
+    from ai_fabric_etl_spark.queries.text_queries import _bench_fixture
+
+    # point the repo-local .bench_cache at a temp dir via cwd-relative
+    # name isolation: use a unique fixture name instead
+    name = f"locktest_{os.getpid()}"
+    key = {"v": 1}
+    with pytest.raises(RuntimeError, match="boom"):
+        with _bench_fixture(str(tmp_path / "sf"), name, key) as (root, fresh):
+            assert not fresh
+            raise RuntimeError("boom")
+    # retry: must acquire the lock immediately (no deadlock) and see
+    # the fixture still stale (key was never pinned)
+    with _bench_fixture(str(tmp_path / "sf"), name, key) as (root, fresh):
+        assert not fresh
+    # clean exit pinned it
+    with _bench_fixture(str(tmp_path / "sf"), name, key) as (root, fresh):
+        assert fresh
+    shutil.rmtree(root, ignore_errors=True)

@@ -111,6 +111,7 @@ def test_paired_replay_and_crash_windows(spark, tmp_path):
         _lsh_band_keys,
         _minhash_sig_udf,
         hashed_shingles,
+        sig_store_append,
     )
 
     sig_lazy = b.select(
@@ -120,7 +121,7 @@ def test_paired_replay_and_crash_windows(spark, tmp_path):
     # localized: the pandas-UDF lineage is unevaluable in the write
     # path's interpreted-projection fallback
     sig = spark.createDataFrame(sig_lazy.collect(), sig_lazy.schema)
-    sig.select("doc_id", "hs").write.mode("append").parquet(f"{tidx}/sigs")
+    sig_store_append(sig.select("doc_id", "hs"), tidx)
     _lsh_band_keys(sig, 32, 8).select(
         "doc_id", "bucket", F.lit(1).alias("bucket_size"), "band"
     ).write.partitionBy("band").mode("append").parquet(f"{tidx}/bands")
@@ -234,3 +235,40 @@ def test_paired_stream_equals_batch(spark, tmp_path):
     assert d[200] == (False, "text")
     assert d[210] == (False, "image")
     assert d[220] == (True, None)
+
+
+def test_quarantined_pair_never_within_batch_canonical(spark, tmp_path):
+    """ADVICE r12 (medium): a quarantined pair (undecodable image)
+    must not enter the within-batch near-dup graph through its text
+    side. With the smallest id in a text-dup component it would become
+    the canonical, rejecting a DECODABLE pair against content that was
+    never admitted anywhere (silent loss). The decodable pair must be
+    admitted; the poison pair quarantines ('decode')."""
+    tidx, iidx = str(tmp_path / "t"), str(tmp_path / "i")
+    state = str(tmp_path / "s")
+    _init(spark, tidx, iidx, [(1, "T1", "I1")])
+
+    poison = bytearray(bytes(_img("Q-img"))[:20])  # sniffs BMP, truncated
+    batch = _pairs(spark, [
+        (300, _text("QT"), poison),        # quarantine; text matches 310
+        (310, _text("QT"), _img("N-ok")),  # decodable, novel image
+    ])
+    admit_pairs_batch(spark, batch, tidx, iidx, state,
+                      epoch_id=0, app_id="t")
+    d = {r.pair_id: (r.admitted, r.reject_modality, r.text_dup_of,
+                     r.image_dup_of)
+         for r in read_decisions(spark, state).collect()}
+    assert d[300] == (False, "decode", None, None)
+    # the fix: 310 is ADMITTED (its only text match was the
+    # quarantined 300, which is admitted nowhere)
+    assert d[310] == (True, None, None, None)
+
+    # and 310's sides really entered the indexes: an exact re-pair of
+    # it in the next epoch rejects on both modalities against 310
+    b2 = _pairs(spark, [(400, _text("QT"), _img("N-ok"))])
+    admit_pairs_batch(spark, b2, tidx, iidx, state,
+                      epoch_id=1, app_id="t")
+    d = {r.pair_id: (r.admitted, r.reject_modality, r.text_dup_of,
+                     r.image_dup_of)
+         for r in read_decisions(spark, state).collect()}
+    assert d[400] == (False, "both", 310, 310)

@@ -59,6 +59,11 @@ def test_state_table_1000_epochs_bounded_replay(spark, tmp_path):
         # source survives compaction: always the current newest version
         src = os.path.join(state, f"v={v - 1}")
         shutil.copytree(src, os.path.join(state, f"v={v}"))
+        # the copy carries v-1's manifest, whose paths name v-1's
+        # files; rewrite it for THIS version (what a real overwrite
+        # commit does) so the snapshot is self-describing
+        os.remove(os.path.join(state, f"v={v}", "_manifest.json"))
+        t._write_manifest(v, t._scan_version_dir(v), schema_json)
         t._swap(v, e, op="WRITE", app_id=app)
         t._emit_delta_log(v, schema_json, "WRITE")
         t._emit_iceberg(v, sch, "WRITE")

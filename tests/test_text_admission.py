@@ -219,6 +219,7 @@ def test_text_admission_orphan_sigs_never_suppress(spark, tmp_path):
     from ai_fabric_etl_spark.operators.dedup import (
         _minhash_sig_udf,
         hashed_shingles,
+        sig_store_append,
     )
 
     idx = str(tmp_path / "idx")
@@ -227,11 +228,14 @@ def test_text_admission_orphan_sigs_never_suppress(spark, tmp_path):
     b = _docs(spark, [(100, NOVEL_A)])
 
     # simulate the crashed attempt: sig row written, band rows not
-    b.select(
-        "doc_id", hashed_shingles(F.col("text"), 3).alias("hs")
-    ).withColumn("sig", _minhash_sig_udf(32)(F.col("hs"))).select(
-        "doc_id", "hs"
-    ).write.mode("append").parquet(f"{idx}/sigs")
+    sig_store_append(
+        b.select(
+            "doc_id", hashed_shingles(F.col("text"), 3).alias("hs")
+        ).withColumn("sig", _minhash_sig_udf(32)(F.col("hs"))).select(
+            "doc_id", "hs"
+        ),
+        idx,
+    )
 
     admit_text_batch(spark, b, idx, state, epoch_id=0, app_id="t")
     d = {r.doc_id: (r.admitted, r.dup_of)
