@@ -125,7 +125,7 @@ def admit_media_batch(
     scratch: list = []
     probe = multimodal.phash_index_probe(
         spark, index_path, hashed, max_hamming=max_hamming, id_col=id_col,
-        scratch=scratch,
+        scratch=scratch, with_chunk_hits=True,
     ).persist()
 
     # batch_id == index_id can only be this batch's own rows from a
@@ -138,30 +138,21 @@ def admit_media_batch(
     # under-index the id. A partial id re-inserts in full — the rows
     # already present become exact duplicates, which the probe
     # de-duplicates (candidate .distinct()) and compact_index removes.
-    # Completeness is judged by phash_index_presence on the id's
-    # DURABLE rows, not the probe's chunk hits (ADVICE r12): the probe
-    # counts hits after its hot-bucket filter, so under
-    # on_oversize='drop' a fully-inserted id with one chunk in a hot
-    # bucket would fail the >=4 check forever, re-insert every replay,
-    # and inflate the very occupancy driving the drop policy. The
-    # presence scan is pruned to the self-candidates' own partitions
-    # and short-circuits to zero jobs on a clean (non-replay) batch —
-    # the same structure the video gate uses.
-    self_cand = probe.filter(F.col("batch_id") == F.col("index_id")).select(
-        F.col("batch_id").alias(id_col)
-    ).distinct()
-    if self_cand.limit(1).count() == 0:  # no crash replay: skip scan
-        self_ids = self_cand
-    else:
-        self_ids = (
-            multimodal.phash_index_presence(
-                spark, index_path,
-                hashed.join(self_cand, id_col, "left_semi"),
-                id_col=id_col,
-            )
-            .filter(F.col("n_chunks") >= 4)
-            .select(id_col)
-        )
+    #
+    # The probe's n_chunk_hits IS an exact completeness check HERE
+    # because this gate probes with on_oversize='raise' (the default):
+    # a hot bucket raises the whole batch during the hot-key
+    # evaluation, before any decision — so whenever execution reaches
+    # this filter, the hot-bucket set was empty and post-filter chunk
+    # hits equal durable rows. ADVICE r12's under-count scenario
+    # (post-hot-filter hits on a fully-inserted id) is a DROP-mode
+    # hazard; a drop-mode caller must judge completeness with
+    # multimodal.phash_index_presence on the ids' own pruned
+    # partitions instead (the video gate's structure).
+    self_ids = probe.filter(
+        (F.col("batch_id") == F.col("index_id"))
+        & (F.col("n_chunk_hits") >= 4)
+    ).select(F.col("batch_id").alias(id_col)).distinct()
     # corpus duplicates exclude ALL matches whose index id is in the
     # current batch (not just same-id): stream ids are unique, so an
     # index row carrying ANY batch id is the batch's own insert from

@@ -53,7 +53,10 @@ from ai_fabric_etl_spark.operators.dedup import (
 from ai_fabric_etl_spark.operators.maintenance import maintenance_tick
 from ai_fabric_etl_spark.operators.merge import ParquetMergeTable
 from ai_fabric_etl_spark.operators.multimodal import _oversize_guard
-from ai_fabric_etl_spark.streaming.admission_common import component_rejects
+from ai_fabric_etl_spark.streaming.admission_common import (
+    component_rejects,
+    local_id_frame,
+)
 
 DECISION_COLS = ["doc_id", "admitted", "dup_of", "jaccard", "epoch"]
 
@@ -318,17 +321,34 @@ def admit_text_batch(
     dec_schema = decisions.schema
     dec_rows = decisions.collect()
 
-    admit_ids = (
-        sig.select("doc_id")
-        .join(rejected, "doc_id", "left_anti")
-        .join(self_ids, "doc_id", "left_anti")
-    ).persist()
+    # EVERY append's source plan below is pure-batch (sig/bk) +
+    # driver-local id frames — never a plan reading an index path:
+    # Spark invalidates cached frames whose lineage reads an appended
+    # path (recacheByPath), so a lazy insert set would re-run the full
+    # probe subtree against the GROWN index at the bands append
+    # (measured 5-7s extra per paired-gate batch at sf0.1 — VERDICT
+    # r12 item 4). The admitted ids ride dec_rows; the self set and
+    # the touched-bucket occupancy collect once, before the first
+    # append. All batch-sized.
+    self_set = {r.doc_id for r in self_ids.collect()}
+    occ_rows = occ.collect()
+    ins = F.broadcast(local_id_frame(
+        spark,
+        [r.doc_id for r in dec_rows if r.admitted and r.doc_id not in self_set],
+    ))
     sig_store_append(
-        sig.join(F.broadcast(admit_ids), "doc_id").select("doc_id", "hs"),
+        sig.join(ins, "doc_id").select("doc_id", "hs"),
         index_path,
     )
-    new_bk_rows = bk.join(F.broadcast(admit_ids), "doc_id")
-    occ_now = occ.select(
+    new_bk_rows = bk.join(ins, "doc_id")
+    occ_loc = (
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(occ_rows, 1), occ.schema
+        )
+        if occ_rows
+        else spark.createDataFrame([], occ.schema)
+    )
+    occ_now = occ_loc.select(
         "band", "bucket", F.col("_n").alias("_prior_n")
     )
     delta = new_bk_rows.groupBy("band", "bucket").agg(
@@ -364,7 +384,6 @@ def admit_text_batch(
         decided, epoch=epoch_id, app_id=app_id, retain=2, n_files=None
     )
     rejected.unpersist()
-    admit_ids.unpersist()
     sig.unpersist()
     bk.unpersist()
     occ.unpersist()
