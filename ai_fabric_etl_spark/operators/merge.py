@@ -88,8 +88,14 @@ class ParquetMergeTable:
     def _scan_version_dir(self, v: int) -> list[dict]:
         """Manifest entries for the files PHYSICALLY under ``v={v}/``
         (the new files at commit time; the full snapshot for a legacy
-        hardlink-layout directory being backfilled). Row counts come
-        from the parquet footers — read once here, never again."""
+        hardlink-layout directory being backfilled). Row counts AND
+        per-column min/max stats come from the parquet footers — read
+        once here, never again: the stats ride the manifest exactly
+        like Delta's ``add.stats``, so :meth:`read_where` skipping on
+        an appended table costs zero footer reads at query time (the
+        old ``_stats`` cache rebuilt by scanning EVERY file's footer
+        on first use per version — O(table) metadata I/O that
+        manifests make O(new files) at commit)."""
         import glob as _glob
 
         import pyarrow.parquet as pq
@@ -97,15 +103,50 @@ class ParquetMergeTable:
         entries = []
         for f in sorted(_glob.glob(os.path.join(self.path, f"v={v}", "*.parquet"))):
             st = os.stat(f)
+            md = pq.ParquetFile(f).metadata
             entries.append(
                 {
                     "path": f"v={v}/{os.path.basename(f)}",
                     "size": st.st_size,
                     "mtime_ms": int(st.st_mtime * 1000),
-                    "rows": pq.ParquetFile(f).metadata.num_rows,
+                    "rows": md.num_rows,
+                    "stats": self._footer_stats(md),
                 }
             )
         return entries
+
+    @staticmethod
+    def _footer_stats(md) -> dict:
+        """{column: {"known": bool, "min": enc, "max": enc}} from one
+        file's parquet footer (the shape :meth:`file_stats` serves)."""
+        per_col: dict[str, dict] = {}
+        for i, name in enumerate(md.schema.names):
+            lo = hi = None
+            known = True
+            for rg in range(md.num_row_groups):
+                try:
+                    st = md.row_group(rg).column(i).statistics
+                    has = st is not None and st.has_min_max
+                    # .min/.max can raise ArrowNotImplementedError for
+                    # types pyarrow cannot cast statistics for (e.g.
+                    # wide decimals) — unknown, never skipped
+                    cur_lo, cur_hi = (st.min, st.max) if has else (None, None)
+                except Exception:  # noqa: BLE001 - stats are optional
+                    has = False
+                if not has:
+                    known = False
+                    break
+                lo = cur_lo if lo is None else min(lo, cur_lo)
+                hi = cur_hi if hi is None else max(hi, cur_hi)
+            if not known or md.num_row_groups == 0:
+                per_col[name] = {"known": False}
+            else:
+                per_col[name] = {
+                    "known": True,
+                    "min": ParquetMergeTable._stat_encode(lo),
+                    "max": ParquetMergeTable._stat_encode(hi),
+                }
+        return per_col
 
     def _ensure_manifest_mode(self, up_to: int) -> None:
         """One-time in-place upgrade of a pre-manifest table: backfill
@@ -297,6 +338,21 @@ class ParquetMergeTable:
         import json
 
         v = self._version() if version is None else version
+        # manifest-carried stats (Delta add.stats analogue): computed
+        # once at commit from the NEW files' footers and carried
+        # forward — no footer scan, no side cache
+        entries = self._snapshot_entries(v)
+        if entries and all(
+            e.get("stats") is not None and e.get("rows") is not None
+            for e in entries
+        ):
+            return {
+                os.path.join(self.path, e["path"]): {
+                    "columns": e["stats"],
+                    "rows": e["rows"],
+                }
+                for e in entries
+            }
         cache = os.path.join(self.path, "_stats", f"v={v}.json")
         if os.path.exists(cache):
             with open(cache, encoding="utf-8") as fh:

@@ -314,3 +314,31 @@ def test_legacy_hardlink_table_upgrades_in_place(spark, tmp_path):
     assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
     assert sorted(r.id for r in t.read(version=0).collect()) == [1]
     assert sorted(r.id for r in t.read(version=1).collect()) == [1, 2]
+
+
+def test_manifest_carries_file_stats_no_footer_scan(spark, tmp_path):
+    """Per-file column min/max stats ride the manifest (Delta
+    add.stats analogue), computed once at commit from the NEW files'
+    footers — file_stats() and read_where() skipping then need NO
+    footer scan and no _stats side cache."""
+    path = str(tmp_path / "t")
+    t = ParquetMergeTable(spark, path)
+    for e in range(4):
+        t.append(
+            spark.createDataFrame(
+                [(e * 100 + i, e) for i in range(10)], "id long, epoch long"
+            ),
+            epoch=e, app_id="a",
+        )
+    stats = t.file_stats()
+    assert len(stats) == 4
+    for f, s in stats.items():
+        assert s["rows"] == 10
+        assert s["columns"]["id"]["known"]
+    # no side cache was written (the manifest IS the stats store)
+    assert not os.path.exists(os.path.join(path, "_stats"))
+    # skipping: an id range inside one batch touches exactly one file
+    kept, total = t._skip_files({"id": (205, 207)})
+    assert total == 4 and len(kept) == 1
+    rows = sorted(r.id for r in t.read_where({"id": (205, 207)}).collect())
+    assert rows == [205, 206, 207]
