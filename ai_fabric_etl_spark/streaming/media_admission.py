@@ -244,10 +244,11 @@ def admit_media_batch(
     decided = spark.createDataFrame(
         spark.sparkContext.parallelize(dec_rows, 1), dec_schema
     )
-    # O(batch) ledger commit: a new version hardlinks the prior
-    # version's files + one new decision file (VERDICT r11 weak #1 —
-    # the old unionByName+overwrite rewrote the full decision history
-    # every micro-batch). retain=2 bounds directory-entry growth.
+    # O(batch) ledger commit: the new version holds ONLY this batch's
+    # decision file; the version's full file set is its manifest
+    # (merge.append — r13 manifest layout: O(1) directory entries and
+    # O(batch) bytes on any filesystem). retain=2 bounds retained
+    # versions; maintenance_tick compacts the file count.
     table.append(
         decided, epoch=epoch_id, app_id=app_id, retain=2, n_files=None
     )
@@ -479,10 +480,11 @@ def admit_video_batch(
     decided = spark.createDataFrame(
         spark.sparkContext.parallelize(dec_rows, 1), dec_schema
     )
-    # O(batch) ledger commit: a new version hardlinks the prior
-    # version's files + one new decision file (VERDICT r11 weak #1 —
-    # the old unionByName+overwrite rewrote the full decision history
-    # every micro-batch). retain=2 bounds directory-entry growth.
+    # O(batch) ledger commit: the new version holds ONLY this batch's
+    # decision file; the version's full file set is its manifest
+    # (merge.append — r13 manifest layout: O(1) directory entries and
+    # O(batch) bytes on any filesystem). retain=2 bounds retained
+    # versions; maintenance_tick compacts the file count.
     table.append(
         decided, epoch=epoch_id, app_id=app_id, retain=2, n_files=None
     )
