@@ -342,3 +342,57 @@ def test_manifest_carries_file_stats_no_footer_scan(spark, tmp_path):
     assert total == 4 and len(kept) == 1
     rows = sorted(r.id for r in t.read_where({"id": (205, 207)}).collect())
     assert rows == [205, 206, 207]
+
+
+def test_append_lost_race_leaves_table_consistent(spark, tmp_path):
+    """Optimistic concurrency on the manifest layout: an append that
+    loses the commit race raises ConcurrentWriteError AFTER its data +
+    manifest write but BEFORE the pointer swap — the orphan version
+    artifacts are unreferenced (pointer never advanced), readers stay
+    on the winner's version, and the next append clears the orphan
+    (mode=overwrite) and commits cleanly."""
+    import pytest
+
+    from ai_fabric_etl_spark.operators.merge import ConcurrentWriteError
+
+    path = str(tmp_path / "t")
+    t = ParquetMergeTable(spark, path)
+    t.append(spark.createDataFrame([(1,)], "id long"), epoch=0, app_id="a")
+    base = t._version()
+    # another writer wins the race
+    t2 = ParquetMergeTable(spark, path)
+    t2.append(spark.createDataFrame([(2,)], "id long"), epoch=1, app_id="a")
+    with pytest.raises(ConcurrentWriteError):
+        t.append(
+            spark.createDataFrame([(99,)], "id long"),
+            epoch=2, app_id="a", expected_version=base,
+        )
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+    # recovery: a fresh-snapshot append lands, no 99 anywhere
+    t.append(spark.createDataFrame([(3,)], "id long"), epoch=2, app_id="a")
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+
+
+def test_append_crash_before_swap_recovers(spark, tmp_path):
+    """A crash AFTER the orphan version's data+manifest write but
+    BEFORE the pointer swap: readers stay on the committed version,
+    and the next append overwrites the orphan artifacts (including
+    its stale manifest) and commits the right content."""
+    path = str(tmp_path / "t")
+    t = ParquetMergeTable(spark, path)
+    t.append(spark.createDataFrame([(1,)], "id long"), epoch=0, app_id="a")
+    # simulate the crashed attempt at v=1: data + manifest, no swap
+    v = t._version() + 1
+    spark.createDataFrame([(99,)], "id long").write.parquet(
+        os.path.join(path, f"v={v}")
+    )
+    t._write_manifest(
+        v,
+        (t._read_manifest_obj(t._version())["files"]
+         + t._scan_version_dir(v)),
+        t._read_manifest_obj(t._version())["schema"],
+    )
+    assert sorted(r.id for r in t.read().collect()) == [1]  # unaffected
+    t.append(spark.createDataFrame([(2,)], "id long"), epoch=1, app_id="a")
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+    assert t.last_epoch("a") == 1
