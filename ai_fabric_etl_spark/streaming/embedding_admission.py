@@ -49,7 +49,10 @@ from ai_fabric_etl_spark.operators.similarity import (
     emb_neardup_incremental,
     emb_neardup_index_insert,
 )
-from ai_fabric_etl_spark.streaming.admission_common import component_rejects
+from ai_fabric_etl_spark.streaming.admission_common import (
+    component_rejects,
+    local_id_frame,
+)
 
 DECISION_COLS = ["vec_id", "admitted", "dup_of", "cosine", "epoch"]
 
@@ -158,11 +161,24 @@ def admit_embeddings_batch(
     dec_schema = decisions.schema
     dec_rows = decisions.collect()  # localized before the inserts
 
-    # inserts (guarded by the per-epoch receipt), then the commit
+    # inserts (guarded by the per-epoch receipt), then the commit.
+    # to_insert is pure-batch (persisted batch x a driver-local id
+    # frame riding dec_rows) — NOT `batch anti-join rejected`: the
+    # insert writes keys, then vecs, then the counts fold, and
+    # rejected's lineage reads those index paths, so after the first
+    # append Spark's recacheByPath invalidates it and each later
+    # write would re-run the full embedding probe against the grown
+    # index (the paired-gate bug, VERDICT r12 item 4 — same fix).
     receipt = _receipt_path(index_path, app_id, epoch_id)
     if not os.path.exists(receipt):
-        to_insert = batch.join(rejected.select("vec_id"), "vec_id",
-                               "left_anti")
+        to_insert = batch.join(
+            F.broadcast(local_id_frame(
+                spark,
+                [r.vec_id for r in dec_rows if r.admitted],
+                col="vec_id",
+            )),
+            "vec_id",
+        )
         emb_neardup_index_insert(
             to_insert, index_path, id_col="vec_id", vec_col="embedding"
         )
