@@ -43,6 +43,34 @@ from pyspark.sql.types import StructField, StructType
 MAX_LOCAL_EDGES = 2_000_000
 
 
+
+def phase_timer(what: str):
+    """Per-phase wall timings on stderr when SPARK_GRAFT_GATE_TIMINGS
+    is set (bench/diagnosis only): returns mark(label) stamping the
+    delta since the previous mark — the gates call it at their action
+    boundaries, so the printout attributes a batch's wall to probe /
+    verify / writes / commit without touching the plans."""
+    import os
+    import sys
+    import time
+
+    if not os.environ.get("SPARK_GRAFT_GATE_TIMINGS"):
+        return lambda label: None
+    t0 = time.perf_counter()
+    last = [t0]
+
+    def mark(label: str) -> None:
+        now = time.perf_counter()
+        print(
+            f"[gate-timing {what}] {label}: +{now - last[0]:.2f}s "
+            f"(total {now - t0:.2f}s)",
+            file=sys.stderr, flush=True,
+        )
+        last[0] = now
+
+    return mark
+
+
 def local_id_frame(spark, ids, col: str = "doc_id") -> DataFrame:
     """One-slice localized DataFrame of a (batch-sized) id list — the
     gates' insert sets. Localizing matters twice over: (a) a default

@@ -48,7 +48,10 @@ from pyspark.sql.streaming import StreamingQuery
 from ai_fabric_etl_spark.operators import multimodal
 from ai_fabric_etl_spark.operators.maintenance import maintenance_tick
 from ai_fabric_etl_spark.operators.merge import ParquetMergeTable
-from ai_fabric_etl_spark.streaming.admission_common import component_rejects
+from ai_fabric_etl_spark.streaming.admission_common import (
+    component_rejects,
+    phase_timer,
+)
 
 DECISION_COLS = ["media_id", "admitted", "dup_of", "hamming", "epoch"]
 
@@ -113,6 +116,7 @@ def admit_media_batch(
     last = table.last_epoch(app_id)
     if last is not None and epoch_id <= last:
         return  # replayed epoch after restart — already decided
+    mark = phase_timer(f"media:{modality}")
 
     # one row per INPUT id; NULL dhash = undecodable (quarantine)
     hashes = _hash_batch(
@@ -229,6 +233,7 @@ def admit_media_batch(
     )
     dec_schema = decisions.schema
     dec_rows = decisions.collect()
+    mark("decisions collected (hash + probe + components)")
 
     to_insert = (
         hashed.join(rejected, id_col, "left_anti")
@@ -236,6 +241,7 @@ def admit_media_batch(
         .select(id_col, "dhash")
     )
     multimodal.phash_index_insert(spark, index_path, to_insert, id_col=id_col)
+    mark("index chunks inserted")
 
     # one-slice localized frame: the decision rows are already on the
     # driver, and a default createDataFrame would scatter them over
@@ -252,6 +258,7 @@ def admit_media_batch(
     table.append(
         decided, epoch=epoch_id, app_id=app_id, retain=2, n_files=None
     )
+    mark("decision ledger committed")
     rejected.unpersist()
     hashes.unpersist()
     probe.unpersist()
@@ -364,6 +371,7 @@ def admit_video_batch(
     last = table.last_epoch(app_id)
     if last is not None and epoch_id <= last:
         return  # replayed epoch after restart — already decided
+    mark = phase_timer("video")
 
     # on_error='null': a corrupt/unsniffable clip emits no frame rows
     # (ADVICE r12 — symmetric with the image/audio hashers' policy)
@@ -465,6 +473,7 @@ def admit_video_batch(
     )
     dec_schema = decisions.schema
     dec_rows = decisions.collect()
+    mark("decisions collected (decode + probe + alignment + components)")
 
     to_insert = (
         fh.join(rejected, id_col, "left_anti")
@@ -472,6 +481,7 @@ def admit_video_batch(
         .select(id_col, "frame_idx", "fhash")
     )
     multimodal.video_index_insert(spark, index_path, to_insert, id_col=id_col)
+    mark("frame chunks inserted (incl. presence check for self candidates)")
 
     # one-slice localized frame: the decision rows are already on the
     # driver, and a default createDataFrame would scatter them over
@@ -488,6 +498,7 @@ def admit_video_batch(
     table.append(
         decided, epoch=epoch_id, app_id=app_id, retain=2, n_files=None
     )
+    mark("decision ledger committed")
     rejected.unpersist()
     fh.unpersist()
     probe.unpersist()

@@ -41,6 +41,7 @@ from ai_fabric_etl_spark.operators.merge import ParquetMergeTable
 from ai_fabric_etl_spark.streaming.admission_common import (
     component_rejects,
     local_id_frame,
+    phase_timer,
 )
 from ai_fabric_etl_spark.streaming.text_admission import _text_probe
 
@@ -49,32 +50,6 @@ DECISION_COLS = [
     "text_dup_of", "text_jaccard", "image_dup_of", "image_hamming",
     "epoch",
 ]
-
-
-def _phase_timer(what: str):
-    """Per-phase wall timings on stderr when SPARK_GRAFT_GATE_TIMINGS
-    is set (bench/diagnosis only — the phases are the gate's action
-    boundaries, so the printout attributes the batch's wall to probe /
-    verify / writes / commit without touching the plans)."""
-    import os
-    import sys
-    import time
-
-    if not os.environ.get("SPARK_GRAFT_GATE_TIMINGS"):
-        return lambda label: None
-    t0 = time.perf_counter()
-    last = [t0]
-
-    def mark(label: str) -> None:
-        now = time.perf_counter()
-        print(
-            f"[gate-timing {what}] {label}: +{now - last[0]:.2f}s "
-            f"(total {now - t0:.2f}s)",
-            file=sys.stderr, flush=True,
-        )
-        last[0] = now
-
-    return mark
 
 
 def admit_pairs_batch(
@@ -111,7 +86,7 @@ def admit_pairs_batch(
     last = table.last_epoch(app_id)
     if last is not None and epoch_id <= last:
         return  # replayed epoch — already decided
-    mark = _phase_timer("paired")
+    mark = phase_timer("paired")
 
     # --- text side (shared probe with the single-modality gate) ---
     scratch: list = []
