@@ -93,7 +93,13 @@ def report(
     references: list[tuple[str, DataFrame, str]] | None = None,
 ) -> DataFrame:
     """Violation report: one row per rule —
-    (rule, n_violations, n_rows, violation_pct).
+    (rule, n_violations, n_rows, violation_ppm).
+
+    ``violation_ppm`` is the violation rate in integer parts-per-
+    million (floor of n_violations*1e6/n_rows, computed in exact
+    integer arithmetic) — the repo's micro-unit discipline: a rounded
+    double at 6dp is a cross-engine 1-ulp repr hazard, an integer
+    ppm is bit-identical on any engine.
 
     Row rules share a single aggregate pass. ``unique_keys`` adds a
     ``unique_<cols>`` rule per key set (rows beyond the first in each
@@ -143,7 +149,11 @@ def report(
         "rule",
         F.col("n_violations").cast("long").alias("n_violations"),
         F.col("_n").cast("long").alias("n_rows"),
-        F.round(F.col("n_violations") / F.col("_n"), 6).alias("violation_pct"),
+        # exact integer ppm: long multiply then integer division —
+        # never touches a double, so any oracle replays it exactly
+        F.expr("CAST(n_violations AS BIGINT) * 1000000L div _n")
+        .cast("long")
+        .alias("violation_ppm"),
     )
     n_rows = None
     for col, dim, dim_col in references or []:
@@ -160,13 +170,17 @@ def report(
             .count()
         )
         ref_row = df.sparkSession.createDataFrame(
-            [(f"{col}_ref_{dim_col}", missing, n_rows)],
-            "rule string, n_violations long, n_rows long",
-        ).withColumn(
-            # F.round, not Python round: banker's rounding would
-            # diverge from the engine/oracle convention on .5 ulps
-            "violation_pct",
-            F.round(F.col("n_violations") / F.col("n_rows"), 6),
+            [
+                (
+                    f"{col}_ref_{dim_col}",
+                    missing,
+                    n_rows,
+                    # Python ints: exact floor ppm, same convention as
+                    # the aggregate branch above
+                    (missing * 1000000) // n_rows if n_rows else 0,
+                )
+            ],
+            "rule string, n_violations long, n_rows long, violation_ppm long",
         )
         out = out.unionByName(ref_row)
     return out

@@ -769,8 +769,10 @@ refmiss AS (
   WHERE o_custkey IS NOT NULL
     AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = c.o_custkey)
 )
-SELECT rule, n_violations, n_rows,
-       ROUND(n_violations * 1.0 / n_rows, 6) AS violation_pct
+SELECT rule,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST((n_violations * 1000000) // n_rows AS BIGINT) AS violation_ppm
 FROM (
   SELECT 'o_orderdate_not_null' AS rule, nn AS n_violations, n AS n_rows FROM stats
   UNION ALL SELECT 'o_totalprice_between', btw, n FROM stats

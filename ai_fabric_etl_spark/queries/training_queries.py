@@ -866,7 +866,7 @@ WITH t AS (
          ) AS cum_tokens
   FROM t
 )
-SELECT doc_id, source, n_tokens, cum_tokens
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM c
 WHERE cum_tokens <= CASE source
     WHEN 'src3' THEN 900 WHEN 'src7' THEN 500

@@ -10,6 +10,7 @@ Usage: python tools/verify_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import datetime
+import decimal
 import hashlib
 import math
 import os
@@ -28,6 +29,12 @@ TABLES = [
 def canon(v) -> str:
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        # scale-preserving: Decimal('1.230000') canons as '1.230000',
+        # distinct from float 1.23's repr — a DECIMAL/HUGEINT oracle
+        # column mismatching a Spark double/long FAILS here, as it
+        # does on the driver (it used to pass under fetchall())
+        return str(v)
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
@@ -84,9 +91,18 @@ def main() -> int:
             print(f"ok   {name}: rows={s_n} (no oracle — rows-only check)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # Arrow fetch, NOT .fetchall(): fetchall() collapses
+            # DuckDB HUGEINT to Python int, masking the exact
+            # representation-class divergence the driver's fetch path
+            # sees (r13's two driver-red rows). Arrow yields Decimal
+            # for HUGEINT/DECIMAL, so canon() exposes it here too.
+            tbl = con.execute(oracles[name]).fetch_arrow_table()
+            dcols = tbl.column_names
+            # positional, not to_pylist() dicts (which would collapse
+            # duplicate column names)
+            drows = list(
+                zip(*[tbl.column(i).to_pylist() for i in range(tbl.num_columns)])
+            )
             d_n, d_cols, d_h = result_fingerprint(dcols, drows)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
