@@ -179,11 +179,15 @@ def maintenance_tick(
     rewrite is O(leaf), paid once per N batches — amortized O(size/N)
     per batch, the standard compaction trade. Crash mid-tick is safe
     in both halves: compact_parquet_dir is add-then-remove (duplicate
-    rows at worst, removed by the next tick), the ledger compact is
-    one atomic pointer swap, and a replayed epoch skips the fold
-    entirely (the guard advanced with the commit) so the tick simply
-    runs again at the next firing epoch. Returns the stats dict on a
-    firing epoch, None otherwise."""
+    rows at worst, removed by the next tick), and the ledger compact
+    is one atomic pointer swap. Replay discipline (ADVICE r13): the
+    gates call this only when their batch fold reports the epoch was
+    PROCESSED (admit_*_batch returns False on a replay of an
+    already-committed epoch), so a restart replay pays no O(index)
+    compaction; even if a caller invokes it on a replayed epoch
+    anyway, both halves are idempotent and the carried epoch guard is
+    unchanged — correctness never depends on the skip, only cost
+    does. Returns the stats dict on a firing epoch, None otherwise."""
     if not every_n_epochs or every_n_epochs < 1:
         return None
     if (int(epoch_id) + 1) % every_n_epochs:

@@ -2287,7 +2287,18 @@ def q_er_resolve_entities(spark, sf_dir):
     (O(log n) rounds), then one aggregate electing the golden record
     (min-id survivorship via min_by). Singleton records keep their
     own id as entity_id through the left-join recovery."""
+    import os as _os
+
     from ai_fabric_etl_spark.operators import dedup as _dedup
+    from ai_fabric_etl_spark.streaming.admission_common import phase_timer
+
+    # VERDICT r13 item 3: under SPARK_GRAFT_GATE_TIMINGS the entry
+    # materializes (and persists) each phase at its boundary so the
+    # printout attributes the wall to names / pairs / components —
+    # the same diagnosis discipline the paired gate got in r13. The
+    # un-instrumented plan is untouched.
+    _timing = bool(_os.environ.get("SPARK_GRAFT_GATE_TIMINGS"))
+    mark = phase_timer("er")
 
     # persisted: the base-names aggregate feeds FOUR consumers (the
     # offset scalar, both typo-variant branches, and the recs union) —
@@ -2299,6 +2310,9 @@ def q_er_resolve_entities(spark, sf_dir):
         .groupBy(F.col("p_name").alias("text"))
         .agg(F.min("p_partkey").alias("doc_id"))
     ).persist()
+    if _timing:
+        names.count()
+        mark("names agg (scan+groupBy part)")
     # variant-id offset DERIVED from the data (max key + 1): fixed
     # literal offsets collide with base ids once keys outgrow them
     # (p_partkey passes 1e7 at TPC-H SF 50), silently merging
@@ -2328,9 +2342,17 @@ def q_er_resolve_entities(spark, sf_dir):
     pairs = _dedup.edit_distance_pairs(
         recs, id_col="doc_id", text_col="text", max_dist=1
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    if _timing:
+        pairs = pairs.persist()
+        pairs.count()
+        mark("edit-distance pairs (SymSpell block + verify)")
     comp = _dedup.neardup_components(pairs, algorithm="star").select(
         F.col("doc_id").alias("_cid"), F.col("component")
     )
+    if _timing:
+        comp = comp.persist()
+        comp.count()
+        mark("components (star)")
     labeled = recs.join(comp, recs.doc_id == F.col("_cid"), "left").select(
         "doc_id",
         "text",
@@ -3000,6 +3022,7 @@ def q_audio_admission_gate(spark, sf_dir):
     import os
     import tempfile
 
+    from ai_fabric_etl_spark.operators.maintenance import maintenance_tick
     from ai_fabric_etl_spark.streaming.media_admission import (
         admit_audio_batch,
         read_decisions,
@@ -3027,6 +3050,11 @@ def q_audio_admission_gate(spark, sf_dir):
     batch = copies.unionByName(novel_src).unionByName(batch_copies)
     state = os.path.join(tmp, "state")
     admit_audio_batch(spark, batch, idx, state, epoch_id=0, app_id="gate")
+    # the scheduled maintenance tick fires INSIDE the driver entry
+    # (VERDICT r13 item 2): the decisions read back below come from
+    # the compacted ledger + index, so the oracle's full routing
+    # matrix also pins that compaction is decision-preserving
+    maintenance_tick(spark, 0, 1, [idx], state)
     return read_decisions(spark, state).select(
         "media_id", "admitted", "dup_of", "hamming"
     ).orderBy("media_id")
@@ -3069,6 +3097,7 @@ def q_video_admission_gate(spark, sf_dir):
     import os
     import tempfile
 
+    from ai_fabric_etl_spark.operators.maintenance import maintenance_tick
     from ai_fabric_etl_spark.streaming.media_admission import (
         admit_video_batch,
         read_video_decisions,
@@ -3106,6 +3135,8 @@ def q_video_admission_gate(spark, sf_dir):
     )
     state = os.path.join(tmp, "state")
     admit_video_batch(spark, batch, idx, state, epoch_id=0, app_id="gate")
+    # tick under the oracle (VERDICT r13 item 2) — see audio entry
+    maintenance_tick(spark, 0, 1, [idx], state)
     return read_video_decisions(spark, state).select(
         "media_id", "admitted", "dup_of", "matched_frames", "shift"
     ).orderBy("media_id")
@@ -3267,6 +3298,7 @@ def q_paired_admission_gate(spark, sf_dir):
     import tempfile
 
     from ai_fabric_etl_spark.operators import dedup
+    from ai_fabric_etl_spark.operators.maintenance import maintenance_tick
     from ai_fabric_etl_spark.streaming.paired_admission import (
         admit_pairs_batch,
         read_decisions,
@@ -3309,6 +3341,8 @@ def q_paired_admission_gate(spark, sf_dir):
     state = os.path.join(tmp, "state")
     admit_pairs_batch(spark, batch, tidx, iidx, state,
                       epoch_id=0, app_id="gate")
+    # tick under the oracle (VERDICT r13 item 2) — BOTH indexes
+    maintenance_tick(spark, 0, 1, [tidx, iidx], state)
     return read_decisions(spark, state).select(
         "pair_id", "admitted", "reject_modality",
         "text_dup_of", "text_jaccard", "image_dup_of", "image_hamming",
@@ -3348,6 +3382,7 @@ def q_embedding_admission_gate(spark, sf_dir):
     import os
     import tempfile
 
+    from ai_fabric_etl_spark.operators.maintenance import maintenance_tick
     from ai_fabric_etl_spark.streaming.embedding_admission import (
         admit_embeddings_batch,
         read_decisions,
@@ -3382,6 +3417,8 @@ def q_embedding_admission_gate(spark, sf_dir):
     state = os.path.join(tmp, "state")
     admit_embeddings_batch(spark, batch, idx, state, epoch_id=0,
                            app_id="gate", threshold=0.95)
+    # tick under the oracle (VERDICT r13 item 2) — see audio entry
+    maintenance_tick(spark, 0, 1, [idx], state)
     return read_decisions(spark, state).select(
         "vec_id", "admitted", "dup_of", "cosine"
     ).orderBy("vec_id")

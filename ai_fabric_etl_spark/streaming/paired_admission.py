@@ -70,7 +70,7 @@ def admit_pairs_batch(
     max_hamming: int = 3,
     max_bucket: int = 1000,
     fake: bool = False,
-) -> None:
+) -> bool:
     """One micro-batch of paired admission. Also callable from batch
     jobs. ``pairs_batch`` carries ``(pair_id, text, payload)``; the
     pair id is the unit of admission for BOTH indexes (the text index
@@ -85,7 +85,7 @@ def admit_pairs_batch(
     table = ParquetMergeTable(spark, state_dir)
     last = table.last_epoch(app_id)
     if last is not None and epoch_id <= last:
-        return  # replayed epoch — already decided
+        return False  # replayed epoch — already decided
     mark = phase_timer("paired")
 
     # --- text side (shared probe with the single-modality gate) ---
@@ -369,6 +369,7 @@ def admit_pairs_batch(
     occ.unpersist()
     for fr in scratch:
         fr.unpersist()
+    return True
 
 
 def admit_pairs_stream(
@@ -381,17 +382,23 @@ def admit_pairs_stream(
     max_hamming: int = 3,
     fake: bool = False,
     available_now: bool = True,
-    maintenance_every: int | None = None,
+    maintenance_every: int | None = 50,
 ) -> StreamingQuery:
     """Wire the paired gate into a streaming query (checkpoint =
     epoch-guard identity, exactly-once across restarts).
-    ``maintenance_every``: every N-th epoch, compact BOTH indexes and
-    the decision ledger between micro-batches
-    (maintenance.maintenance_tick, VERDICT r12 item 2)."""
+    ``maintenance_every`` (default 50 — ON by default, VERDICT r13
+    item 2: a stream that never compacts grows per-leaf file counts
+    and manifest bytes without bound; pass ``None``/0 to explicitly
+    opt out): every N-th PROCESSED epoch, compact the indexes (BOTH indexes)
+    and the decision ledger between micro-batches
+    (maintenance.maintenance_tick — decisions are byte-identical
+    across a compaction). Replayed epochs skip the tick (the batch
+    fold reports replay, so a restart never pays O(index) compaction
+    for an epoch it did not process)."""
     spark = stream.sparkSession
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
-        admit_pairs_batch(
+        processed = admit_pairs_batch(
             spark,
             batch_df,
             text_index_path,
@@ -403,10 +410,11 @@ def admit_pairs_stream(
             max_hamming=max_hamming,
             fake=fake,
         )
-        maintenance_tick(
-            spark, epoch_id, maintenance_every,
-            [text_index_path, image_index_path], state_dir,
-        )
+        if processed:
+            maintenance_tick(
+                spark, epoch_id, maintenance_every,
+                [text_index_path, image_index_path], state_dir,
+            )
 
     writer = stream.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint

@@ -43,11 +43,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ai_fabric_etl_spark.operators.dedup import (
+    _check_pmod_id_type,
     _lsh_band_keys,
     _minhash_sig_udf,
+    _sig_bucket,
     hashed_shingles,
     sig_store_append,
-    sig_store_buckets,
+    sig_store_layout,
     sig_store_read,
 )
 from ai_fabric_etl_spark.operators.maintenance import maintenance_tick
@@ -185,13 +187,18 @@ def _text_probe(
         "doc_a",
         "left_anti",
     )
-    n_sb = sig_store_buckets(index_path)
+    n_sb, sb_fn = sig_store_layout(index_path)
     sbs = None
     if n_sb is not None:
+        # bucket with the STORE's pinned function (hash for r14+
+        # stores, pmod for legacy numeric-id stores — which raise on
+        # non-numeric ids instead of pruning to nothing)
+        if sb_fn == "pmod":
+            _check_pmod_id_type(cand_ext, "doc_a", "admit_text_batch")
         sbs = [
             r["sb"]
             for r in cand_ext.select(
-                F.pmod(F.col("doc_a"), F.lit(n_sb)).cast("int").alias("sb")
+                _sig_bucket("doc_a", n_sb, sb_fn).alias("sb")
             ).distinct().collect()
         ]
     idx_sigs = sig_store_read(spark, index_path, sbs)
@@ -245,8 +252,10 @@ def admit_text_batch(
     max_bucket: int = 1000,
     on_oversize: str = "raise",
     stats_out: dict | None = None,
-) -> None:
+) -> bool:
     """One micro-batch admission. Also callable from batch jobs.
+    Returns True when the epoch was processed, False on a replay of
+    an already-committed epoch.
 
     Decision row per input doc:
     ``(doc_id, admitted, dup_of, jaccard, epoch)`` — ``dup_of`` is
@@ -262,7 +271,7 @@ def admit_text_batch(
     table = ParquetMergeTable(spark, state_dir)
     last = table.last_epoch(app_id)
     if last is not None and epoch_id <= last:
-        return  # replayed epoch — already decided
+        return False  # replayed epoch — already decided
 
     scratch: list = []
     sig, bk, self_ids, index_dups, within, occ = _text_probe(
@@ -390,6 +399,7 @@ def admit_text_batch(
     occ.unpersist()
     for fr in scratch:
         fr.unpersist()
+    return True
 
 
 def admit_text_stream(
@@ -401,17 +411,23 @@ def admit_text_stream(
     threshold: float = 0.5,
     max_bucket: int = 1000,
     available_now: bool = True,
-    maintenance_every: int | None = None,
+    maintenance_every: int | None = 50,
 ) -> StreamingQuery:
     """Wire the admission gate into a streaming query (checkpoint =
     epoch-guard identity, exactly-once across restarts).
-    ``maintenance_every``: every N-th epoch, compact the index
-    (sigs deduped, bands merged) and the decision ledger between
-    micro-batches (maintenance.maintenance_tick, VERDICT r12 item 2)."""
+    ``maintenance_every`` (default 50 — ON by default, VERDICT r13
+    item 2: a stream that never compacts grows per-leaf file counts
+    and manifest bytes without bound; pass ``None``/0 to explicitly
+    opt out): every N-th PROCESSED epoch, compact the index (sigs deduped, bands merged)
+    and the decision ledger between micro-batches
+    (maintenance.maintenance_tick — decisions are byte-identical
+    across a compaction). Replayed epochs skip the tick (the batch
+    fold reports replay, so a restart never pays O(index) compaction
+    for an epoch it did not process)."""
     spark = stream.sparkSession
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
-        admit_text_batch(
+        processed = admit_text_batch(
             spark,
             batch_df,
             index_path,
@@ -422,9 +438,10 @@ def admit_text_stream(
             threshold=threshold,
             max_bucket=max_bucket,
         )
-        maintenance_tick(
-            spark, epoch_id, maintenance_every, [index_path], state_dir
-        )
+        if processed:
+            maintenance_tick(
+                spark, epoch_id, maintenance_every, [index_path], state_dir
+            )
 
     writer = stream.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint
