@@ -436,6 +436,25 @@ def sig_store_buckets(index_path: str) -> int | None:
     """The sig store's doc_id-bucket count, pinned at write time in
     ``_minhash_index_meta.json``; None for a legacy flat ``sigs/``
     layout (pre-r13 indexes keep reading and appending flat)."""
+    return sig_store_layout(index_path)[0]
+
+
+def sig_store_layout(index_path: str) -> tuple[int | None, str]:
+    """(bucket count, bucket function) pinned in the index meta.
+
+    Bucket functions (VERDICT r13 item 4 — the bucket must be
+    computable for ANY id type, and reader/writer must agree or a
+    pruned verify silently reads none of an id's signatures):
+
+    - ``"hash"`` (every store written since r14): md5 of the id's
+      canonical string form — numeric and string ids both bucket
+      deterministically.
+    - ``"pmod"`` (r13-written stores, meta without a
+      ``sig_bucket_fn`` key): ``doc_id % n`` — NUMERIC ids only; on
+      any other id type the append/prune sites raise loudly instead
+      of stranding signatures in a NULL partition.
+
+    Returns ``(None, "hash")`` for a legacy flat store (no meta)."""
     import json
     import os
 
@@ -443,14 +462,47 @@ def sig_store_buckets(index_path: str) -> int | None:
         with open(
             os.path.join(index_path, _MINHASH_META), encoding="utf-8"
         ) as fh:
-            return int(json.load(fh)["sig_buckets"])
+            meta = json.load(fh)
+        return int(meta["sig_buckets"]), str(meta.get("sig_bucket_fn", "pmod"))
     except FileNotFoundError:
-        return None
+        return None, "hash"
 
 
-def _sig_bucket(doc_col, n_buckets: int):
-    return F.pmod(F.col(doc_col) if isinstance(doc_col, str) else doc_col,
-                  F.lit(n_buckets)).cast("int")
+_NUMERIC_ID_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _sig_bucket(doc_col, n_buckets: int, fn: str = "hash"):
+    col = F.col(doc_col) if isinstance(doc_col, str) else doc_col
+    if fn == "hash":
+        # md5-prefix idiom (the repo's standard deterministic hash —
+        # sample_token_budget etc.): 15 hex chars = 60 bits, fits a
+        # long; canonical string form buckets long and string ids
+        # alike, so the id type can never strand signatures
+        return F.pmod(
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(n_buckets),
+        ).cast("int")
+    if fn == "pmod":
+        return F.pmod(col, F.lit(n_buckets)).cast("int")
+    raise ValueError(f"unknown sig bucket fn {fn!r}")
+
+
+def _check_pmod_id_type(df: DataFrame, col: str, where: str) -> None:
+    """A legacy 'pmod'-bucketed store is only sound for integral ids:
+    pmod on a non-numeric id casts to NULL, every signature lands in
+    the NULL partition, and a pruned verify with integer sb values
+    reads NONE of them — missed duplicates with no error. Raise
+    loudly instead (VERDICT r13 item 4); rebuild the index
+    (minhash_index_write) to get hash bucketing for string ids."""
+    dt = dict(df.dtypes).get(col)
+    if dt not in _NUMERIC_ID_TYPES:
+        raise TypeError(
+            f"{where}: this index's sig store uses legacy 'pmod' id "
+            f"bucketing, which requires an integral id column; got "
+            f"{col}: {dt}. Rebuild the index with minhash_index_write "
+            "(writes 'hash' bucketing, sound for any id type)."
+        )
 
 
 def sig_store_read(spark, index_path: str, sb_values=None) -> DataFrame:
@@ -473,14 +525,16 @@ def sig_store_append(sig_rows: DataFrame, index_path: str) -> None:
     ``sb=`` dirs when the meta pins them, flat otherwise) — an insert
     bucketed differently from the writer would strand signatures in
     partitions no pruned verify reads."""
-    n = sig_store_buckets(index_path)
+    n, fn = sig_store_layout(index_path)
     if n is None:
         sig_rows.select("doc_id", "hs").write.mode("append").parquet(
             f"{index_path}/sigs"
         )
         return
+    if fn == "pmod":
+        _check_pmod_id_type(sig_rows, "doc_id", "sig_store_append")
     sig_rows.select(
-        "doc_id", "hs", _sig_bucket("doc_id", n).alias("sb")
+        "doc_id", "hs", _sig_bucket("doc_id", n, fn).alias("sb")
     ).write.partitionBy("sb").mode("append").parquet(f"{index_path}/sigs")
 
 
@@ -534,11 +588,13 @@ def minhash_index_write(
     )
     sized.write.partitionBy("band").mode("overwrite").parquet(f"{path}/bands")
     sig.select(
-        "doc_id", "hs", _sig_bucket("doc_id", sig_buckets).alias("sb")
+        "doc_id", "hs", _sig_bucket("doc_id", sig_buckets, "hash").alias("sb")
     ).write.partitionBy("sb").mode("overwrite").parquet(f"{path}/sigs")
     tmp = os.path.join(path, f".{_MINHASH_META}.tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump({"sig_buckets": int(sig_buckets)}, fh)
+        # sig_bucket_fn pinned so readers/appenders can never bucket
+        # differently from the writer (see sig_store_layout)
+        json.dump({"sig_buckets": int(sig_buckets), "sig_bucket_fn": "hash"}, fh)
     os.replace(tmp, os.path.join(path, _MINHASH_META))
     sig.unpersist()
 
@@ -572,6 +628,13 @@ def minhash_dedup_incremental(
     AQE broadcasts it through the exact-Jaccard verify joins.
     """
     spark = new_docs.sparkSession
+    n_sb, sb_fn = sig_store_layout(index_path)
+    if n_sb is not None and sb_fn == "pmod":
+        # fail at ENTRY, not deep in the verify: a legacy pmod store
+        # holds numeric corpus ids, so a string batch id would first
+        # die in an ANSI cast inside the band join — this names the
+        # actual problem and the fix (rebuild for hash bucketing)
+        _check_pmod_id_type(new_docs, "doc_id", "minhash_dedup_incremental")
     new_sig = new_docs.select(
         "doc_id",
         hashed_shingles(F.col(text_col), n).alias("hs"),
@@ -621,20 +684,29 @@ def minhash_dedup_incremental(
     # whole) — the verify touches only the candidates' slice of the
     # corpus shingle sets, never all of them. cand is persisted so the
     # sb collect and the verify share one candidate materialization.
-    n_sb = sig_store_buckets(index_path)
     sbs = None
     if n_sb is not None:
         sbs = [
             r["sb"]
             for r in cand.select(
-                _sig_bucket("doc_a", n_sb).alias("sb")
+                _sig_bucket("doc_a", n_sb, sb_fn).alias("sb")
             ).distinct().collect()
         ]
     hs_all = (
         sig_store_read(spark, index_path, sbs)
         .unionByName(new_sig.select("doc_id", "hs"))
     )
-    return _verify_jaccard(cand, hs_all, threshold)
+    # materialize the verify while cand/new_sig are cached, then free
+    # them (ADVICE r13: the persisted cand — and the fat new_sig with
+    # its shingle arrays — used to outlive the call for the session
+    # lifetime). The verified matches are the SMALL output (near-dup
+    # pairs of one batch); they stay cached so the caller's action
+    # reads the materialized result, and the internal frames are gone.
+    out = _verify_jaccard(cand, hs_all, threshold).persist()
+    out.count()
+    cand.unpersist()
+    new_sig.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

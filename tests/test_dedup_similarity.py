@@ -1015,3 +1015,99 @@ def test_keep_best_string_ids(spark):
                docs, pairs, quality_col="q").collect()}
     assert got == {"a": (False, "b"), "b": (True, "b"),
                    "z": (False, "b")}
+
+
+def test_minhash_incremental_string_ids(spark, docs, tmp_path):
+    """VERDICT r13 item 4: the bucketed sig store must serve string
+    ids — r14 stores bucket on an md5 hash of the id's string form,
+    so a pruned verify reads exactly the candidates' partitions for
+    ANY id type (the r13 'pmod' layout NULLed non-numeric ids into a
+    partition no pruned read touched: silently missed duplicates)."""
+    corpus = docs.filter(F.col("doc_id") < 200).select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    idx = str(tmp_path / "idx")
+    dedup.minhash_index_write(corpus, idx)
+    n, fn = dedup.sig_store_layout(idx)
+    assert (n, fn) == (64, "hash")
+    # no signature may land outside an integer sb partition
+    import os
+    sb_dirs = [
+        d for d in os.listdir(os.path.join(idx, "sigs"))
+        if d.startswith("sb=")
+    ]
+    assert sb_dirs and all(
+        d.split("=", 1)[1].isdigit() for d in sb_dirs
+    ), sb_dirs
+
+    copies = corpus.filter(F.col("doc_id").isin(["doc-0", "doc-1", "doc-2"])).select(
+        F.concat(F.col("doc_id"), F.lit("-copy")).alias("doc_id"), "text"
+    )
+    novel = docs.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 210)
+    ).select(F.concat(F.lit("new-"), F.col("doc_id")).alias("doc_id"), "text")
+    batch = copies.unionByName(novel)
+    inc = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_dedup_incremental(
+            batch, idx, threshold=0.5
+        ).collect()
+    }
+    for i in range(3):
+        assert inc.get((f"doc-{i}", f"doc-{i}-copy")) == pytest.approx(1.0)
+
+
+def test_minhash_legacy_pmod_store_rejects_string_ids(spark, docs, tmp_path):
+    """A legacy r13 store (meta without sig_bucket_fn -> 'pmod')
+    raises loudly on a non-numeric id instead of silently pruning to
+    nothing — at append AND at incremental-verify time."""
+    import json
+    import os
+
+    corpus = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    dedup.minhash_index_write(corpus, idx)
+    # rebuild the store as an r13 writer would have left it: meta
+    # without sig_bucket_fn AND data pmod-bucketed
+    sigs = spark.read.parquet(os.path.join(idx, "sigs")).select(
+        "doc_id", "hs"
+    ).collect()
+    import shutil
+
+    shutil.rmtree(os.path.join(idx, "sigs"))
+    spark.createDataFrame(
+        sigs, "doc_id long, hs array<bigint>"
+    ).select(
+        "doc_id", "hs",
+        F.pmod(F.col("doc_id"), F.lit(64)).cast("int").alias("sb"),
+    ).write.partitionBy("sb").parquet(os.path.join(idx, "sigs"))
+    meta = os.path.join(idx, "_minhash_index_meta.json")
+    with open(meta, "w", encoding="utf-8") as fh:
+        json.dump({"sig_buckets": 64}, fh)
+    assert dedup.sig_store_layout(idx) == (64, "pmod")
+
+    str_batch = docs.filter(F.col("doc_id") < 5).select(
+        F.concat(F.lit("s-"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    with pytest.raises(TypeError, match="pmod"):
+        dedup.minhash_dedup_incremental(str_batch, idx, threshold=0.5)
+    with pytest.raises(TypeError, match="pmod"):
+        dedup.sig_store_append(
+            str_batch.select(
+                "doc_id", dedup.hashed_shingles(F.col("text"), 3).alias("hs")
+            ),
+            idx,
+        )
+    # numeric ids still work against the legacy layout (same pmod
+    # buckets the r13 writer used), so in-place stores keep serving
+    num_batch = corpus.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 9000).alias("doc_id"), "text"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_dedup_incremental(
+            num_batch, idx, threshold=0.5
+        ).collect()
+    }
+    for i in range(3):
+        assert got.get((i, i + 9000)) == pytest.approx(1.0)
