@@ -399,3 +399,95 @@ def test_append_crash_before_swap_recovers(spark, tmp_path):
     t.append(spark.createDataFrame([(2,)], "id long"), epoch=1, app_id="a")
     assert sorted(r.id for r in t.read().collect()) == [1, 2]
     assert t.last_epoch("a") == 1
+
+
+def test_read_zero_file_version_uses_manifest_schema(spark, tmp_path):
+    """ADVICE r13: a zero-file version must read as an EMPTY frame
+    with the manifest's recorded schema, not die in 'Unable to infer
+    schema' on a dir holding only _manifest.json."""
+    path = str(tmp_path / "t")
+    t = ParquetMergeTable(spark, path)
+    t.append(spark.createDataFrame([(1, "a")], "id long, s string"),
+             epoch=0, app_id="a")
+    v = t._version() + 1
+    os.makedirs(os.path.join(path, f"v={v}"), exist_ok=True)
+    t._write_manifest(v, [], t._read_manifest_obj(t._version())["schema"])
+    t._swap(v, epoch=1, app_id="a")
+    out = t.read()
+    assert out.count() == 0
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema] == [
+        ("id", "bigint"), ("s", "string"),
+    ]
+
+
+def test_vacuum_deletes_manifests_before_data_and_converges(spark, tmp_path):
+    """ADVICE r13 ordering + crash convergence: after compaction makes
+    the old versions' files unreferenced, a crash that removed the
+    manifests but not the data (the new deletion order's only crash
+    window) leaves versions reporting 'not retained' — and the NEXT
+    vacuum's reference-based sweep reclaims the stranded files even
+    though no manifest names them anymore."""
+    path = str(tmp_path / "t")
+    t = ParquetMergeTable(spark, path)
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], "id long"), epoch=i, app_id="a")
+    t.compact(target_files=1)
+    cur = t._version()
+    # simulate the crash window: manifests of the old versions gone,
+    # their (now unreferenced) data files still on disk
+    stranded = []
+    for v in range(cur):
+        m = t._manifest_path(v)
+        if os.path.exists(m):
+            os.remove(m)
+        stranded += glob.glob(os.path.join(path, f"v={v}", "*.parquet"))
+    assert stranded  # the scenario is real: files without manifests
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        t.read(version=0)
+    t.vacuum(keep_last=1)
+    for f in stranded:
+        assert not os.path.exists(f), f
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2]
+
+
+def test_two_tables_interleaved_maintenance_ticks_are_independent(
+    spark, tmp_path
+):
+    """VERDICT r13 item 7: two gates, each with its OWN decision-
+    ledger table under a shared state root, interleave commits and
+    maintenance ticks. A tick on one table must never vacuum a
+    version the other table's readers resolve — and each table's own
+    current+previous versions stay readable through every tick
+    (retain=2 is the crash-window discipline's floor)."""
+    from ai_fabric_etl_spark.operators.maintenance import maintenance_tick
+
+    root = str(tmp_path / "state")
+    ta = ParquetMergeTable(spark, os.path.join(root, "gate_a"))
+    tb = ParquetMergeTable(spark, os.path.join(root, "gate_b"))
+    rows_a, rows_b = [], []
+    for e in range(6):
+        ta.append(spark.createDataFrame([(e, "a")], "epoch_no long, g string"),
+                  epoch=e, app_id="ga", retain=2, n_files=None)
+        rows_a.append(e)
+        # interleaved tick on A only (every epoch): B untouched
+        maintenance_tick(spark, e, 1, [], ta.path)
+        if e % 2 == 0:
+            tb.append(
+                spark.createDataFrame([(e, "b")], "epoch_no long, g string"),
+                epoch=e, app_id="gb", retain=2, n_files=None,
+            )
+            rows_b.append(e)
+        # B's full history remains exactly its own commits
+        assert sorted(r.epoch_no for r in tb.read().collect()) == rows_b
+        assert tb.last_epoch("gb") == rows_b[-1]
+        # A's current version holds the full decision history too
+        assert sorted(r.epoch_no for r in ta.read().collect()) == rows_a
+        # and A's previous retained version still time-travels
+        vs = ta.versions()
+        assert len(vs) >= 1
+        ta.read(version=vs[0]).count()
+    # a tick on B now cannot disturb A's retained versions
+    before = {v: ta.read(version=v).count() for v in ta.versions()}
+    maintenance_tick(spark, 99, 1, [], tb.path)
+    after = {v: ta.read(version=v).count() for v in ta.versions()}
+    assert before == after
