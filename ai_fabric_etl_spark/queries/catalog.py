@@ -101,25 +101,39 @@ _PRIORITY = [
     # rollup_region_nation, a9_summarize_events) held direct slots
     # and went green in CORRECTNESS_r12; they return to their fp
     # composites below. ---
-    # --- r13 rotation (VERDICT r12 item 6): ten NEVER-direct
-    # fp-composite residents take the freed slots — the eight the
-    # verdict names (source_csv/jsonl/orc_roundtrip,
-    # sample_token_budget, text_line_dedup, graph_pagerank_suppliers,
-    # lakehouse_change_feed, dq_expectations_orders) plus the two
-    # remaining never-direct source connectors (fixed-width, XML).
-    # Verified before the swap: none appears in any CORRECTNESS_r*
-    # file, and each remains a member of its fp composite, so every
-    # oracle stays driver-visible in both positions. ---
-    "source_csv_roundtrip",
-    "source_jsonl_roundtrip",
-    "source_orc_roundtrip",
-    "source_fixedwidth_roundtrip",
-    "source_xml_roundtrip",
+    # --- r13 rotation HISTORY (VERDICT r12 item 6): ten never-direct
+    # fp-composite residents held direct slots in r13 — eight went
+    # green (the five source roundtrips, text_line_dedup,
+    # graph_pagerank_suppliers, lakehouse_change_feed) and return to
+    # their composites below; sample_token_budget and
+    # dq_expectations_orders were red for an oracle-portability
+    # harness bug (uncast HUGEINT, fixed this round with a
+    # registry-wide guard) and STAY direct until green. ---
     "sample_token_budget",
-    "text_line_dedup",
-    "graph_pagerank_suppliers",
-    "lakehouse_change_feed",
     "dq_expectations_orders",
+    # --- r14 rotation (VERDICT r13 item 6): ten fp-composite
+    # residents take the freed slots — eight that have never (or not
+    # since pre-r9) held a direct slot (source_sqlite_roundtrip r6/r7,
+    # export_wds_roundtrip never, lakehouse_iceberg_native_read r7,
+    # lakehouse_delta_native_read never, search_retrieval_metrics
+    # never, privacy_dp_sum never, sample_dsir_topk r7,
+    # dedup_keep_best never) plus the verdict's two other named
+    # candidates (text_trigram_backoff_nll r10, attribution_
+    # linear_touch r10). Displaced: the r13 direct-greens above plus
+    # affinity_brand_pairs / rfm_customer_segments (green r10-r13).
+    # Verified before the swap: every entry in BOTH directions
+    # remains a member of its fp composite, so every oracle stays
+    # driver-visible in both positions. ---
+    "source_sqlite_roundtrip",
+    "export_wds_roundtrip",
+    "lakehouse_iceberg_native_read",
+    "lakehouse_delta_native_read",
+    "search_retrieval_metrics",
+    "privacy_dp_sum",
+    "sample_dsir_topk",
+    "dedup_keep_best",
+    "text_trigram_backoff_nll",
+    "attribution_linear_touch",
     # --- r10 rotation (VERDICT r9 item 6): eight entries whose last
     # direct driver row predates r6 (the r4 behavior/profile family —
     # composite-resident since) take named slots; the eight
@@ -127,8 +141,6 @@ _PRIORITY = [
     # round-1 fixes green r2–r9 whose signal the x12 gold marts carry
     # — plus a10_hourly_rollup/j1/w1) rotate into fp_relational_ops,
     # oracles still verified every sweep. ---
-    "affinity_brand_pairs",
-    "rfm_customer_segments",
     "profile_histogram_equidepth",
     "event_transition_matrix",
     "winsorize_prices",
