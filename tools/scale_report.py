@@ -33,6 +33,13 @@ import subprocess
 import sys
 
 ISOLATION_THRESHOLD = 2.1
+# VERDICT r13 item 5: the two mechanical gates that bound the
+# sf2->sf4 drift story. A row's EFFECTIVE doubling (isolated when an
+# isolated re-run exists, in-suite otherwise) must stay <= 2.1x, and
+# the shared-suite (queries common with the comparison round's suite)
+# sf2->sf4 wall ratio must stay <= 1.5x.
+PER_ROW_DOUBLING_GATE = 2.1
+SHARED_SUITE_SF2_SF4_GATE = 1.5
 
 
 def _load(path: str) -> dict:
@@ -80,6 +87,12 @@ def main() -> int:
     ap.add_argument("sf4", nargs="?", default=None)
     ap.add_argument("--sf2-dir", dest="sf2_dir", default=None)
     ap.add_argument("--sf4-dir", dest="sf4_dir", default=None)
+    ap.add_argument(
+        "--shared-with", dest="shared_with", default=None,
+        help="prior SCALE_r*.json: compute the comparable-suite "
+        "doublings over the queries both suites share, and gate the "
+        "shared sf2->sf4 ratio at %.1fx" % SHARED_SUITE_SF2_SF4_GATE,
+    )
     ns = ap.parse_args()
     out_path, p01, p1, p2, p4 = ns.out_path, ns.sf01, ns.sf1, ns.sf2, ns.sf4
     opts = {"--sf2-dir": ns.sf2_dir, "--sf4-dir": ns.sf4_dir}
@@ -162,6 +175,60 @@ def main() -> int:
         report["sf4_seconds"] = b4["value"]
         report["wall_ratio_for_40x_data"] = round(b4["value"] / b01["value"], 2)
         report["wall_ratio_sf2_to_sf4"] = round(b4["value"] / b2["value"], 2)
+
+    # --- VERDICT r13 item 5: the two mechanical gates ---
+    flags: dict = {}
+    offenders = {}
+    for q, row in qs.items():
+        eff = (row.get("isolated") or {}).get(
+            "doubling_sf2_sf4"
+        ) or row.get("doubling_sf2_sf4")
+        if eff is not None and eff > PER_ROW_DOUBLING_GATE:
+            offenders[q] = {
+                "effective_sf2_sf4": eff,
+                "isolated": "isolated" in row,
+            }
+    flags["per_row_gate"] = {
+        "rule": f"effective (post-isolation) sf2->sf4 doubling <= "
+                f"{PER_ROW_DOUBLING_GATE}",
+        "offenders": offenders,
+        "clean": not offenders,
+    }
+    if ns.shared_with and b4:
+        prior = json.load(open(ns.shared_with))
+        shared = sorted(set(qs) & set(prior.get("queries", {})))
+        s1 = round(sum(qs[q].get("sf1", 0) for q in shared), 2)
+        s2 = round(sum(qs[q].get("sf2", 0) for q in shared), 2)
+        s4 = round(sum(qs[q].get("sf4", 0) for q in shared), 2)
+        shared_d = round(s4 / s2, 2) if s2 else None
+        report[f"comparable_{len(shared)}_query_doublings"] = {
+            "note": (
+                f"sf1->sf2 and sf2->sf4 wall ratios over the "
+                f"{len(shared)} queries shared with "
+                f"{os.path.basename(ns.shared_with)}'s suite (suite-mix "
+                "additions excluded so rounds compare like-for-like)"
+            ),
+            "sf1_seconds": s1,
+            "sf2_seconds": s2,
+            "sf4_seconds": s4,
+            "sf1_to_sf2": round(s2 / s1, 2) if s1 else None,
+            "sf2_to_sf4": shared_d,
+        }
+        flags["shared_suite_gate"] = {
+            "rule": f"shared-suite sf2->sf4 wall ratio <= "
+                    f"{SHARED_SUITE_SF2_SF4_GATE}",
+            "shared_sf2_to_sf4": shared_d,
+            "clean": shared_d is not None
+            and shared_d <= SHARED_SUITE_SF2_SF4_GATE,
+        }
+    report["flags"] = flags
+    if offenders:
+        print(f"PER-ROW GATE VIOLATION: {offenders}")
+    if "shared_suite_gate" in flags and not flags["shared_suite_gate"]["clean"]:
+        print(
+            "SHARED-SUITE GATE VIOLATION: sf2->sf4 = "
+            f"{flags['shared_suite_gate']['shared_sf2_to_sf4']}"
+        )
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
         f.write("\n")
