@@ -700,10 +700,19 @@ def minhash_dedup_incremental(
     # them (ADVICE r13: the persisted cand — and the fat new_sig with
     # its shingle arrays — used to outlive the call for the session
     # lifetime). The verified matches are the SMALL output (near-dup
-    # pairs of one batch); they stay cached so the caller's action
-    # reads the materialized result, and the internal frames are gone.
-    out = _verify_jaccard(cand, hs_all, threshold).persist()
-    out.count()
+    # pairs of one batch). localCheckpoint, NOT persist: the returned
+    # frame outlives this call, and a CacheManager entry whose lineage
+    # reads {index_path}/bands+sigs is re-planned by Spark's
+    # recacheByPath when a LATER minhash_index_write overwrites the
+    # same path — the re-planned cached plan can leave the signature
+    # pandas UDF unextracted (no ArrowEvalPython), and any new query
+    # that cache-matches the entry then dies with "Cannot generate
+    # code for expression: sigs(...)" (observed: fp_training_sources
+    # running this entry, then the standalone entry rebuilding the
+    # same fixture index). A checkpointed frame holds materialized
+    # blocks with NO catalog entry and NO path lineage — nothing to
+    # recache, nothing to substitute.
+    out = _verify_jaccard(cand, hs_all, threshold).localCheckpoint(eager=True)
     cand.unpersist()
     new_sig.unpersist()
     return out

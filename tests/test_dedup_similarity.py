@@ -1111,3 +1111,32 @@ def test_minhash_legacy_pmod_store_rejects_string_ids(spark, docs, tmp_path):
     }
     for i in range(3):
         assert got.get((i, i + 9000)) == pytest.approx(1.0)
+
+
+def test_minhash_incremental_survives_index_rebuild(spark, docs, tmp_path):
+    """Rebuilding an index at the SAME path must not corrupt a prior
+    call's returned frame or the next call's plan (the r14 sweep
+    failure: the previous incremental result was returned as a
+    CacheManager entry whose lineage read {idx}/bands+sigs; the next
+    minhash_index_write's overwrite triggered recacheByPath, whose
+    re-planned cached plan left the signature pandas UDF unextracted,
+    and the follow-up incremental screen died with 'Cannot generate
+    code for expression: sigs(...)'). The result is localCheckpointed
+    now — no catalog entry, no path lineage — so both the old frame
+    and the rebuilt-index screen must stay readable and identical."""
+    corpus = docs.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    dedup.minhash_index_write(corpus, idx)
+    batch = corpus.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    out1 = dedup.minhash_dedup_incremental(batch, idx, threshold=0.5)
+    rows1 = sorted((r["doc_a"], r["doc_b"]) for r in out1.collect())
+    assert rows1  # planted copies must match
+
+    # same-path rebuild (what fp composites + standalone entries do)
+    dedup.minhash_index_write(corpus, idx)
+    out2 = dedup.minhash_dedup_incremental(batch, idx, threshold=0.5)
+    assert sorted((r["doc_a"], r["doc_b"]) for r in out2.collect()) == rows1
+    # the first result frame is still readable after the rebuild
+    assert sorted((r["doc_a"], r["doc_b"]) for r in out1.collect()) == rows1
