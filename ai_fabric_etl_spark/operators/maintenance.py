@@ -39,6 +39,7 @@ import shutil
 import uuid
 
 from pyspark.sql import SparkSession
+from pyspark.sql.functions import col as F_col
 
 
 def _leaf_dirs(path: str) -> list[str]:
@@ -53,6 +54,61 @@ def _leaf_dirs(path: str) -> list[str]:
     return sorted(out)
 
 
+def _partition_spec(path: str, leaf: str) -> list[tuple[str, str]] | None:
+    """``[(col, value), ...]`` parsed from the ``key=value`` path
+    components between ``path`` and ``leaf`` (``[]`` for ``leaf ==
+    path``), or None when any component is not ``key=value`` — the
+    caller then falls back to the per-leaf rewrite for that leaf."""
+    rel = os.path.relpath(leaf, path)
+    if rel == ".":
+        return []
+    spec = []
+    for comp in rel.split(os.sep):
+        if "=" not in comp:
+            return None
+        k, _, v = comp.partition("=")
+        if not k:
+            return None
+        spec.append((k, v))
+    return spec
+
+
+def _compact_one_leaf(spark: SparkSession, leaf: str, files: list[str],
+                      dedupe: bool) -> int:
+    """The original per-leaf rewrite (one Spark job): read ``files``,
+    optionally dedupe, land ONE compacted file, then unlink the old
+    files. Fallback path for leaves whose dir structure is not
+    ``key=value`` partitioning; returns the number of files landed."""
+    df = spark.read.parquet(*files)
+    if dedupe:
+        df = df.distinct()
+    tmp = os.path.join(leaf, f"_compacting-{uuid.uuid4().hex[:12]}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    new_parts = sorted(glob.glob(os.path.join(tmp, "*.parquet")))
+    moved = []
+    for i, p in enumerate(new_parts):
+        dest = os.path.join(
+            leaf, f"compact-{uuid.uuid4().hex[:12]}-{i}.parquet"
+        )
+        os.replace(p, dest)
+        moved.append(dest)
+    # old files unlinked only AFTER the compacted file is durable
+    # (crash => duplicates, never loss)
+    _unlink_files(files)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return len(moved)
+
+
+def _unlink_files(files: list[str]) -> None:
+    for f in files:
+        os.remove(f)
+        crc = os.path.join(
+            os.path.dirname(f), "." + os.path.basename(f) + ".crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+
+
 def compact_parquet_dir(
     spark: SparkSession,
     path: str,
@@ -61,22 +117,40 @@ def compact_parquet_dir(
 ) -> dict:
     """Rewrite every leaf partition directory under ``path`` whose
     parquet-file count is >= ``min_files`` into ONE file. Data columns
-    only are read (partition values live in the directory names and
+    only are stored (partition values live in the directory names and
     are untouched); ``dedupe=True`` additionally drops exact-duplicate
     rows (safe ONLY for append-only fact rows where an exact duplicate
     can never be legitimate — the chunk-row indexes). Returns
     ``{"leaves_compacted": n, "files_before": n, "files_after": n}``.
-    """
+
+    All eligible ``key=value`` leaves compact in ONE Spark job (r14:
+    the per-leaf loop scheduled one read+write job per leaf — pure
+    scheduler overhead at ~0.3s/leaf, 54s for a 177-leaf tick; one
+    partitioned job over the same bytes runs in ~1s): the multi-file
+    leaves are read together with ``basePath`` so the partition
+    columns stay on the rows (per-leaf dedupe == global distinct WITH
+    those columns — data columns alone can coincide across leaves),
+    repartitioned BY the partition columns (each leaf's rows land in
+    exactly one task => exactly one output file per leaf), and written
+    ``partitionBy`` into one staging dir. The driver then moves each
+    staged file into its leaf BEFORE unlinking that leaf's old files —
+    the same per-leaf add-then-remove crash discipline as before: a
+    crash mid-stage leaves an orphan ``_compact_stage-*`` dir (reaped
+    next run), a crash mid-move leaves some leaves compacted and the
+    rest untouched, duplicates at worst, never loss. Leaves whose
+    relative path is not ``key=value`` partitioning fall back to the
+    original per-leaf rewrite."""
     leaves = _leaf_dirs(path)
     before = after = compacted = 0
-    for leaf in leaves:
-        # a crash after the tmp-dir write but before os.replace leaves
-        # an orphan `_compacting-*` dir nothing else removes (readers
-        # and _leaf_dirs skip underscore dirs; the next run mints a
-        # fresh uuid) — unreferenced by construction, so reap it here
-        # (ADVICE r12)
-        for orphan in glob.glob(os.path.join(leaf, "_compacting-*")):
+    # orphan staging dirs from a crashed previous run: unreferenced by
+    # construction (readers and _leaf_dirs skip underscore dirs; every
+    # run mints fresh uuids) — reap before counting (ADVICE r12)
+    for pat in ("_compacting-*", "_compact_stage-*"):
+        for orphan in glob.glob(os.path.join(path, "**", pat),
+                                recursive=True):
             shutil.rmtree(orphan, ignore_errors=True)
+    todo: list[tuple[str, list[str], list[tuple[str, str]] | None]] = []
+    for leaf in leaves:
         files = sorted(
             f for f in glob.glob(os.path.join(leaf, "*.parquet"))
             if not os.path.basename(f).startswith((".", "_"))
@@ -85,31 +159,68 @@ def compact_parquet_dir(
         if len(files) < min_files:
             after += len(files)
             continue
-        df = spark.read.parquet(*files)
-        if dedupe:
-            df = df.distinct()
-        tmp = os.path.join(leaf, f"_compacting-{uuid.uuid4().hex[:12]}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        new_parts = sorted(glob.glob(os.path.join(tmp, "*.parquet")))
-        moved = []
-        for i, p in enumerate(new_parts):
-            dest = os.path.join(
-                leaf, f"compact-{uuid.uuid4().hex[:12]}-{i}.parquet"
-            )
-            os.replace(p, dest)
-            moved.append(dest)
-        # old files unlinked only AFTER the compacted file is durable
-        # (crash => duplicates, never loss)
-        for f in files:
-            os.remove(f)
-            crc = os.path.join(
-                os.path.dirname(f), "." + os.path.basename(f) + ".crc"
-            )
-            if os.path.exists(crc):
-                os.remove(crc)
-        shutil.rmtree(tmp, ignore_errors=True)
+        todo.append((leaf, files, _partition_spec(path, leaf)))
+
+    # fallback leaves (non-key=value layout, or the root itself when it
+    # also has partitioned siblings): per-leaf rewrite, original path
+    grouped = [t for t in todo if t[2]]
+    singles = [t for t in todo if not t[2]]
+    # leaves with an empty spec (leaf == path: a FLAT dir) cannot ride
+    # the partitionBy stage — compact them per-leaf too
+    for leaf, files, _ in singles:
+        after += _compact_one_leaf(spark, leaf, files, dedupe)
         compacted += 1
-        after += len(moved)
+
+    if grouped:
+        part_cols = [c for c, _ in grouped[0][2]]
+        same = all([c for c, _ in spec] == part_cols
+                   for _, _, spec in grouped)
+        if not same:
+            # heterogeneous partition depths under one root — rare
+            # (never our index layouts); keep correctness, lose the
+            # batching
+            for leaf, files, _ in grouped:
+                after += _compact_one_leaf(spark, leaf, files, dedupe)
+                compacted += 1
+        else:
+            stage = os.path.join(
+                path, f"_compact_stage-{uuid.uuid4().hex[:12]}"
+            )
+            df = (
+                spark.read.option("basePath", path)
+                .parquet(*[leaf for leaf, _, _ in grouped])
+            )
+            if dedupe:
+                df = df.distinct()
+            (
+                df.repartition(*[F_col(c) for c in part_cols])
+                .write.partitionBy(*part_cols)
+                .mode("overwrite")
+                .parquet(stage)
+            )
+            for leaf, files, spec in grouped:
+                staged_leaf = os.path.join(
+                    stage, *[f"{c}={v}" for c, v in spec]
+                )
+                new_parts = sorted(
+                    glob.glob(os.path.join(staged_leaf, "*.parquet"))
+                )
+                if not new_parts:
+                    # defensive: no staged output for this leaf —
+                    # leave its files untouched rather than lose rows
+                    after += len(files)
+                    continue
+                moved = []
+                for i, p in enumerate(new_parts):
+                    dest = os.path.join(
+                        leaf, f"compact-{uuid.uuid4().hex[:12]}-{i}.parquet"
+                    )
+                    os.replace(p, dest)
+                    moved.append(dest)
+                _unlink_files(files)
+                compacted += 1
+                after += len(moved)
+            shutil.rmtree(stage, ignore_errors=True)
     return {
         "leaves_compacted": compacted,
         "files_before": before,
