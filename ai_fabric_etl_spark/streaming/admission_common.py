@@ -89,6 +89,223 @@ def local_id_frame(spark, ids, col: str = "doc_id") -> DataFrame:
     )
 
 
+def one_slice(spark, rows: list, schema) -> DataFrame:
+    """One-partition localized DataFrame of batch-sized rows (the
+    gates' insert/decision sets — a default createDataFrame scatters
+    tiny lists over defaultParallelism partitions; see
+    local_id_frame's note)."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
+def round6(x: float) -> float:
+    """Driver-side twin of ``F.round(col, 6)`` on a double: Spark
+    rounds through ``BigDecimal.valueOf(x).setScale(6, HALF_UP)``,
+    i.e. HALF_UP over the shortest decimal representation — NOT
+    Python's banker's ``round``. The gates' localized within-batch
+    metrics must round identically to the batch operators' plans or
+    stream==batch parity (and the value oracles) drift by one ulp on
+    ties."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                  rounding=ROUND_HALF_UP)
+    )
+
+
+def local_jaccard(ha, hb) -> float | None:
+    """Driver-side twin of dedup._exact_jaccard's expression over two
+    hashed-shingle arrays: ``size(array_intersect)`` counts DISTINCT
+    common elements while ``size(hs)`` counts the raw array length —
+    replicated exactly (a NULL side or a 0/0 division is NULL in the
+    plan, None here)."""
+    if ha is None or hb is None:
+        return None
+    inter = len(set(ha) & set(hb))
+    union = len(ha) + len(hb) - inter
+    if union == 0:
+        return None
+    return inter / union
+
+
+def local_text_within(sig_rows, bk_rows, hot_bb, threshold) -> list:
+    """Driver-side twin of _text_probe's within-batch half for ONE
+    micro-batch: candidates are pairs sharing any non-hot
+    (band, bucket) LSH key, verified with exact Jaccard over the
+    hashed shingle sets. ``sig_rows`` = collected (doc_id, hs[, ...])
+    rows, ``bk_rows`` = collected (doc_id, band, bucket) rows,
+    ``hot_bb`` = the index-occupancy hot (band, bucket) set. Returns
+    ``[(doc_a, doc_b, jaccard)]`` with doc_a < doc_b — the same pair
+    set and float values as the distributed plan, without its ~6
+    micro-stages of shuffle scheduling per batch (measured ~5s of the
+    paired gate's wall at sf0.1). Batch-sized by construction — the
+    same localization contract as the decision collect below."""
+    from collections import defaultdict
+
+    hs_by = {r[0]: r[1] for r in sig_rows}
+    bb = defaultdict(set)
+    for d, band, bucket in bk_rows:
+        if (band, bucket) in hot_bb:
+            continue
+        bb[(band, bucket)].add(d)
+    cand: set = set()
+    for members in bb.values():
+        if len(members) < 2:
+            continue
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                cand.add((ms[i], ms[j]))
+        if len(cand) > MAX_LOCAL_EDGES:
+            raise RuntimeError(
+                f"local_text_within: {len(cand)} candidate pairs exceed "
+                f"MAX_LOCAL_EDGES={MAX_LOCAL_EDGES}; shrink the "
+                "micro-batch (see component_rejects)"
+            )
+    out = []
+    for a, b in cand:
+        j = local_jaccard(hs_by.get(a), hs_by.get(b))
+        if j is not None and j >= threshold:
+            out.append((a, b, j))
+    return out
+
+
+def _rem48_py(u: int, ci: int) -> int:
+    """Python twin of multimodal._rem48 over the unsigned 64-bit form."""
+    if ci == 0:
+        return u >> 16
+    if ci == 3:
+        return u & ((1 << 48) - 1)
+    return (u & ((1 << (16 * ci)) - 1)) | ((u >> (16 * (ci + 1))) << (16 * ci))
+
+
+def local_phash_within(
+    hash_rows,
+    max_hamming: int = 3,
+    max_bucket: int = 2000,
+    on_oversize: str = "raise",
+    stats_out: dict | None = None,
+    what: str = "local_phash_within",
+) -> list:
+    """Driver-side twin of multimodal.phash_near_pairs for ONE
+    micro-batch's collected ``(id, hash64)`` rows: 16-bit-chunk
+    pigeonhole candidates, hot buckets re-split on the four 12-bit
+    sub-chunks of the remaining 48 bits, sub-buckets still over
+    ``max_bucket`` raise (or drop with counters) — the identical
+    policy, pair set and hamming values, minus the per-batch
+    shuffle-stage scheduling. Returns ``[(id_a, id_b, hamming)]``
+    with id_a < id_b."""
+    from collections import defaultdict
+
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"chunk banding holds for max_hamming in [0, 3], got {max_hamming}"
+        )
+    if on_oversize not in ("raise", "drop"):
+        raise ValueError(
+            f"on_oversize must be 'raise' or 'drop', got {on_oversize!r}"
+        )
+    rows = [(i, h & 0xFFFFFFFFFFFFFFFF) for i, h in hash_rows]
+    buckets = defaultdict(list)
+    for i, u in rows:
+        for ci in range(4):
+            buckets[(ci, (u >> (16 * ci)) & 0xFFFF)].append((i, u))
+    pairs: dict = {}
+
+    def emit(members) -> None:
+        ms = sorted(members)
+        for x in range(len(ms)):
+            ia, ha = ms[x]
+            for y in range(x + 1, len(ms)):
+                ib, hb = ms[y]
+                d = bin(ha ^ hb).count("1")
+                if d <= max_hamming:
+                    pairs[(ia, ib) if ia < ib else (ib, ia)] = d
+        if len(pairs) > MAX_LOCAL_EDGES:
+            raise RuntimeError(
+                f"{what}: {len(pairs)} within-batch pairs exceed "
+                f"MAX_LOCAL_EDGES={MAX_LOCAL_EDGES}; shrink the micro-batch"
+            )
+
+    hot_buckets = 0
+    dropped_sb = dropped_rows = 0
+    for (ci, _cv), members in buckets.items():
+        if len(members) <= max_bucket:
+            emit(members)
+            continue
+        hot_buckets += 1
+        sub = defaultdict(list)
+        for i, u in members:
+            rem = _rem48_py(u, ci)
+            for s in range(4):
+                sub[(s, (rem >> (12 * s)) & 0xFFF)].append((i, u))
+        for sm in sub.values():
+            if len(sm) > max_bucket:
+                if on_oversize == "raise":
+                    raise ValueError(
+                        f"{what}: banding bucket exceeds "
+                        f"max_bucket={max_bucket} (hot chunk value) — "
+                        "exact-dedup the media first, raise max_bucket, "
+                        "or pass on_oversize='drop'"
+                        f" (observed bucket size {len(sm)})"
+                    )
+                dropped_sb += 1
+                dropped_rows += len(sm)
+                continue
+            emit(sm)
+    if on_oversize == "drop" and stats_out is not None:
+        stats_out["hot_buckets"] = hot_buckets
+        stats_out["dropped_subbuckets"] = dropped_sb
+        stats_out["dropped_rows"] = dropped_rows
+    return [(a, b, d) for (a, b), d in pairs.items()]
+
+
+def resolve_local_components(rows: list, n_metrics: int) -> list:
+    """Union-find with min-id rooting over an already-localized edge
+    list ``[(a, b, *metrics)]`` — the core of :func:`component_rejects`
+    shared with the gates' fully-local decision paths. Returns one
+    ``(node, canon, *metrics)`` tuple per NON-canonical member; the
+    metrics carry the DIRECT (canon, member) edge's values, None on
+    transitive chains."""
+    if len(rows) > MAX_LOCAL_EDGES:
+        raise RuntimeError(
+            f"resolve_local_components: {len(rows)} within-batch near-dup "
+            f"edges exceed MAX_LOCAL_EDGES={MAX_LOCAL_EDGES}. The "
+            "admission gates localize the batch's survivor edge list on "
+            "the driver; shrink the micro-batch (maxFilesPerTrigger / "
+            "maxOffsetsPerTrigger) or pre-dedup the feed."
+        )
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    direct = {(r[0], r[1]): tuple(r)[2:] for r in rows}
+    nulls = (None,) * n_metrics
+    out = []
+    for node in parent:
+        canon = find(node)
+        if node == canon:
+            continue  # the canonical is admitted, never emitted
+        out.append((node, canon) + direct.get((canon, node), nulls))
+    return out
+
+
 def component_rejects(
     pairs: DataFrame,
     id_col: str,
@@ -115,51 +332,12 @@ def component_rejects(
         F.col(b_col).alias("id_b"),
         *[F.col(m) for m in metrics],
     )
-    rows = narrowed.collect()
-    # max-batch guard (VERDICT r11): the localization is sound ONLY
-    # because the edge list is micro-batch-sized; a misconfigured
-    # trigger feeding corpus-sized batches would silently turn this
-    # into a driver OOM — fail loudly with the remedy instead
-    if len(rows) > MAX_LOCAL_EDGES:
-        raise RuntimeError(
-            f"component_rejects: {len(rows)} within-batch near-dup edges "
-            f"exceed MAX_LOCAL_EDGES={MAX_LOCAL_EDGES}. The admission "
-            "gates localize the batch's survivor edge list on the "
-            "driver; shrink the micro-batch (maxFilesPerTrigger / "
-            "maxOffsetsPerTrigger) or pre-dedup the feed."
-        )
-
-    # union-find with min-id rooting: parent[max_root] = min_root on
-    # every union, so each final root IS its component's minimum id —
-    # exactly neardup_components' canonical, without per-batch Spark
-    # jobs
-    parent: dict = {}
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]  # path halving
-            x = parent[x]
-        return x
-
-    for r in rows:
-        a, b = r[0], r[1]
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    # metric provenance: the DIRECT edge (canonical, member) when it
-    # exists — edge keys are (id_a < id_b) and the canonical is the
-    # component minimum, so (canon, member) is a well-formed key
-    direct = {(r[0], r[1]): tuple(r)[2:] for r in rows}
-    nulls = (None,) * len(metrics)
-    out = []
-    for node in parent:
-        canon = find(node)
-        if node == canon:
-            continue  # the canonical is admitted, never emitted
-        out.append((node, canon) + direct.get((canon, node), nulls))
+    rows = [tuple(r) for r in narrowed.collect()]
+    # max-batch guard (VERDICT r11) + union-find with min-id rooting
+    # (each final root IS its component's minimum id — exactly
+    # neardup_components' canonical, without per-batch Spark jobs):
+    # shared with the gates' fully-local decision paths
+    out = resolve_local_components(rows, len(metrics))
 
     fields = narrowed.schema.fields
     schema = StructType(

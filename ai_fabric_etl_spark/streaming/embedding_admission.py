@@ -50,8 +50,16 @@ from ai_fabric_etl_spark.operators.similarity import (
     emb_neardup_index_insert,
 )
 from ai_fabric_etl_spark.streaming.admission_common import (
-    component_rejects,
-    local_id_frame,
+    resolve_local_components,
+    round6,
+)
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
 )
 
 DECISION_COLS = ["vec_id", "admitted", "dup_of", "cosine", "epoch"]
@@ -94,92 +102,84 @@ def admit_embeddings_batch(
     pairs = emb_neardup_incremental(
         batch, index_path, threshold=threshold,
         id_col="vec_id", vec_col="embedding", max_bucket=max_bucket,
-    ).persist()
-
-    # classify pair sides by id membership in the CURRENT batch
-    bids = batch.select("vec_id")
-    flagged = (
-        pairs.join(
-            F.broadcast(bids.select(F.col("vec_id").alias("id_a"))
-                        .withColumn("_a", F.lit(1))),
-            "id_a", "left",
-        )
-        .join(
-            F.broadcast(bids.select(F.col("vec_id").alias("id_b"))
-                        .withColumn("_b", F.lit(1))),
-            "id_b", "left",
-        )
-    )
-    corpus_pairs = flagged.filter(
-        F.col("_a").isNull() | F.col("_b").isNull()
-    ).select(
-        F.when(F.col("_a").isNotNull(), F.col("id_a"))
-        .otherwise(F.col("id_b")).alias("vec_id"),
-        F.when(F.col("_a").isNotNull(), F.col("id_b"))
-        .otherwise(F.col("id_a")).alias("other"),
-        "cosine",
-    )
-    index_dups = (
-        corpus_pairs.groupBy("vec_id")
-        .agg(F.max(F.struct(F.col("cosine").alias("c"),
-                            (-F.col("other")).alias("negid"),
-                            F.col("other").alias("id"))).alias("_x"))
-        .select("vec_id",
-                F.col("_x.id").alias("dup_of"),
-                F.round(F.col("_x.c"), 6).alias("cosine"))
     )
 
-    # grouped, not raw: when a prior crashed/converged attempt already
-    # inserted a batch vector, the same within-batch pair arrives via
-    # BOTH the batch path and the index path — duplicate edges would
-    # fan out the decision join
-    within = (
-        flagged.filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
-        .groupBy("id_a", "id_b")
-        .agg(F.round(F.max("cosine"), 6).alias("cosine"))
-    )
-    surv = within.join(
-        index_dups.select(F.col("vec_id").alias("id_a")), "id_a", "left_anti"
-    ).join(
-        index_dups.select(F.col("vec_id").alias("id_b")), "id_b", "left_anti"
-    )
-    batch_dups = component_rejects(
-        surv, id_col="vec_id", a_col="id_a", b_col="id_b",
-        metric_col="cosine",
-    )
-    rejected = index_dups.unionByName(batch_dups).persist()
+    # LOCALIZE the decision-sized outputs (r14, same contract as the
+    # other gates): the verified pair list is O(batch near-dups) by
+    # construction and the batch rows themselves are one micro-batch —
+    # membership classification, index rejects, the within-batch
+    # graph, components, and the decision rows assemble in plain
+    # Python instead of ~8 per-batch shuffle micro-stages. The
+    # corpus-side machinery (map-side pruned probe + exact cosine
+    # verify inside emb_neardup_incremental) stays fully distributed.
+    batch_rows = [tuple(r) for r in batch.collect()]
+    pair_rows = [tuple(r) for r in pairs.collect()]
+    bids = {r[0] for r in batch_rows}
 
-    decisions = (
-        batch.select("vec_id")
-        .join(rejected, "vec_id", "left")
-        .select(
-            "vec_id",
-            F.col("dup_of").isNull().alias("admitted"),
-            "dup_of",
-            "cosine",
-            F.lit(int(epoch_id)).alias("epoch"),
-        )
-    )
-    dec_schema = decisions.schema
-    dec_rows = decisions.collect()  # localized before the inserts
+    # classify pair sides by id membership in the CURRENT batch;
+    # corpus best = max struct (cosine, -other, other) — the grouped
+    # tie-break — rounded AFTER the argmax
+    best: dict = {}
+    within_max: dict = {}
+    for ia, ib, c in pair_rows:
+        a_in, b_in = ia in bids, ib in bids
+        if a_in and b_in:
+            # grouped, not raw: a prior crashed/converged attempt's
+            # insert delivers the same pair via BOTH the batch path
+            # and the index path — collapse duplicate edges
+            k = (ia, ib)
+            if k not in within_max or c > within_max[k]:
+                within_max[k] = c
+            continue
+        vec, other = (ia, ib) if a_in else (ib, ia)
+        key = (c, -other, other)
+        if vec not in best or key > best[vec]:
+            best[vec] = key
+    index_dups = {
+        v: (other, round6(c)) for v, (c, _neg, other) in best.items()
+    }
+    surv = [
+        (a, b, round6(c))
+        for (a, b), c in within_max.items()
+        if a not in index_dups and b not in index_dups
+    ]
+    batch_dups = {
+        node: (canon, c)
+        for node, canon, c in resolve_local_components(surv, 1)
+    }
+
+    dec_rows = []
+    for vid, _vec in batch_rows:
+        if vid in index_dups:
+            dup, c = index_dups[vid]
+            dec_rows.append((vid, False, dup, c, int(epoch_id)))
+        elif vid in batch_dups:
+            canon, c = batch_dups[vid]
+            dec_rows.append((vid, False, canon, c, int(epoch_id)))
+        else:
+            dec_rows.append((vid, True, None, None, int(epoch_id)))
+    dec_schema = StructType([
+        StructField("vec_id", LongType(), True),
+        StructField("admitted", BooleanType(), False),
+        StructField("dup_of", LongType(), True),
+        StructField("cosine", DoubleType(), True),
+        StructField("epoch", IntegerType(), False),
+    ])
 
     # inserts (guarded by the per-epoch receipt), then the commit.
-    # to_insert is pure-batch (persisted batch x a driver-local id
-    # frame riding dec_rows) — NOT `batch anti-join rejected`: the
-    # insert writes keys, then vecs, then the counts fold, and
-    # rejected's lineage reads those index paths, so after the first
-    # append Spark's recacheByPath invalidates it and each later
-    # write would re-run the full embedding probe against the grown
-    # index (the paired-gate bug, VERDICT r12 item 4 — same fix).
+    # to_insert is a ONE-SLICE driver-local frame (vectors ride the
+    # already-collected batch rows) — never a plan reading an index
+    # path (recacheByPath, VERDICT r12 item 4) and no per-insert join.
     receipt = _receipt_path(index_path, app_id, epoch_id)
     if not os.path.exists(receipt):
-        to_insert = batch.join(
-            F.broadcast(local_id_frame(
-                spark,
-                [r.vec_id for r in dec_rows if r.admitted],
-                col="vec_id",
-            )),
-            "vec_id",
+        admitted = {r[0] for r in dec_rows if r[1]}
+        ins_rows = [r for r in batch_rows if r[0] in admitted]
+        to_insert = (
+            spark.createDataFrame(
+                spark.sparkContext.parallelize(ins_rows, 1), batch.schema
+            )
+            if ins_rows
+            else spark.createDataFrame([], batch.schema)
         )
         emb_neardup_index_insert(
             to_insert, index_path, id_col="vec_id", vec_col="embedding"
@@ -187,7 +187,7 @@ def admit_embeddings_batch(
         os.makedirs(os.path.dirname(receipt), exist_ok=True)
         with open(receipt, "w", encoding="utf-8") as fh:
             json.dump({"epoch": int(epoch_id),
-                       "n_admitted": sum(1 for r in dec_rows if r.admitted)},
+                       "n_admitted": sum(1 for r in dec_rows if r[1])},
                       fh)
 
     # one-slice localized frame: the decision rows are already on the
@@ -205,9 +205,7 @@ def admit_embeddings_batch(
     table.append(
         decided, epoch=epoch_id, app_id=app_id, retain=2, n_files=None
     )
-    rejected.unpersist()
     batch.unpersist()
-    pairs.unpersist()
     return True
 
 

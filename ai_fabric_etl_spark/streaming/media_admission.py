@@ -44,13 +44,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from ai_fabric_etl_spark.operators import multimodal
 from ai_fabric_etl_spark.operators.maintenance import maintenance_tick
 from ai_fabric_etl_spark.operators.merge import ParquetMergeTable
 from ai_fabric_etl_spark.streaming.admission_common import (
-    component_rejects,
+    local_phash_within,
     phase_timer,
+    resolve_local_components,
 )
 
 DECISION_COLS = ["media_id", "admitted", "dup_of", "hamming", "epoch"]
@@ -133,7 +141,7 @@ def admit_media_batch(
     probe = multimodal.phash_index_probe(
         spark, index_path, hashed, max_hamming=max_hamming, id_col=id_col,
         scratch=scratch, with_chunk_hits=True,
-    ).persist()
+    )
 
     # batch_id == index_id can only be this batch's own rows from a
     # prior attempt that crashed between index insert and the epoch
@@ -156,10 +164,26 @@ def admit_media_batch(
     # hazard; a drop-mode caller must judge completeness with
     # multimodal.phash_index_presence on the ids' own pruned
     # partitions instead (the video gate's structure).
-    self_ids = probe.filter(
-        (F.col("batch_id") == F.col("index_id"))
-        & (F.col("n_chunk_hits") >= 4)
-    ).select(F.col("batch_id").alias(id_col)).distinct()
+    # LOCALIZE the probe outputs (r14): everything from here to the
+    # insert is micro-batch-sized by construction (one row per input
+    # id / per probe match) and the decision rows were always
+    # collected before the insert (recacheByPath). Collecting the
+    # hash and probe rows too and computing self-detection, index
+    # rejects, the within-batch pair graph, components, and the
+    # decision rows in plain Python removes the per-batch shuffle
+    # micro-stages the distributed frames cost (same localization
+    # contract + MAX_LOCAL_EDGES guards as the r12/r13 component
+    # localization; the index-side probe scan stays distributed).
+    hash_rows = [
+        (r[0], r[1]) for r in hashes.select(id_col, "dhash").collect()
+    ]
+    probe_rows = [tuple(r) for r in probe.collect()]
+    mark("hash + probe outputs localized")
+    decoded = {i for i, h in hash_rows if h is not None}
+    # full-presence self-detection (ADVICE r11): skip the re-insert
+    # only when all 4 chunk rows are durable; exact here because the
+    # probe runs on_oversize='raise' (see the ordering note below)
+    self_set = {b for (b, ix, _h, nch) in probe_rows if b == ix and nch >= 4}
     # corpus duplicates exclude ALL matches whose index id is in the
     # current batch (not just same-id): stream ids are unique, so an
     # index row carrying ANY batch id is the batch's own insert from
@@ -167,41 +191,33 @@ def admit_media_batch(
     # remove their edges from the within-batch graph below and make
     # the DECISIONS depend on the crash interleaving; routed through
     # the batch graph instead, replay computes exactly the clean
-    # run's decisions and index contents.
-    batch_ids = hashed.select(F.col(id_col).alias("index_id")).distinct()
-    index_dups = (
-        probe.join(F.broadcast(batch_ids), "index_id", "left_anti")
-        .groupBy("batch_id")
-        .agg(
-            F.min(F.struct("hamming", "index_id")).alias("_best")
-        )
-        .select(
-            F.col("batch_id").alias(id_col),
-            F.col("_best.index_id").alias("dup_of"),
-            F.col("_best.hamming").alias("hamming"),
-        )
-    )
+    # run's decisions and index contents. Best match = min struct
+    # (hamming, index_id) — the probe's tie-break.
+    best: dict = {}
+    for b, ix, hm, _n in probe_rows:
+        if ix in decoded:
+            continue
+        key = (hm, ix)
+        if b not in best or key < best[b]:
+            best[b] = key
+    index_dups = {b: (ix, hm) for b, (hm, ix) in best.items()}
 
     # within-batch: one representative per near-dup component (see
     # admission_common). Edges are restricted to probe SURVIVORS on
     # both sides — an index duplicate keeps its index provenance and
     # must not stitch two otherwise-unrelated survivors together.
-    batch_pairs = multimodal.phash_near_pairs(
-        hashed, max_hamming=max_hamming, id_col=id_col
+    batch_pairs = local_phash_within(
+        [(i, h) for i, h in hash_rows if h is not None],
+        max_hamming=max_hamming, what=f"admit_media_batch:{modality}",
     )
-    surv_pairs = batch_pairs.join(
-        index_dups.select(F.col(id_col).alias("id_a")), "id_a", "left_anti"
-    ).join(
-        index_dups.select(F.col(id_col).alias("id_b")), "id_b", "left_anti"
-    )
-    batch_dups = component_rejects(
-        surv_pairs, id_col=id_col, a_col="id_a", b_col="id_b",
-        metric_col="hamming",
-    )
-
-    # persisted: decision-sized, evaluated by the insert AND the
-    # commit (the batch pair graph would otherwise recompute per use)
-    rejected = index_dups.unionByName(batch_dups).persist()
+    surv_pairs = [
+        (a, b, hm) for a, b, hm in batch_pairs
+        if a not in index_dups and b not in index_dups
+    ]
+    batch_dups = {
+        node: (canon, hm)
+        for node, canon, hm in resolve_local_components(surv_pairs, 1)
+    }
 
     # ORDERING INVARIANT: the index insert happens BEFORE the epoch
     # commit. A crash after the insert replays the epoch (the guard
@@ -211,37 +227,44 @@ def admit_media_batch(
     # insert never ran skips on replay and the admitted hashes are
     # lost from the index forever.
     #
-    # The batch's decision rows are LOCALIZED (collect) before the
-    # insert: their plan probes the index path, and Spark's cache
-    # auto-refresh on append (recacheByPath) would otherwise re-read
-    # the just-grown index when the commit evaluates them. One row per
-    # input media id — micro-batch-sized, never corpus-sized.
     # decisions cover EVERY input id (ADVICE r11): the hasher emits a
-    # NULL-hash row per undecodable payload (on_error='null'), so one
-    # left join over the persisted hash frame covers admit / reject /
-    # quarantine without re-reading the batch source. Quarantine shape:
-    # admitted=false with NULL dup_of — the only rejected rows without
-    # provenance (a dup reject always names its dup_of).
-    decisions = (
-        hashes.select(id_col, "dhash")
-        .join(rejected, id_col, "left")
-        .select(
-            F.col(id_col),
-            (F.col("dhash").isNotNull() & F.col("dup_of").isNull())
-            .alias("admitted"),
-            "dup_of",
-            "hamming",
-            F.lit(int(epoch_id)).alias("epoch"),
-        )
-    )
-    dec_schema = decisions.schema
-    dec_rows = decisions.collect()
-    mark("decisions collected (hash + probe + components)")
+    # NULL-hash row per undecodable payload (on_error='null'), so the
+    # localized hash rows cover admit / reject / quarantine without
+    # re-reading the batch source. Quarantine shape: admitted=false
+    # with NULL dup_of — the only rejected rows without provenance (a
+    # dup reject always names its dup_of).
+    dec_rows = []
+    for i, h in hash_rows:
+        if i in index_dups:
+            dup, hm = index_dups[i]
+            dec_rows.append((i, False, dup, hm, int(epoch_id)))
+        elif i in batch_dups:
+            canon, hm = batch_dups[i]
+            dec_rows.append((i, False, canon, hm, int(epoch_id)))
+        else:
+            dec_rows.append((i, h is not None, None, None, int(epoch_id)))
+    dec_schema = StructType([
+        StructField(id_col, LongType(), True),
+        StructField("admitted", BooleanType(), False),
+        StructField("dup_of", LongType(), True),
+        StructField("hamming", IntegerType(), True),
+        StructField("epoch", IntegerType(), False),
+    ])
+    mark("decisions computed (driver-local)")
 
+    h_by = dict(hash_rows)
+    ins_rows = [
+        (i, h_by[i])
+        for i, admitted, _d, _hm, _e in dec_rows
+        if admitted and i not in self_set
+    ]
     to_insert = (
-        hashed.join(rejected, id_col, "left_anti")
-        .join(self_ids, id_col, "left_anti")
-        .select(id_col, "dhash")
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(ins_rows, 1),
+            f"{id_col} long, dhash long",
+        )
+        if ins_rows
+        else spark.createDataFrame([], f"{id_col} long, dhash long")
     )
     multimodal.phash_index_insert(spark, index_path, to_insert, id_col=id_col)
     mark("index chunks inserted")
@@ -262,9 +285,7 @@ def admit_media_batch(
         decided, epoch=epoch_id, app_id=app_id, retain=2, n_files=None
     )
     mark("decision ledger committed")
-    rejected.unpersist()
     hashes.unpersist()
-    probe.unpersist()
     for fr in scratch:
         fr.unpersist()
     return True
@@ -395,100 +416,120 @@ def admit_video_batch(
         spark, index_path, fh, max_hamming=max_hamming,
         min_frames=min_frames, max_shift=max_shift, id_col=id_col,
         scratch=scratch,
-    ).persist()
+    )
 
+    # LOCALIZE the decision-sized outputs (r14, same contract as the
+    # image/audio gate): the frame-hash rows, the probe's alignment
+    # matches and the within-batch pair list (video_near_pairs — the
+    # frame-alignment machinery itself STAYS distributed) are all
+    # micro-batch-sized; index rejects, components, and the decision
+    # rows then assemble in plain Python instead of ~8 per-batch
+    # shuffle micro-stages.
+    all_ids = {r[0] for r in media_batch.select(id_col).distinct().collect()}
+    mark("batch ids localized")
+    fh_rows = [
+        tuple(r) for r in fh.select(id_col, "frame_idx", "fhash").collect()
+    ]
+    mark("frame hashes localized (decode)")
+    probe_rows = [tuple(r) for r in probe.collect()]
+    mark("index probe localized")
+    pair_rows = [
+        tuple(r)
+        for r in multimodal.video_near_pairs(
+            fh, max_hamming=max_hamming, min_frames=min_frames,
+            max_shift=max_shift, id_col=id_col,
+        ).collect()
+    ]
+    mark("within-batch alignment pairs localized")
+
+    decoded = {r[0] for r in fh_rows}
     # self-detection requires the id's insert to be COMPLETE (every
-    # (frame_idx, chunk) row durable — ADVICE r11, same rationale as
-    # the image/audio gate's phash_index_presence check): a partial
-    # insert re-inserts in full, duplicates are probe-harmless
-    self_cand = probe.filter(F.col("batch_id") == F.col("index_id")).select(
-        F.col("batch_id").alias(id_col)
-    ).distinct()
-    if self_cand.limit(1).count() == 0:  # no crash replay: skip scan
-        self_ids = self_cand
+    # (frame_idx, chunk) row durable — ADVICE r11): a partial insert
+    # re-inserts in full, duplicates are probe-harmless
+    self_cand = {b for (b, ix, _nm, _s) in probe_rows if b == ix}
+    if not self_cand:  # no crash replay: skip the presence scan
+        self_set: set = set()
     else:
-        self_ids = (
-            multimodal.video_index_presence(
+        mark("presence scan starting (self candidates present)")
+        self_set = {
+            r[0]
+            for r in multimodal.video_index_presence(
                 spark, index_path,
-                fh.join(self_cand, id_col, "left_semi"),
+                fh.join(
+                    spark.createDataFrame(
+                        [(int(i),) for i in sorted(self_cand)],
+                        f"{id_col} long",
+                    ),
+                    id_col, "left_semi",
+                ),
                 id_col=id_col,
             )
             .filter(F.col("n_rows") >= F.col("n_expected"))
             .select(id_col)
-        )
+            .collect()
+        }
     # exclude ALL matches against this batch's own ids (a prior
-    # crashed attempt's insert) — same interleaving-invariance
-    # argument as the image/audio gate
-    batch_ids = fh.select(F.col(id_col).alias("index_id")).distinct()
-    index_dups = (
-        probe.join(F.broadcast(batch_ids), "index_id", "left_anti")
-        .groupBy("batch_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("n_matching_frames").alias("nm"),
-                    (-F.col("index_id")).alias("negid"),
-                    F.col("index_id").alias("id"),
-                    F.col("shift").alias("shift"),
-                )
-            ).alias("_b")
-        )
-        .select(
-            F.col("batch_id").alias(id_col),
-            F.col("_b.id").alias("dup_of"),
-            F.col("_b.nm").alias("matched_frames"),
-            F.col("_b.shift").alias("shift"),
-        )
-    )
+    # crashed attempt's insert) — interleaving invariance; best match
+    # = max struct (n_matching_frames, -index_id, index_id, shift),
+    # the probe's tie-break
+    best: dict = {}
+    for b, ix, nm, sh in probe_rows:
+        if ix in decoded:
+            continue
+        key = (nm, -ix, ix, sh)
+        if b not in best or key > best[b]:
+            best[b] = key
+    index_dups = {b: (ix, nm, sh) for b, (nm, _neg, ix, sh) in best.items()}
 
-    batch_pairs = multimodal.video_near_pairs(
-        fh, max_hamming=max_hamming, min_frames=min_frames,
-        max_shift=max_shift, id_col=id_col,
-    )
-    surv_pairs = batch_pairs.join(
-        index_dups.select(F.col(id_col).alias("id_a")), "id_a", "left_anti"
-    ).join(
-        index_dups.select(F.col(id_col).alias("id_b")), "id_b", "left_anti"
-    )
-    batch_dups = component_rejects(
-        surv_pairs.withColumn(
-            "matched_frames", F.col("n_matching_frames")
-        ),
-        id_col=id_col, a_col="id_a", b_col="id_b",
-        metric_col="matched_frames", extra_metric_cols=("shift",),
-    )
-
-    rejected = index_dups.unionByName(batch_dups).persist()
+    surv_pairs = [
+        (a, b, nm, sh) for a, b, nm, sh in pair_rows
+        if a not in index_dups and b not in index_dups
+    ]
+    batch_dups = {
+        node: (canon, nm, sh)
+        for node, canon, nm, sh in resolve_local_components(surv_pairs, 2)
+    }
 
     # decisions cover EVERY input clip (ADVICE r11): a payload that
     # decodes to zero frames yields no frame-hash rows and would
     # otherwise silently get no decision — it quarantines instead
     # (admitted=false, NULL dup_of; see admit_media_batch)
-    decisions = (
-        media_batch.select(id_col).distinct()
-        .join(
-            fh.select(id_col).distinct().withColumn("_decoded", F.lit(True)),
-            id_col, "left",
-        )
-        .join(rejected, id_col, "left")
-        .select(
-            F.col(id_col),
-            (F.col("_decoded").isNotNull() & F.col("dup_of").isNull())
-            .alias("admitted"),
-            "dup_of",
-            "matched_frames",
-            "shift",
-            F.lit(int(epoch_id)).alias("epoch"),
-        )
-    )
-    dec_schema = decisions.schema
-    dec_rows = decisions.collect()
-    mark("decisions collected (decode + probe + alignment + components)")
+    dec_rows = []
+    for i in sorted(all_ids):
+        if i in index_dups:
+            dup, nm, sh = index_dups[i]
+            dec_rows.append((i, False, dup, nm, sh, int(epoch_id)))
+        elif i in batch_dups:
+            canon, nm, sh = batch_dups[i]
+            dec_rows.append((i, False, canon, nm, sh, int(epoch_id)))
+        else:
+            dec_rows.append(
+                (i, i in decoded, None, None, None, int(epoch_id))
+            )
+    dec_schema = StructType([
+        StructField(id_col, LongType(), True),
+        StructField("admitted", BooleanType(), False),
+        StructField("dup_of", LongType(), True),
+        StructField("matched_frames", LongType(), True),
+        StructField("shift", IntegerType(), True),
+        StructField("epoch", IntegerType(), False),
+    ])
+    mark("decisions computed (driver-local)")
 
+    rejected_ids = set(index_dups) | set(batch_dups)
+    ins_rows = [
+        (i, fi, h) for i, fi, h in fh_rows
+        if i not in rejected_ids and i not in self_set
+    ]
     to_insert = (
-        fh.join(rejected, id_col, "left_anti")
-        .join(self_ids, id_col, "left_anti")
-        .select(id_col, "frame_idx", "fhash")
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(ins_rows, 1),
+            f"{id_col} long, frame_idx int, fhash long",
+        )
+        if ins_rows
+        else spark.createDataFrame(
+            [], f"{id_col} long, frame_idx int, fhash long"
+        )
     )
     multimodal.video_index_insert(spark, index_path, to_insert, id_col=id_col)
     mark("frame chunks inserted (incl. presence check for self candidates)")
@@ -509,9 +550,7 @@ def admit_video_batch(
         decided, epoch=epoch_id, app_id=app_id, retain=2, n_files=None
     )
     mark("decision ledger committed")
-    rejected.unpersist()
     fh.unpersist()
-    probe.unpersist()
     for fr in scratch:
         fr.unpersist()
     return True

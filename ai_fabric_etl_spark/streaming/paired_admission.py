@@ -30,18 +30,32 @@ interleaving-invariance rule both single-modality gates follow).
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ai_fabric_etl_spark.operators import multimodal
 from ai_fabric_etl_spark.operators.dedup import sig_store_append
 from ai_fabric_etl_spark.operators.maintenance import maintenance_tick
 from ai_fabric_etl_spark.operators.merge import ParquetMergeTable
 from ai_fabric_etl_spark.streaming.admission_common import (
-    component_rejects,
-    local_id_frame,
+    local_phash_within,
+    local_text_within,
+    one_slice as _one_slice,
     phase_timer,
+    resolve_local_components,
+    round6,
 )
 from ai_fabric_etl_spark.streaming.text_admission import _text_probe
 
@@ -82,265 +96,249 @@ def admit_pairs_batch(
     columns name the component canonical (an ADMITTED pair), with the
     per-modality metric NULL when that modality has no direct edge to
     the canonical."""
+    import os as _os
+
     table = ParquetMergeTable(spark, state_dir)
     last = table.last_epoch(app_id)
     if last is not None and epoch_id <= last:
         return False  # replayed epoch — already decided
     mark = phase_timer("paired")
+    # under the timings flag, force each sub-frame at its boundary so
+    # the decisions phase attributes to its parts (diagnosis only —
+    # the untimed path materializes everything lazily at the collects)
+    _dbg = bool(_os.environ.get("SPARK_GRAFT_GATE_TIMINGS"))
 
-    # --- text side (shared probe with the single-modality gate) ---
+    # --- the two modality probes are INDEPENDENT read-only chains
+    # (text: sign + band-prune + exact-Jaccard verify; image: decode +
+    # hash + statically-pruned chunk probe) with no write in either —
+    # run them on two driver threads so their Spark jobs overlap
+    # (guide §2.6: actions are only sequential because driver code
+    # calls them sequentially). Each thread LOCALIZES its probe's
+    # decision-sized outputs; everything after the join is plain
+    # Python over micro-batch-sized rows — computing index-rejects,
+    # the within-batch union graph, components, and the decision rows
+    # locally replaces ~12 micro-stages of per-batch shuffle
+    # scheduling (measured ~8s of the paired gate's wall at sf0.1)
+    # with sub-millisecond driver work over the same values. The
+    # corpus-side machinery stays fully distributed — only its
+    # DECISION-SIZED outputs localize, the same contract (and
+    # MAX_LOCAL_EDGES guards) as the r12/r13 component localization.
     scratch: list = []
-    sig, bk, t_self, t_index_dups, t_within, occ = _text_probe(
-        spark, text_index_path,
-        pairs_batch.select(F.col(id_col).alias("doc_id"), text_col),
-        text_col, threshold, num_hashes, bands, n, max_bucket,
-        on_oversize="raise", stats_out=None, what="admit_pairs_batch",
-        scratch=scratch,
-    )
-    mark("text probe built (incl. sb-prune collect)")
+    t_out: dict = {}
+    i_scratch: list = []
+    i_out: dict = {}
 
-    # --- image side ---
-    # one row per INPUT pair; NULL dhash = undecodable image payload
-    # (quarantine — a poison pair must not fail the micro-batch)
-    hashes = multimodal.dhash64(
-        pairs_batch, fake=fake, id_col=id_col, payload_col=payload_col,
-        on_error="null",
-    ).withColumnRenamed(id_col, "doc_id").persist()
-    hashed = hashes.filter(F.col("dhash").isNotNull())
-    probe = multimodal.phash_index_probe(
-        spark, image_index_path, hashed, max_hamming=max_hamming,
-        id_col="doc_id", scratch=scratch, with_chunk_hits=True,
-    ).persist()
+    def _text_side() -> None:
+        sig, bk, t_self, t_index_dups, _t_within, occ = _text_probe(
+            spark, text_index_path,
+            pairs_batch.select(F.col(id_col).alias("doc_id"), text_col),
+            text_col, threshold, num_hashes, bands, n, max_bucket,
+            on_oversize="raise", stats_out=None, what="admit_pairs_batch",
+            scratch=scratch,
+        )
+        mark("text probe built (incl. sb-prune collect)")
+        t_out["t_dup_rows"] = [tuple(r) for r in t_index_dups.collect()]
+        t_out["t_self_set"] = {r[0] for r in t_self.collect()}
+        t_out["sig_rows"] = [
+            (r[0], r[1]) for r in sig.select("doc_id", "hs").collect()
+        ]
+        t_out["bk_rows"] = [
+            tuple(r) for r in bk.select("doc_id", "band", "bucket").collect()
+        ]
+        t_out["occ_rows"] = occ.collect()  # touched buckets — batch-sized
+        t_out["frames"] = (sig, bk, occ)
+        mark("text outputs localized (verify collect)")
+
+    def _image_side() -> None:
+        # one row per INPUT pair; NULL dhash = undecodable image
+        # payload (quarantine — a poison pair must not fail the batch)
+        hashes = multimodal.dhash64(
+            pairs_batch, fake=fake, id_col=id_col, payload_col=payload_col,
+            on_error="null",
+        ).withColumnRenamed(id_col, "doc_id").persist()
+        i_out["hash_rows"] = [
+            (r[0], r[1]) for r in hashes.select("doc_id", "dhash").collect()
+        ]
+        mark("image hashes (decode+dhash)")
+        hashed = hashes.filter(F.col("dhash").isNotNull())
+        probe = multimodal.phash_index_probe(
+            spark, image_index_path, hashed, max_hamming=max_hamming,
+            id_col="doc_id", scratch=i_scratch, with_chunk_hits=True,
+        )
+        i_out["probe_rows"] = [tuple(r) for r in probe.collect()]
+        i_out["frames"] = (hashes,)
+        mark("image probe localized")
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(inheritable_thread_target(_text_side)),
+            pool.submit(inheritable_thread_target(_image_side)),
+        ]
+        for f in futs:
+            f.result()  # re-raise probe failures (oversize guard etc.)
+    sig, bk, occ = t_out["frames"]
+    (hashes,) = i_out["frames"]
+    scratch.extend(i_scratch)
+    t_dup_rows = t_out["t_dup_rows"]
+    t_self_set = t_out["t_self_set"]
+    sig_rows = t_out["sig_rows"]
+    bk_rows = t_out["bk_rows"]
+    occ_rows = t_out["occ_rows"]
+    hash_rows = i_out["hash_rows"]
+    probe_rows = i_out["probe_rows"]
+    mark("probe outputs localized (text+image probes + verify)")
+
+    decoded = {i for i, h in hash_rows if h is not None}
     # full-presence self-detection (ADVICE r11): skip the re-insert
     # only when all 4 chunk rows are durable. n_chunk_hits is exact
     # here because the probe runs with on_oversize='raise' (a hot
-    # bucket raises before any decision, so the hot filter was empty
-    # whenever this evaluates — see the media gate's note; ADVICE
-    # r12's under-count is a drop-mode hazard, covered by
-    # phash_index_presence for drop-mode callers).
-    i_self = probe.filter(
-        (F.col("batch_id") == F.col("index_id"))
-        & (F.col("n_chunk_hits") >= 4)
-    ).select(F.col("batch_id").alias("doc_id")).distinct()
-    batch_ids = hashed.select(F.col("doc_id").alias("index_id")).distinct()
-    i_index_dups = (
-        probe.join(F.broadcast(batch_ids), "index_id", "left_anti")
-        .groupBy("batch_id")
-        .agg(F.min(F.struct("hamming", "index_id")).alias("_b"))
-        .select(
-            F.col("batch_id").alias("doc_id"),
-            F.col("_b.index_id").alias("dup_of"),
-            F.col("_b.hamming").alias("hamming"),
-        )
-    )
+    # bucket raises before any decision — see the media gate's note).
+    i_self_set = {
+        b for (b, ix, _h, nch) in probe_rows if b == ix and nch >= 4
+    }
+    # corpus duplicates exclude ALL matches whose index id is in the
+    # current batch (a prior crashed attempt's own insert — see
+    # _text_probe's interleaving-invariance note); best match =
+    # min (hamming, index_id), the probe's F.min(struct) tie-break
+    i_best: dict = {}
+    for b, ix, hm, _n in probe_rows:
+        if ix in decoded:
+            continue
+        key = (hm, ix)
+        if b not in i_best or key < i_best[b]:
+            i_best[b] = key
 
     # --- index rejections: EITHER modality matching rejects ---
-    # persisted: decision-sized, but its lineage is BOTH probes — the
-    # commit path otherwise re-runs the full probe machinery once per
-    # downstream action (measured 5x at bench scale)
-    index_rejected = (
-        t_index_dups.select(
-            "doc_id",
-            F.col("dup_of").alias("text_dup_of"),
-            F.col("jaccard").alias("text_jaccard"),
-        )
-        .join(
-            i_index_dups.select(
-                "doc_id",
-                F.col("dup_of").alias("image_dup_of"),
-                F.col("hamming").alias("image_hamming"),
-            ),
-            "doc_id",
-            "full_outer",
-        )
-    ).persist()
+    idx_rej: dict = {}
+    for doc, dup, j in t_dup_rows:
+        idx_rej[doc] = [dup, j, None, None]
+    for doc, (hm, ix) in i_best.items():
+        e = idx_rej.setdefault(doc, [None, None, None, None])
+        e[2], e[3] = ix, hm
 
     # --- within-batch: component policy over the UNION graph ---
-    i_within = multimodal.phash_near_pairs(
-        hashed, max_hamming=max_hamming, id_col="doc_id"
-    ).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
-        "hamming",
-    )
-    edges = (
-        t_within.select(
-            "doc_a", "doc_b", F.round("jaccard", 6).alias("text_jaccard"),
-            F.lit(None).cast("int").alias("image_hamming"),
-        )
-        .unionByName(
-            i_within.select(
-                "doc_a", "doc_b",
-                F.lit(None).cast("double").alias("text_jaccard"),
-                F.col("hamming").alias("image_hamming"),
-            )
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.max("text_jaccard").alias("text_jaccard"),
-            F.min("image_hamming").alias("image_hamming"),
-        )
-    )
     # a QUARANTINED pair (undecodable image) must never enter the
     # within-batch graph (ADVICE r12): its text side still produces
-    # t_within edges, and as a component minimum it would become the
-    # canonical — a decodable pair rejected against it would point at
-    # a pair that was never admitted, losing that content everywhere.
-    # Mirror the image side's frame: edges restricted to DECODED pairs
-    # on both endpoints (the quarantined pair's own 'decode' decision
-    # is made independently below; its sides are never inserted).
-    surv_edges = (
-        edges.join(
-            hashed.select(F.col("doc_id").alias("doc_a")), "doc_a",
-            "left_semi",
-        )
-        .join(
-            hashed.select(F.col("doc_id").alias("doc_b")), "doc_b",
-            "left_semi",
-        )
-        .join(
-            index_rejected.select(F.col("doc_id").alias("doc_a")), "doc_a",
-            "left_anti",
-        )
-        .join(
-            index_rejected.select(F.col("doc_id").alias("doc_b")), "doc_b",
-            "left_anti",
-        )
+    # edges, and as a component minimum it would become the canonical
+    # — edges restrict to DECODED pairs on both endpoints, and to
+    # probe survivors (an index duplicate keeps its index provenance
+    # and must not stitch two otherwise-unrelated survivors together).
+    hot_bb = {(r["band"], r["bucket"]) for r in occ_rows
+              if r["_n"] > max_bucket}
+    t_edges = local_text_within(sig_rows, bk_rows, hot_bb, threshold)
+    i_edges = local_phash_within(
+        [(i, h) for i, h in hash_rows if h is not None],
+        max_hamming=max_hamming, what="admit_pairs_batch",
     )
-    batch_rejected = component_rejects(
-        surv_edges, id_col="doc_id", a_col="doc_a", b_col="doc_b",
-        metric_col="text_jaccard", extra_metric_cols=("image_hamming",),
-    ).select(
-        "doc_id",
-        F.when(F.col("text_jaccard").isNotNull(), F.col("dup_of"))
-        .alias("text_dup_of"),
-        "text_jaccard",
-        F.when(F.col("image_hamming").isNotNull(), F.col("dup_of"))
-        .alias("image_dup_of"),
-        "image_hamming",
-        F.col("dup_of").alias("_canonical"),
-    )
+    em: dict = {}
+    for a, b, j in t_edges:
+        em.setdefault((a, b), [None, None])[0] = round6(j)
+    for a, b, hm in i_edges:
+        em.setdefault((a, b), [None, None])[1] = hm
+    surv = [
+        (a, b, tj, ih)
+        for (a, b), (tj, ih) in em.items()
+        if a in decoded and b in decoded
+        and a not in idx_rej and b not in idx_rej
+    ]
+    batch_rej: dict = {}
+    for node, canon, tj, ih in resolve_local_components(surv, 2):
+        modality = (
+            "both" if tj is not None and ih is not None
+            else "text" if tj is not None
+            else "image" if ih is not None
+            else "chain"
+        )
+        # both dup_of columns name the component canonical (an
+        # ADMITTED pair); the per-modality metric stays NULL when that
+        # modality has no direct edge to the canonical
+        batch_rej[node] = (canon, tj, canon, ih, modality)
+    if _dbg:
+        mark("within-batch graph + components (driver-local)")
 
-    modality = (
-        F.when(
-            F.col("text_jaccard").isNotNull()
-            & F.col("image_hamming").isNotNull(),
-            F.lit("both"),
-        )
-        .when(F.col("text_jaccard").isNotNull(), F.lit("text"))
-        .when(F.col("image_hamming").isNotNull(), F.lit("image"))
-        .otherwise(F.lit("chain"))
-    )
-    rejected = (
-        index_rejected.select(
-            "doc_id", "text_dup_of", "text_jaccard",
-            "image_dup_of", "image_hamming",
-            F.when(
-                F.col("text_dup_of").isNotNull()
-                & F.col("image_dup_of").isNotNull(),
-                F.lit("both"),
+    # decisions cover EVERY input pair (ADVICE r11): the sig frame
+    # carries one row per pair; a pair with an undecodable image
+    # quarantines (admitted=false, reject_modality='decode', NULL
+    # dup_ofs) and neither of its sides is inserted into an index.
+    dec_rows = []
+    for doc, _hs in sig_rows:
+        if doc in idx_rej:
+            td, tj, im, ih = idx_rej[doc]
+            modality = (
+                "both" if td is not None and im is not None
+                else "text" if td is not None else "image"
             )
-            .when(F.col("text_dup_of").isNotNull(), F.lit("text"))
-            .otherwise(F.lit("image"))
-            .alias("reject_modality"),
-        )
-        .unionByName(
-            batch_rejected.select(
-                "doc_id",
-                F.coalesce("text_dup_of", "_canonical").alias("text_dup_of"),
-                "text_jaccard",
-                F.coalesce("image_dup_of", "_canonical")
-                .alias("image_dup_of"),
-                "image_hamming",
-                modality.alias("reject_modality"),
-            )
-        )
-    ).persist()
-
-    # decisions cover EVERY input pair (ADVICE r11): the text side's
-    # sig frame always carries one row per pair, and the image hasher
-    # emits a NULL-hash row per undecodable payload (on_error='null')
-    # — a pair with an undecodable image quarantines
-    # (admitted=false, reject_modality='decode', NULL dup_ofs) and
-    # neither of its sides is inserted into an index. Both frames are
-    # already persisted: no second pass over the batch source.
-    decoded = hashes.filter(F.col("dhash").isNotNull()).select(
-        "doc_id"
-    ).withColumn("_decoded", F.lit(True))
-    decisions = (
-        sig.select("doc_id")
-        .join(decoded, "doc_id", "left")
-        .join(rejected, "doc_id", "left")
-        .select(
-            F.col("doc_id").alias(id_col),
-            (F.col("_decoded").isNotNull()
-             & F.col("reject_modality").isNull()).alias("admitted"),
-            F.when(
-                F.col("_decoded").isNull()
-                & F.col("reject_modality").isNull(),
-                F.lit("decode"),
-            ).otherwise(F.col("reject_modality")).alias("reject_modality"),
-            "text_dup_of", "text_jaccard", "image_dup_of", "image_hamming",
-            F.lit(int(epoch_id)).alias("epoch"),
-        )
-    )
-    dec_schema = decisions.schema
-    dec_rows = decisions.collect()  # localized before the appends
-    mark("decisions collected (probes + jaccard verify + components)")
+            dec_rows.append((doc, False, modality, td, tj, im, ih,
+                             int(epoch_id)))
+        elif doc in batch_rej:
+            canon, tj, im_c, ih, modality = batch_rej[doc]
+            dec_rows.append((doc, False, modality, canon, tj, im_c, ih,
+                             int(epoch_id)))
+        elif doc not in decoded:
+            dec_rows.append((doc, False, "decode", None, None, None, None,
+                             int(epoch_id)))
+        else:
+            dec_rows.append((doc, True, None, None, None, None, None,
+                             int(epoch_id)))
+    dec_schema = StructType([
+        StructField(id_col, LongType(), True),
+        StructField("admitted", BooleanType(), False),
+        StructField("reject_modality", StringType(), True),
+        StructField("text_dup_of", LongType(), True),
+        StructField("text_jaccard", DoubleType(), True),
+        StructField("image_dup_of", LongType(), True),
+        StructField("image_hamming", IntegerType(), True),
+        StructField("epoch", IntegerType(), False),
+    ])
+    mark("decisions computed (driver-local)")
 
     # --- inserts (text sigs -> text bands -> image), then commit ---
-    # EVERY append's source plan below is pure-batch (sig/bk/hashed) +
-    # driver-local id frames — never a plan reading an index path. The
-    # admitted ids ride dec_rows; the self sets and the touched-bucket
-    # occupancy are collected ONCE, BEFORE the first append, because
-    # Spark invalidates cached frames whose lineage reads an appended
-    # path (recacheByPath) — leaving these lazy made the bands append
-    # and the image insert each re-run the full text probe + Jaccard
-    # verify against the GROWN index (measured 5-7s extra per batch
-    # at sf0.1 — VERDICT r12 item 4's missing half).
-    admitted_ids = [r[0] for r in dec_rows if r[1]]
-    t_self_set = {r.doc_id for r in t_self.collect()}
-    i_self_set = {r.doc_id for r in i_self.collect()}
-    occ_rows = occ.collect()  # touched buckets only — batch-sized
-    t_ins = F.broadcast(local_id_frame(
-        spark, [i for i in admitted_ids if i not in t_self_set]
-    ))
+    # EVERY append below writes a ONE-SLICE driver-local frame — never
+    # a plan reading an index path (recacheByPath — VERDICT r12 item
+    # 4) and never an extra shuffle stage: the insert rows are already
+    # on the driver.
+    admitted_ids = {r[0] for r in dec_rows if r[1]}
+    hs_by = dict(sig_rows)
+    t_ins_ids = sorted(i for i in admitted_ids if i not in t_self_set)
     sig_store_append(
-        sig.join(t_ins, "doc_id").select("doc_id", "hs"),
+        _one_slice(
+            spark, [(i, hs_by[i]) for i in t_ins_ids],
+            "doc_id long, hs array<long>",
+        ),
         text_index_path,
     )
     mark("text sigs appended")
-    new_bk = bk.join(t_ins, "doc_id")
-    occ_loc = (
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(occ_rows, 1), occ.schema
-        )
-        if occ_rows
-        else spark.createDataFrame([], occ.schema)
-    )
-    occ_now = occ_loc.select("band", "bucket", F.col("_n").alias("_prior_n"))
-    delta = new_bk.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("_d")
-    )
-    sized = new_bk.join(
-        F.broadcast(delta.join(occ_now, ["band", "bucket"], "left")),
-        ["band", "bucket"],
-    ).select(
-        "doc_id", "bucket",
-        (F.coalesce("_prior_n", F.lit(0)) + F.col("_d")).alias("bucket_size"),
-        "band",
-    )
-    sized.write.partitionBy("band").mode("append").parquet(
+    # live bucket_size: prior occupancy of the touched bucket (the
+    # probe's occ recount) + this batch's own insert delta — computed
+    # locally from the already-collected rows
+    occ_by = {(r["band"], r["bucket"]): r["_n"] for r in occ_rows}
+    t_ins_set = set(t_ins_ids)
+    new_bk = [(d, band, bucket) for d, band, bucket in bk_rows
+              if d in t_ins_set]
+    delta: dict = {}
+    for _d, band, bucket in new_bk:
+        delta[(band, bucket)] = delta.get((band, bucket), 0) + 1
+    sized_rows = [
+        (d, bucket, occ_by.get((band, bucket), 0) + delta[(band, bucket)],
+         band)
+        for d, band, bucket in new_bk
+    ]
+    _one_slice(
+        spark, sized_rows,
+        "doc_id long, bucket long, bucket_size long, band int",
+    ).write.partitionBy("band").mode("append").parquet(
         f"{text_index_path}/bands"
     )
     mark("text bands appended")
-    i_insert = hashed.join(
-        F.broadcast(local_id_frame(
-            spark, [i for i in admitted_ids if i not in i_self_set]
-        )),
-        "doc_id",
-    ).select("doc_id", "dhash")
+    h_by = dict(hash_rows)
+    i_ins_rows = [(i, h_by[i]) for i in sorted(admitted_ids)
+                  if i not in i_self_set]
     multimodal.phash_index_insert(
-        spark, image_index_path, i_insert, id_col="doc_id"
+        spark, image_index_path,
+        _one_slice(spark, i_ins_rows, "doc_id long, dhash long"),
+        id_col="doc_id",
     )
     mark("image chunks inserted")
 
@@ -360,16 +358,15 @@ def admit_pairs_batch(
         decided, epoch=epoch_id, app_id=app_id, retain=2, n_files=None
     )
     mark("decision ledger committed")
-    rejected.unpersist()
-    index_rejected.unpersist()
     sig.unpersist()
     bk.unpersist()
     hashes.unpersist()
-    probe.unpersist()
     occ.unpersist()
     for fr in scratch:
         fr.unpersist()
     return True
+
+
 
 
 def admit_pairs_stream(

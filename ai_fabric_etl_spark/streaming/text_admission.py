@@ -56,8 +56,18 @@ from ai_fabric_etl_spark.operators.maintenance import maintenance_tick
 from ai_fabric_etl_spark.operators.merge import ParquetMergeTable
 from ai_fabric_etl_spark.operators.multimodal import _oversize_guard
 from ai_fabric_etl_spark.streaming.admission_common import (
-    component_rejects,
-    local_id_frame,
+    local_text_within,
+    one_slice as _one_slice,
+    resolve_local_components,
+    round6,
+)
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
 )
 
 DECISION_COLS = ["doc_id", "admitted", "dup_of", "jaccard", "epoch"]
@@ -274,30 +284,47 @@ def admit_text_batch(
         return False  # replayed epoch — already decided
 
     scratch: list = []
-    sig, bk, self_ids, index_dups, within, occ = _text_probe(
+    sig, bk, self_ids, index_dups, _within, occ = _text_probe(
         spark, index_path, docs_batch, text_col, threshold,
         num_hashes, bands, n, max_bucket, on_oversize, stats_out,
         what="admit_text_batch", scratch=scratch,
     )
 
+    # LOCALIZE the probe's decision-sized outputs (r14, same contract
+    # as the other gates — the decision rows were ALWAYS collected
+    # before the appends because their plan reads the index's
+    # bands/sigs parquet and recacheByPath would re-probe the grown
+    # index at the commit, VERDICT r12 item 4): index rejects, the
+    # within-batch candidate+Jaccard graph, components, the decision
+    # rows, and the insert frames all assemble in plain Python over
+    # micro-batch-sized rows instead of ~10 per-batch shuffle
+    # micro-stages. The corpus-side machinery (band-pruned index scan,
+    # sb-pruned exact-Jaccard verify) stays fully distributed.
+    dup_rows = [tuple(r) for r in index_dups.collect()]
+    self_set = {r[0] for r in self_ids.collect()}
+    sig_rows = [(r[0], r[1]) for r in sig.select("doc_id", "hs").collect()]
+    bk_rows = [
+        tuple(r) for r in bk.select("doc_id", "band", "bucket").collect()
+    ]
+    occ_rows = occ.collect()
+    idx_rej = {d: (dup, j) for d, dup, j in dup_rows}
+
     # within-batch: one representative per near-dup component (see
     # admission_common); edges restricted to probe survivors on both
     # sides — an index duplicate keeps its index provenance and must
     # not stitch two otherwise-unrelated survivors together
-    surv = within.join(
-        index_dups.select(F.col("doc_id").alias("doc_a")), "doc_a",
-        "left_anti",
-    ).join(
-        index_dups.select(F.col("doc_id").alias("doc_b")), "doc_b",
-        "left_anti",
-    )
-    batch_dups = component_rejects(
-        surv.withColumn("jaccard", F.round("jaccard", 6)),
-        id_col="doc_id", a_col="doc_a", b_col="doc_b",
-        metric_col="jaccard",
-    )
-
-    rejected = index_dups.unionByName(batch_dups).persist()
+    hot_bb = {(r["band"], r["bucket"]) for r in occ_rows
+              if r["_n"] > max_bucket}
+    surv = [
+        (a, b, round6(j))
+        for a, b, j in local_text_within(sig_rows, bk_rows, hot_bb,
+                                         threshold)
+        if a not in idx_rej and b not in idx_rej
+    ]
+    batch_dups = {
+        node: (canon, j)
+        for node, canon, j in resolve_local_components(surv, 1)
+    }
 
     # ORDERING INVARIANT (crash-window convergence): the three writes
     # run as sigs -> bands -> decisions commit. Self-detection keys on
@@ -310,71 +337,57 @@ def admit_text_batch(
     # signatures are permanently suppressed. The decisions commit runs
     # LAST: a committed epoch skips on replay, so everything it
     # implies must already be durable.
-    #
-    # The batch's decision rows are LOCALIZED (collect) before the
-    # appends: their plan reads the index's bands/sigs parquet, and
-    # Spark's cache auto-refresh on append (recacheByPath) would
-    # otherwise re-probe the just-grown index when the commit
-    # evaluates them. One row per input doc — micro-batch-sized.
-    decisions = (
-        sig.select("doc_id")
-        .join(rejected, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("dup_of").isNull().alias("admitted"),
-            "dup_of",
-            "jaccard",
-            F.lit(int(epoch_id)).alias("epoch"),
-        )
-    )
-    dec_schema = decisions.schema
-    dec_rows = decisions.collect()
+    dec_rows = []
+    for d, _hs in sig_rows:
+        if d in idx_rej:
+            dup, j = idx_rej[d]
+            dec_rows.append((d, False, dup, j, int(epoch_id)))
+        elif d in batch_dups:
+            canon, j = batch_dups[d]
+            dec_rows.append((d, False, canon, j, int(epoch_id)))
+        else:
+            dec_rows.append((d, True, None, None, int(epoch_id)))
+    dec_schema = StructType([
+        StructField("doc_id", LongType(), True),
+        StructField("admitted", BooleanType(), False),
+        StructField("dup_of", LongType(), True),
+        StructField("jaccard", DoubleType(), True),
+        StructField("epoch", IntegerType(), False),
+    ])
 
-    # EVERY append's source plan below is pure-batch (sig/bk) +
-    # driver-local id frames — never a plan reading an index path:
-    # Spark invalidates cached frames whose lineage reads an appended
-    # path (recacheByPath), so a lazy insert set would re-run the full
-    # probe subtree against the GROWN index at the bands append
-    # (measured 5-7s extra per paired-gate batch at sf0.1 — VERDICT
-    # r12 item 4). The admitted ids ride dec_rows; the self set and
-    # the touched-bucket occupancy collect once, before the first
-    # append. All batch-sized.
-    self_set = {r.doc_id for r in self_ids.collect()}
-    occ_rows = occ.collect()
-    ins = F.broadcast(local_id_frame(
-        spark,
-        [r.doc_id for r in dec_rows if r.admitted and r.doc_id not in self_set],
-    ))
+    # EVERY append below writes a ONE-SLICE driver-local frame — never
+    # a plan reading an index path, and no per-insert joins: the
+    # admitted ids, signatures, band keys, and the live bucket sizes
+    # (prior touched-bucket occupancy + this batch's insert delta) are
+    # all already on the driver.
+    hs_by = dict(sig_rows)
+    ins_ids = sorted(
+        d for d, admitted, _dup, _j, _e in dec_rows
+        if admitted and d not in self_set
+    )
     sig_store_append(
-        sig.join(ins, "doc_id").select("doc_id", "hs"),
+        _one_slice(
+            spark, [(d, hs_by[d]) for d in ins_ids],
+            "doc_id long, hs array<long>",
+        ),
         index_path,
     )
-    new_bk_rows = bk.join(ins, "doc_id")
-    occ_loc = (
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(occ_rows, 1), occ.schema
-        )
-        if occ_rows
-        else spark.createDataFrame([], occ.schema)
-    )
-    occ_now = occ_loc.select(
-        "band", "bucket", F.col("_n").alias("_prior_n")
-    )
-    delta = new_bk_rows.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("_d")
-    )
-    sized = (
-        new_bk_rows.join(F.broadcast(
-            delta.join(occ_now, ["band", "bucket"], "left")), ["band", "bucket"])
-        .select(
-            "doc_id", "bucket",
-            (F.coalesce("_prior_n", F.lit(0)) + F.col("_d")).alias(
-                "bucket_size"
-            ),
-            "band",
-        )
-    )
-    sized.write.partitionBy("band").mode("append").parquet(
+    occ_by = {(r["band"], r["bucket"]): r["_n"] for r in occ_rows}
+    ins_set = set(ins_ids)
+    new_bk = [(d, band, bucket) for d, band, bucket in bk_rows
+              if d in ins_set]
+    delta: dict = {}
+    for _d, band, bucket in new_bk:
+        delta[(band, bucket)] = delta.get((band, bucket), 0) + 1
+    sized_rows = [
+        (d, bucket, occ_by.get((band, bucket), 0) + delta[(band, bucket)],
+         band)
+        for d, band, bucket in new_bk
+    ]
+    _one_slice(
+        spark, sized_rows,
+        "doc_id long, bucket long, bucket_size long, band int",
+    ).write.partitionBy("band").mode("append").parquet(
         f"{index_path}/bands"
     )
 
@@ -393,7 +406,6 @@ def admit_text_batch(
     table.append(
         decided, epoch=epoch_id, app_id=app_id, retain=2, n_files=None
     )
-    rejected.unpersist()
     sig.unpersist()
     bk.unpersist()
     occ.unpersist()
