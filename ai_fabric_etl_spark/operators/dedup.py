@@ -179,6 +179,12 @@ def ngram_jaccard_pairs(
         )
         exploded = sh.select("doc_id", "n_sh", F.explode("hs").alias("shingle_key"))
         doc_freq = exploded.groupBy("shingle_key").agg(F.count(F.lit(1)).alias("df"))
+        # checkpointed (r14): the prefix table feeds BOTH self-join
+        # sides — unpinned, the df aggregation + per-doc window sort
+        # over the corpus token stream executed twice per action. The
+        # frame holds only prefix entries (≤ |s|-⌈t|s|⌉+1 rows per
+        # doc, df>=2 floor applied), far smaller than the exploded
+        # token stream it derives from.
         pre = (
             exploded.join(doc_freq, "shingle_key")
             .withColumn(
@@ -191,6 +197,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") >= 2)
             .withColumn("in_index", F.col("rn") <= index_len)
             .select("doc_id", "n_sh", "shingle_key", "rn", "in_index")
+            .localCheckpoint(eager=True)
         )
         a = pre.alias("a")  # probe side: full t-prefix
         b = pre.filter(F.col("in_index")).alias("b")  # index side
@@ -407,11 +414,14 @@ def minhash_lsh_pairs(
     sig = sig.cache()
     band_keys = _lsh_band_keys(sig, num_hashes, bands)
 
-    # skew guard: drop degenerate buckets
+    # skew guard: drop degenerate buckets. Checkpointed (r14): the
+    # sized band keys feed both self-join sides — unpinned, the
+    # band-key explode + occupancy window ran twice per action (the
+    # signature UDF itself was already cached via sig).
     sized = band_keys.withColumn(
         "bucket_size",
         F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
-    ).filter(F.col("bucket_size") <= max_bucket)
+    ).filter(F.col("bucket_size") <= max_bucket).localCheckpoint(eager=True)
 
     a = sized.alias("a")
     b = sized.alias("b")
@@ -810,12 +820,21 @@ def _components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     contract as propagation. Every step is a groupBy + join on the
     edge list: no per-node state, no driver-side graph, AQE-friendly.
     """
-    base = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    # ONE materialization of the caller's pair pipeline (r14): both
+    # the node set and the canonical edge set derive from this
+    # checkpointed edge list. The previous shape checkpointed only
+    # `edges` and left `nodes` as a lazy .cache() whose lineage was
+    # the FULL pair-generation machinery — the final nodes⋈root_of
+    # action then re-executed the entire LSH/SymSpell pipeline a
+    # second time (the dumped keep_best plan carried 120
+    # ArrowEvalPython nodes through the `nodes` branch).
+    base = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).localCheckpoint(eager=True)
     nodes = (
         base.select(F.col("u").alias("doc_id"))
         .unionByName(base.select(F.col("v").alias("doc_id")))
         .distinct()
-        .cache()
     )
     # canonical undirected form (a < b), deduped
     edges = base.filter(F.col("u") != F.col("v")).select(
@@ -834,7 +853,44 @@ def _components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .distinct()
         )
 
-    for _ in range(max_iter):
+    def _is_star_set(e: DataFrame) -> bool:
+        """Fixed-point certificate, checked on the CURRENT edge set:
+        a canonical (a < b, distinct) edge list is a union of depth-1
+        stars centered at each component's minimum iff (i) no node
+        appears on both the center (a) and leaf (b) side and (ii) no
+        leaf has two centers. Star sets are exactly the loop's fixed
+        points (large-star and small-star both map a star to itself;
+        the round below changes anything else), so stopping here is
+        the old new==edges test — but as ONE single-column aggregation
+        instead of two exceptAll shuffles over the pair set, and
+        checked BEFORE the round: an input that is already star-shaped
+        (disjoint planted near-dup pairs — the common dedup shape)
+        skips the round machinery entirely."""
+        viol = (
+            e.select(F.col("a").alias("n"), F.lit(1).alias("_ctr"),
+                     F.lit(0).alias("_leaf"))
+            .unionByName(
+                e.select(F.col("b").alias("n"), F.lit(0).alias("_ctr"),
+                         F.lit(1).alias("_leaf"))
+            )
+            .groupBy("n")
+            .agg(F.sum("_ctr").alias("_na"), F.sum("_leaf").alias("_nb"))
+            .filter(
+                (F.col("_nb") > 1)
+                | ((F.col("_na") > 0) & (F.col("_nb") > 0))
+            )
+            .limit(1)
+            .count()
+        )
+        return viol == 0
+
+    for it in range(max_iter + 1):
+        if _is_star_set(edges):
+            break
+        if it == max_iter:
+            raise RuntimeError(
+                f"large-star/small-star did not converge in {max_iter} rounds"
+            )
         sym = _sym(edges)
         m = sym.groupBy("u").agg(F.min("v").alias("_mn"))
         mcol = F.least(F.col("u"), F.col("_mn"))
@@ -856,18 +912,7 @@ def _components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .select(F.col("v").alias("u"), mcol.alias("v"))
             .unionByName(m.select(F.col("u"), mcol.alias("v")))
         )
-        new_edges = _canon(small).localCheckpoint(eager=True)
-
-        converged = new_edges.exceptAll(edges).limit(1).count() == 0 and (
-            edges.exceptAll(new_edges).limit(1).count() == 0
-        )
-        edges = new_edges
-        if converged:
-            break
-    else:
-        raise RuntimeError(
-            f"large-star/small-star did not converge in {max_iter} rounds"
-        )
+        edges = _canon(small).localCheckpoint(eager=True)
 
     # converged edges are stars (node -> component min); roots and
     # isolated nodes label themselves

@@ -481,9 +481,14 @@ def lsh_cosine_neardup_pairs(
     # VECTOR — carrying the embedding there would shuffle every
     # vector n_tables times through the joins below. Ids + keys only;
     # vectors join back once per pair side at the end.
+    # checkpointed, not lazy (r14): the tagged frame feeds the bucket
+    # counts AND both self-join sides — unpinned, the Arrow-matmul
+    # tagging (and the corpus scan under it) executed three times per
+    # action. One materialization of the O(n_tables·n) key rows; no
+    # cache entry, no path lineage.
     tagged = _tag_buckets(
         v, "v", dim, total_bits, n_tables, seed, stride=31
-    ).select("id", "table", "bucket")
+    ).select("id", "table", "bucket").localCheckpoint(eager=True)
     fine_key = F.col("bucket")
 
     def mask(r: int) -> int:
@@ -560,8 +565,13 @@ def lsh_cosine_neardup_pairs(
             )
         ),
     )
+    # checkpointed (r14): assign feeds both self-join sides through
+    # `leveled` — unpinned, the per-level window chain and the guard
+    # UDF ran twice per action; the frame is O(distinct buckets).
+    # Eager, so the on_oversize='raise' guard fires before pair work.
+    assign = assign.drop("_fn").localCheckpoint(eager=True)
     leveled = (
-        tagged.join(assign.drop("_fn"), ["table", "bucket"])
+        tagged.join(assign, ["table", "bucket"])
         .filter(F.col("lvl").isNotNull())
         .select("id", "table", "lvl", "lbucket")
     )
@@ -1427,10 +1437,17 @@ def emb_neardup_incremental(
         return (1 << (n_planes + extra * r)) - 1
 
     b = new_emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # checkpointed, not lazy (r14): the tagged batch feeds FOUR
+    # subtrees (touched buckets, batch counts, both pair sides) and
+    # unpinned the Arrow-matmul tagging re-executed once per subtree
+    # (the dumped plan carried 64 ArrowEvalPython nodes). A
+    # localCheckpoint holds the O(batch) (id, table, bucket) rows with
+    # no cache entry and no path lineage — nothing for a later index
+    # append to recache (the minhash incremental lesson).
     b_tagged = _tag_buckets(
         b, "v", meta["dim"], n_planes + extra * rounds, meta["n_tables"],
         meta["seed"], stride=31,
-    ).select("id", "table", "bucket")
+    ).select("id", "table", "bucket").localCheckpoint(eager=True)
 
     base_key = F.col("bucket").bitwiseAND(F.lit(mask(0)))
     touched = (
@@ -1485,12 +1502,17 @@ def emb_neardup_incremental(
             )
         return lv.astype("int32")
 
+    # checkpointed (r14): assign feeds both pair sides — unpinned, the
+    # merged-occupancy window chain, the pruned index counts scan and
+    # the guard UDF all ran twice per action; the frame is O(touched
+    # buckets). Eager, so the oversize guard fires here, before any
+    # pair work.
     assign = assign.withColumn("lvl", _guard_lvl("lvl", "bucket")).withColumn(
         "lbucket",
         F.col("bucket").bitwiseAND(
             F.expr(f"shiftleft(1L, lvl * {extra} + {n_planes}) - 1")
         ),
-    )
+    ).localCheckpoint(eager=True)
 
     def leveled(keys: DataFrame) -> DataFrame:
         return keys.join(assign, ["table", "bucket"]).select(

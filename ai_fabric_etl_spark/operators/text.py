@@ -774,9 +774,11 @@ def nb_classify(
         "_n", F.size("_t")
     )
 
+    # checkpointed (r14): three aggregation consumers — same rationale
+    # as langid_classify's tok_train (train is judgment-sized)
     tok_train = train.select(
         F.col("_actual").alias("_y"), F.explode("_t").alias("_w")
-    )
+    ).localCheckpoint(eager=True)
     cc = tok_train.groupBy("_y", "_w").agg(F.count(F.lit(1)).alias("_c"))
     ny = tok_train.groupBy("_y").agg(F.count(F.lit(1)).alias("_nt"))
     vocab_v = tok_train.select("_w").distinct().count()  # driver scalar
@@ -893,7 +895,16 @@ def langid_classify(
         F.col(label_col).alias("_y"),
         char_ngrams(F.col(text_col), n).alias("_g"),
     ).filter(F.col("_y").isNotNull())
-    tok_train = tr.select("_y", F.explode("_g").alias("_w"))
+    # checkpointed (r14): the exploded train tokens feed THREE
+    # aggregations (per-(y, gram) counts, per-y totals, the vocabulary
+    # count) — unpinned, the char-n-gram transform + explode over the
+    # seed corpus executed once per consumer. O(train tokens), which
+    # is judgment-sized by contract (see scale plan above). The tr
+    # count/groupBy consumers below prune the n-gram column entirely,
+    # so they stay cheap without pinning.
+    tok_train = tr.select(
+        "_y", F.explode("_g").alias("_w")
+    ).localCheckpoint(eager=True)
     cc = tok_train.groupBy("_y", "_w").agg(F.count(F.lit(1)).alias("_c"))
     ny = tok_train.groupBy("_y").agg(F.count(F.lit(1)).alias("_nt"))
     vocab_v = tok_train.select("_w").distinct().count()  # driver scalar
