@@ -68,7 +68,16 @@ def main() -> int:
     reps = []
     for i in range(n):
         p = subprocess.run(
-            [sys.executable, "-c", CHILD.format(repo=repo, sf=sf)],
+            # literal substitution, NOT str.format: the child source's
+            # own f-string braces ({run}, {time...}) would otherwise be
+            # treated as format fields and raise KeyError
+            [
+                sys.executable,
+                "-c",
+                CHILD.replace("{repo!r}", repr(repo)).replace(
+                    "{sf!r}", repr(sf)
+                ),
+            ],
             capture_output=True, text=True, env=env, cwd=repo,
         )
         text = p.stdout + p.stderr
