@@ -1168,6 +1168,7 @@ def phash_index_probe(
     stats_out: dict | None = None,
     scratch: list | None = None,
     with_chunk_hits: bool = False,
+    presence_out: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and the persisted index, in
     O(batch): the batch's distinct (ci, cb) keys are collected (a
@@ -1188,7 +1189,16 @@ def phash_index_probe(
     over ``max_bucket`` (hot chunk value — the candidate fan-out per
     probing image) raises by default, or drops with counters via
     ``stats_out`` (``dropped_buckets``, ``dropped_rows``) under
-    ``on_oversize='drop'``."""
+    ``on_oversize='drop'``.
+
+    ``presence_out``: when a list is passed, a LAZY
+    ``(id_col, n_chunks)`` frame — :func:`phash_index_presence`
+    semantics for exactly this batch — is appended to it. It shares
+    the probe's persisted chunk frame and pruned index scan, so a
+    caller that needs the self-insert completeness check (the gates'
+    crash-window detection) avoids a second chunk derivation, touched
+    collect, and index read; nothing executes unless the caller
+    collects it."""
     if not 0 <= max_hamming <= 3:
         raise ValueError(
             f"chunk banding holds for max_hamming in [0, 3], got {max_hamming}"
@@ -1222,6 +1232,10 @@ def phash_index_probe(
         for r in probe.select("ci", "cb").distinct().collect()
     ]
     if not touched:
+        if presence_out is not None:
+            presence_out.append(
+                spark.createDataFrame([], f"{id_col} long, n_chunks long")
+            )
         return spark.createDataFrame(
             [],
             "batch_id long, index_id long, hamming int"
@@ -1243,6 +1257,20 @@ def phash_index_probe(
         .parquet(path)
         .where(part_filter)
     )
+    if presence_out is not None:
+        # phash_index_presence's exact semantics (join on the id's OWN
+        # chunk rows, pre-hot-filter, count distinct ci) riding this
+        # probe's chunk frame and pruned scan instead of re-deriving
+        # both — lazy until the caller collects it
+        own = probe.select(
+            F.col("batch_id").alias("media_id"), "ci", "cv"
+        )
+        presence_out.append(
+            idx.join(F.broadcast(own), ["media_id", "ci", "cv"])
+            .groupBy("media_id")
+            .agg(F.count_distinct("ci").alias("n_chunks"))
+            .select(F.col("media_id").alias(id_col), "n_chunks")
+        )
 
     keys = probe.select("ci", "cb", "cv").distinct()
     occ = idx.join(F.broadcast(keys), ["ci", "cb", "cv"]).groupBy(
@@ -1497,6 +1525,7 @@ def video_index_probe(
     on_oversize: str = "raise",
     stats_out: dict | None = None,
     scratch: list | None = None,
+    presence_out: list | None = None,
 ) -> DataFrame:
     """Near-dup videos between a NEW batch and the persisted frame
     index, in O(batch): the batch's distinct (ci, cb) keys push a
@@ -1514,7 +1543,14 @@ def video_index_probe(
 
     Oversize policy mirrors :func:`phash_index_probe`: per-(ci, cv)
     occupancy of the index rows the batch touches, raise by default
-    or drop with ``stats_out`` counters."""
+    or drop with ``stats_out`` counters.
+
+    ``presence_out``: when a list is passed, a LAZY
+    ``(id_col, n_rows, n_expected)`` frame —
+    :func:`video_index_presence` semantics for exactly this batch —
+    is appended to it, riding this probe's persisted chunk frame and
+    pruned index scan instead of re-deriving both; nothing executes
+    unless the caller collects it."""
     if not 0 <= max_hamming <= 3:
         raise ValueError(
             f"chunk banding holds for max_hamming in [0, 3], got {max_hamming}"
@@ -1547,6 +1583,12 @@ def video_index_probe(
         for r in probe.select("ci", "cb").distinct().collect()
     ]
     if not touched:
+        if presence_out is not None:
+            presence_out.append(
+                spark.createDataFrame(
+                    [], f"{id_col} long, n_rows long, n_expected long"
+                )
+            )
         return spark.createDataFrame(
             [], "batch_id long, index_id long, n_matching_frames long, "
                 "shift int"
@@ -1556,6 +1598,31 @@ def video_index_probe(
         .parquet(path)
         .where(_touched_filter(touched))
     )
+    if presence_out is not None:
+        # video_index_presence's exact semantics (per id: distinct
+        # (frame_idx, ci) chunk rows the index already holds vs the
+        # batch's own count) riding this probe's chunk frame and
+        # pruned scan — lazy until the caller collects it
+        own = probe.select(
+            F.col("batch_id").alias("media_id"),
+            F.col("fi_b").alias("frame_idx"),
+            "ci", "cv",
+        )
+        present = (
+            idx.join(F.broadcast(own), ["media_id", "frame_idx", "ci", "cv"])
+            .groupBy("media_id")
+            .agg(F.count_distinct("frame_idx", "ci").alias("n_rows"))
+        )
+        expected = own.groupBy("media_id").agg(
+            F.count_distinct("frame_idx", "ci").alias("n_expected")
+        )
+        presence_out.append(
+            expected.join(present, "media_id", "left").select(
+                F.col("media_id").alias(id_col),
+                F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+                "n_expected",
+            )
+        )
 
     keys = probe.select("ci", "cb", "cv").distinct()
     occ = idx.join(F.broadcast(keys), ["ci", "cb", "cv"]).groupBy(

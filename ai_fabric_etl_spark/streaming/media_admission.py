@@ -138,9 +138,10 @@ def admit_media_batch(
     # batch end (ADVICE r11 — bounded block-store lifetime on the
     # continuous path)
     scratch: list = []
+    presence: list = []
     probe = multimodal.phash_index_probe(
         spark, index_path, hashed, max_hamming=max_hamming, id_col=id_col,
-        scratch=scratch, with_chunk_hits=True,
+        scratch=scratch, presence_out=presence,
     )
 
     # batch_id == index_id can only be this batch's own rows from a
@@ -154,16 +155,14 @@ def admit_media_batch(
     # already present become exact duplicates, which the probe
     # de-duplicates (candidate .distinct()) and compact_index removes.
     #
-    # The probe's n_chunk_hits IS an exact completeness check HERE
-    # because this gate probes with on_oversize='raise' (the default):
-    # a hot bucket raises the whole batch during the hot-key
-    # evaluation, before any decision — so whenever execution reaches
-    # this filter, the hot-bucket set was empty and post-filter chunk
-    # hits equal durable rows. ADVICE r12's under-count scenario
-    # (post-hot-filter hits on a fully-inserted id) is a DROP-mode
-    # hazard; a drop-mode caller must judge completeness with
-    # multimodal.phash_index_presence on the ids' own pruned
-    # partitions instead (the video gate's structure).
+    # Completeness comes from the probe's presence_out frame (r14:
+    # phash_index_presence semantics riding the probe's own pruned
+    # scan — pre-hot-filter, so it is exact in every oversize mode),
+    # and it is COLLECTED ONLY when a self candidate actually appears
+    # (a crash replay / re-admission): the steady-state batch pays the
+    # probe's cheap .distinct() candidate path (the r12-measured
+    # with_chunk_hits groupBy variant cost ~1.7x the probe wall on
+    # every batch to serve this rare case) and no presence job at all.
     # LOCALIZE the probe outputs (r14): everything from here to the
     # insert is micro-batch-sized by construction (one row per input
     # id / per probe match) and the decision rows were always
@@ -181,9 +180,14 @@ def admit_media_batch(
     mark("hash + probe outputs localized")
     decoded = {i for i, h in hash_rows if h is not None}
     # full-presence self-detection (ADVICE r11): skip the re-insert
-    # only when all 4 chunk rows are durable; exact here because the
-    # probe runs on_oversize='raise' (see the ordering note below)
-    self_set = {b for (b, ix, _h, nch) in probe_rows if b == ix and nch >= 4}
+    # only when all 4 chunk rows are durable (presence_out — exact,
+    # pre-hot-filter; collected only when a self candidate exists)
+    self_cand = {b for (b, ix, _h) in probe_rows if b == ix}
+    if self_cand:
+        n_chunks = {r[0]: r[1] for r in presence[0].collect()}
+        self_set = {b for b in self_cand if n_chunks.get(b, 0) >= 4}
+    else:
+        self_set = set()
     # corpus duplicates exclude ALL matches whose index id is in the
     # current batch (not just same-id): stream ids are unique, so an
     # index row carrying ANY batch id is the batch's own insert from
@@ -194,7 +198,7 @@ def admit_media_batch(
     # run's decisions and index contents. Best match = min struct
     # (hamming, index_id) — the probe's tie-break.
     best: dict = {}
-    for b, ix, hm, _n in probe_rows:
+    for b, ix, hm in probe_rows:
         if ix in decoded:
             continue
         key = (hm, ix)
@@ -412,11 +416,8 @@ def admit_video_batch(
         id_col=id_col, payload_col=payload_col, on_error="null",
     ).persist()
     scratch: list = []
-    probe = multimodal.video_index_probe(
-        spark, index_path, fh, max_hamming=max_hamming,
-        min_frames=min_frames, max_shift=max_shift, id_col=id_col,
-        scratch=scratch,
-    )
+    presence: list = []
+    out: dict = {}
 
     # LOCALIZE the decision-sized outputs (r14, same contract as the
     # image/audio gate): the frame-hash rows, the probe's alignment
@@ -424,49 +425,74 @@ def admit_video_batch(
     # frame-alignment machinery itself STAYS distributed) are all
     # micro-batch-sized; index rejects, components, and the decision
     # rows then assemble in plain Python instead of ~8 per-batch
-    # shuffle micro-stages.
-    all_ids = {r[0] for r in media_batch.select(id_col).distinct().collect()}
-    mark("batch ids localized")
+    # shuffle micro-stages. The three read-only chains here are
+    # INDEPENDENT (batch ids need only the source; the probe and the
+    # within-batch alignment both read the persisted fh), so their
+    # jobs OVERLAP on driver threads (guide §2.6) instead of
+    # serializing: ids run while probe construction decodes fh, then
+    # the probe and alignment collects run side by side.
+    def _ids() -> None:
+        out["all_ids"] = {
+            r[0] for r in media_batch.select(id_col).distinct().collect()
+        }
+
+    def _probe_rows() -> None:
+        out["probe_rows"] = [tuple(r) for r in probe.collect()]
+
+    def _pair_rows() -> None:
+        out["pair_rows"] = [
+            tuple(r)
+            for r in multimodal.video_near_pairs(
+                fh, max_hamming=max_hamming, min_frames=min_frames,
+                max_shift=max_shift, id_col=id_col,
+            ).collect()
+        ]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fut_ids = pool.submit(inheritable_thread_target(_ids))
+        # construction runs the touched collect — it decodes fh while
+        # the ids job scans the batch source on the other thread
+        probe = multimodal.video_index_probe(
+            spark, index_path, fh, max_hamming=max_hamming,
+            min_frames=min_frames, max_shift=max_shift, id_col=id_col,
+            scratch=scratch, presence_out=presence,
+        )
+        mark("probe built (decode + touched collect)")
+        futs = [
+            pool.submit(inheritable_thread_target(_probe_rows)),
+            pool.submit(inheritable_thread_target(_pair_rows)),
+        ]
+        for f in [fut_ids, *futs]:
+            f.result()  # re-raise probe failures (oversize guard etc.)
+    all_ids = out["all_ids"]
+    probe_rows = out["probe_rows"]
+    pair_rows = out["pair_rows"]
+    mark("ids + probe + within-batch alignment localized (overlapped)")
     fh_rows = [
         tuple(r) for r in fh.select(id_col, "frame_idx", "fhash").collect()
     ]
-    mark("frame hashes localized (decode)")
-    probe_rows = [tuple(r) for r in probe.collect()]
-    mark("index probe localized")
-    pair_rows = [
-        tuple(r)
-        for r in multimodal.video_near_pairs(
-            fh, max_hamming=max_hamming, min_frames=min_frames,
-            max_shift=max_shift, id_col=id_col,
-        ).collect()
-    ]
-    mark("within-batch alignment pairs localized")
+    mark("frame hashes localized (cached)")
 
     decoded = {r[0] for r in fh_rows}
     # self-detection requires the id's insert to be COMPLETE (every
     # (frame_idx, chunk) row durable — ADVICE r11): a partial insert
-    # re-inserts in full, duplicates are probe-harmless
+    # re-inserts in full, duplicates are probe-harmless. The presence
+    # values ride the probe's own pruned scan (presence_out) — no
+    # second chunk derivation or index read — and are collected only
+    # when a self candidate actually appears (crash replay).
     self_cand = {b for (b, ix, _nm, _s) in probe_rows if b == ix}
-    if not self_cand:  # no crash replay: skip the presence scan
+    if not self_cand:  # no crash replay: skip the presence check
         self_set: set = set()
     else:
-        mark("presence scan starting (self candidates present)")
+        mark("presence check starting (self candidates present)")
+        pres = {r[0]: (r[1], r[2]) for r in presence[0].collect()}
         self_set = {
-            r[0]
-            for r in multimodal.video_index_presence(
-                spark, index_path,
-                fh.join(
-                    spark.createDataFrame(
-                        [(int(i),) for i in sorted(self_cand)],
-                        f"{id_col} long",
-                    ),
-                    id_col, "left_semi",
-                ),
-                id_col=id_col,
-            )
-            .filter(F.col("n_rows") >= F.col("n_expected"))
-            .select(id_col)
-            .collect()
+            b for b in self_cand
+            if b in pres and pres[b][0] >= pres[b][1]
         }
     # exclude ALL matches against this batch's own ids (a prior
     # crashed attempt's insert) — interleaving invariance; best match

@@ -161,11 +161,23 @@ def admit_pairs_batch(
         ]
         mark("image hashes (decode+dhash)")
         hashed = hashes.filter(F.col("dhash").isNotNull())
+        presence: list = []
         probe = multimodal.phash_index_probe(
             spark, image_index_path, hashed, max_hamming=max_hamming,
-            id_col="doc_id", scratch=i_scratch, with_chunk_hits=True,
+            id_col="doc_id", scratch=i_scratch, presence_out=presence,
         )
         i_out["probe_rows"] = [tuple(r) for r in probe.collect()]
+        # presence (the self-insert completeness check) rides the
+        # probe's pruned scan and is collected ONLY when a self
+        # candidate appears — the steady-state batch keeps the probe's
+        # cheap .distinct() path (the with_chunk_hits groupBy variant
+        # cost ~1.7x the probe wall on every batch — r12 measurement)
+        if any(b == ix for (b, ix, _h) in i_out["probe_rows"]):
+            i_out["n_chunks"] = {
+                r[0]: r[1] for r in presence[0].collect()
+            }
+        else:
+            i_out["n_chunks"] = {}
         i_out["frames"] = (hashes,)
         mark("image probe localized")
 
@@ -192,18 +204,19 @@ def admit_pairs_batch(
 
     decoded = {i for i, h in hash_rows if h is not None}
     # full-presence self-detection (ADVICE r11): skip the re-insert
-    # only when all 4 chunk rows are durable. n_chunk_hits is exact
-    # here because the probe runs with on_oversize='raise' (a hot
-    # bucket raises before any decision — see the media gate's note).
+    # only when all 4 chunk rows are durable (presence_out — exact,
+    # pre-hot-filter; collected only when a self candidate exists)
+    n_chunks = i_out["n_chunks"]
     i_self_set = {
-        b for (b, ix, _h, nch) in probe_rows if b == ix and nch >= 4
+        b for (b, ix, _h) in probe_rows
+        if b == ix and n_chunks.get(b, 0) >= 4
     }
     # corpus duplicates exclude ALL matches whose index id is in the
     # current batch (a prior crashed attempt's own insert — see
     # _text_probe's interleaving-invariance note); best match =
     # min (hamming, index_id), the probe's F.min(struct) tie-break
     i_best: dict = {}
-    for b, ix, hm, _n in probe_rows:
+    for b, ix, hm in probe_rows:
         if ix in decoded:
             continue
         key = (hm, ix)
