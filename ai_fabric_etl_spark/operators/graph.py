@@ -207,22 +207,38 @@ def triangle_counts(edges: "DataFrame") -> "DataFrame":
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    # dir_e is NOT pinned: past the pinned e0 it is one broadcast-join
-    # projection, cheaper to recompute for the second wedge leg than
-    # to materialize
     dir_e = with_deg.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
     )
-    w1 = dir_e.select(F.col("src"), F.col("dst").alias("y"))
-    w2 = dir_e.select(F.col("src"), F.col("dst").alias("z"))
+    # wedges via SORTED ADJACENCY expansion, not a dir_e self-join:
+    # one exchange (groupBy src) + two codegen Generates replace the
+    # self-join's two exchanges of dir_e and the join sort — dir_e is
+    # also derived once instead of once per join leg. The sorted
+    # neighbor array gives y < z for free (suffix pairs of an
+    # ascending array); per-row memory stays O(out-degree) — the
+    # orientation's O(sqrt(|E|)) cap — because the pair fan-out is
+    # exploded element-by-element, never materialized as one
+    # O(out-degree^2) array.
+    adj = dir_e.groupBy("src").agg(
+        F.sort_array(F.collect_set("dst")).alias("_ns")
+    )
     wedges = (
-        w1.join(w2, "src")
-        .filter(F.col("y") < F.col("z"))  # dedupe the unordered pair
-        .select(
+        adj.select(
             F.col("src").alias("a"),
-            F.col("y").alias("p"),
-            F.col("z").alias("q"),
+            F.col("_ns"),
+            F.posexplode("_ns").alias("_i", "p"),
+        )
+        .select(
+            "a",
+            "p",
+            F.explode(
+                F.slice(
+                    "_ns",
+                    F.col("_i") + F.lit(2),
+                    F.size("_ns") - F.col("_i") - F.lit(1),
+                )
+            ).alias("q"),
         )
     )
     closing = e0.select(F.col("u").alias("p"), F.col("v").alias("q"))
