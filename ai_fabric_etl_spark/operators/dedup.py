@@ -21,6 +21,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 from ai_fabric_etl_spark.operators.text import tokens
@@ -439,6 +440,12 @@ def minhash_lsh_pairs(
 
 
 _SIG_BUCKETS = 64
+
+# _components_star resolves edge lists at or under this cap with a
+# driver union-find (identical min-id labels, one-slice result) and
+# takes the distributed star rounds above it — the same decision-sized
+# localization contract as streaming/admission_common.MAX_LOCAL_EDGES.
+_LOCAL_COMPONENT_EDGE_CAP = 1_000_000
 _MINHASH_META = "_minhash_index_meta.json"
 
 
@@ -831,6 +838,53 @@ def _components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     base = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).localCheckpoint(eager=True)
+    # ADAPTIVE LOCALIZATION (r14, guide §1.2/§5): the pair list is
+    # already materialized, so its size is one cheap count on
+    # checkpointed blocks. A decision-sized edge list (planted
+    # near-dup pairs, er name graphs — every bench-scale caller)
+    # resolves with a driver union-find producing the IDENTICAL
+    # min-reachable-id labels, returned as a one-slice frame: every
+    # downstream action then broadcasts a tiny local relation instead
+    # of replaying the certificate + star-round machinery, and the
+    # round loop's 4+ checkpointed shuffle jobs never get scheduled.
+    # Anything above the cap takes the distributed star rounds — the
+    # same bounded-localization contract (and failure honesty) as
+    # streaming/admission_common's MAX_LOCAL_EDGES.
+    if base.count() <= _LOCAL_COMPONENT_EDGE_CAP:
+        rows = base.collect()
+        parent: dict = {}
+
+        def _find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = r[0], r[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = _find(a), _find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        spark = pairs.sparkSession
+        out = [(n, _find(n)) for n in parent]
+        # the id type follows the caller's pair columns (string ids
+        # are first-class across the dedup family); Python min/max on
+        # str orders by code point, which UTF-8's byte order (Spark's
+        # string comparison) preserves — identical tie-breaks
+        id_type = base.schema[0].dataType
+        schema = StructType(
+            [
+                StructField("doc_id", id_type, True),
+                StructField("component", id_type, True),
+            ]
+        )
+        if not out:
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(out, 1), schema
+        )
     nodes = (
         base.select(F.col("u").alias("doc_id"))
         .unionByName(base.select(F.col("v").alias("doc_id")))
