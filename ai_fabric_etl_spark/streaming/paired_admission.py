@@ -315,45 +315,64 @@ def admit_pairs_batch(
     admitted_ids = {r[0] for r in dec_rows if r[1]}
     hs_by = dict(sig_rows)
     t_ins_ids = sorted(i for i in admitted_ids if i not in t_self_set)
-    sig_store_append(
+
+    # the TEXT-index writes are order-sensitive between themselves
+    # (sigs before bands: a band row whose sig row is not yet durable
+    # would let a crash replay produce a candidate the exact-Jaccard
+    # verify silently drops), but the IMAGE-index insert touches a
+    # different store entirely — run it on a second driver thread so
+    # the two indexes' write jobs overlap (guide §2.6); the ledger
+    # commit still waits for both.
+    def _text_inserts() -> None:
+        sig_store_append(
+            _one_slice(
+                spark, [(i, hs_by[i]) for i in t_ins_ids],
+                "doc_id long, hs array<long>",
+            ),
+            text_index_path,
+        )
+        mark("text sigs appended")
+        # live bucket_size: prior occupancy of the touched bucket (the
+        # probe's occ recount) + this batch's own insert delta —
+        # computed locally from the already-collected rows
+        occ_by = {(r["band"], r["bucket"]): r["_n"] for r in occ_rows}
+        t_ins_set = set(t_ins_ids)
+        new_bk = [(d, band, bucket) for d, band, bucket in bk_rows
+                  if d in t_ins_set]
+        delta: dict = {}
+        for _d, band, bucket in new_bk:
+            delta[(band, bucket)] = delta.get((band, bucket), 0) + 1
+        sized_rows = [
+            (d, bucket,
+             occ_by.get((band, bucket), 0) + delta[(band, bucket)], band)
+            for d, band, bucket in new_bk
+        ]
         _one_slice(
-            spark, [(i, hs_by[i]) for i in t_ins_ids],
-            "doc_id long, hs array<long>",
-        ),
-        text_index_path,
-    )
-    mark("text sigs appended")
-    # live bucket_size: prior occupancy of the touched bucket (the
-    # probe's occ recount) + this batch's own insert delta — computed
-    # locally from the already-collected rows
-    occ_by = {(r["band"], r["bucket"]): r["_n"] for r in occ_rows}
-    t_ins_set = set(t_ins_ids)
-    new_bk = [(d, band, bucket) for d, band, bucket in bk_rows
-              if d in t_ins_set]
-    delta: dict = {}
-    for _d, band, bucket in new_bk:
-        delta[(band, bucket)] = delta.get((band, bucket), 0) + 1
-    sized_rows = [
-        (d, bucket, occ_by.get((band, bucket), 0) + delta[(band, bucket)],
-         band)
-        for d, band, bucket in new_bk
-    ]
-    _one_slice(
-        spark, sized_rows,
-        "doc_id long, bucket long, bucket_size long, band int",
-    ).write.partitionBy("band").mode("append").parquet(
-        f"{text_index_path}/bands"
-    )
-    mark("text bands appended")
-    h_by = dict(hash_rows)
-    i_ins_rows = [(i, h_by[i]) for i in sorted(admitted_ids)
-                  if i not in i_self_set]
-    multimodal.phash_index_insert(
-        spark, image_index_path,
-        _one_slice(spark, i_ins_rows, "doc_id long, dhash long"),
-        id_col="doc_id",
-    )
-    mark("image chunks inserted")
+            spark, sized_rows,
+            "doc_id long, bucket long, bucket_size long, band int",
+        ).write.partitionBy("band").mode("append").parquet(
+            f"{text_index_path}/bands"
+        )
+        mark("text bands appended")
+
+    def _image_inserts() -> None:
+        h_by = dict(hash_rows)
+        i_ins_rows = [(i, h_by[i]) for i in sorted(admitted_ids)
+                      if i not in i_self_set]
+        multimodal.phash_index_insert(
+            spark, image_index_path,
+            _one_slice(spark, i_ins_rows, "doc_id long, dhash long"),
+            id_col="doc_id",
+        )
+        mark("image chunks inserted")
+
+    with ThreadPoolExecutor(max_workers=2) as ins_pool:
+        ins_futs = [
+            ins_pool.submit(inheritable_thread_target(_text_inserts)),
+            ins_pool.submit(inheritable_thread_target(_image_inserts)),
+        ]
+        for f in ins_futs:
+            f.result()  # re-raise write failures before the commit
 
     # one-slice localized frame: the decision rows are already on the
     # driver, and a default createDataFrame would scatter them over
