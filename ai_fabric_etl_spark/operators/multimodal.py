@@ -1343,9 +1343,16 @@ def phash_index_insert(
     insert bucketed differently from the writer would strand rows in
     partitions no probe looks at."""
     n_buckets = _index_n_buckets(path, n_buckets)
-    _index_chunks(new_hashes, id_col, hash_col, n_buckets).repartition(
-        "ci", "cb"
-    ).write.mode("append").partitionBy("ci", "cb").parquet(path)
+    chunks = _index_chunks(new_hashes, id_col, hash_col, n_buckets)
+    # the repartition exists to co-locate each (ci, cb) dir's rows in
+    # one task (one output file per dir instead of tasks x dirs); a
+    # single-partition input — the gates' one-slice micro-batch
+    # inserts — already writes exactly one file per touched dir from
+    # its one task, so the exchange would add a full shuffle stage per
+    # batch without changing the file layout at all
+    if new_hashes.rdd.getNumPartitions() > 1:
+        chunks = chunks.repartition("ci", "cb")
+    chunks.write.mode("append").partitionBy("ci", "cb").parquet(path)
 
 
 def _touched_filter(touched: list[tuple[int, int]]):
@@ -1714,6 +1721,10 @@ def video_index_insert(
     drifted bucketing would strand rows in partitions no probe
     reads."""
     n_buckets = _index_n_buckets(path, n_buckets)
-    _video_index_chunks(new_frame_hashes, id_col, n_buckets).repartition(
-        "ci", "cb"
-    ).write.mode("append").partitionBy("ci", "cb").parquet(path)
+    chunks = _video_index_chunks(new_frame_hashes, id_col, n_buckets)
+    # single-partition inputs (the gate's one-slice micro-batch
+    # inserts) skip the co-locating exchange — one task already writes
+    # one file per touched dir (see phash_index_insert)
+    if new_frame_hashes.rdd.getNumPartitions() > 1:
+        chunks = chunks.repartition("ci", "cb")
+    chunks.write.mode("append").partitionBy("ci", "cb").parquet(path)
