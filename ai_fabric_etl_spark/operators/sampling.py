@@ -635,9 +635,17 @@ def dsir_logratios(
         F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_ct"),
         F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).alias("_cr"),
     )
-    totals = grams.agg(
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_nt"),
-        F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).alias("_nr"),
+    # N_t/N_r never need the hashed gram stream: a doc with n >= 2
+    # tokens contributes exactly n-1 bigrams, so the totals collapse
+    # to one cheap scan-level fold over base — the old grams.agg here
+    # paid a full md5-hash + explode pass over the corpus just to
+    # count rows it threw away. The branch shapes mirror the grams
+    # projection's when(_tgt,..).otherwise(..) exactly, so NULL
+    # is_target rows count as raw on both routes.
+    _gc = F.when(F.col("_n") >= 2, F.col("_n") - 1).otherwise(F.lit(0))
+    totals = base.agg(
+        F.sum(F.when(F.col("_tgt"), _gc).otherwise(F.lit(0))).alias("_nt"),
+        F.sum(F.when(F.col("_tgt"), F.lit(0)).otherwise(_gc)).alias("_nr"),
     ).collect()[0]
     n_t, n_r = int(totals["_nt"] or 0), int(totals["_nr"] or 0)
     const = qln(F.lit(n_t + n_buckets)) - qln(F.lit(n_r + n_buckets))

@@ -217,6 +217,9 @@ def _ivf_fit_cells(
     feats = c.withColumn(
         "features", array_to_vector(F.col("c_vec").cast("array<double>"))
     )
+    # pinned for the same reason as kmeans_clusters: Lloyd's scans the
+    # input once per iteration and ml.KMeans does not cache it
+    feats = feats.localCheckpoint(eager=True)
     model = KMeans(
         k=n_centroids, seed=seed, distanceMeasure="cosine", featuresCol="features"
     ).fit(feats)
@@ -633,6 +636,12 @@ def kmeans_clusters(
     feats = corpus.select(
         F.col(id_col), F.col(vec_col).alias("_vec")
     ).withColumn("features", array_to_vector(F.col("_vec").cast("array<double>")))
+    # Lloyd's re-reads the input once per iteration (up to max_iter
+    # scans of the source + the vector conversion) and ml.KMeans does
+    # not cache it for you — pin once so every iteration and the
+    # assignment transform below read the same materialized blocks
+    # (localCheckpoint: no CacheManager entry, the r14 lesson)
+    feats = feats.localCheckpoint(eager=True)
     model = KMeans(
         k=k, seed=seed, distanceMeasure="cosine", maxIter=max_iter,
         featuresCol="features",

@@ -547,11 +547,16 @@ def trigram_lm_scores(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("_u"))
     )
-    # driver scalars, both bounded (one count row / |vocab| rows)
-    n_tokens = int(
-        train.select(F.sum(F.size("_t")).alias("s")).collect()[0]["s"] or 0
-    )
-    vocab_v = uni.count()
+    # driver scalars, both bounded, in ONE build-time job: every token
+    # explodes to exactly one unigram row, so N = sum(_u) — the
+    # separate sum(size(_t)) pass over train this used to run is the
+    # same number (NULL text explodes to nothing and sums as NULL;
+    # empty text tokenizes to [''] on both routes)
+    trow = uni.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("_u").alias("s")
+    ).collect()[0]
+    n_tokens = int(trow["s"] or 0)
+    vocab_v = int(trow["v"])
 
     def _grams(df: DataFrame, order: int) -> DataFrame:
         cols = [f"w{j + 1}" for j in range(order)]
