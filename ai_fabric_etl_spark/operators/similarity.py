@@ -217,8 +217,14 @@ def _ivf_fit_cells(
     feats = c.withColumn(
         "features", array_to_vector(F.col("c_vec").cast("array<double>"))
     )
-    # pinned for the same reason as kmeans_clusters: Lloyd's scans the
-    # input once per iteration and ml.KMeans does not cache it
+    # Pinned for the same reason as kmeans_clusters: the post-fit
+    # transform and the probe/score consumers replay blocks, not the
+    # corpus scan (KMeans itself caches its instances RDD during fit
+    # when storageLevel is NONE). c_vec rides the checkpoint because
+    # the scorer needs it anyway; for corpus-scale inputs the blocks
+    # stay pinned for the session and are unreplicated — acceptable
+    # for the one-off index build this feeds (ivf_write_index
+    # persists the real artifact to parquet).
     feats = feats.localCheckpoint(eager=True)
     model = KMeans(
         k=n_centroids, seed=seed, distanceMeasure="cosine", featuresCol="features"
@@ -636,11 +642,16 @@ def kmeans_clusters(
     feats = corpus.select(
         F.col(id_col), F.col(vec_col).alias("_vec")
     ).withColumn("features", array_to_vector(F.col("_vec").cast("array<double>")))
-    # Lloyd's re-reads the input once per iteration (up to max_iter
-    # scans of the source + the vector conversion) and ml.KMeans does
-    # not cache it for you — pin once so every iteration and the
-    # assignment transform below read the same materialized blocks
-    # (localCheckpoint: no CacheManager entry, the r14 lesson)
+    # Pin the feature frame so model.transform and every downstream
+    # action replay materialized blocks instead of the source scan +
+    # vector conversion. (ml.KMeans caches its instances RDD
+    # internally during fit when the input's storageLevel is NONE, so
+    # the per-iteration Lloyd scans are covered either way — the pin
+    # pays off on the post-fit reads. localCheckpoint, not persist:
+    # no CacheManager entry and no path lineage, the r14 lesson.
+    # r15 A/B at 32 cores, 5 alternating reps: pinned 2.23-2.48s vs
+    # unpinned 2.44-2.97s on emb_semdedup_planted — pinned wins every
+    # rep; the r14 driver's 8.61s reading did not reproduce.)
     feats = feats.localCheckpoint(eager=True)
     model = KMeans(
         k=k, seed=seed, distanceMeasure="cosine", maxIter=max_iter,
