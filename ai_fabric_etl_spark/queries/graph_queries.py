@@ -163,12 +163,28 @@ def graph_triangle_counts(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
-    a = li.select(F.col("o"), F.col("p").alias("u"))
-    b = li.select(F.col("o"), F.col("p").alias("v"))
+    # per-order pair expansion from one groupBy instead of a lineitem
+    # self-join: the sorted part set gives u < v for free (suffix
+    # pairs of an ascending array), one exchange of lineitem replaces
+    # two join-leg exchanges + the join sort, and per-row memory is
+    # O(lines per order). Identical edge set: distinct unordered part
+    # pairs co-occurring in an order. (r14 measured this build slower
+    # under the wedge-join consumer, which exploited the join's
+    # partitioning; the r15 edge-iterator consumer has no such
+    # partitioning to lose and the A/B flipped.)
+    grp = li.groupBy("o").agg(F.sort_array(F.collect_set("p")).alias("_ps"))
     edges = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
+        grp.select("_ps", F.posexplode("_ps").alias("_i", "u"))
+        .select(
+            "u",
+            F.explode(
+                F.slice(
+                    "_ps",
+                    F.col("_i") + F.lit(2),
+                    F.size("_ps") - F.col("_i") - F.lit(1),
+                )
+            ).alias("v"),
+        )
         .distinct()
     )
     return triangle_counts(edges)

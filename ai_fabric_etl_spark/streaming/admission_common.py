@@ -101,6 +101,61 @@ def one_slice(spark, rows: list, schema) -> DataFrame:
     )
 
 
+def collect_text_probe_outputs(index_dups, self_ids, sig, bk, occ):
+    """ONE union-tagged collect of the text probe's five
+    decision-sized outputs, replacing five serial driver actions
+    (guide §1.2 — each collect is a full job round-trip of ~0.1-0.3s
+    scheduling against decision-sized data). The union's branches read
+    the probe's already-persisted frames, so the single job's long
+    pole is the exact-Jaccard verify that the first of the five
+    collects always paid anyway; per-branch row order is preserved
+    (Union concatenates partitions in branch order), so downstream
+    row-iteration order — and with it the decision ledger's file
+    content — is unchanged.
+
+    Returns ``(dup_rows, self_set, sig_rows, bk_rows, occ_rows)``:
+    dup_rows ``[(doc_id, dup_of, jaccard)]``, self_set ``{doc_id}``,
+    sig_rows ``[(doc_id, hs)]``, bk_rows ``[(doc_id, band, bucket)]``,
+    occ_rows ``[(band, bucket, n)]``.
+    """
+    nl = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    na = F.lit(None).cast("array<long>")
+    tagged = (
+        index_dups.select(
+            F.lit("d").alias("_t"), F.col("doc_id").alias("_id"),
+            F.col("dup_of").alias("_l1"), nl.alias("_l2"),
+            F.col("jaccard").alias("_d"), na.alias("_hs"),
+        )
+        .union(self_ids.select(F.lit("s"), F.col("doc_id"), nl, nl, nd, na))
+        .union(sig.select(F.lit("g"), F.col("doc_id"), nl, nl, nd,
+                          F.col("hs")))
+        .union(bk.select(F.lit("b"), F.col("doc_id"),
+                         F.col("band").cast("long"), F.col("bucket"),
+                         nd, na))
+        .union(occ.select(F.lit("o"), F.col("_n"),
+                          F.col("band").cast("long"), F.col("bucket"),
+                          nd, na))
+    )
+    dup_rows: list = []
+    self_set: set = set()
+    sig_rows: list = []
+    bk_rows: list = []
+    occ_rows: list = []
+    for t, _id, l1, l2, d, hs in tagged.collect():
+        if t == "d":
+            dup_rows.append((_id, l1, d))
+        elif t == "s":
+            self_set.add(_id)
+        elif t == "g":
+            sig_rows.append((_id, hs))
+        elif t == "b":
+            bk_rows.append((_id, int(l1), l2))
+        else:
+            occ_rows.append((int(l1), l2, _id))
+    return dup_rows, self_set, sig_rows, bk_rows, occ_rows
+
+
 def round6(x: float) -> float:
     """Driver-side twin of ``F.round(col, 6)`` on a double: Spark
     rounds through ``BigDecimal.valueOf(x).setScale(6, HALF_UP)``,
